@@ -1,13 +1,71 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the declared operator surface (SURVEY.md §2.3): each entry
+  * is one operator/query realized Spark-first; `oracleSql` holds the DuckDB
+  * mirror the driver hash-compares against at sf0.01. Keys present in
+  * `queries` but absent from `oracleSql` are rows-only checks (algorithms
+  * whose exact output is engine-specific, e.g. HLL sketches).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Word count — the reference's one shipped workload
+    * (/root/reference/client/scripts/mapper.py:13, reducer.py:14-27) —
+    * over the documents fixture. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    graft.mr.WordCount.onDocuments(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. MR core
+    "wordcount"        -> (graft.mr.WordCount.onDocuments _),
+    // C. projection / selection
+    "proj_select"      -> (Relational.projSelect _),
+    "filter_pred"      -> (Relational.filterPred _),
+    // D. joins
+    "join_inner_bcast" -> (Relational.joinInnerBcast _),
+    "join_left"        -> (Relational.joinLeft _),
+    "join_full"        -> (Relational.joinFull _),
+    "join_semi"        -> (Relational.joinSemi _),
+    "join_anti"        -> (Relational.joinAnti _),
+    "join_cross"       -> (Relational.joinCross _),
+    "join_range"       -> (Relational.joinRange _),
+    // E. aggregation
+    "q1_agg"           -> (Relational.q1Agg _),
+    "agg_stats"        -> (Relational.aggStats _),
+    "agg_approx"       -> (Relational.aggApprox _),
+    "agg_collect"      -> (Relational.aggCollect _),
+    "agg_minmax_by"    -> (Relational.aggMinMaxBy _),
+    "agg_rollup"       -> (Relational.aggRollup _),
+    "agg_cube"         -> (Relational.aggCube _),
+    "agg_grouping_sets" -> (Relational.aggGroupingSets _),
+    // F. window functions
+    "window_rank"      -> (Relational.windowRank _),
+    "window_lag_lead"  -> (Relational.windowLagLead _),
+    "window_frames"    -> (Relational.windowFrames _),
+    // G. sort / limit
+    "sort_limit"       -> (Relational.sortLimit _),
+    // H. set ops
+    "set_union"        -> (Relational.setUnion _),
+    "set_intersect"    -> (Relational.setIntersect _),
+    "set_except"       -> (Relational.setExcept _),
+    "set_distinct"     -> (Relational.setDistinct _),
+    // I. scalar functions
+    "fn_string"        -> (Relational.fnString _),
+    "fn_date"          -> (Relational.fnDate _),
+    "fn_math"          -> (Relational.fnMath _),
+    "fn_array"         -> (Relational.fnArray _),
+    "fn_map"           -> (Relational.fnMap _),
+    "fn_json"          -> (Relational.fnJson _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    RelationalOracles.sql ++ graft.mr.WordCount.oracle
 }

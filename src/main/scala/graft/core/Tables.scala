@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated synthetic tables (TESTDATA.md /
+  * FIXTURES.md §B). One parquet file per table under the scale-factor dir.
+  *
+  * Scale notes: at 100 TB the same loader works unchanged — `spark.read
+  * .parquet` plans a [[org.apache.spark.sql.execution.FileSourceScanExec]]
+  * whose splits are sized by `spark.sql.files.maxPartitionBytes`, the Spark
+  * analog of the reference's byte-range sharder
+  * (/root/reference/cmd/master/mr_master.go:152-217). Column pruning and
+  * predicate pushdown reach the scan automatically when callers stay in the
+  * DataFrame algebra.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** events.ts is parquet `timestamp[ns]`, which Spark's vectorized reader
+    * rejects. Read nanos as long (legacy conf) and floor-convert to the
+    * session's microsecond timestamps — identical to DuckDB's
+    * `CAST(ts_ns AS TIMESTAMP)` truncation, so oracle comparisons agree. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

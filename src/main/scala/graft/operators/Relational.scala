@@ -1,0 +1,414 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Exact, Tables}
+
+/** Relational operator surface (SURVEY.md §2.3 B–I) as a declared query
+  * corpus. Every query here is paired with ANSI SQL in [[oracles]] that
+  * DuckDB runs over the same parquet tables (driver correctness gate).
+  *
+  * Design rules (100 TB-scale):
+  *  - stay in the DataFrame algebra so Catalyst pushes filters/pruning into
+  *    the parquet scan and AQE re-plans shuffles at runtime;
+  *  - dimension joins (`region`, `nation`, price bands, `customer` at small
+  *    SF) carry an explicit `broadcast()` hint — at 1000 executors these
+  *    stay map-side joins with zero shuffle of the fact table;
+  *  - aggregates over money columns use exact integer cents
+  *    ([[graft.core.Exact]]) so results are order-independent — required
+  *    both for oracle parity and for deterministic re-execution when AQE
+  *    changes partitioning;
+  *  - every output is a deterministic *set* (no arbitrary-survivor rows,
+  *    `limit` only after a total order with a unique tiebreak).
+  *
+  * MR lineage: joins = reference map-side tagging + reduce-side merge
+  * (/root/reference/cmd/azure/azure_util.go:234-246 hash shuffle +
+  * cmd/worker/mr_worker.go:202 sort); aggregation = sorted-stream reduce
+  * (client/scripts/reducer.py:14-27). Spark's two-phase hash agg strictly
+  * dominates the reference's combiner-less shuffle.
+  */
+object Relational {
+  import Exact._
+
+  // ---------------------------------------------------------------- C. projection / selection
+
+  /** select / withColumn arithmetic; per-row double ops are bitwise
+    * reproducible across engines (same IEEE ops, same order). */
+  def projSelect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount", $"l_tax")
+      .withColumn("revenue", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+      .withColumn("charge", $"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
+      .select($"l_orderkey", $"l_linenumber", $"revenue", $"charge")
+  }
+
+  /** Conjunctive/disjunctive predicates, isin, between, null-safe equality,
+    * like/rlike. All pushable; `PushedFilters` carries the conjuncts into
+    * the parquet reader. */
+  def filterPred(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter(
+        ($"o_orderstatus" === "F" || $"o_totalprice" > 200000.0) &&
+        $"o_orderpriority".isin("1-URGENT", "2-HIGH", "3-MEDIUM") &&
+        $"o_orderdate".between(lit("1995-01-01").cast("timestamp"), lit("1999-12-31").cast("timestamp")) &&
+        (($"o_custkey" % 10) <=> lit(3L)) &&
+        $"o_orderpriority".like("%-%") &&
+        $"o_orderstatus".rlike("^[FOP]$"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice", $"o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- D. joins
+
+  /** Star join: fact `orders` against broadcast dims. At scale: customer →
+    * nation → region stay broadcast; only the pre-aggregation of orders
+    * shuffles (partial agg map-side first). */
+  def joinInnerBcast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).select($"c_custkey", $"c_nationkey")
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("total_rev"))
+  }
+
+  /** Left outer join keeping customers with zero orders. */
+  def joinLeft(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(count($"o_orderkey").as("n_orders"),
+           coalesce(sumMoney($"o_totalprice"), lit(0.0)).as("spend"))
+  }
+
+  /** Full outer join of two aggregated sides (per-nation customer count vs
+    * supplier count) — exercises null-producing both sides. */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).groupBy($"c_nationkey".as("ck")).agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, d).groupBy($"s_nationkey".as("sk")).agg(count(lit(1)).as("n_supp"))
+    c.join(su, $"ck" === $"sk", "full")
+      .select(coalesce($"ck", $"sk").as("nationkey"),
+              coalesce($"n_cust", lit(0L)).as("n_cust"),
+              coalesce($"n_supp", lit(0L)).as("n_supp"))
+  }
+
+  /** Left-semi: customers having at least one high-value order (EXISTS). */
+  def joinSemi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val big = Tables.orders(s, d).filter($"o_totalprice" > 300000.0).select($"o_custkey")
+    c.join(big, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+  }
+
+  /** Left-anti: customers with no orders at all (NOT EXISTS). */
+  def joinAnti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select($"o_custkey")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+  }
+
+  /** Cross join of two tiny dims (guarded: both sides bounded). */
+  def joinCross(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val r = Tables.region(s, d).select($"r_name")
+    val st = Tables.orders(s, d).select($"o_orderstatus").distinct()
+    r.crossJoin(st)
+  }
+
+  /** Theta/range join: parts matched to price bands derived from region —
+    * a broadcast nested-loop join, the right physical choice when one side
+    * is tiny and the predicate is an interval. */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Tables.region(s, d)
+      .select($"r_regionkey".as("band_id"),
+              ($"r_regionkey" * 500.0).as("lo"),
+              (($"r_regionkey" + 1) * 500.0).as("hi"))
+    val p = Tables.part(s, d)
+    p.join(broadcast(bands), $"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
+      .groupBy($"band_id")
+      .agg(count(lit(1)).as("n_parts"), sumMoney($"p_retailprice").as("band_value"))
+  }
+
+  // ---------------------------------------------------------------- E. aggregation
+
+  /** TPC-H Q1 flavor: two-phase hash agg with partial (map-side) combine —
+    * the single most shuffle-efficient plan shape Spark offers. */
+  def q1Agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),                       // integral doubles: exact
+        sumMoney($"l_extendedprice").as("sum_base_price"),
+        (sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))) / 10000.0).as("sum_disc_price"),
+        avgMoney($"l_extendedprice").as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** min/max/avg/count/count_distinct per group. */
+  def aggStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        count_distinct($"o_custkey").as("n_cust"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"),
+        avgMoney($"o_totalprice").as("avg_price"))
+  }
+
+  /** approx_count_distinct (HLL++) — algorithm-specific, no DuckDB oracle;
+    * driver records a rows-only check, unit test bounds the relative error. */
+  def aggApprox(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+           count_distinct($"l_partkey").as("exact_parts"))
+  }
+
+  /** collect_set canonicalized to a sorted joined string (deterministic). */
+  def aggCollect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(array_join(sort_array(collect_set($"o_orderpriority")), "|").as("priorities"),
+           count(lit(1)).as("n"))
+  }
+
+  /** min_by / max_by — deterministic first/last via a unique ordering key. */
+  def aggMinMaxBy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .groupBy($"c_nationkey")
+      .agg(min_by($"c_name", $"c_custkey").as("first_cust"),
+           max_by($"c_name", $"c_custkey").as("last_cust"),
+           max($"c_acctbal").as("top_bal"))
+  }
+
+  /** ROLLUP with sentinel labels (sentinels avoid NULL-canonicalization
+    * ambiguity in the oracle compare). */
+  def aggRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .rollup($"n_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"), sumMoney($"c_acctbal").as("bal"))
+      .select(coalesce($"n_name", lit("ALL")).as("nation"),
+              coalesce($"c_mktsegment", lit("ALL")).as("segment"),
+              $"n", $"bal")
+  }
+
+  /** CUBE over two low-cardinality dims. */
+  def aggCube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+              coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+              $"n")
+  }
+
+  /** GROUPING SETS via the SQL layer (DataFrame API has no direct form). */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+    s.sql("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS n,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS base
+      FROM graft_lineitem_gs
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """)
+  }
+
+  // ---------------------------------------------------------------- F. window functions
+
+  /** Ranking family over a per-nation partition. row_number gets a unique
+    * tiebreak; rank/dense_rank are deterministic under ties by value. */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.customer(s, d)
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter($"rn" <= 5)
+  }
+
+  /** lag / lead over a totally ordered per-key sequence. */
+  def windowLagLead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+    Tables.lineitem(s, d)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_shipdate", $"l_quantity")
+      .withColumn("prev_qty", lag($"l_quantity", 1).over(w))
+      .withColumn("next_qty", lead($"l_quantity", 1).over(w))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+              coalesce($"prev_qty", lit(-1.0)).as("prev_qty"),
+              coalesce($"next_qty", lit(-1.0)).as("next_qty"))
+  }
+
+  /** Frames: running total (ROWS) + banded total (RANGE) in exact cents. */
+  def windowFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byKey = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byPrice = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice_c".asc)
+      .rangeBetween(-100000L * 100, 0L)
+    Tables.orders(s, d)
+      .select($"o_orderstatus", $"o_orderkey", cents($"o_totalprice").as("o_totalprice_c"))
+      .withColumn("running_c", sum($"o_totalprice_c").over(byKey))
+      .withColumn("band_c", sum($"o_totalprice_c").over(byPrice))
+      .select($"o_orderstatus", $"o_orderkey",
+              ($"running_c" / 100.0).as("running"), ($"band_c" / 100.0).as("band"))
+  }
+
+  // ---------------------------------------------------------------- G. sort / limit / top-k
+
+  /** Global top-N: Catalyst plans TakeOrderedAndProject — per-partition
+    * top-N then a single-reduce merge, no global sort shuffle. */
+  def sortLimit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .orderBy($"o_totalprice".desc_nulls_last, $"o_orderkey".asc_nulls_first)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .limit(50)
+  }
+
+  // ---------------------------------------------------------------- H. set ops
+
+  /** UNION ALL then aggregate (unionByName for schema safety). */
+  def setUnion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).select($"c_nationkey".cast("int").as("nationkey"))
+    val su = Tables.supplier(s, d).select($"s_nationkey".cast("int").as("nationkey"))
+    c.unionByName(su).groupBy($"nationkey").agg(count(lit(1)).as("n"))
+  }
+
+  /** INTERSECT (distinct semantics). */
+  def setIntersect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).select($"c_nationkey".cast("int").as("nationkey"))
+    val su = Tables.supplier(s, d).select($"s_nationkey".cast("int").as("nationkey"))
+    c.intersect(su)
+  }
+
+  /** EXCEPT (distinct semantics). */
+  def setExcept(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).select($"c_nationkey".cast("int").as("nationkey"))
+    val su = Tables.supplier(s, d).select($"s_nationkey".cast("int").as("nationkey"))
+    c.except(su)
+  }
+
+  /** distinct + dropDuplicates(cols) (projected to the dedup key so the
+    * surviving-row choice cannot leak nondeterminism). */
+  def setDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .dropDuplicates("c_nationkey", "c_mktsegment")
+      .select($"c_nationkey", $"c_mktsegment")
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------- I. scalar functions
+
+  /** String function battery over part. */
+  def fnString(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d).select(
+      $"p_partkey",
+      lower($"p_name").as("lo"),
+      upper($"p_brand").as("up"),
+      trim(lit("  pad  ")).as("trimmed"),
+      substring($"p_type", 1, 5).as("type5"),
+      length($"p_name").as("name_len"),
+      concat_ws("/", $"p_brand", $"p_type").as("brand_type"),
+      size(split($"p_name", " ")).as("n_words"))
+  }
+
+  /** Date/time battery over orders. */
+  def fnDate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).select(
+      $"o_orderkey",
+      year($"o_orderdate").as("yr"),
+      month($"o_orderdate").as("mo"),
+      dayofmonth($"o_orderdate").as("dom"),
+      date_trunc("month", $"o_orderdate").as("month_start"),
+      datediff($"o_orderdate", lit("1995-01-01").cast("date")).as("days_since"),
+      unix_timestamp($"o_orderdate").as("epoch_s"))
+  }
+
+  /** Math + conditional battery (transcendentals rounded: last-ulp libm
+    * differences between JVM and C are real). */
+  def fnMath(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d).select(
+      $"l_orderkey", $"l_linenumber",
+      round($"l_extendedprice" / 7.0, 2).as("div7"),
+      abs($"l_discount" - 0.05).as("abs_disc"),
+      round(pow($"l_quantity", 2.0), 2).as("qty_sq"),
+      round(log($"l_extendedprice"), 6).as("ln_price"),
+      when($"l_quantity" > 25, "bulk").otherwise("small").as("bucket"),
+      coalesce(nullif($"l_returnflag", lit("N")), lit("none")).as("rf"))
+  }
+
+  /** Array higher-order functions over tokenized text: transform / filter /
+    * aggregate / array_contains / size — all codegen'd, no UDFs. */
+  def fnArray(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select(
+        $"doc_id",
+        size($"toks").as("n_toks"),
+        array_contains($"toks", "spark").as("has_spark"),
+        size(filter($"toks", t => length(t) > 4)).as("n_long"),
+        aggregate($"toks", lit(0L), (acc, t) => acc + length(t).cast("long")).as("total_chars"),
+        array_join(slice(transform($"toks", t => upper(t)), 1, 3), "-").as("head3"))
+  }
+
+  /** Map functions: build a map, explode it back to rows. */
+  def fnMap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).cast("long").as("n"), sum(cents($"o_totalprice")).as("c"))
+      .select($"o_orderstatus",
+              map(lit("n"), $"n", lit("cents"), $"c").as("m"))
+      .select($"o_orderstatus", explode($"m").as(Seq("metric", "val")))
+  }
+
+  /** JSON functions over events.props. */
+  def fnJson(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d).select(
+      $"event_id",
+      get_json_object($"props", "$.k").cast("long").as("k_path"),
+      from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+        .getField("k").as("k_struct"))
+  }
+}

@@ -1,0 +1,233 @@
+package graft.operators
+
+/** DuckDB oracle SQL for [[Relational]] — one entry per query key, column
+  * names aliased identically to the Spark side (the driver's compare sorts
+  * columns by name before hashing). Money sums mirror
+  * [[graft.core.Exact]]'s integer-cents arithmetic so both engines produce
+  * bitwise-identical doubles.
+  */
+object RelationalOracles {
+  private val C = "CAST(round(%s * 100) AS BIGINT)"
+  private def cents(e: String) = C.format(e)
+
+  val sql: Map[String, String] = Map(
+    "proj_select" -> """
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice * (1.0 - l_discount) AS revenue,
+             l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+      FROM lineitem""",
+
+    "filter_pred" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+      WHERE (o_orderstatus = 'F' OR o_totalprice > 200000.0)
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1999-12-31'
+        AND (o_custkey % 10) IS NOT DISTINCT FROM 3
+        AND o_orderpriority LIKE '%-%'
+        AND regexp_matches(o_orderstatus, '^[FOP]$')""",
+
+    "join_inner_bcast" -> s"""
+      SELECT r_name, n_name, count(*) AS n_orders,
+             sum(${cents("o_totalprice")}) / 100.0 AS total_rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name""",
+
+    "join_left" -> s"""
+      SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+             coalesce(sum(${cents("o_totalprice")}) / 100.0, 0.0) AS spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name""",
+
+    "join_full" -> """
+      SELECT coalesce(ck, sk) AS nationkey,
+             coalesce(n_cust, 0) AS n_cust,
+             coalesce(n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1) c
+      FULL OUTER JOIN (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      ON ck = sk""",
+
+    "join_semi" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""",
+
+    "join_anti" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "join_cross" -> """
+      SELECT r_name, o_orderstatus
+      FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s""",
+
+    "join_range" -> s"""
+      SELECT band_id, count(*) AS n_parts,
+             sum(${cents("p_retailprice")}) / 100.0 AS band_value
+      FROM part
+      JOIN (SELECT r_regionkey AS band_id, r_regionkey * 500.0 AS lo,
+                   (r_regionkey + 1) * 500.0 AS hi FROM region) b
+        ON p_retailprice >= lo AND p_retailprice < hi
+      GROUP BY band_id""",
+
+    "q1_agg" -> s"""
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             sum(${cents("l_extendedprice")}) / 100.0 AS sum_base_price,
+             sum(${cents("l_extendedprice")} * (100 - ${cents("l_discount")})) / 10000.0 AS sum_disc_price,
+             sum(${cents("l_extendedprice")}) / 100.0 / count(*) AS avg_price,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus""",
+
+    "agg_stats" -> s"""
+      SELECT o_orderpriority, count(*) AS n,
+             count(DISTINCT o_custkey) AS n_cust,
+             min(o_totalprice) AS min_price,
+             max(o_totalprice) AS max_price,
+             sum(${cents("o_totalprice")}) / 100.0 / count(*) AS avg_price
+      FROM orders GROUP BY o_orderpriority""",
+
+    "agg_collect" -> """
+      SELECT o_orderstatus,
+             string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities,
+             count(*) AS n
+      FROM orders GROUP BY o_orderstatus""",
+
+    "agg_minmax_by" -> """
+      SELECT c_nationkey,
+             min_by(c_name, c_custkey) AS first_cust,
+             max_by(c_name, c_custkey) AS last_cust,
+             max(c_acctbal) AS top_bal
+      FROM customer GROUP BY c_nationkey""",
+
+    "agg_rollup" -> s"""
+      SELECT coalesce(n_name, 'ALL') AS nation,
+             coalesce(c_mktsegment, 'ALL') AS segment,
+             count(*) AS n,
+             sum(${cents("c_acctbal")}) / 100.0 AS bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, c_mktsegment)""",
+
+    "agg_cube" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "agg_grouping_sets" -> s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS n,
+             sum(${cents("l_extendedprice")}) / 100.0 AS base
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""",
+
+    "window_rank" -> """
+      SELECT * FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER w AS rn,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+      ) t WHERE rn <= 5""",
+
+    "window_lag_lead" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             coalesce(lag(l_quantity, 1) OVER w, -1.0) AS prev_qty,
+             coalesce(lead(l_quantity, 1) OVER w, -1.0) AS next_qty
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)""",
+
+    "window_frames" -> s"""
+      SELECT o_orderstatus, o_orderkey,
+             sum(c) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running,
+             sum(c) OVER (PARTITION BY o_orderstatus ORDER BY c ASC
+                          RANGE BETWEEN 10000000 PRECEDING AND CURRENT ROW) / 100.0 AS band
+      FROM (SELECT o_orderstatus, o_orderkey, ${cents("o_totalprice")} AS c FROM orders) t""",
+
+    "sort_limit" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
+      LIMIT 50""",
+
+    "set_union" -> """
+      SELECT nationkey, count(*) AS n FROM (
+        SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        UNION ALL
+        SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+      ) u GROUP BY nationkey""",
+
+    "set_intersect" -> """
+      SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+      INTERSECT
+      SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""",
+
+    "set_except" -> """
+      SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+      EXCEPT
+      SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""",
+
+    "set_distinct" -> """
+      SELECT DISTINCT c_nationkey, c_mktsegment FROM customer""",
+
+    "fn_string" -> """
+      SELECT p_partkey,
+             lower(p_name) AS lo,
+             upper(p_brand) AS up,
+             trim('  pad  ') AS trimmed,
+             substring(p_type, 1, 5) AS type5,
+             length(p_name) AS name_len,
+             concat_ws('/', p_brand, p_type) AS brand_type,
+             len(string_split(p_name, ' ')) AS n_words
+      FROM part""",
+
+    "fn_date" -> """
+      SELECT o_orderkey,
+             year(o_orderdate) AS yr,
+             month(o_orderdate) AS mo,
+             dayofmonth(o_orderdate) AS dom,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+             CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      FROM orders""",
+
+    "fn_math" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice / 7.0, 2) AS div7,
+             abs(l_discount - 0.05) AS abs_disc,
+             round(pow(l_quantity, 2.0), 2) AS qty_sq,
+             round(ln(l_extendedprice), 6) AS ln_price,
+             CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS bucket,
+             coalesce(nullif(l_returnflag, 'N'), 'none') AS rf
+      FROM lineitem""",
+
+    "fn_array" -> """
+      SELECT doc_id,
+             len(toks) AS n_toks,
+             list_contains(toks, 'spark') AS has_spark,
+             len(list_filter(toks, t -> length(t) > 4)) AS n_long,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_chars,
+             array_to_string(list_transform(toks[1:3], t -> upper(t)), '-') AS head3
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t""",
+
+    "fn_map" -> s"""
+      SELECT o_orderstatus, 'n' AS metric, count(*) AS val
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT o_orderstatus, 'cents' AS metric,
+             CAST(sum(${cents("o_totalprice")}) AS BIGINT) AS val
+      FROM orders GROUP BY o_orderstatus""",
+
+    "fn_json" -> """
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
+      FROM events"""
+  )
+}
