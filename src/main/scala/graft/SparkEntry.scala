@@ -62,10 +62,44 @@ object SparkEntry {
     "fn_array"         -> (Relational.fnArray _),
     "fn_map"           -> (Relational.fnMap _),
     "fn_json"          -> (Relational.fnJson _),
+    // B. sources / sinks
+    "src_csv_roundtrip"     -> (graft.sources.Sources.csvRoundtrip _),
+    "src_json_roundtrip"    -> (graft.sources.Sources.jsonRoundtrip _),
+    "src_text_kv"           -> (graft.sources.Sources.textKvRoundtrip _),
+    "src_partitioned_write" -> (graft.sources.Sources.partitionedWrite _),
+    // E. custom Aggregator
+    "agg_topk_group"   -> (graft.agg.TopK.topOrdersPerBucket _),
+    // J. dedup
+    "dedup_exact"         -> (Dedup.exact _),
+    "dedup_minhash"       -> (Dedup.minhashLsh _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_simhash"       -> (Dedup.simhashDedup _),
+    "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingCosineExact(s, d)),
+    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingCosineLsh(s, d)),
+    // J. similarity search
+    "simsearch_topk"     -> ((s: SparkSession, d: String) => SimSearch.bruteTopK(s, d)),
+    "simsearch_lsh_topk" -> ((s: SparkSession, d: String) => SimSearch.lshTopK(s, d)),
+    // J. text analysis
+    "text_tokens"      -> (TextAnalysis.tokenStats _),
+    "text_langid"      -> (TextAnalysis.langId _),
+    "text_quality"     -> (TextAnalysis.quality _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_tfidf"       -> (TextAnalysis.tfidfTop3 _),
+    // J. multimodal plumbing
+    "mm_meta"   -> (Multimodal.mediaMeta _),
+    "mm_decode" -> (Multimodal.decodeFeatures _),
+    // S. streaming
+    "stream_tumbling" -> (graft.streaming.Streams.tumbling _),
+    "stream_sliding"  -> (graft.streaming.Streams.sliding _),
+    "stream_session"  -> (graft.streaming.Streams.sessionize _),
+    "stream_dedup"    -> (graft.streaming.Streams.dedupKeys _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalOracles.sql ++ graft.mr.WordCount.oracle
+    RelationalOracles.sql ++ graft.mr.WordCount.oracle ++
+    graft.sources.Sources.oracle ++ graft.agg.TopK.oracle ++
+    Dedup.oracle ++ SimSearch.oracle ++ TextAnalysis.oracle ++
+    Multimodal.oracle ++ graft.streaming.Streams.oracle
 }

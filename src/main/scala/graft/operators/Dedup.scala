@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for LLM-data pipelines (SURVEY.md §2.3 J):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * 100 TB design notes:
+  *  - signatures (MinHash, SimHash) are computed per-row with higher-order
+  *    functions over the token/shingle array — zero shuffle until the
+  *    candidate join, and the candidate join shuffles only
+  *    (doc_id, band_key) pairs, never text;
+  *  - candidate generation joins on band/segment buckets (equi-join →
+  *    shuffle hash join, AQE-skew-splittable), then exact verification runs
+  *    only on candidates — the classic
+  *    O(n²) → O(n·bands + candidates) reduction;
+  *  - the exhaustive verifiers are intentionally restricted to candidate
+  *    pairs (semi-join pushdown); the all-pairs oracle exists only on the
+  *    DuckDB side at test SF.
+  */
+object Dedup {
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on content hash: survivors keyed by sha2(text). Grouping
+    * by the 256-bit hash instead of the text shuffles 32-byte keys, not
+    * documents — at 100 TB the difference between shuffling the corpus and
+    * shuffling ~nothing. (Oracle groups by text itself: same equivalence
+    * classes, SHA-256 collisions being nonexistent in practice.) */
+  def exact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy(sha2($"text".cast("binary"), 256).as("h"))
+      .agg(min($"doc_id").as("doc_id_kept"), count(lit(1)).as("n_copies"))
+      .select($"doc_id_kept", $"n_copies")
+  }
+
+  // ---------------------------------------------------------------- shingling helpers
+
+  /** Distinct character n-gram shingles of lower(text), 1-based positions
+    * (matches DuckDB substr semantics). Pure per-row HOF — no shuffle.
+    * Guarded: Spark's `sequence(1, x)` DESCENDS when x < 1, so short texts
+    * must short-circuit to an empty array. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(text)
+    when(length(t) >= n,
+      array_distinct(transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n)))))
+    .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct word n-grams (tokens = split on single space). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(lower(text), " ")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+    .otherwise(array().cast("array<string>"))
+  }
+
+  // ---------------------------------------------------------------- MinHash + LSH
+
+  val MinhashPerms = 128
+  val MinhashBands = 32 // 4 rows per band; P(miss | s=0.9) ≈ 1.5e-15
+  private val P = 2147483647L // 2^31 - 1
+  // Deterministic hash family (seeded; a ∈ [1,P), b ∈ [0,P)). Seeds fixed
+  // so signatures are reproducible across runs and partitionings.
+  private lazy val (permA, permB) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(MinhashPerms)(1L + rnd.nextInt((P - 1).toInt).toLong),
+     Array.fill(MinhashPerms)(rnd.nextInt(P.toInt).toLong))
+  }
+
+  /** 128-long MinHash signature of a shingle array. h0 = xxhash64 folded
+    * into [0, P); perm_i = (a_i·h0 + b_i) mod P (products < 2^62: no
+    * overflow under ANSI mode). Entirely per-row — the 100 TB scale path. */
+  def minhashSignature(shingles: Column): Column = {
+    val hs = transform(shingles, sh => pmod(xxhash64(sh), lit(P)))
+    val aLit = lit(permA)
+    val bLit = lit(permB)
+    transform(sequence(lit(0), lit(MinhashPerms - 1)),
+      i => array_min(transform(hs,
+        h => pmod(get(aLit, i) * h + get(bLit, i), lit(P)))))
+  }
+
+  /** (doc_id, band_id, band_key) — one row per band; band_key hashes the
+    * band's 4 signature slots together with the band id. */
+  def lshBands(docs: DataFrame, idCol: String, sigCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(MinhashBands - 1)),
+          j => hash(slice(col(sigCol), j * 4 + 1, lit(4)), j))).as(Seq("band_id", "band_key")))
+      .select(col(idCol), $"band_id", $"band_key")
+  }
+
+  /** Candidate pairs (a < b) sharing ≥1 LSH band. */
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
+    val l = bands.select(col("band_id"), col("band_key"), col(idCol).as("a"))
+    val r = bands.select(col("band_id"), col("band_key"), col(idCol).as("b"))
+    l.join(r, Seq("band_id", "band_key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given (a,b) pairs over a (doc_id, shingle) set
+    * table: |A∩B| via shingle join restricted to candidates, sizes via
+    * count per doc. Integer counts → double division: engine-exact. */
+  def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame): DataFrame = {
+    val sz = shingleSets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val docsInPairs = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val sh = shingleSets.join(docsInPairs, "doc_id")
+    val common = pairs
+      .join(sh.select(col("doc_id").as("a"), col("s")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("s").as("s2")), "b")
+      .where(col("s") === col("s2"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    common
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"))
+  }
+
+  /** MinHash-LSH near-dup pairs, exactly verified at jaccard ≥ 0.9 over
+    * char-12 shingles. With 32 bands × 4 rows the probability a true
+    * ≥0.9 pair misses every band is (1-0.9⁴)³² ≈ 1.5e-15, so the verified
+    * output equals the exhaustive oracle. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", charShingles($"text", 12).as("sh"))
+      .where(size($"sh") > 0)
+    val withSig = docs.select($"doc_id", minhashSignature($"sh").as("sig"))
+    val cands = lshCandidates(lshBands(withSig, "doc_id", "sig"), "doc_id")
+    val shingleSets = docs.select($"doc_id", explode($"sh").as("s"))
+    verifyJaccard(cands, shingleSets)
+      .where($"jac" >= 0.9)
+      .select($"a".as("doc_a"), $"b".as("doc_b"), $"jac")
+  }
+
+  /** Exact n-gram Jaccard dedup (word 3-grams, τ=0.8) via inverted-index
+    * self-join — the exhaustive baseline. Scale path: prune high-df
+    * shingles (stop-shingles) before the self-join; not needed at test SF. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"doc_id", explode(wordShingles($"text", 3)).as("s"))
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sz.select($"doc_id".as("a"), $"n".as("na")), "a")
+      .join(sz.select($"doc_id".as("b"), $"n".as("nb")), "b")
+      .select($"a".as("doc_a"), $"b".as("doc_b"),
+        ($"c".cast("double") / ($"na" + $"nb" - $"c")).as("jac"))
+      .where($"jac" >= 0.8)
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
+    * xxhash64(token). Built from 64 fixed-shift bit columns (codegen-able,
+    * no variable shifts), OR-folded. Per-row only — no shuffle. */
+  def simhash(text: Column): Column = {
+    val toksH = transform(array_distinct(split(lower(text), " ")), t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val vote = aggregate(toksH, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates by 16-bit segment match (pigeonhole: any
+    * pair at hamming ≤ 3 shares ≥1 of 4 segments), verified at hamming ≤ 3.
+    * Engine-specific bit patterns → no SQL oracle (rows-only check);
+    * planted-duplicate recall is asserted in DedupSpec. */
+  def simhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withSig = Tables.documents(s, d).select($"doc_id", simhash($"text").as("sh"))
+    val segsFixed = withSig.select($"doc_id", $"sh",
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("seg_id"),
+               shiftright($"sh", j * 16).bitwiseAND(lit(0xFFFFL)).as("seg_val"))): _*)).as("e"))
+      .select($"doc_id", $"sh", $"e.seg_id", $"e.seg_val")
+    val l = segsFixed.select($"seg_id", $"seg_val", $"doc_id".as("a"), $"sh".as("sha"))
+    val r = segsFixed.select($"seg_id", $"seg_val", $"doc_id".as("b"), $"sh".as("shb"))
+    l.join(r, Seq("seg_id", "seg_val"))
+      .where($"a" < $"b")
+      .select($"a".as("doc_a"), $"b".as("doc_b"),
+        bit_count($"sha".bitwiseXOR($"shb")).as("hamming"))
+      .distinct()
+      .where($"hamming" <= 3)
+  }
+
+  // ---------------------------------------------------------------- embedding cosine
+
+  /** Exact embedding near-dup pairs at cosine ≥ τ — the brute-force
+    * correctness baseline (broadcast one side; the LSH variant below is
+    * the scale path). Cosine computed by the codegen'd FloatVecDot in
+    * doubles, bit-matching DuckDB's list_cosine_similarity. */
+  def embeddingCosineExact(s: SparkSession, d: String, tau: Double = 0.45): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val a = e.select($"vec_id".as("va"), $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"))
+    a.join(broadcast(b), $"va" < $"vb")
+      .select($"va".as("vec_a"), $"vb".as("vec_b"),
+        VectorFunctions.cosine($"ea", $"eb").as("cos"))
+      .where($"cos" >= tau)
+  }
+
+  /** Random-hyperplane LSH bucketing for embedding near-dup at scale:
+    * 12 signed projections → 12-bit bucket; only same-bucket pairs are
+    * verified. Recall < 1 by construction → rows-only check; recall vs the
+    * exact baseline is asserted in DedupSpec. */
+  def embeddingCosineLsh(s: SparkSession, d: String, tau: Double = 0.45): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val planes = hyperplanes(12, 64)
+    val e = Tables.embeddings(s, d)
+    val bucketed = e.select($"vec_id", $"embedding",
+      (0 until 12).map(j =>
+        when(VectorFunctions.vecDot($"embedding", lit(planes(j))) > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
+    val a = bucketed.select($"bucket", $"vec_id".as("va"), $"embedding".as("ea"))
+    val b = bucketed.select($"bucket", $"vec_id".as("vb"), $"embedding".as("eb"))
+    a.join(b, Seq("bucket"))
+      .where($"va" < $"vb")
+      .select($"va".as("vec_a"), $"vb".as("vec_b"),
+        VectorFunctions.cosine($"ea", $"eb").as("cos"))
+      .where($"cos" >= tau)
+  }
+
+  /** Deterministic seeded hyperplanes (Gaussian-ish via Random(seed)). */
+  def hyperplanes(k: Int, dim: Int, seed: Long = 7L): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  private def shingleOracle(tau: Double, kind: String): String = {
+    val shingleSql = kind match {
+      case "char12" =>
+        """SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 12) AS s
+           FROM (SELECT doc_id, lower(text) AS t FROM documents) d
+           JOIN generate_series(1, 4096) g(i) ON i <= length(t) - 11"""
+      case "word3" =>
+        """SELECT DISTINCT doc_id,
+                  array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS s
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) d
+           JOIN generate_series(1, 4096) g(i) ON i <= len(toks) - 2"""
+    }
+    s"""
+      WITH sh AS ($shingleSql),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT a AS doc_a, b AS doc_b,
+             CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+      FROM common
+      JOIN sz sa ON common.a = sa.doc_id
+      JOIN sz sb ON common.b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $tau"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" -> """
+      SELECT min(doc_id) AS doc_id_kept, count(*) AS n_copies
+      FROM documents GROUP BY text""",
+    "dedup_minhash" -> shingleOracle(0.9, "char12"),
+    "dedup_ngram_jaccard" -> shingleOracle(0.8, "word3"),
+    "dedup_embedding" -> """
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.45"""
+  )
+}

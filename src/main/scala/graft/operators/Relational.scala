@@ -252,6 +252,9 @@ object Relational {
       .withColumn("rnk", rank().over(w))
       .withColumn("drnk", dense_rank().over(w))
       .filter($"rn" <= 5)
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal",
+              $"rn".cast("bigint").as("rn"), $"rnk".cast("bigint").as("rnk"),
+              $"drnk".cast("bigint").as("drnk"))
   }
 
   /** lag / lead over a totally ordered per-key sequence. */
@@ -344,9 +347,9 @@ object Relational {
       upper($"p_brand").as("up"),
       trim(lit("  pad  ")).as("trimmed"),
       substring($"p_type", 1, 5).as("type5"),
-      length($"p_name").as("name_len"),
+      length($"p_name").cast("bigint").as("name_len"),
       concat_ws("/", $"p_brand", $"p_type").as("brand_type"),
-      size(split($"p_name", " ")).as("n_words"))
+      size(split($"p_name", " ")).cast("bigint").as("n_words"))
   }
 
   /** Date/time battery over orders. */
@@ -354,11 +357,11 @@ object Relational {
     import s.implicits._
     Tables.orders(s, d).select(
       $"o_orderkey",
-      year($"o_orderdate").as("yr"),
-      month($"o_orderdate").as("mo"),
-      dayofmonth($"o_orderdate").as("dom"),
+      year($"o_orderdate").cast("bigint").as("yr"),
+      month($"o_orderdate").cast("bigint").as("mo"),
+      dayofmonth($"o_orderdate").cast("bigint").as("dom"),
       date_trunc("month", $"o_orderdate").as("month_start"),
-      datediff($"o_orderdate", lit("1995-01-01").cast("date")).as("days_since"),
+      datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("bigint").as("days_since"),
       unix_timestamp($"o_orderdate").as("epoch_s"))
   }
 
@@ -384,9 +387,9 @@ object Relational {
       .select($"doc_id", split($"text", " ").as("toks"))
       .select(
         $"doc_id",
-        size($"toks").as("n_toks"),
+        size($"toks").cast("bigint").as("n_toks"),
         array_contains($"toks", "spark").as("has_spark"),
-        size(filter($"toks", t => length(t) > 4)).as("n_long"),
+        size(filter($"toks", t => length(t) > 4)).cast("bigint").as("n_long"),
         aggregate($"toks", lit(0L), (acc, t) => acc + length(t).cast("long")).as("total_chars"),
         array_join(slice(transform($"toks", t => upper(t)), 1, 3), "-").as("head3"))
   }

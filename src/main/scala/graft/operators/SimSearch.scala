@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor / similarity search over the embeddings
+  * fixture (SURVEY.md §2.3 J).
+  *
+  * Two paths:
+  *  - [[bruteTopK]] — exact brute-force cosine top-k. The query side is
+  *    broadcast (queries ≪ corpus); the corpus is scanned once, fully
+  *    parallel, and per-query top-k is taken with a window over
+  *    (query, cos) — at 1000 executors this is a single map-side pass
+  *    plus a shuffle of |queries|·k candidates... the correctness
+  *    baseline and perfectly serviceable when |queries| is small.
+  *  - [[lshTopK]] — random-hyperplane LSH-bucketed search: corpus and
+  *    queries hash to 12-bit buckets; only same-bucket candidates are
+  *    scored. Recall < 1 → rows-only check; recall vs brute force is
+  *    asserted in SimSearchSpec.
+  *
+  * The cosine kernel is the codegen'd [[graft.functions.FloatVecDot]].
+  */
+object SimSearch {
+
+  /** Exact top-k neighbors (k=5) for every query vector
+    * (vec_id % 100 == 0), self excluded. Deterministic: ties broken by
+    * neighbor id; output carries rank, not the float score. */
+  def bruteTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val queries = e.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val scored = e.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        VectorFunctions.cosine($"q_emb", $"embedding").as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where($"rk" <= k)
+      .select($"q_id", $"n_id", $"rk".cast("bigint").as("rk"))
+  }
+
+  /** LSH-bucketed approximate top-k (scale path; see class doc). */
+  def lshTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val planes = Dedup.hyperplanes(12, 64, seed = 11L)
+    def bucket(embCol: String) =
+      (0 until 12).map(j =>
+        when(VectorFunctions.vecDot(col(embCol), lit(planes(j))) > 0, lit(1L << j))
+          .otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b))
+    val e = Tables.embeddings(s, d)
+    val corpus = e.select($"vec_id", $"embedding", bucket("embedding").as("bucket"))
+    val queries = corpus.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"bucket")
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        VectorFunctions.cosine($"q_emb", $"embedding").as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where($"rk" <= k)
+      .select($"q_id", $"n_id", $"rk".cast("bigint").as("rk"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "simsearch_topk" -> """
+      SELECT q_id, n_id, rk FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(e.embedding AS DOUBLE[])) DESC,
+                          e.vec_id ASC) AS rk
+        FROM embeddings q JOIN embeddings e ON q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id
+      ) t WHERE rk <= 5"""
+  )
+}

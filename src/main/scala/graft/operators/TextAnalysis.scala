@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.mr.WordCount
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.3 J):
+  * token counting, language ID, quality scoring, fingerprinting, tf-idf.
+  * Everything is per-row builtin expressions (codegen'd, shuffle-free)
+  * except tf-idf's document-frequency join — which aggregates before
+  * joining, so the shuffle carries (term, df) pairs, not documents.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword marker sets for the n-gram/stopword langid
+    * heuristic. Deterministic scoring: count of token hits per set. */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "for", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "los", "de", "y", "un", "una", "es", "por", "que", "se"),
+    "fr" -> Seq("le", "les", "et", "de", "un", "une", "est", "pour", "que", "dans"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "他", "有", "这", "上"))
+
+  private def toks(text: Column): Column = split(lower(text), " ")
+
+  private def hitCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(lit): _*)))
+
+  /** Token counting: regex tokens (reference tokenizer), whitespace tokens,
+    * distinct tokens. */
+  def tokenStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(
+      $"doc_id",
+      size(regexp_extract_all(lower($"text"), lit(WordCount.TokenPattern), lit(0))).cast("bigint").as("n_regex_toks"),
+      size(toks($"text")).cast("bigint").as("n_ws_toks"),
+      size(array_distinct(toks($"text"))).cast("bigint").as("n_distinct"))
+  }
+
+  /** Language ID: stopword-set hit counts, argmax with fixed priority
+    * order (en > de > es > fr > zh) on ties. Fully deterministic formula —
+    * mirrored verbatim in the oracle. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    val scores = StopwordSets.map { case (lang, words) => lang -> hitCount(t, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight gives earlier entries priority on ties (en first).
+    Tables.documents(s, d).select(
+      Seq($"doc_id") ++ scores.map { case (l, c) => c.cast("bigint").as(s"c_$l") } :+ pred.as("lang_pred"): _*)
+  }
+
+  /** Quality scoring: length, token stats, punctuation/stopword/alpha
+    * ratios (rounded to 6dp — ratio division is engine-exact but rounding
+    * makes the contract explicit), and a keep/drop flag. */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    val nChars = length($"text")
+    val nToks = size(t)
+    val punct = size(regexp_extract_all($"text", lit("[^a-z0-9 ]"), lit(0)))
+    val stop = hitCount(t, StopwordSets.head._2)
+    val avgTokLen = round((nChars - (nToks - 1)).cast("double") / nToks, 6)
+    Tables.documents(s, d).select(
+      $"doc_id",
+      nChars.cast("bigint").as("n_chars"),
+      nToks.cast("bigint").as("n_toks"),
+      avgTokLen.as("avg_tok_len"),
+      round(punct.cast("double") / nChars, 6).as("punct_ratio"),
+      round(stop.cast("double") / nToks, 6).as("stopword_ratio"),
+      (nChars >= 100 && nToks >= 20 && (stop.cast("double") / nToks) >= 0.05).as("keep"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text
+    * (split-join normalization — multi-space collapse). */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val norm = array_join(filter(split(lower($"text"), " "), t => t =!= ""), " ")
+    Tables.documents(s, d).select($"doc_id", md5(norm.cast("binary")).as("fp"))
+  }
+
+  /** tf-idf, top-3 terms per document: tf = in-doc count, df = docs
+    * containing term, idf = ln((N+1)/(df+1)) + 1 (smoothed). The df side
+    * aggregates before the join (shuffle of (term, df), not documents);
+    * N is a scalar broadcast via crossJoin of a 1-row aggregate. */
+  def tfidfTop3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val term = docs.select($"doc_id", explode(toks($"text")).as("term"))
+    val tf = term.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = term.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .select($"doc_id", $"term",
+        round($"tf" * (log(($"n_docs" + 1).cast("double") / ($"df" + 1)) + 1.0), 6).as("tfidf"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
+    scored.withColumn("rk", row_number().over(w)).where($"rk" <= 3)
+      .select($"doc_id", $"term", $"tfidf", $"rk".cast("bigint").as("rk"))
+  }
+
+  val oracle: Map[String, String] = {
+    val stopList = StopwordSets.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    }.toMap
+    def hits(l: String) = s"len(list_filter(toks, t -> list_contains(${stopList(l)}, t)))"
+    Map(
+      "text_tokens" -> s"""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '${WordCount.TokenPattern.replace("'", "''")}')) AS n_regex_toks,
+               len(string_split(lower(text), ' ')) AS n_ws_toks,
+               len(list_distinct(string_split(lower(text), ' '))) AS n_distinct
+        FROM documents""",
+
+      "text_langid" -> s"""
+        SELECT doc_id, c_en, c_de, c_es, c_fr, c_zh,
+               CASE
+                 WHEN c_en = best AND best > 0 THEN 'en'
+                 WHEN c_de = best AND best > 0 THEN 'de'
+                 WHEN c_es = best AND best > 0 THEN 'es'
+                 WHEN c_fr = best AND best > 0 THEN 'fr'
+                 WHEN c_zh = best AND best > 0 THEN 'zh'
+                 ELSE 'und' END AS lang_pred
+        FROM (
+          SELECT doc_id, c_en, c_de, c_es, c_fr, c_zh,
+                 greatest(c_en, c_de, c_es, c_fr, c_zh) AS best
+          FROM (
+            SELECT doc_id,
+                   ${hits("en")} AS c_en, ${hits("de")} AS c_de,
+                   ${hits("es")} AS c_es, ${hits("fr")} AS c_fr,
+                   ${hits("zh")} AS c_zh
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) t
+          ) s
+        ) b""",
+
+      "text_quality" -> s"""
+        SELECT doc_id, n_chars, n_toks,
+               round(CAST(n_chars - (n_toks - 1) AS DOUBLE) / n_toks, 6) AS avg_tok_len,
+               round(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+               round(CAST(stop AS DOUBLE) / n_toks, 6) AS stopword_ratio,
+               (n_chars >= 100 AND n_toks >= 20
+                AND CAST(stop AS DOUBLE) / n_toks >= 0.05) AS keep
+        FROM (
+          SELECT doc_id, length(text) AS n_chars,
+                 len(string_split(lower(text), ' ')) AS n_toks,
+                 len(regexp_extract_all(text, '[^a-z0-9 ]')) AS punct,
+                 len(list_filter(string_split(lower(text), ' '),
+                     t -> list_contains(${stopList("en")}, t))) AS stop
+          FROM documents) t""",
+
+      "text_fingerprint" -> """
+        SELECT doc_id,
+               md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t <> ''), ' ')) AS fp
+        FROM documents""",
+
+      "text_tfidf" -> """
+        WITH term AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM term GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM term) x GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, tf.term AS term,
+                 round(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1.0), 6) AS tfidf
+          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        SELECT doc_id, term, tfidf, rk FROM (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+          FROM scored) t
+        WHERE rk <= 3"""
+    )
+  }
+}

@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.mr.KVCodec
+
+/** Source/sink coverage (SURVEY.md §2.3 B): csv/json read with explicit
+  * schema, text + tab-KV codec, partitioned parquet write. Each query
+  * round-trips fixture data through the format under test and back, so the
+  * DuckDB oracle (which sees only the original parquet) validates the
+  * entire encode→decode path.
+  *
+  * Scale note: every writer here produces splittable, schema-carrying
+  * files; `partitionBy` writes a Hive layout whose partition values become
+  * prunable predicates on read (`PartitionFilters` in the scan).
+  */
+object Sources {
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** parquet → csv (header, explicit schema on read) → DataFrame. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft_csv")
+    Tables.customer(s, d).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    s.read.schema(schema).option("header", "true").csv(dir)
+  }
+
+  /** parquet → json lines → DataFrame (schema pinned: json is typeless). */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft_json")
+    Tables.nation(s, d).write.mode(SaveMode.Overwrite).json(dir)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.schema(schema).json(dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
+  /** tab-KV text sink + sharded text scan + codec decode (reference's
+    * entire data plane: O1/O2/O8 + the KV convention). */
+  def textKvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = tmp("graft_textkv")
+    Tables.orders(s, d)
+      .select(concat_ws("\t", $"o_orderkey".cast("string"), $"o_orderstatus").as("value"))
+      .write.mode(SaveMode.Overwrite).text(dir)
+    s.read.textFile(dir)
+      .flatMap(l => KVCodec.decode(l))
+      .toDF("k", "v")
+  }
+
+  /** Hive-partitioned parquet write + read-back aggregation; the partition
+    * column round-trips through directory names. */
+  def partitionedWrite(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = tmp("graft_part")
+    Tables.orders(s, d).write.mode(SaveMode.Overwrite)
+      .partitionBy("o_orderstatus").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+           (sum(round($"o_totalprice" * 100).cast("bigint")) / 100.0).as("rev"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "src_csv_roundtrip" -> "SELECT * FROM customer",
+    "src_json_roundtrip" -> "SELECT * FROM nation",
+    "src_text_kv" -> """
+      SELECT CAST(o_orderkey AS VARCHAR) AS k, o_orderstatus AS v FROM orders""",
+    "src_partitioned_write" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
+      FROM orders GROUP BY o_orderstatus"""
+  )
+}

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.core.Tables
+
+/** Structured-Streaming surface (SURVEY.md §2.3 S) over the events fixture
+  * re-played as a file stream. Each declared query actually executes a
+  * streaming query (readStream → transform → memory sink,
+  * `processAllAvailable`), then returns the sink table — so the driver's
+  * batch-shaped contract still validates real streaming plans against the
+  * batch oracle (stream/batch equivalence is the Dataflow-model check).
+  *
+  * Modes: windowed aggregations run in `complete` mode (nothing is
+  * withheld by the watermark, so the sink equals the batch answer);
+  * dedup runs in `append` (dedup emits on first sight). Watermarks are
+  * still declared — state would be GC'd correctly on an unbounded stream.
+  *
+  * Scale: watermark + window state lives in the state store keyed by
+  * (window, key) — partitioned by the same shuffle as the aggregation, so
+  * a 1000-executor cluster shards state horizontally.
+  */
+object Streams {
+
+  /** The events table's batch schema, needed to open the same parquet as a
+    * file stream (streams cannot infer schema). */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file streams want a directory; stage the single fixture file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    val link = dir.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$d/events.parquet"))
+    val schema = StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  /** Tumbling 1-day windows per event_type: count + exact-cents sum. */
+  def tumbling(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+           (sum(round($"value" * 100).cast("bigint")) / 100.0).as("total"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"total")
+    runToTable(s, agg, "graft_stream_tumbling", "complete")
+  }
+
+  /** Sliding windows (6h window, 3h slide): every event lands in exactly
+    * two epoch-aligned windows. */
+  def sliding(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "6 hours", "3 hours"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w_start"), $"n")
+    runToTable(s, agg, "graft_stream_sliding", "complete")
+  }
+
+  /** Session windows per user (1h gap): session start + event count.
+    * Runs the same `session_window` expression Structured Streaming uses
+    * for stateful sessionization (batch execution here; the streaming
+    * execution path is exercised in StreamingSpec with a MemoryStream). */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(session_window($"ts", "1 hour"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"session_window.start".as("sess_start"), $"user_id", $"n_events")
+  }
+
+  /** Streaming dedup on (user_id, event_type): emits each key once on
+    * first sight (append mode). Output = the distinct key set. */
+  def dedupKeys(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dd = eventsStream(s, d)
+      .select($"user_id", $"event_type")
+      .dropDuplicates("user_id", "event_type")
+    runToTable(s, dd, "graft_stream_dedup", "append")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" -> """
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+             event_type, count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+      FROM events GROUP BY 1, 2""",
+
+    // each event belongs to the two 3h-grid windows [g, g+6h) covering it
+    "stream_sliding" -> """
+      SELECT w_start, count(*) AS n FROM (
+        SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 10800) * 10800) AS TIMESTAMP) AS w_start
+        FROM events
+        UNION ALL
+        SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 10800) * 10800 - 10800) AS TIMESTAMP) AS w_start
+        FROM events
+      ) t GROUP BY w_start""",
+
+    // gaps-and-islands sessionization with the same 1h gap
+    "stream_session" -> """
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 1 HOUR
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      g AS (SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+            FROM e)
+      SELECT min(ts) AS sess_start, user_id, count(*) AS n_events
+      FROM g GROUP BY user_id, sess""",
+
+    "stream_dedup" -> """
+      SELECT DISTINCT user_id, event_type FROM events"""
+  )
+}
