@@ -128,16 +128,21 @@ object Dedup {
     * char-12 shingles. With 32 bands × 4 rows the probability a true
     * ≥0.9 pair misses every band is (1-0.9⁴)³² ≈ 1.5e-15, so the verified
     * output equals the exhaustive oracle. */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashPairs(Tables.documents(s, d), 0.9)
+
+  /** Core MinHash-LSH pipeline over any (doc_id, text) frame. */
+  def minhashPairs(docsIn: DataFrame, tau: Double): DataFrame = {
+    val s = docsIn.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, d)
+    val docs = docsIn
       .select($"doc_id", charShingles($"text", 12).as("sh"))
       .where(size($"sh") > 0)
     val withSig = docs.select($"doc_id", minhashSignature($"sh").as("sig"))
     val cands = lshCandidates(lshBands(withSig, "doc_id", "sig"), "doc_id")
     val shingleSets = docs.select($"doc_id", explode($"sh").as("s"))
     verifyJaccard(cands, shingleSets)
-      .where($"jac" >= 0.9)
+      .where($"jac" >= tau)
       .select($"a".as("doc_a"), $"b".as("doc_b"), $"jac")
   }
 
@@ -180,9 +185,14 @@ object Dedup {
     * pair at hamming ≤ 3 shares ≥1 of 4 segments), verified at hamming ≤ 3.
     * Engine-specific bit patterns → no SQL oracle (rows-only check);
     * planted-duplicate recall is asserted in DedupSpec. */
-  def simhashDedup(s: SparkSession, d: String): DataFrame = {
+  def simhashDedup(s: SparkSession, d: String): DataFrame =
+    simhashPairs(Tables.documents(s, d), 3)
+
+  /** Core SimHash candidate+verify pipeline over any (doc_id, text) frame. */
+  def simhashPairs(docsIn: DataFrame, maxHamming: Int): DataFrame = {
+    val s = docsIn.sparkSession
     import s.implicits._
-    val withSig = Tables.documents(s, d).select($"doc_id", simhash($"text").as("sh"))
+    val withSig = docsIn.select($"doc_id", simhash($"text").as("sh"))
     val segsFixed = withSig.select($"doc_id", $"sh",
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("seg_id"),
@@ -193,9 +203,9 @@ object Dedup {
     l.join(r, Seq("seg_id", "seg_val"))
       .where($"a" < $"b")
       .select($"a".as("doc_a"), $"b".as("doc_b"),
-        bit_count($"sha".bitwiseXOR($"shb")).as("hamming"))
+        bit_count($"sha".bitwiseXOR($"shb")).cast("bigint").as("hamming"))
       .distinct()
-      .where($"hamming" <= 3)
+      .where($"hamming" <= maxHamming)
   }
 
   // ---------------------------------------------------------------- embedding cosine
@@ -204,10 +214,13 @@ object Dedup {
     * correctness baseline (broadcast one side; the LSH variant below is
     * the scale path). Cosine computed by the codegen'd FloatVecDot in
     * doubles, bit-matching DuckDB's list_cosine_similarity. */
-  def embeddingCosineExact(s: SparkSession, d: String, tau: Double = 0.45): DataFrame = {
+  def embeddingCosineExact(s: SparkSession, d: String, tau: Double = 0.45): DataFrame =
+    embeddingExactPairs(Tables.embeddings(s, d), tau)
+
+  def embeddingExactPairs(e: DataFrame, tau: Double): DataFrame = {
+    val s = e.sparkSession
     import s.implicits._
     VectorFunctions.register(s)
-    val e = Tables.embeddings(s, d)
     val a = e.select($"vec_id".as("va"), $"embedding".as("ea"))
     val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"))
     a.join(broadcast(b), $"va" < $"vb")
@@ -216,26 +229,47 @@ object Dedup {
       .where($"cos" >= tau)
   }
 
-  /** Random-hyperplane LSH bucketing for embedding near-dup at scale:
-    * 12 signed projections → 12-bit bucket; only same-bucket pairs are
-    * verified. Recall < 1 by construction → rows-only check; recall vs the
-    * exact baseline is asserted in DedupSpec. */
-  def embeddingCosineLsh(s: SparkSession, d: String, tau: Double = 0.45): DataFrame = {
+  /** Random-hyperplane multi-table LSH for embedding near-dup at scale:
+    * L tables × k signed projections (OR-amplified — a pair is a candidate
+    * if it collides in ANY table). For near-identical vectors (θ ≈ 2°) the
+    * miss probability is ~(1-(1-θ/π)^k)^L ≈ 0; only same-(table, bucket)
+    * pairs are scored. Recall < 1 for mid-similarity pairs by construction
+    * → rows-only check; planted-duplicate recall asserted in DedupSpec. */
+  val LshTables = 8
+  val LshBits = 8
+
+  /** (vec_id, embedding, table_id, bucket) — one row per table. */
+  def lshBuckets(e: DataFrame, dim: Int, seed: Long): DataFrame = {
+    val s = e.sparkSession
     import s.implicits._
     VectorFunctions.register(s)
-    val planes = hyperplanes(12, 64)
-    val e = Tables.embeddings(s, d)
-    val bucketed = e.select($"vec_id", $"embedding",
-      (0 until 12).map(j =>
-        when(VectorFunctions.vecDot($"embedding", lit(planes(j))) > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
-    val a = bucketed.select($"bucket", $"vec_id".as("va"), $"embedding".as("ea"))
-    val b = bucketed.select($"bucket", $"vec_id".as("vb"), $"embedding".as("eb"))
-    a.join(b, Seq("bucket"))
+    val planes = hyperplanes(LshTables * LshBits, dim, seed)
+    val tableBuckets = (0 until LshTables).map { t =>
+      val bits = (0 until LshBits).map { j =>
+        when(VectorFunctions.vecDot($"embedding", lit(planes(t * LshBits + j))) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      struct(lit(t).as("table_id"), bits.as("bucket"))
+    }
+    e.select($"vec_id", $"embedding", explode(array(tableBuckets: _*)).as("tb"))
+      .select($"vec_id", $"embedding", $"tb.table_id", $"tb.bucket")
+  }
+
+  def embeddingCosineLsh(s: SparkSession, d: String, tau: Double = 0.45): DataFrame =
+    embeddingLshPairs(Tables.embeddings(s, d), tau)
+
+  def embeddingLshPairs(e: DataFrame, tau: Double): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val bucketed = lshBuckets(e, dim = 64, seed = 7L)
+    val a = bucketed.select($"table_id", $"bucket", $"vec_id".as("va"), $"embedding".as("ea"))
+    val b = bucketed.select($"table_id", $"bucket", $"vec_id".as("vb"), $"embedding".as("eb"))
+    a.join(b, Seq("table_id", "bucket"))
       .where($"va" < $"vb")
       .select($"va".as("vec_a"), $"vb".as("vec_b"),
         VectorFunctions.cosine($"ea", $"eb").as("cos"))
       .where($"cos" >= tau)
+      .distinct() // a pair may collide in several tables
   }
 
   /** Deterministic seeded hyperplanes (Gaussian-ish via Random(seed)). */

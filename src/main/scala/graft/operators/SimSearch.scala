@@ -43,24 +43,21 @@ object SimSearch {
       .select($"q_id", $"n_id", $"rk".cast("bigint").as("rk"))
   }
 
-  /** LSH-bucketed approximate top-k (scale path; see class doc). */
+  /** Multi-table LSH-bucketed approximate top-k (scale path; see class
+    * doc): corpus + queries bucketed into L tables × k-bit signatures;
+    * candidates = same (table, bucket) in ANY table (OR-amplified),
+    * deduped, scored, per-query top-k. */
   def lshTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     import s.implicits._
-    VectorFunctions.register(s)
-    val planes = Dedup.hyperplanes(12, 64, seed = 11L)
-    def bucket(embCol: String) =
-      (0 until 12).map(j =>
-        when(VectorFunctions.vecDot(col(embCol), lit(planes(j))) > 0, lit(1L << j))
-          .otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b))
-    val e = Tables.embeddings(s, d)
-    val corpus = e.select($"vec_id", $"embedding", bucket("embedding").as("bucket"))
+    val corpus = Dedup.lshBuckets(Tables.embeddings(s, d), dim = 64, seed = 11L)
     val queries = corpus.where($"vec_id" % 100 === 0)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"bucket")
-    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+      .select($"table_id", $"bucket", $"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val cands = corpus.join(broadcast(queries), Seq("table_id", "bucket"))
       .where($"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id".as("n_id"),
-        VectorFunctions.cosine($"q_emb", $"embedding").as("cos"))
+      .select($"q_id", $"q_emb", $"vec_id".as("n_id"), $"embedding")
+      .dropDuplicates("q_id", "n_id")
+    val scored = cands.select($"q_id", $"n_id",
+      VectorFunctions.cosine($"q_emb", $"embedding").as("cos"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
     scored.withColumn("rk", row_number().over(w))
       .where($"rk" <= k)

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate recall for the approximate dedup paths (the oracle
+  * gate already proves exact agreement on the fixtures; these prove the
+  * sketches actually FIND duplicates). */
+class DedupSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single morning"
+
+  test("minhash LSH finds a planted near-duplicate and skips unrelated docs") {
+    val docs = docsDf(Seq(
+      1L -> base,
+      2L -> (base + " today"), // near-dup of 1
+      3L -> "completely different content about spark catalyst optimizer rules and physical plans",
+      4L -> "yet another unrelated document mentioning parquet files and shuffle partitions"))
+    val pairs = Dedup.minhashPairs(docs, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs at hamming 0; near-dup within 3; unrelated filtered") {
+    val docs = docsDf(Seq(
+      1L -> base,
+      2L -> base,
+      3L -> (base + " maybe"),
+      4L -> "totally distinct words nothing shared with anything else whatsoever in vocabulary"))
+    val got = Dedup.simhashPairs(docs, 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 0L)
+    assert(got.keySet.forall { case (a, b) => Set(1L, 2L, 3L).contains(a) && Set(1L, 2L, 3L).contains(b) })
+  }
+
+  test("embedding LSH recovers planted near-identical vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    // plant: vec 100 = vec 0 + tiny noise
+    val planted = (100L, vecs(0)._2.map(x => x + 0.001f))
+    val df = (vecs :+ planted).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingExactPairs(df, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingLshPairs(df, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((0L, 100L)))
+    assert(lsh == exact) // near-identical pairs: multi-table miss prob ≈ 0
+  }
+
+  test("charShingles of short text is empty, not a descending-sequence artifact") {
+    import spark.implicits._
+    val r = Seq(("x" * 5)).toDF("t").select(Dedup.charShingles($"t", 12)).head.getSeq[String](0)
+    assert(r.isEmpty)
+  }
+}

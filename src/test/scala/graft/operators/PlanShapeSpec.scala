@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions — the 100 TB questions, asserted at
+  * test SF: are filters pushed to the scan, are dim joins broadcast, is
+  * top-N a TakeOrderedAndProject (not a global sort), is the hot path in
+  * whole-stage codegen? These lock the plans the operators were designed
+  * around so a refactor that silently degrades them fails CI.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  /** Final (post-AQE) physical plan: execute first so AdaptiveSparkPlan
+    * re-plans and compiles codegen stages. */
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter_pred pushes predicates into the parquet scan") {
+    val p = plan("filter_pred")
+    assert(p.contains("PushedFilters: [IsNotNull("), p)
+  }
+
+  test("proj_select prunes the scan to the referenced columns") {
+    val p = plan("proj_select")
+    assert(!p.contains("l_shipdate"), "scan should not read unreferenced columns\n" + p)
+    assert(p.contains("ReadSchema"), p)
+  }
+
+  test("join_inner_bcast plans broadcast joins for all three dims") {
+    val p = plan("join_inner_bcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), "dims must not sort-merge\n" + p)
+  }
+
+  test("join_range is a broadcast nested-loop join (tiny build side)") {
+    val p = plan("join_range")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sort_limit plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1_agg is a two-phase hash aggregate inside whole-stage codegen") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("*("), "whole-stage codegen stages expected\n" + p)
+    assert(p.contains("partial_"), "map-side partial aggregation expected\n" + p)
+  }
+
+  test("join_semi/anti plan as semi/anti joins, not inner+distinct") {
+    assert(plan("join_semi").contains("LeftSemi"), plan("join_semi"))
+    assert(plan("join_anti").contains("LeftAnti"), plan("join_anti"))
+  }
+
+  test("simsearch brute force broadcasts the query side") {
+    val p = plan("simsearch_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming semantics the batch-driven oracle queries cannot show:
+  * watermark late-data drop and incremental multi-batch processing via
+  * MemoryStream. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermark drops late rows in append-mode windowed aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(sum($"v").as("total"))
+      .select($"window.start".as("w"), $"total")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("graft_late_test").start()
+    try {
+      // batch 1: events in [00:00, 00:10) and [00:20, 00:30) — watermark
+      // advances to 00:29 - 10m = 00:19, closing the first window
+      in.addData((ts("2024-01-01 00:01:00"), 1L), (ts("2024-01-01 00:29:00"), 5L))
+      q.processAllAvailable()
+      // batch 2: a LATE row for the already-closed first window + a fresh row
+      in.addData((ts("2024-01-01 00:02:00"), 100L), (ts("2024-01-01 00:41:00"), 7L))
+      q.processAllAvailable()
+      // batch 3: advance watermark far enough to close everything else
+      in.addData((ts("2024-01-01 01:30:00"), 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("graft_late_test")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(out("2024-01-01 00:00:00.0") == 1L, s"late row must be dropped: $out")
+    assert(out("2024-01-01 00:20:00.0") == 5L)
+    assert(out("2024-01-01 00:40:00.0") == 7L)
+  }
+
+  test("streaming session_window equals batch sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:30:00"), 1L), // session A
+      (ts("2024-01-01 02:00:00"), 1L),                                  // session B
+      (ts("2024-01-01 00:10:00"), 2L))                                  // other user
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window($"ts", "1 hour"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".as("s"), $"user_id", $"n")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_sess_test").start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("graft_sess_test")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = events.toDF("ts", "user_id")
+      .groupBy(session_window($"ts", "1 hour"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".as("s"), $"user_id", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.contains((ts("2024-01-01 00:00:00"), 1L, 2L)))
+  }
+}
