@@ -23,7 +23,9 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A. MR core
-    "wordcount"        -> (graft.mr.WordCount.onDocuments _),
+    "wordcount"           -> (graft.mr.WordCount.onDocuments _),
+    "mr_native_wordcount" -> (graft.mr.WordCount.mrNative _),
+    "mr_script_wordcount" -> (graft.mr.WordCount.mrScript _),
     // C. projection / selection
     "proj_select"      -> (Relational.projSelect _),
     "filter_pred"      -> (Relational.filterPred _),
@@ -79,6 +81,7 @@ object SparkEntry {
     // J. similarity search
     "simsearch_topk"     -> ((s: SparkSession, d: String) => SimSearch.bruteTopK(s, d)),
     "simsearch_lsh_topk" -> ((s: SparkSession, d: String) => SimSearch.lshTopK(s, d)),
+    "simsearch_ivf_topk" -> ((s: SparkSession, d: String) => SimSearch.ivfTopK(s, d)),
     // J. text analysis
     "text_tokens"      -> (TextAnalysis.tokenStats _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -93,6 +96,8 @@ object SparkEntry {
     "stream_sliding"  -> (graft.streaming.Streams.sliding _),
     "stream_session"  -> (graft.streaming.Streams.sessionize _),
     "stream_dedup"    -> (graft.streaming.Streams.dedupKeys _),
+    "stream_stateful_count"  -> (graft.streaming.Streams.statefulCount _),
+    "stream_dedup_watermark" -> (graft.streaming.Streams.dedupWatermarked _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

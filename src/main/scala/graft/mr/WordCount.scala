@@ -37,11 +37,44 @@ object WordCount {
   def onTextFiles(s: SparkSession, paths: String*): DataFrame =
     countTokens(s.read.textFile(paths: _*).toDF("value"), "value")
 
-  val oracle: Map[String, String] = Map(
-    "wordcount" -> """
+  /** Word count through the generic MR substrate's NATIVE path (map →
+    * partitionSort → sorted-stream reduce) — the second implementation of
+    * the same query, putting MRJob itself inside the driver's DuckDB
+    * correctness gate. */
+  def mrNative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.documents(s, d).select("text").as[String]
+    val pat = TokenPattern // local: the closure must not capture this object
+    MRJob.mapNative(lines)(l => pat.r.findAllIn(l.toLowerCase).map(w => (w, "1")))
+      .partitionSort(8)
+      .reduceNative((k, vs) => Iterator((k, vs.map(_.toLong).sum.toString)))
+      .toDF("word", "cnt")
+      .select($"word", $"cnt".cast("bigint").as("cnt"))
+  }
+
+  /** Word count through the SCRIPT-pipe path, running the reference's own
+    * mapper.py/reducer.py unmodified (/root/reference/client/scripts) —
+    * byte-level UDF parity, hash-checked against the same SQL oracle. */
+  def mrScript(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scripts = "/root/reference/client/scripts"
+    val lines = Tables.documents(s, d).select("text").as[String]
+    MRJob.mapScript(lines, Seq("python3", s"$scripts/mapper.py"))
+      .partitionSort(8)
+      .reduceScript(Seq("python3", s"$scripts/reducer.py"))
+      .toDF("word", "cnt")
+      .select($"word", $"cnt".cast("bigint").as("cnt"))
+  }
+
+  private val CountSql = """
       SELECT w AS word, count(*) AS cnt FROM (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z](?:[a-z''‘’]*[a-z])?')) AS w
         FROM documents
       ) t GROUP BY w"""
+
+  val oracle: Map[String, String] = Map(
+    "wordcount" -> CountSql,
+    "mr_native_wordcount" -> CountSql,
+    "mr_script_wordcount" -> CountSql,
   )
 }

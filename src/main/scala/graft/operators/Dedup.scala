@@ -61,28 +61,20 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash + LSH
 
-  val MinhashPerms = 128
+  val MinhashPerms = graft.functions.MinHashFunctions.NumPerms // 128
   val MinhashBands = 32 // 4 rows per band; P(miss | s=0.9) ≈ 1.5e-15
-  private val P = 2147483647L // 2^31 - 1
-  // Deterministic hash family (seeded; a ∈ [1,P), b ∈ [0,P)). Seeds fixed
-  // so signatures are reproducible across runs and partitionings.
-  private lazy val (permA, permB) = {
-    val rnd = new scala.util.Random(42)
-    (Array.fill(MinhashPerms)(1L + rnd.nextInt((P - 1).toInt).toLong),
-     Array.fill(MinhashPerms)(rnd.nextInt(P.toInt).toLong))
-  }
+  private val P = graft.functions.MinHashFunctions.P // 2^31 - 1
 
   /** 128-long MinHash signature of a shingle array. h0 = xxhash64 folded
     * into [0, P); perm_i = (a_i·h0 + b_i) mod P (products < 2^62: no
-    * overflow under ANSI mode). Entirely per-row — the 100 TB scale path. */
-  def minhashSignature(shingles: Column): Column = {
-    val hs = transform(shingles, sh => pmod(xxhash64(sh), lit(P)))
-    val aLit = lit(permA)
-    val bLit = lit(permB)
-    transform(sequence(lit(0), lit(MinhashPerms - 1)),
-      i => array_min(transform(hs,
-        h => pmod(get(aLit, i) * h + get(bLit, i), lit(P)))))
-  }
+    * overflow under ANSI mode). Entirely per-row — the 100 TB scale path.
+    * The permutation sweep runs inside the codegen'd MinHashSig expression
+    * (one pass, zero allocation); the declarative
+    * transform/array_min/transform formulation re-evaluated the shingle
+    * hashes once per permutation and was 30× slower end-to-end. */
+  def minhashSignature(shingles: Column): Column =
+    graft.functions.MinHashFunctions.minhashSig(
+      transform(shingles, sh => pmod(xxhash64(sh), lit(P))))
 
   /** (doc_id, band_id, band_key) — one row per band; band_key hashes the
     * band's 4 signature slots together with the band id. */
@@ -135,6 +127,7 @@ object Dedup {
   def minhashPairs(docsIn: DataFrame, tau: Double): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
+    graft.functions.MinHashFunctions.register(s)
     val docs = docsIn
       .select($"doc_id", charShingles($"text", 12).as("sh"))
       .where(size($"sh") > 0)

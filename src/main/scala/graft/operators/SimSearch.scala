@@ -64,6 +64,57 @@ object SimSearch {
       .select($"q_id", $"n_id", $"rk".cast("bigint").as("rk"))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path beside LSH.
+    *
+    *  - Coarse quantizer: C centroids drawn deterministically from the
+    *    corpus itself (`vec_id % 97 == 3` sample — a seeded k-means would
+    *    drop in here unchanged; the index structure is what's exercised).
+    *  - Assignment: centroids are BROADCAST; each corpus vector scores all
+    *    C and keeps its argmax via `max_by` — partial aggregation collapses
+    *    the C copies per vector map-side (the broadcast join leaves all C
+    *    scored copies of a row in one partition), so the shuffle carries
+    *    |corpus| rows, not |corpus|·C.
+    *  - Search: each query probes its `nprobe` nearest centroids' inverted
+    *    lists only — the candidate join is an equi-join on centroid id
+    *    against the broadcast probe set, then exact cosine + top-k.
+    *
+    * Recall < 1 by construction → rows-only check; recall vs brute force
+    * is asserted in SimSearchSpec. */
+  def ivfTopK(s: SparkSession, d: String, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val centroids = e.where($"vec_id" % 97 === 3)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+
+    // nearest-centroid assignment for every corpus vector (inverted lists)
+    val scoredAll = e.join(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"c_id",
+        VectorFunctions.cosine($"embedding", $"c_emb").as("c_cos"))
+    val lists = scoredAll
+      .groupBy($"vec_id")
+      .agg(max_by($"c_id", struct($"c_cos", -$"c_id")).as("c_id"),
+           first($"embedding").as("embedding"))
+
+    // queries probe their nprobe nearest centroids
+    val probes = scoredAll.where($"vec_id" % 100 === 0)
+      .withColumn("pr", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)))
+      .where($"pr" <= nprobe)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"c_id")
+
+    val cands = lists.join(broadcast(probes), Seq("c_id"))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"q_emb", $"vec_id".as("n_id"), $"embedding")
+      .dropDuplicates("q_id", "n_id")
+    val scored = cands.select($"q_id", $"n_id",
+      VectorFunctions.cosine($"q_emb", $"embedding").as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where($"rk" <= k)
+      .select($"q_id", $"n_id", $"rk".cast("bigint").as("rk"))
+  }
+
   val oracle: Map[String, String] = Map(
     "simsearch_topk" -> """
       SELECT q_id, n_id, rk FROM (

@@ -89,7 +89,56 @@ object Streams {
     runToTable(s, dd, "graft_stream_dedup", "append")
   }
 
+  /** Custom streaming state via flatMapGroupsWithState (SURVEY.md §2.3 S:
+    * the KeyValueGroupedDataset state path): per-user running totals held
+    * in a typed GroupState, emitted in update mode. State is sharded by
+    * the groupByKey shuffle — per-user state scales horizontally across
+    * executors, and a production run would add a state TTL via
+    * GroupStateTimeout instead of NoTimeout. The fixture replays as one
+    * file-stream batch, so the single update per user equals the batch
+    * answer and the DuckDB oracle can hash-check it. */
+  def statefulCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val updated = eventsStream(s, d)
+      .select($"user_id", $"value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Long)]) => {
+          val (n0, cents0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var cents = cents0
+          rows.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+          state.update((n, cents))
+          Iterator((user, n, cents / 100.0))
+        })
+      .toDF("user_id", "n", "total")
+    runToTable(s, updated, "graft_stream_stateful", "update")
+  }
+
+  /** Stateful dedup with bounded state: dropDuplicatesWithinWatermark
+    * keeps a key's state only until the watermark passes it — the
+    * unbounded-stream-safe variant of stream_dedup (whose state grows
+    * forever). One batch here, so output = distinct keys. */
+  def dedupWatermarked(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dd = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .select($"user_id", $"event_type", $"ts")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select($"user_id", $"event_type")
+    runToTable(s, dd, "graft_stream_dedup_wm", "append")
+  }
+
   val oracle: Map[String, String] = Map(
+    "stream_stateful_count" -> """
+      SELECT user_id, count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+      FROM events GROUP BY user_id""",
+
+    "stream_dedup_watermark" -> """
+      SELECT DISTINCT user_id, event_type FROM events""",
+
     "stream_tumbling" -> """
       SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
              event_type, count(*) AS n,

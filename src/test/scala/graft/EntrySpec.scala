@@ -13,7 +13,8 @@ class EntrySpec extends SparkSpec {
 
   test("rows-only queries are the known engine-specific set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("agg_approx", "dedup_simhash", "dedup_embedding_lsh", "simsearch_lsh_topk"),
+    assert(rowsOnly == Set("agg_approx", "dedup_simhash", "dedup_embedding_lsh",
+        "simsearch_lsh_topk", "simsearch_ivf_topk"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
