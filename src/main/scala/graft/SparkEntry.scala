@@ -37,6 +37,7 @@ object SparkEntry {
     "join_anti"        -> (Relational.joinAnti _),
     "join_cross"       -> (Relational.joinCross _),
     "join_range"       -> (Relational.joinRange _),
+    "join_skew_salted" -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     // E. aggregation
     "q1_agg"           -> (Relational.q1Agg _),
     "agg_stats"        -> (Relational.aggStats _),
@@ -87,6 +88,8 @@ object SparkEntry {
     "text_langid"      -> (TextAnalysis.langId _),
     "text_quality"     -> (TextAnalysis.quality _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_bpe"         -> (TextAnalysis.bpeTokens _),
+    "text_winnow"      -> (TextAnalysis.winnowFingerprint _),
     "text_tfidf"       -> (TextAnalysis.tfidfTop3 _),
     // J. multimodal plumbing
     "mm_meta"   -> (Multimodal.mediaMeta _),

@@ -97,10 +97,12 @@ object Dedup {
   }
 
   /** Exact Jaccard for given (a,b) pairs over a (doc_id, shingle) set
-    * table: |A∩B| via shingle join restricted to candidates, sizes via
-    * count per doc. Integer counts → double division: engine-exact. */
-  def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame): DataFrame = {
-    val sz = shingleSets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    * table: |A∩B| via shingle join restricted to candidates. Set sizes
+    * come in pre-computed (`sizes`: doc_id, n) — `size(sh)` on the
+    * un-exploded array, so no extra explode+groupBy pass over the corpus.
+    * Integer counts → double division: engine-exact. */
+  def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame, sizes: DataFrame): DataFrame = {
+    val sz = sizes
     val docsInPairs = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id"))).distinct()
     val sh = shingleSets.join(docsInPairs, "doc_id")
@@ -134,7 +136,8 @@ object Dedup {
     val withSig = docs.select($"doc_id", minhashSignature($"sh").as("sig"))
     val cands = lshCandidates(lshBands(withSig, "doc_id", "sig"), "doc_id")
     val shingleSets = docs.select($"doc_id", explode($"sh").as("s"))
-    verifyJaccard(cands, shingleSets)
+    val sizes = docs.select($"doc_id", size($"sh").cast("long").as("n"))
+    verifyJaccard(cands, shingleSets, sizes)
       .where($"jac" >= tau)
       .select($"a".as("doc_a"), $"b".as("doc_b"), $"jac")
   }
@@ -144,9 +147,10 @@ object Dedup {
     * shingles (stop-shingles) before the self-join; not needed at test SF. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, d)
-      .select($"doc_id", explode(wordShingles($"text", 3)).as("s"))
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", wordShingles($"text", 3).as("shs"))
+    val sh = docs.select($"doc_id", explode($"shs").as("s"))
+    val sz = docs.select($"doc_id", size($"shs").cast("long").as("n"))
     val common = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

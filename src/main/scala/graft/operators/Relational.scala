@@ -142,6 +142,25 @@ object Relational {
       .agg(count(lit(1)).as("n_parts"), sumMoney($"p_retailprice").as("band_value"))
   }
 
+  /** Skew-mitigated join by explicit key salting: the fact side gets a
+    * deterministic salt in [0,S), the dim side is replicated S times, and
+    * the join key becomes (key, salt) — a hot key's rows spread over S
+    * reducers instead of one. This is the manual fallback for when AQE's
+    * skew-join split can't apply (e.g. the join feeds a stateful op that
+    * pins partitioning). Join output is salt-invariant, so the oracle is
+    * the plain join — correctness of the technique, not just the plumbing,
+    * is what's hash-checked. */
+  def joinSkewSalted(s: SparkSession, d: String, salts: Int = 8): DataFrame = {
+    import s.implicits._
+    val fact = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(hash($"l_orderkey", $"l_linenumber"), lit(salts)))
+    val dim = Tables.supplier(s, d)
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    fact.join(dim, $"l_suppkey" === $"s_suppkey" && fact("salt") === dim("salt"))
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_items"), sumMoney($"l_extendedprice").as("volume"))
+  }
+
   // ---------------------------------------------------------------- E. aggregation
 
   /** TPC-H Q1 flavor: two-phase hash agg with partial (map-side) combine —

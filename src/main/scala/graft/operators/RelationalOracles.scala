@@ -72,6 +72,12 @@ object RelationalOracles {
         ON p_retailprice >= lo AND p_retailprice < hi
       GROUP BY band_id""",
 
+    "join_skew_salted" -> s"""
+      SELECT s_nationkey, count(*) AS n_items,
+             sum(${cents("l_extendedprice")}) / 100.0 AS volume
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey""",
+
     "q1_agg" -> s"""
       SELECT l_returnflag, l_linestatus,
              sum(l_quantity) AS sum_qty,

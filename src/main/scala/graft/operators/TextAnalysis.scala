@@ -76,6 +76,50 @@ object TextAnalysis {
       (nChars >= 100 && nToks >= 20 && (stop.cast("double") / nToks) >= 0.05).as("keep"))
   }
 
+  /** GPT-2-style BPE pre-tokenizer regex — the contraction/letter-run/
+    * digit-run/punct-run split every byte-pair tokenizer applies before
+    * merges. Counting these is the standard "how many tokens is this
+    * corpus" estimator. Same RE2-compatible pattern on both engines. */
+  val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+"
+
+  /** BPE-ish token counting: pre-tokenizer segment count and distinct
+    * count, plus a chars-per-token ratio (the quick tokens≈bytes/4
+    * sanity metric for training-data sizing). */
+  def bpeTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val segs = regexp_extract_all(lower($"text"), lit(BpePattern), lit(0))
+    Tables.documents(s, d).select(
+      $"doc_id",
+      size(segs).cast("bigint").as("n_bpe"),
+      size(array_distinct(segs)).cast("bigint").as("n_bpe_distinct"),
+      round(length($"text").cast("double") / size(segs), 6).as("chars_per_tok"))
+  }
+
+  /** Winnowing document fingerprint (the MOSS rolling-hash scheme): hash
+    * every k-gram (k=8), slide a w=4 window over the hash sequence, keep
+    * each window's minimum — a position-robust fingerprint set whose
+    * density is 2/(w+1), used for plagiarism/near-dup detection at scale.
+    * The k-gram hash array is materialized ONCE in a projection before the
+    * window sweep references it (a lambda re-evaluates its argument per
+    * element — the exact trap that made the naive MinHash 30× slower).
+    * md5 (not xxhash64) so DuckDB can replay it for the oracle; hash
+    * choice is immaterial to the winnowing guarantee. */
+  def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val w = 4
+    val t = lower($"text")
+    val hashes = when(length(t) >= k + w - 1,
+        transform(sequence(lit(1), length(t) - (k - 1)), i => md5(t.substr(i, lit(k)).cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, d)
+      .select($"doc_id", hashes.as("hs"))
+      .select($"doc_id", explode(array_distinct(
+        when(size($"hs") >= w, // sequence(1, x) descends when x < 1
+          transform(sequence(lit(1), size($"hs") - (w - 1)), j => array_min(slice($"hs", j, lit(w)))))
+        .otherwise(array().cast("array<string>")))).as("fp"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text
     * (split-join normalization — multi-space collapse). */
   def fingerprint(s: SparkSession, d: String): DataFrame = {
@@ -152,6 +196,30 @@ object TextAnalysis {
                  len(list_filter(string_split(lower(text), ' '),
                      t -> list_contains(${stopList("en")}, t))) AS stop
           FROM documents) t""",
+
+      "text_bpe" -> s"""
+        SELECT doc_id,
+               len(segs) AS n_bpe,
+               len(list_distinct(segs)) AS n_bpe_distinct,
+               round(CAST(length(text) AS DOUBLE) / len(segs), 6) AS chars_per_tok
+        FROM (SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '${BpePattern.replace("'", "''")}') AS segs
+              FROM documents) t""",
+
+      "text_winnow" -> """
+        WITH h AS (
+          SELECT doc_id, i,
+                 md5(substr(t, CAST(i AS INT), 8)) AS hh,
+                 length(t) - 7 AS n
+          FROM (SELECT doc_id, lower(text) AS t FROM documents) d
+          JOIN generate_series(1, 8192) g(i) ON i <= length(t) - 7
+          WHERE length(t) >= 11),
+        w AS (
+          SELECT doc_id, i, n,
+                 min(hh) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
+          FROM h)
+        SELECT DISTINCT doc_id, f AS fp FROM w WHERE i <= n - 3""",
 
       "text_fingerprint" -> """
         SELECT doc_id,
