@@ -39,25 +39,32 @@ object Dedup {
 
   // ---------------------------------------------------------------- shingling helpers
 
+  /** Single-element-transform let binding: binds `v` to `value` evaluated
+    * ONCE and hands it to `body`. An expression referenced inside a
+    * higher-order-function lambda is re-evaluated per element — e.g.
+    * `lower(text)` inside a per-position shingle lambda re-lowercases the
+    * whole document at every position, turning shingling O(len²). Lambda
+    * variables, by contrast, are plain variable reads. */
+  private def bind(value: Column, body: Column => Column): Column =
+    get(transform(array(value), body), lit(0))
+
   /** Distinct character n-gram shingles of lower(text), 1-based positions
     * (matches DuckDB substr semantics). Pure per-row HOF — no shuffle.
     * Guarded: Spark's `sequence(1, x)` DESCENDS when x < 1, so short texts
     * must short-circuit to an empty array. */
-  def charShingles(text: Column, n: Int): Column = {
-    val t = lower(text)
-    when(length(t) >= n,
-      array_distinct(transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n)))))
-    .otherwise(array().cast("array<string>"))
-  }
+  def charShingles(text: Column, n: Int): Column =
+    bind(lower(text), t =>
+      when(length(t) >= n,
+        array_distinct(transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>")))
 
   /** Distinct word n-grams (tokens = split on single space). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(lower(text), " ")
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " "))))
-    .otherwise(array().cast("array<string>"))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    bind(split(lower(text), " "), toks =>
+      when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>")))
 
   // ---------------------------------------------------------------- MinHash + LSH
 
@@ -86,26 +93,40 @@ object Dedup {
       .select(col(idCol), $"band_id", $"band_key")
   }
 
-  /** Candidate pairs (a < b) sharing ≥1 LSH band. */
-  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
-    val l = bands.select(col("band_id"), col("band_key"), col(idCol).as("a"))
-    val r = bands.select(col("band_id"), col("band_key"), col(idCol).as("b"))
-    l.join(r, Seq("band_id", "band_key"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"))
+  /** Candidate pairs (a < b) sharing ≥1 LSH band. Alias-style self-join:
+    * renaming AFTER the join keeps both sides' exchange subtrees
+    * identical, so ReuseExchange shuffles the bands table once instead of
+    * recomputing shingles+signatures+bands per side (measured 2× the
+    * whole upstream cost with rename-below-join projections). */
+  def lshCandidates(bandsIn: DataFrame, idCol: String): DataFrame = {
+    // Materialize the signature index once before self-joining: the bands
+    // table is (id, band_id, band_key) — tiny relative to the corpus — and
+    // a self-join otherwise computes shingles+signatures twice (broadcast
+    // builds don't participate in ReuseExchange). Persisting the index
+    // before an all-pairs probe is the standard LSH-at-scale design.
+    val bands = bandsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = bands.as("x")
+    val y = bands.as("y")
+    x.join(y, col("x.band_id") === col("y.band_id") &&
+              col("x.band_key") === col("y.band_key") &&
+              col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
   }
 
-  /** Exact Jaccard for given (a,b) pairs over a (doc_id, shingle) set
-    * table: |A∩B| via shingle join restricted to candidates. Set sizes
-    * come in pre-computed (`sizes`: doc_id, n) — `size(sh)` on the
-    * un-exploded array, so no extra explode+groupBy pass over the corpus.
-    * Integer counts → double division: engine-exact. */
-  def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame, sizes: DataFrame): DataFrame = {
-    val sz = sizes
+  /** Exact Jaccard for given (a,b) pairs over a (doc_id, sh: array) frame.
+    * The candidate-doc semi-join runs BEFORE the shingle arrays are
+    * exploded (a join cannot be pushed below a Generate, so exploding
+    * first would materialize the whole corpus's shingles just to throw
+    * almost all of them away — candidates are a tiny fraction at high τ).
+    * Set sizes are `size(sh)` on the un-exploded array: no extra
+    * explode+groupBy pass. Integer counts → double division: engine-exact. */
+  def verifyJaccard(pairs: DataFrame, docsWithShingles: DataFrame): DataFrame = {
     val docsInPairs = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id"))).distinct()
-    val sh = shingleSets.join(docsInPairs, "doc_id")
+    val restricted = docsWithShingles.join(docsInPairs, "doc_id")
+    val sz = restricted.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val sh = restricted.select(col("doc_id"), explode(col("sh")).as("s"))
     val common = pairs
       .join(sh.select(col("doc_id").as("a"), col("s")), "a")
       .join(sh.select(col("doc_id").as("b"), col("s").as("s2")), "b")
@@ -135,9 +156,7 @@ object Dedup {
       .where(size($"sh") > 0)
     val withSig = docs.select($"doc_id", minhashSignature($"sh").as("sig"))
     val cands = lshCandidates(lshBands(withSig, "doc_id", "sig"), "doc_id")
-    val shingleSets = docs.select($"doc_id", explode($"sh").as("s"))
-    val sizes = docs.select($"doc_id", size($"sh").cast("long").as("n"))
-    verifyJaccard(cands, shingleSets, sizes)
+    verifyJaccard(cands, docs)
       .where($"jac" >= tau)
       .select($"a".as("doc_a"), $"b".as("doc_b"), $"jac")
   }
@@ -167,16 +186,18 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
     * xxhash64(token). Built from 64 fixed-shift bit columns (codegen-able,
-    * no variable shifts), OR-folded. Per-row only — no shuffle. */
-  def simhash(text: Column): Column = {
-    val toksH = transform(array_distinct(split(lower(text), " ")), t => xxhash64(t))
-    val bits = (0 until 64).map { j =>
-      val vote = aggregate(toksH, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * no variable shifts), OR-folded. Per-row only — no shuffle. The token
+    * hash array is let-bound so the 64 per-bit aggregates share ONE
+    * tokenize+hash evaluation instead of each recomputing it. */
+  def simhash(text: Column): Column =
+    bind(transform(array_distinct(split(lower(text), " ")), t => xxhash64(t)), toksH => {
+      val bits = (0 until 64).map { j =>
+        val vote = aggregate(toksH, lit(0L),
+          (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      bits.reduce((a, b) => a.bitwiseOR(b))
+    })
 
   /** SimHash near-dup candidates by 16-bit segment match (pigeonhole: any
     * pair at hamming ≤ 3 shares ≥1 of 4 segments), verified at hamming ≤ 3.
@@ -195,12 +216,15 @@ object Dedup {
         struct(lit(j).as("seg_id"),
                shiftright($"sh", j * 16).bitwiseAND(lit(0xFFFFL)).as("seg_val"))): _*)).as("e"))
       .select($"doc_id", $"sh", $"e.seg_id", $"e.seg_val")
-    val l = segsFixed.select($"seg_id", $"seg_val", $"doc_id".as("a"), $"sh".as("sha"))
-    val r = segsFixed.select($"seg_id", $"seg_val", $"doc_id".as("b"), $"sh".as("shb"))
-    l.join(r, Seq("seg_id", "seg_val"))
-      .where($"a" < $"b")
-      .select($"a".as("doc_a"), $"b".as("doc_b"),
-        bit_count($"sha".bitwiseXOR($"shb")).cast("bigint").as("hamming"))
+      // materialize the (id, sig, segment) index once before the self-join
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = segsFixed.as("x")
+    val y = segsFixed.as("y")
+    x.join(y, col("x.seg_id") === col("y.seg_id") &&
+              col("x.seg_val") === col("y.seg_val") &&
+              col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("bigint").as("hamming"))
       .distinct()
       .where($"hamming" <= maxHamming)
   }
@@ -259,12 +283,15 @@ object Dedup {
     val s = e.sparkSession
     import s.implicits._
     val bucketed = lshBuckets(e, dim = 64, seed = 7L)
-    val a = bucketed.select($"table_id", $"bucket", $"vec_id".as("va"), $"embedding".as("ea"))
-    val b = bucketed.select($"table_id", $"bucket", $"vec_id".as("vb"), $"embedding".as("eb"))
-    a.join(b, Seq("table_id", "bucket"))
-      .where($"va" < $"vb")
-      .select($"va".as("vec_a"), $"vb".as("vec_b"),
-        VectorFunctions.cosine($"ea", $"eb").as("cos"))
+      // materialize the bucket index once before the self-join
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = bucketed.as("x")
+    val y = bucketed.as("y")
+    x.join(y, col("x.table_id") === col("y.table_id") &&
+              col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        VectorFunctions.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
       .where($"cos" >= tau)
       .distinct() // a pair may collide in several tables
   }

@@ -108,11 +108,13 @@ object TextAnalysis {
     import s.implicits._
     val k = 8
     val w = 4
-    val t = lower($"text")
+    val t = $"t" // materialized by the projection below: a lambda-body
+    // reference to lower($"text") would re-lowercase the doc per position
     val hashes = when(length(t) >= k + w - 1,
         transform(sequence(lit(1), length(t) - (k - 1)), i => md5(t.substr(i, lit(k)).cast("binary"))))
       .otherwise(array().cast("array<string>"))
     Tables.documents(s, d)
+      .select($"doc_id", lower($"text").as("t"))
       .select($"doc_id", hashes.as("hs"))
       .select($"doc_id", explode(array_distinct(
         when(size($"hs") >= w, // sequence(1, x) descends when x < 1
