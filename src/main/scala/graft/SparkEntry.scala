@@ -70,6 +70,7 @@ object SparkEntry {
     "src_json_roundtrip"    -> (graft.sources.Sources.jsonRoundtrip _),
     "src_text_kv"           -> (graft.sources.Sources.textKvRoundtrip _),
     "src_partitioned_write" -> (graft.sources.Sources.partitionedWrite _),
+    "src_bucketed_join"     -> (graft.sources.Sources.bucketedJoin _),
     // E. custom Aggregator
     "agg_topk_group"   -> (graft.agg.TopK.topOrdersPerBucket _),
     // J. dedup

@@ -69,7 +69,43 @@ object Sources {
            (sum(round($"o_totalprice" * 100).cast("bigint")) / 100.0).as("rev"))
   }
 
+  /** Bucketed tables + co-located join (SURVEY.md §2.3 D bucketing):
+    * lineitem and orders are both written bucketed into 8 buckets on the
+    * join key, so the join needs NO exchange on either side — the classic
+    * pre-partitioning that makes a 100 TB fact-fact join shuffle-free.
+    * `SourcesSpec` asserts the executed plan contains no shuffle.
+    * Bucketed writes require the table catalog (saveAsTable); tables are
+    * external, living in a temp dir, and replaced per run. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = tmp("graft_bucketed")
+    s.sql("DROP TABLE IF EXISTS graft_li_bkt")
+    s.sql("DROP TABLE IF EXISTS graft_ord_bkt")
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/li").saveAsTable("graft_li_bkt")
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority")
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/ord").saveAsTable("graft_ord_bkt")
+    s.table("graft_li_bkt")
+      .join(s.table("graft_ord_bkt"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           (sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+              .cast("bigint")) / 100.0).as("disc_rev"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "src_bucketed_join" -> """
+      SELECT o_orderpriority, count(*) AS n_items,
+             sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0 AS disc_rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority""",
+
     "src_csv_roundtrip" -> "SELECT * FROM customer",
     "src_json_roundtrip" -> "SELECT * FROM nation",
     "src_text_kv" -> """

@@ -57,6 +57,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("join_anti").contains("LeftAnti"), plan("join_anti"))
   }
 
+  test("bucketed join is shuffle-free on both join sides") {
+    // at test SF Catalyst rightly broadcasts the tiny side; disable
+    // broadcast to surface the plan a fact-fact join gets at 100 TB
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // AdaptiveSparkPlan.toString prints final + initial plans; count
+      // exchanges in the final one only
+      val p = plan("src_bucketed_join").split("== Initial Plan ==")(0)
+      // the only exchange allowed is the one feeding the final groupBy agg;
+      // without bucketing the join adds two more (one per side)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(p.contains("SortMergeJoin"), p)
+      assert(exchanges <= 1, s"expected at most 1 exchange (post-join agg), got $exchanges\n$p")
+      assert(p.contains("Bucketed: true"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("join_skew_salted spreads the build side across salts (no broadcast)") {
+    val p = plan("join_skew_salted")
+    assert(p.contains("Join"), p)
+  }
+
   test("simsearch brute force broadcasts the query side") {
     val p = plan("simsearch_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
