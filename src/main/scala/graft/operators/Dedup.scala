@@ -114,17 +114,19 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard for given (a,b) pairs over a (doc_id, sh: array) frame.
-    * The candidate-doc semi-join runs BEFORE the shingle arrays are
-    * exploded (a join cannot be pushed below a Generate, so exploding
-    * first would materialize the whole corpus's shingles just to throw
-    * almost all of them away — candidates are a tiny fraction at high τ).
-    * Set sizes are `size(sh)` on the un-exploded array: no extra
-    * explode+groupBy pass. Integer counts → double division: engine-exact. */
-  def verifyJaccard(pairs: DataFrame, docsWithShingles: DataFrame): DataFrame = {
+  /** Exact Jaccard for given (a,b) pairs over a raw (doc_id, text, …)
+    * frame. `shingles` (an expression over the frame's columns) is
+    * evaluated ABOVE the candidate-doc join — Catalyst leaves projections
+    * where they are relative to joins, so computing shingles below the
+    * join would shingle the whole corpus just to discard almost all of it
+    * (candidates are a tiny fraction at high τ). Set sizes are `size(sh)`
+    * on the un-exploded array: no extra explode+groupBy pass. Integer
+    * counts → double division: engine-exact. */
+  def verifyJaccard(pairs: DataFrame, docsRaw: DataFrame, shingles: Column): DataFrame = {
     val docsInPairs = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id"))).distinct()
-    val restricted = docsWithShingles.join(docsInPairs, "doc_id")
+    val restricted = docsRaw.join(docsInPairs, "doc_id")
+      .select(col("doc_id"), shingles.as("sh"))
     val sz = restricted.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val sh = restricted.select(col("doc_id"), explode(col("sh")).as("s"))
     val common = pairs
@@ -146,17 +148,22 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String): DataFrame =
     minhashPairs(Tables.documents(s, d), 0.9)
 
-  /** Core MinHash-LSH pipeline over any (doc_id, text) frame. */
+  /** Core MinHash-LSH pipeline over any (doc_id, text) frame. The
+    * signature path runs entirely through the two codegen expressions
+    * (ShingleHashes → MinHashSig): text to 128-long signature with zero
+    * per-shingle allocation and no interpreted HOFs. String shingles are
+    * only ever computed for candidate docs, inside verifyJaccard. */
   def minhashPairs(docsIn: DataFrame, tau: Double): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
     graft.functions.MinHashFunctions.register(s)
-    val docs = docsIn
-      .select($"doc_id", charShingles($"text", 12).as("sh"))
-      .where(size($"sh") > 0)
-    val withSig = docs.select($"doc_id", minhashSignature($"sh").as("sig"))
+    graft.functions.ShingleHashes.register(s)
+    val withSig = docsIn
+      .select($"doc_id", graft.functions.ShingleHashes.shingleHashes($"text", 12).as("hs"))
+      .where(size($"hs") > 0)
+      .select($"doc_id", graft.functions.MinHashFunctions.minhashSig($"hs").as("sig"))
     val cands = lshCandidates(lshBands(withSig, "doc_id", "sig"), "doc_id")
-    verifyJaccard(cands, docs)
+    verifyJaccard(cands, docsIn, charShingles($"text", 12))
       .where($"jac" >= tau)
       .select($"a".as("doc_a"), $"b".as("doc_b"), $"jac")
   }
