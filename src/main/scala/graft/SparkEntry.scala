@@ -102,6 +102,7 @@ object SparkEntry {
     "stream_dedup"    -> (graft.streaming.Streams.dedupKeys _),
     "stream_stateful_count"  -> (graft.streaming.Streams.statefulCount _),
     "stream_dedup_watermark" -> (graft.streaming.Streams.dedupWatermarked _),
+    "stream_stream_join"     -> (graft.streaming.Streams.streamStreamJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

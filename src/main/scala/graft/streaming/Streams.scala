@@ -130,7 +130,40 @@ object Streams {
     runToTable(s, dd, "graft_stream_dedup_wm", "append")
   }
 
+  /** Watermarked stream-stream inner join: clicks joined to the same
+    * user's purchases within the following hour. Both sides carry
+    * watermarks and the join condition bounds event time on both ends, so
+    * Spark can size the join state and expire rows as the watermark
+    * advances — the unbounded-stream-safe join shape. State is sharded by
+    * the user_id equi-key's shuffle. One replayed batch here → output
+    * equals the batch interval join, which the DuckDB oracle replays. */
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStream(s, d)
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+              $"value".as("amount"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+        $"c_user" === $"p_user" &&
+        $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"c_user".as("user_id"), $"click_id", $"purchase_id", $"amount")
+    runToTable(s, joined, "graft_stream_ss_join", "append")
+  }
+
   val oracle: Map[String, String] = Map(
+    "stream_stream_join" -> """
+      SELECT c.user_id AS user_id, c.event_id AS click_id,
+             p.event_id AS purchase_id, p.value AS amount
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+       AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR""",
+
     "stream_stateful_count" -> """
       SELECT user_id, count(*) AS n,
              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
