@@ -65,6 +65,8 @@ object SparkEntry {
     "fn_array"         -> (Relational.fnArray _),
     "fn_map"           -> (Relational.fnMap _),
     "fn_json"          -> (Relational.fnJson _),
+    // SQL entry path
+    "sql_q3_shipping"  -> (Sql.q3Shipping _),
     // B. sources / sinks
     "src_csv_roundtrip"     -> (graft.sources.Sources.csvRoundtrip _),
     "src_json_roundtrip"    -> (graft.sources.Sources.jsonRoundtrip _),
@@ -108,7 +110,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalOracles.sql ++ graft.mr.WordCount.oracle ++
+    RelationalOracles.sql ++ Sql.oracle ++ graft.mr.WordCount.oracle ++
     graft.sources.Sources.oracle ++ graft.agg.TopK.oracle ++
     Dedup.oracle ++ SimSearch.oracle ++ TextAnalysis.oracle ++
     Multimodal.oracle ++ graft.streaming.Streams.oracle

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+
+/** SQL entry path: the engine's tables registered as temp views and
+  * queried with ANSI SQL through `spark.sql` — the query layer the
+  * reference lacks entirely (its "query language" is a mapper/reducer
+  * script pair; SURVEY.md §1) and the one a user of a general analytics
+  * engine reaches for first. The same Catalyst plans as the DataFrame
+  * API: the Q3-shaped query below compiles to the identical
+  * broadcast-join + two-phase-agg + TakeOrderedAndProject physical plan
+  * its DataFrame twin would.
+  */
+object Sql {
+
+  /** Register every fixture table as `graft_<name>` temp views. events
+    * goes through its dedicated loader (ns-timestamp handling — a bare
+    * parquet read of timestamp[ns] throws). */
+  def registerViews(s: SparkSession, d: String): Unit =
+    Tables.names.foreach { n =>
+      val df = if (n == "events") Tables.events(s, d) else Tables.load(s, d, n)
+      df.createOrReplaceTempView(s"graft_$n")
+    }
+
+  /** TPC-H Q3 shape (shipping priority): 3-way join, filter on both fact
+    * sides, exact-cents revenue, top-10 by revenue with unique tiebreak. */
+  def q3Shipping(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT l.l_orderkey AS orderkey,
+             sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS revenue,
+             o.o_orderdate AS orderdate
+      FROM graft_customer c
+      JOIN graft_orders o   ON c.c_custkey = o.o_custkey
+      JOIN graft_lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        AND l.l_shipdate  > TIMESTAMP '1996-01-01'
+      GROUP BY l.l_orderkey, o.o_orderdate
+      ORDER BY revenue DESC, orderkey ASC
+      LIMIT 10
+    """)
+  }
+
+  val oracle: Map[String, String] = Map(
+    "sql_q3_shipping" -> """
+      SELECT l.l_orderkey AS orderkey,
+             sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+               / 100.0 AS revenue,
+             o.o_orderdate AS orderdate
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        AND l.l_shipdate  > TIMESTAMP '1996-01-01'
+      GROUP BY l.l_orderkey, o.o_orderdate
+      ORDER BY revenue DESC, orderkey ASC
+      LIMIT 10"""
+  )
+}
