@@ -60,6 +60,7 @@ object SparkEntry {
     "set_distinct"     -> (Relational.setDistinct _),
     // I. scalar functions
     "fn_string"        -> (Relational.fnString _),
+    "fn_string2"       -> (Relational.fnString2 _),
     "fn_date"          -> (Relational.fnDate _),
     "fn_math"          -> (Relational.fnMath _),
     "fn_array"         -> (Relational.fnArray _),
@@ -97,6 +98,9 @@ object SparkEntry {
     // J. multimodal plumbing
     "mm_meta"   -> (Multimodal.mediaMeta _),
     "mm_decode" -> (Multimodal.decodeFeatures _),
+    // J. pipeline maintenance
+    "maint_compact"     -> ((s: SparkSession, d: String) => Maintenance.compact(s, d)),
+    "sample_stratified" -> (Maintenance.stratifiedSample _),
     // S. streaming
     "stream_tumbling" -> (graft.streaming.Streams.tumbling _),
     "stream_sliding"  -> (graft.streaming.Streams.sliding _),
@@ -112,6 +116,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOracles.sql ++ Sql.oracle ++ graft.mr.WordCount.oracle ++
     graft.sources.Sources.oracle ++ graft.agg.TopK.oracle ++
-    Dedup.oracle ++ SimSearch.oracle ++ TextAnalysis.oracle ++
+    Dedup.oracle ++ SimSearch.oracle ++ TextAnalysis.oracle ++ Maintenance.oracle ++
     Multimodal.oracle ++ graft.streaming.Streams.oracle
 }

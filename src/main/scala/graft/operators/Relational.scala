@@ -371,6 +371,22 @@ object Relational {
       size(split($"p_name", " ")).cast("bigint").as("n_words"))
   }
 
+  /** Extended string battery: regex replace, padding, translate, edit
+    * distance, reverse/repeat/left-right slicing. */
+  def fnString2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d).select(
+      $"p_partkey",
+      regexp_replace($"p_name", "a", "@").as("subst"),
+      lpad($"p_brand", 12, "*").as("pad_l"),
+      rpad($"p_type", 30, ".").as("pad_r"),
+      translate($"p_type", "aeiou", "AEIOU").as("xlat"),
+      levenshtein($"p_brand", lit("Brand#13")).cast("bigint").as("edit_dist"),
+      reverse($"p_name").as("rev"),
+      repeat($"p_brand", 2).as("twice"),
+      substring($"p_name", 1, 4).as("left4"))
+  }
+
   /** Date/time battery over orders. */
   def fnDate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -72,6 +72,18 @@ object RelationalOracles {
         ON p_retailprice >= lo AND p_retailprice < hi
       GROUP BY band_id""",
 
+    "fn_string2" -> """
+      SELECT p_partkey,
+             regexp_replace(p_name, 'a', '@', 'g') AS subst,
+             lpad(p_brand, 12, '*') AS pad_l,
+             rpad(p_type, 30, '.') AS pad_r,
+             translate(p_type, 'aeiou', 'AEIOU') AS xlat,
+             levenshtein(p_brand, 'Brand#13') AS edit_dist,
+             reverse(p_name) AS rev,
+             repeat(p_brand, 2) AS twice,
+             substr(p_name, 1, 4) AS left4
+      FROM part""",
+
     "join_skew_salted" -> s"""
       SELECT s_nationkey, count(*) AS n_items,
              sum(${cents("l_extendedprice")}) / 100.0 AS volume

@@ -14,7 +14,7 @@ class EntrySpec extends SparkSpec {
   test("rows-only queries are the known engine-specific set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("agg_approx", "dedup_simhash", "dedup_embedding_lsh",
-        "simsearch_lsh_topk", "simsearch_ivf_topk"),
+        "simsearch_lsh_topk", "simsearch_ivf_topk", "sample_stratified"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
