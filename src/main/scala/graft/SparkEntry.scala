@@ -38,6 +38,7 @@ object SparkEntry {
     "join_cross"       -> (Relational.joinCross _),
     "join_range"       -> (Relational.joinRange _),
     "join_skew_salted" -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
+    "join_asof"        -> (Relational.joinAsof _),
     // E. aggregation
     "q1_agg"           -> (Relational.q1Agg _),
     "agg_stats"        -> (Relational.aggStats _),

@@ -142,6 +142,38 @@ object Relational {
       .agg(count(lit(1)).as("n_parts"), sumMoney($"p_retailprice").as("band_value"))
   }
 
+  /** As-of join (each click ↔ the same user's most recent signup at or
+    * before it) — an operator Spark has no native form for, composed from
+    * existing ops per the preference ladder: tag both sides, union, one
+    * window pass per user carrying the last-seen signup forward. ONE
+    * shuffle on user_id and state linear in the row count — vs the
+    * range-join formulation whose per-user cross product explodes on hot
+    * users. Ties (signup at the click's exact ts) match, so signups sort
+    * before clicks at equal ts; both sides are deduped to one row per
+    * (user, ts) with the max id, making the as-of winner unique. Inner
+    * semantics: clicks with no prior signup are dropped. Oracle: DuckDB's
+    * native ASOF JOIN. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    def side(kind: String) = ev.where($"event_type" === kind)
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("event_id"))
+    val clicks = side("click")
+    val signups = side("signup")
+    val tagged = signups
+      .select($"user_id", $"ts", lit(0).as("kind"), lit(null).cast("long").as("click_id"),
+              $"event_id".as("signup_id"))
+      .unionByName(clicks.select($"user_id", $"ts", lit(1).as("kind"),
+              $"event_id".as("click_id"), lit(null).cast("long").as("signup_id")))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"kind".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_signup", last($"signup_id", ignoreNulls = true).over(w))
+      .where($"kind" === 1 && $"asof_signup".isNotNull)
+      .select($"user_id", $"click_id", $"asof_signup".as("signup_id"))
+  }
+
   /** Skew-mitigated join by explicit key salting: the fact side gets a
     * deterministic salt in [0,S), the dim side is replicated S times, and
     * the join key becomes (key, salt) — a hot key's rows spread over S

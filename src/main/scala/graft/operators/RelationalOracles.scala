@@ -72,6 +72,17 @@ object RelationalOracles {
         ON p_retailprice >= lo AND p_retailprice < hi
       GROUP BY band_id""",
 
+    "join_asof" -> """
+      WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      signups AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+      SELECT c.user_id AS user_id, c.event_id AS click_id, s.event_id AS signup_id
+      FROM clicks c ASOF JOIN signups s
+        ON c.user_id = s.user_id AND c.ts >= s.ts""",
+
     "fn_string2" -> """
       SELECT p_partkey,
              regexp_replace(p_name, 'a', '@', 'g') AS subst,
