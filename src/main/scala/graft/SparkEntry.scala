@@ -52,8 +52,12 @@ object SparkEntry {
     "window_rank"      -> (Relational.windowRank _),
     "window_lag_lead"  -> (Relational.windowLagLead _),
     "window_frames"    -> (Relational.windowFrames _),
+    "window_dist"      -> (Relational.windowDist _),
+    // E. percentiles
+    "agg_percentile"   -> (Relational.aggPercentile _),
     // G. sort / limit
     "sort_limit"       -> (Relational.sortLimit _),
+    "sort_global"      -> (Relational.sortGlobal _),
     // H. set ops
     "set_union"        -> (Relational.setUnion _),
     "set_intersect"    -> (Relational.setIntersect _),

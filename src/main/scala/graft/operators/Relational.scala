@@ -339,7 +339,44 @@ object Relational {
               ($"running_c" / 100.0).as("running"), ($"band_c" / 100.0).as("band"))
   }
 
+  /** Distribution window functions: ntile, percent_rank, cume_dist over
+    * the per-nation balance ordering. */
+  def windowDist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    Tables.customer(s, d)
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal")
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+  }
+
+  /** Exact interpolated percentiles (median + p90) per group — rounded to
+    * 4dp: Spark and DuckDB both interpolate linearly but may differ in
+    * the last ulp of the blend arithmetic. */
+  def aggPercentile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(round(percentile($"o_totalprice", lit(0.5)), 4).as("median_price"),
+           round(percentile($"o_totalprice", lit(0.9)), 4).as("p90_price"),
+           count(lit(1)).as("n"))
+  }
+
   // ---------------------------------------------------------------- G. sort / limit / top-k
+
+  /** Global multi-key sort (no limit): Catalyst samples for a
+    * RangePartitioning exchange, then sorts per partition — the
+    * distributed total order the reference can only produce by
+    * client-side concatenation+sort (SURVEY §2.1 quirks). Output set ==
+    * input set; the plan shape is what PlanShapeSpec pins. */
+  def sortGlobal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .orderBy($"c_mktsegment".asc, $"c_acctbal".desc, $"c_custkey".asc)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+  }
+
 
   /** Global top-N: Catalyst plans TakeOrderedAndProject — per-partition
     * top-N then a single-reduce merge, no global sort shuffle. */

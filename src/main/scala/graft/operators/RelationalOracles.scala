@@ -83,6 +83,25 @@ object RelationalOracles {
       FROM clicks c ASOF JOIN signups s
         ON c.user_id = s.user_id AND c.ts >= s.ts""",
 
+    "window_dist" -> """
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ntile(4) OVER w AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)""",
+
+    "agg_percentile" -> """
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+             round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+             count(*) AS n
+      FROM orders GROUP BY o_orderstatus""",
+
+    "sort_global" -> """
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC""",
+
     "fn_string2" -> """
       SELECT p_partkey,
              regexp_replace(p_name, 'a', '@', 'g') AS subst,

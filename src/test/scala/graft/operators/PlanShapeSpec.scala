@@ -80,6 +80,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Join"), p)
   }
 
+  test("sort_global plans a range-partitioned distributed sort") {
+    val p = plan("sort_global")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("Sort ["), p)
+  }
+
   test("simsearch brute force broadcasts the query side") {
     val p = plan("simsearch_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
