@@ -103,6 +103,8 @@ object SparkEntry {
     // J. multimodal plumbing
     "mm_meta"   -> (Multimodal.mediaMeta _),
     "mm_decode" -> (Multimodal.decodeFeatures _),
+    "mm_resize" -> (Multimodal.resizeBlocks _),
+    "mm_frames" -> (Multimodal.sampleFrames _),
     // J. pipeline maintenance
     "maint_compact"     -> ((s: SparkSession, d: String) => Maintenance.compact(s, d)),
     "sample_stratified" -> (Maintenance.stratifiedSample _),

@@ -71,7 +71,67 @@ object Multimodal {
         (0 until 8).map(j => element_at($"features", j + 1).as(s"f$j")): _*)
   }
 
+  /** STUB "resize": block-mean downsample of the payload bytes to 4
+    * fixed buckets — the shape of an image resize kernel (average
+    * pooling), batched per partition like [[decodeFeatures]]. Block b of
+    * a len-byte payload covers bytes i with (i*4)/len == b. */
+  def resizeBlocks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"text".cast("binary").as("media"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap(_.map { r =>
+          val n = r.media.length
+          val sums = new Array[Double](4)
+          val counts = new Array[Long](4)
+          var i = 0
+          while (i < n) {
+            val b = (i.toLong * 4 / n).toInt
+            sums(b) += (r.media(i) & 0xff)
+            counts(b) += 1
+            i += 1
+          }
+          DecodedRow(r.doc_id, n,
+            Array.tabulate(4)(b => if (counts(b) == 0) 0.0 else sums(b) / counts(b)))
+        })
+      }
+      .select(Seq($"doc_id", $"n_bytes".cast("bigint").as("n_bytes")) ++
+        (0 until 4).map(b => round(element_at($"features", b + 1), 4).as(s"b$b")): _*)
+  }
+
+  /** STUB "frame sampling": treat the payload as fixed 32-byte frames and
+    * keep every 4th frame's first byte — the strided frame-select shape of
+    * video pipelines (one output row per kept frame: doc_id, frame_no,
+    * lead byte code). Pure per-row explode — shuffle-free. ($"text" in the
+    * lambda is an attribute read, not a recomputed expression — cheap.) */
+  def sampleFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hop = 32 * 4 // frame size 32 bytes, keep every 4th frame
+    Tables.documents(s, d)
+      .where(length($"text") >= 1)
+      .select($"doc_id",
+        posexplode(transform(
+          sequence(lit(0), floor((length($"text") - 1) / hop).cast("int")),
+          f => ascii($"text".substr(f * hop + 1, lit(1))).cast("bigint"))).as(Seq("frame_no", "lead_byte")))
+      .select($"doc_id", $"frame_no".cast("bigint").as("frame_no"), $"lead_byte")
+  }
+
   val oracle: Map[String, String] = Map(
+    "mm_resize" -> ("""
+      SELECT doc_id, length(text) AS n_bytes, """ +
+      (0 until 4).map(b =>
+        s"round(avg(CASE WHEN ((i - 1) * 4) // length(text) = $b THEN ascii(substr(text, CAST(i AS INT), 1)) END), 4) AS b$b")
+        .mkString(", ") + """
+      FROM documents JOIN generate_series(1, 8192) g(i) ON i <= length(text)
+      GROUP BY doc_id, length(text)"""),
+
+    "mm_frames" -> """
+      SELECT doc_id, (i - 1) // 128 AS frame_no,
+             ascii(substr(text, CAST(i AS INT), 1)) AS lead_byte
+      FROM documents JOIN generate_series(1, 8192) g(i)
+        ON i <= length(text) AND (i - 1) % 128 = 0""",
+
     "mm_meta" -> """
       SELECT doc_id,
              octet_length(encode(text)) AS n_bytes,
