@@ -26,6 +26,7 @@ object SparkEntry {
     "wordcount"           -> (graft.mr.WordCount.onDocuments _),
     "mr_native_wordcount" -> (graft.mr.WordCount.mrNative _),
     "mr_script_wordcount" -> (graft.mr.WordCount.mrScript _),
+    "mr_combine_wordcount" -> (graft.mr.WordCount.mrCombine _),
     // C. projection / selection
     "proj_select"      -> (Relational.projSelect _),
     "filter_pred"      -> (Relational.filterPred _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "stream_stateful_count"  -> (graft.streaming.Streams.statefulCount _),
     "stream_dedup_watermark" -> (graft.streaming.Streams.dedupWatermarked _),
     "stream_stream_join"     -> (graft.streaming.Streams.streamStreamJoin _),
+    "stream_sink_parquet"    -> (graft.streaming.Streams.sinkParquet _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -66,6 +66,21 @@ object WordCount {
       .select($"word", $"cnt".cast("bigint").as("cnt"))
   }
 
+  /** Word count through the MR substrate's COMBINER path (reduceByKey =
+    * map-side partial merge before the shuffle) — the aggregation upgrade
+    * the reference's combiner-less design cannot express (it shuffles one
+    * `word\t1` line per token, azure_util.go:234-246); here the shuffle
+    * carries one partial count per (word, partition). */
+  def mrCombine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.documents(s, d).select("text").as[String]
+    val pat = TokenPattern
+    MRJob.mapNative(lines)(l => pat.r.findAllIn(l.toLowerCase).map(w => (w, "1")))
+      .reduceByKey((a, b) => (a.toLong + b.toLong).toString)
+      .toDF("word", "cnt")
+      .select($"word", $"cnt".cast("bigint").as("cnt"))
+  }
+
   private val CountSql = """
       SELECT w AS word, count(*) AS cnt FROM (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z](?:[a-z''‘’]*[a-z])?')) AS w
@@ -76,5 +91,6 @@ object WordCount {
     "wordcount" -> CountSql,
     "mr_native_wordcount" -> CountSql,
     "mr_script_wordcount" -> CountSql,
+    "mr_combine_wordcount" -> CountSql,
   )
 }

@@ -154,7 +154,34 @@ object Streams {
     runToTable(s, joined, "graft_stream_ss_join", "append")
   }
 
+  /** foreachBatch parquet sink — the production sink pattern: each
+    * microbatch lands as parquet with exactly-once-per-batch semantics
+    * (batchId available for idempotent writes); the query result is the
+    * read-back of what got written, so the oracle validates the full
+    * stream → sink → storage round-trip. */
+  def sinkParquet(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           (sum(round($"value" * 100).cast("bigint")) / 100.0).as("total"))
+    val q = agg.writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+  }
+
   val oracle: Map[String, String] = Map(
+    "stream_sink_parquet" -> """
+      SELECT event_type, count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+      FROM events GROUP BY event_type""",
+
     "stream_stream_join" -> """
       SELECT c.user_id AS user_id, c.event_id AS click_id,
              p.event_id AS purchase_id, p.value AS amount
