@@ -68,6 +68,7 @@ object SparkEntry {
     "fn_string"        -> (Relational.fnString _),
     "fn_string2"       -> (Relational.fnString2 _),
     "fn_date"          -> (Relational.fnDate _),
+    "fn_date2"         -> (Relational.fnDate2 _),
     "fn_math"          -> (Relational.fnMath _),
     "fn_array"         -> (Relational.fnArray _),
     "fn_map"           -> (Relational.fnMap _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "text_bpe"         -> (TextAnalysis.bpeTokens _),
     "text_winnow"      -> (TextAnalysis.winnowFingerprint _),
     "text_tfidf"       -> (TextAnalysis.tfidfTop3 _),
+    "text_bigrams"     -> (TextAnalysis.topBigrams _),
     // J. multimodal plumbing
     "mm_meta"   -> (Multimodal.mediaMeta _),
     "mm_decode" -> (Multimodal.decodeFeatures _),

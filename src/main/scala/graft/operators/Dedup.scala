@@ -58,6 +58,16 @@ object Dedup {
         array_distinct(transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>")))
 
+  /** Word n-grams over an already-tokenized array column, WITH
+    * multiplicity (counting use cases; the dedup paths use the distinct
+    * variant below). */
+  def wordShinglesOf(toks0: Column, n: Int): Column =
+    bind(toks0, toks =>
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>")))
+
   /** Distinct word n-grams (tokens = split on single space). */
   def wordShingles(text: Column, n: Int): Column =
     bind(split(lower(text), " "), toks =>

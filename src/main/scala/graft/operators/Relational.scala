@@ -469,6 +469,21 @@ object Relational {
       unix_timestamp($"o_orderdate").as("epoch_s"))
   }
 
+  /** Date/time battery 2: calendar arithmetic. dayofweek is Spark's
+    * Sunday=1 convention (oracle shifts DuckDB's Sunday=0); add_months
+    * end-of-month clamping matches interval arithmetic on both engines. */
+  def fnDate2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).select(
+      $"o_orderkey",
+      quarter($"o_orderdate").cast("bigint").as("qtr"),
+      dayofweek($"o_orderdate").cast("bigint").as("dow"),
+      weekofyear($"o_orderdate").cast("bigint").as("iso_week"),
+      last_day($"o_orderdate").cast("date").as("month_end"),
+      add_months($"o_orderdate", 2).cast("date").as("plus2mo"),
+      date_format($"o_orderdate", "yyyy-MM").as("ym"))
+  }
+
   /** Math + conditional battery (transcendentals rounded: last-ulp libm
     * differences between JVM and C are real). */
   def fnMath(s: SparkSession, d: String): DataFrame = {

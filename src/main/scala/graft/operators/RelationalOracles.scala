@@ -102,6 +102,16 @@ object RelationalOracles {
       SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
       ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC""",
 
+    "fn_date2" -> """
+      SELECT o_orderkey,
+             quarter(o_orderdate) AS qtr,
+             dayofweek(o_orderdate) + 1 AS dow,
+             weekofyear(o_orderdate) AS iso_week,
+             last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+             strftime(o_orderdate, '%Y-%m') AS ym
+      FROM orders""",
+
     "fn_string2" -> """
       SELECT p_partkey,
              regexp_replace(p_name, 'a', '@', 'g') AS subst,

@@ -76,6 +76,23 @@ object TextAnalysis {
       (nChars >= 100 && nToks >= 20 && (stop.cast("double") / nToks) >= 0.05).as("keep"))
   }
 
+  /** Corpus bigram mining with a stopword filter: tokens minus English
+    * stopwords → word 2-grams → global top-20 by count (unique tiebreak
+    * on the bigram). Shuffle carries (bigram, partial count); the top-20
+    * is a TakeOrderedAndProject after the aggregation. */
+  def topBigrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = StopwordSets.head._2
+    val toksFiltered = filter(split(lower($"text"), " "),
+      t => !t.isin(stop.map(lit): _*) && t =!= "")
+    Tables.documents(s, d)
+      .select(Dedup.wordShinglesOf(toksFiltered, 2).as("grams"))
+      .select(explode($"grams").as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram".asc)
+      .limit(20)
+  }
+
   /** GPT-2-style BPE pre-tokenizer regex — the contraction/letter-run/
     * digit-run/punct-run split every byte-pair tokenizer applies before
     * merges. Counting these is the standard "how many tokens is this
@@ -222,6 +239,18 @@ object TextAnalysis {
                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
           FROM h)
         SELECT DISTINCT doc_id, f AS fp FROM w WHERE i <= n - 3""",
+
+      "text_bigrams" -> s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                   t -> t <> '' AND NOT list_contains(${stopList("en")}, t)) AS tk
+          FROM documents),
+        grams AS (
+          SELECT tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS bigram
+          FROM toks JOIN generate_series(1, 4096) g(i) ON i <= len(tk) - 1)
+        SELECT bigram, count(*) AS n FROM grams
+        GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""",
 
       "text_fingerprint" -> """
         SELECT doc_id,
