@@ -86,6 +86,7 @@ object SparkEntry {
     // J. dedup
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_minhash"       -> (Dedup.minhashLsh _),
+    "dedup_minhash_clusters" -> (Dedup.minhashClusters _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_simhash"       -> (Dedup.simhashDedup _),
     "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingCosineExact(s, d)),

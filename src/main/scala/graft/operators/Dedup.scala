@@ -178,6 +178,48 @@ object Dedup {
       .select($"a".as("doc_a"), $"b".as("doc_b"), $"jac")
   }
 
+  /** Connected components over an (a, b) edge frame by iterative
+    * min-label propagation: every node starts as its own label; each
+    * round a node takes the min of its own and its neighbors' labels;
+    * fixpoint = components labeled by their min node id. The loop is
+    * driver-coordinated but all data stays distributed; lineage is
+    * truncated per round with localCheckpoint (else plans grow
+    * exponentially). Rounds ≈ graph diameter — near-dup graphs are
+    * overwhelmingly tiny cliques, so 2-3 rounds; at adversarial scale
+    * the standard upgrade is alternating large-star/small-star, which
+    * drops in here without changing callers. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("n")).distinct()
+      .select(col("n"), col("n").as("l"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val next = sym.join(labels, sym("a") === labels("n"))
+        .select(col("b").as("n"), col("l"))
+        .union(labels)
+        .groupBy(col("n")).agg(min(col("l")).as("l"))
+        .localCheckpoint()
+      changed = next.as("x").join(labels.as("y"), col("x.n") === col("y.n"))
+        .where(col("x.l") =!= col("y.l")).count()
+      labels = next
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-dup CLUSTERS (the actual dedup operation): MinHash-LSH pairs →
+    * connected components → (doc_id, cluster_rep = min doc id of the
+    * component). A pipeline keeps rows where doc_id == cluster_rep. */
+  def minhashClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = minhashLsh(s, d).select($"doc_a".as("a"), $"doc_b".as("b"))
+    connectedComponents(edges)
+      .select($"n".as("doc_id"), $"l".as("cluster_rep"))
+  }
+
   /** Exact n-gram Jaccard dedup (word 3-grams, τ=0.8) via inverted-index
     * self-join — the exhaustive baseline. Scale path: prune high-df
     * shingles (stop-shingles) before the self-join; not needed at test SF. */
@@ -353,6 +395,17 @@ object Dedup {
       SELECT min(doc_id) AS doc_id_kept, count(*) AS n_copies
       FROM documents GROUP BY text""",
     "dedup_minhash" -> shingleOracle(0.9, "char12"),
+    "dedup_minhash_clusters" -> s"""
+      WITH RECURSIVE pairs AS (${shingleOracle(0.9, "char12")}),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      nodes AS (SELECT DISTINCT a AS n FROM edges),
+      reach(n, l) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.n)
+      SELECT n AS doc_id, min(l) AS cluster_rep FROM reach GROUP BY n""",
     "dedup_ngram_jaccard" -> shingleOracle(0.8, "word3"),
     "dedup_embedding" -> """
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

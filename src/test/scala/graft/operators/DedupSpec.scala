@@ -61,4 +61,15 @@ class DedupSpec extends SparkSpec {
     val r = Seq(("x" * 5)).toDF("t").select(Dedup.charShingles($"t", 12)).head.getSeq[String](0)
     assert(r.isEmpty)
   }
+
+  test("connectedComponents labels every node with its component's min id") {
+    import spark.implicits._
+    // components: {1,2,3,4} (path), {10,11}, {20,21,22} (triangle)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 }
