@@ -49,6 +49,9 @@ object SparkEntry {
     "agg_rollup"       -> (Relational.aggRollup _),
     "agg_cube"         -> (Relational.aggCube _),
     "agg_grouping_sets" -> (Relational.aggGroupingSets _),
+    "agg_pivot"        -> (Relational.aggPivot _),
+    "sql_scalar_subquery" -> (Relational.sqlScalarSubquery _),
+    "fn_na"            -> (Relational.fnNa _),
     // F. window functions
     "window_rank"      -> (Relational.windowRank _),
     "window_lag_lead"  -> (Relational.windowLagLead _),

@@ -290,6 +290,49 @@ object Relational {
     """)
   }
 
+  /** Pivot: order counts + exact-cents revenue per priority, statuses as
+    * columns (explicit value list keeps the schema static — at scale an
+    * unpinned pivot triggers a distinct-values job first). */
+  def aggPivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("n_f"),
+        coalesce($"O", lit(0L)).as("n_o"),
+        coalesce($"P", lit(0L)).as("n_p"))
+  }
+
+  /** Correlated scalar subquery (SQL layer): orders pricier than their
+    * status's average — Catalyst decorrelates the subquery into an
+    * aggregate + join rather than re-running it per row. */
+  def sqlScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_ss")
+    s.sql("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM graft_orders_ss o
+      WHERE o_totalprice > (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+                                   / CAST(100 AS DOUBLE) / count(*)
+                            FROM graft_orders_ss i
+                            WHERE i.o_orderstatus = o.o_orderstatus)
+    """)
+  }
+
+  /** NA handling: na.fill / na.drop over the null-producing left join
+    * (customers without orders). */
+  def fnNa(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    val joined = c.join(o, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"n_orders", $"c_acctbal")
+    joined.na.fill(Map("n_orders" -> 0L))
+      .na.drop(Seq("c_acctbal"))
+      .withColumn("has_orders", $"n_orders" > 0)
+  }
+
   // ---------------------------------------------------------------- F. window functions
 
   /** Ranking family over a per-nation partition. row_number gets a unique

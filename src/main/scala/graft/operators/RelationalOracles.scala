@@ -102,6 +102,29 @@ object RelationalOracles {
       SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
       ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC""",
 
+    "agg_pivot" -> """
+      SELECT o_orderpriority,
+             count(*) FILTER (o_orderstatus = 'F') AS n_f,
+             count(*) FILTER (o_orderstatus = 'O') AS n_o,
+             count(*) FILTER (o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority""",
+
+    "sql_scalar_subquery" -> """
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders o
+      WHERE o_totalprice > (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+                                   / 100.0 / count(*)
+                            FROM orders i
+                            WHERE i.o_orderstatus = o.o_orderstatus)""",
+
+    "fn_na" -> """
+      SELECT c_custkey, coalesce(n_orders, 0) AS n_orders, c_acctbal,
+             coalesce(n_orders, 0) > 0 AS has_orders
+      FROM customer
+      LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+        ON c_custkey = o_custkey
+      WHERE c_acctbal IS NOT NULL""",
+
     "fn_date2" -> """
       SELECT o_orderkey,
              quarter(o_orderdate) AS qtr,
