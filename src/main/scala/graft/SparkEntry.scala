@@ -52,6 +52,7 @@ object SparkEntry {
     "agg_pivot"        -> (Relational.aggPivot _),
     "sql_scalar_subquery" -> (Relational.sqlScalarSubquery _),
     "fn_na"            -> (Relational.fnNa _),
+    "events_funnel"    -> (Relational.eventsFunnel _),
     // F. window functions
     "window_rank"      -> (Relational.windowRank _),
     "window_lag_lead"  -> (Relational.windowLagLead _),

@@ -406,6 +406,29 @@ object Relational {
            count(lit(1)).as("n"))
   }
 
+  /** Ordered funnel (view → click → purchase): per user, each step's
+    * earliest timestamp strictly after the previous step's. Three
+    * conditional min-aggregations chained by broadcast-joining the
+    * (tiny) per-user step frame back to events — the shuffle carries
+    * per-user scalars, never raw events twice. */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+    val s1 = ev.where($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = ev.join(broadcast(s1), "user_id")
+      .where($"event_type" === "click" && $"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = ev.join(broadcast(s2), "user_id")
+      .where($"event_type" === "purchase" && $"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    s1.join(s2.select($"user_id", $"t2"), Seq("user_id"), "left")
+      .join(s3.select($"user_id", $"t3"), Seq("user_id"), "left")
+      .select($"user_id",
+        (lit(1) + when($"t2".isNotNull, 1).otherwise(0)
+                + when($"t3".isNotNull, 1).otherwise(0)).cast("bigint").as("steps_completed"))
+  }
+
   // ---------------------------------------------------------------- G. sort / limit / top-k
 
   /** Global multi-key sort (no limit): Catalyst samples for a

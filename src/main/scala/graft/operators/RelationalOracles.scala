@@ -102,6 +102,26 @@ object RelationalOracles {
       SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
       ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC""",
 
+    "events_funnel" -> """
+      WITH s1 AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        GROUP BY e.user_id)
+      SELECT s1.user_id,
+             1 + (s2.user_id IS NOT NULL)::BIGINT + (s3.user_id IS NOT NULL)::BIGINT
+               AS steps_completed
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id""",
+
     "agg_pivot" -> """
       SELECT o_orderpriority,
              count(*) FILTER (o_orderstatus = 'F') AS n_f,
