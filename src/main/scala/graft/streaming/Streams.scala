@@ -37,11 +37,23 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  private def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(name)
+  /** Streaming state-store count = shuffle partitions AT QUERY START;
+    * size it to the stream's key cardinality, not the batch default — an
+    * oversized store count just multiplies per-batch fixed costs. (At
+    * production scale this is throughput-derived; the conf is restored
+    * after the query starts.) */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  private def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame =
+    withStatePartitions(s, 8) {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+    }
 
   /** Tumbling 1-day windows per event_type: count + exact-cents sum. */
   def tumbling(s: SparkSession, d: String): DataFrame = {
@@ -167,12 +179,14 @@ object Streams {
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
            (sum(round($"value" * 100).cast("bigint")) / 100.0).as("total"))
-    val q = agg.writeStream.outputMode("complete")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.read.parquet(out)
   }
 

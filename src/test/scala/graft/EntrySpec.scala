@@ -19,11 +19,16 @@ class EntrySpec extends SparkSpec {
   }
 
   test("approx_count_distinct stays within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.core.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_partkey")).as("exact_parts"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val rows = SparkEntry.queries("agg_approx")(spark, sf).collect()
     rows.foreach { r =>
       val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+      val e = exact(r.getString(0)).toDouble
+      assert(math.abs(approx - e) / e < 0.05, s"approx=$approx exact=$e")
     }
   }
 
