@@ -192,8 +192,10 @@ object Dedup {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("a").as("n")).distinct()
-      .select(col("n"), col("n").as("l"))
+    // seed with round 1 directly: l0(n) = min(n, min(neighbors)) — one
+    // groupBy instead of a distinct + a full propagation round
+    var labels = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+      .select(col("a").as("n"), least(col("a"), col("mb")).as("l"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
