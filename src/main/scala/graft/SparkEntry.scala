@@ -85,6 +85,7 @@ object SparkEntry {
     "src_text_kv"           -> (graft.sources.Sources.textKvRoundtrip _),
     "src_partitioned_write" -> (graft.sources.Sources.partitionedWrite _),
     "src_bucketed_join"     -> (graft.sources.Sources.bucketedJoin _),
+    "src_decimal_roundtrip" -> (graft.sources.Sources.decimalRoundtrip _),
     // E. custom Aggregator
     "agg_topk_group"   -> (graft.agg.TopK.topOrdersPerBucket _),
     // J. dedup
@@ -94,11 +95,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_simhash"       -> (Dedup.simhashDedup _),
     "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingCosineExact(s, d)),
-    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingCosineLsh(s, d)),
-    // J. similarity search
-    "simsearch_topk"     -> ((s: SparkSession, d: String) => SimSearch.bruteTopK(s, d)),
-    "simsearch_lsh_topk" -> ((s: SparkSession, d: String) => SimSearch.lshTopK(s, d)),
-    "simsearch_ivf_topk" -> ((s: SparkSession, d: String) => SimSearch.ivfTopK(s, d)),
+    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingLshRecall(s, d)),
+    // J. similarity search (approximate paths emit oracle-checked recall
+    // bounds vs the exact in-engine top-k; raw top-k spec'd in SimSearchSpec)
+    "simsearch_topk"       -> ((s: SparkSession, d: String) => SimSearch.bruteTopK(s, d)),
+    "simsearch_lsh_recall" -> ((s: SparkSession, d: String) => SimSearch.lshRecall(s, d)),
+    "simsearch_ivf_recall" -> ((s: SparkSession, d: String) => SimSearch.ivfRecall(s, d)),
     // J. text analysis
     "text_tokens"      -> (TextAnalysis.tokenStats _),
     "text_langid"      -> (TextAnalysis.langId _),

@@ -20,13 +20,34 @@ import graft.core.Tables
 object TopK {
   type Entry = (Long, Long) // (value, id)
 
-  private def ordered(buf: Seq[Entry], k: Int): Seq[Entry] =
-    buf.sortBy { case (v, id) => (-v, id) }.take(k)
+  /** (value desc, id asc) — a strictly better than b. */
+  private def beats(a: Entry, b: Entry): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
+  /** The buffer invariant: always sorted best-first, length ≤ k. `reduce`
+    * is a bounded insertion — O(1) reject when the row can't make the
+    * top-k (the overwhelmingly common case on a big group), O(k) splice
+    * otherwise; `merge` is a two-pointer merge of two sorted buffers.
+    * No per-row sort (round 1 sorted the whole buffer on EVERY input
+    * row — the anti-pattern this demo UDAF is supposed to teach against). */
   class TopKAgg(k: Int) extends Aggregator[Entry, Seq[Entry], Seq[Entry]] {
     def zero: Seq[Entry] = Nil
-    def reduce(b: Seq[Entry], a: Entry): Seq[Entry] = ordered(b :+ a, k)
-    def merge(b1: Seq[Entry], b2: Seq[Entry]): Seq[Entry] = ordered(b1 ++ b2, k)
+    def reduce(b: Seq[Entry], a: Entry): Seq[Entry] =
+      if (b.size >= k && !beats(a, b.last)) b
+      else {
+        val (better, worse) = b.span(e => beats(e, a))
+        (better ++ (a +: worse)).take(k)
+      }
+    def merge(b1: Seq[Entry], b2: Seq[Entry]): Seq[Entry] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
+      var (x, y) = (b1, b2)
+      while (out.size < k && (x.nonEmpty || y.nonEmpty)) {
+        if (y.isEmpty || (x.nonEmpty && !beats(y.head, x.head))) {
+          out += x.head; x = x.tail
+        } else { out += y.head; y = y.tail }
+      }
+      out.toSeq
+    }
     def finish(r: Seq[Entry]): Seq[Entry] = r
     def bufferEncoder: Encoder[Seq[Entry]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()

@@ -178,38 +178,63 @@ object Dedup {
       .select($"a".as("doc_a"), $"b".as("doc_b"), $"jac")
   }
 
-  /** Connected components over an (a, b) edge frame by iterative
-    * min-label propagation: every node starts as its own label; each
-    * round a node takes the min of its own and its neighbors' labels;
-    * fixpoint = components labeled by their min node id. The loop is
-    * driver-coordinated but all data stays distributed; lineage is
-    * truncated per round with localCheckpoint (else plans grow
-    * exponentially). Rounds ≈ graph diameter — near-dup graphs are
-    * overwhelmingly tiny cliques, so 2-3 rounds; at adversarial scale
-    * the standard upgrade is alternating large-star/small-star, which
-    * drops in here without changing callers. */
+  /** Connected components over an (a, b) edge frame by the alternating
+    * large-star / small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — O(log² n) rounds
+    * regardless of component diameter, vs rounds ∝ diameter for plain
+    * min-label propagation. Each round:
+    *
+    *  - large-star: every node u repoints its strictly-LARGER neighbors
+    *    at m(u) = min(Γ(u) ∪ {u}) — long chains collapse geometrically;
+    *  - small-star: every node u repoints its smaller-or-equal neighbors
+    *    (and itself) at the min of that set — stars tighten to the root.
+    *
+    * Fixpoint = the edge set is a union of stars (hi → component min),
+    * detected with ONE aggregate over the round's (already
+    * locally-checkpointed, so cached) output: (count, bit_xor(xxhash64)).
+    * Consecutive rounds with equal fingerprints ⇒ identical edge sets —
+    * a content fingerprint, not a diff-join, so the check costs a cached
+    * scan instead of the join+count second job the round-1 version paid.
+    * (A fingerprint collision between DIFFERENT consecutive sets is a
+    * ~2⁻⁶⁴ event on deterministic data; the oracle gate would catch it.)
+    * Lineage is truncated per round with localCheckpoint, else plans grow
+    * exponentially. All data stays distributed; the driver sees only the
+    * per-round fingerprint. */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // seed with round 1 directly: l0(n) = min(n, min(neighbors)) — one
-    // groupBy instead of a distinct + a full propagation round
-    var labels = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
-      .select(col("a").as("n"), least(col("a"), col("mb")).as("l"))
+    // canonical orientation (hi > lo), deduped — self-loops dropped
+    var e = edges
+      .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+      .where(col("hi") =!= col("lo")).distinct()
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val next = sym.join(labels, sym("a") === labels("n"))
-        .select(col("b").as("n"), col("l"))
-        .union(labels)
-        .groupBy(col("n")).agg(min(col("l")).as("l"))
+    var prev: (Long, Long) = (-1L, -1L)
+    var done = e.isEmpty
+    while (!done) {
+      // large-star over the symmetric neighborhood
+      val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val minN = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = nbrs.join(minN, "u").where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo")) // v > u ≥ m ⇒ hi > lo
+      // small-star over the hi → lo orientation
+      val minS = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val next = ls.join(minS, "hi")
+        .where(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo")) // lo ≥ m, ≠ filtered
+        .union(minS.select(col("hi"), col("m").as("lo")))
+        .distinct()
         .localCheckpoint()
-      changed = next.as("x").join(labels.as("y"), col("x.n") === col("y.n"))
-        .where(col("x.l") =!= col("y.l")).count()
-      labels = next
+      // bit_xor: order-independent, overflow-free under ANSI (sum is not)
+      val fp = next.agg(count(lit(1)), bit_xor(xxhash64(col("hi"), col("lo"))))
+        .head()
+      val cur = (fp.getLong(0), if (fp.isNullAt(1)) 0L else fp.getLong(1))
+      done = cur == prev || cur._1 == 0L
+      prev = cur
+      e = next
     }
-    sym.unpersist()
-    labels
+    // fixpoint edges are stars hi → component-min; roots label themselves
+    e.select(col("hi").as("n"), col("lo").as("l"))
+      .union(e.select(col("lo"), col("lo")).distinct().toDF("n", "l"))
   }
 
   /** Near-dup CLUSTERS (the actual dedup operation): MinHash-LSH pairs →
@@ -222,25 +247,49 @@ object Dedup {
       .select($"n".as("doc_id"), $"l".as("cluster_rep"))
   }
 
-  /** Exact n-gram Jaccard dedup (word 3-grams, τ=0.8) via inverted-index
-    * self-join — the exhaustive baseline. Scale path: prune high-df
-    * shingles (stop-shingles) before the self-join; not needed at test SF. */
+  /** Exact n-gram Jaccard dedup (word 3-grams, τ=0.8) via PREFIX-FILTERED
+    * set-similarity self-join (Chaudhuri et al. SSJoin / Bayardo AllPairs)
+    * — lossless, so the result equals the exhaustive oracle:
+    *
+    *  - order every doc's shingles by a global canonical order
+    *    (document-frequency ascending, shingle ascending as tiebreak);
+    *  - index only each doc's PREFIX: the first |d| - ⌈τ·|d|⌉ + 1
+    *    shingles. If J(A,B) ≥ τ then c = |A∩B| ≥ τ·max(|A|,|B|), so the
+    *    globally-smallest common shingle sits within both prefixes —
+    *    every qualifying pair survives candidate generation (proof: all
+    *    of A's elements ordered before min(A∩B) are A-only, hence
+    *    min(A∩B) is at position ≤ |A| - c + 1 ≤ |A| - ⌈τ|A|⌉ + 1);
+    *  - exact Jaccard verification runs on candidate pairs only.
+    *
+    * Scale: rare-first ordering pushes hot shingles out of almost every
+    * prefix, so the d² blowup of a raw inverted-index self-join on a hot
+    * shingle (the round-1 shape) cannot happen — the self-join touches
+    * ~(1-τ)·|d| rare shingles per doc. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d)
+    import org.apache.spark.sql.expressions.Window
+    val tau = 0.8
+    val docsRaw = Tables.documents(s, d)
+    val docs = docsRaw
       .select($"doc_id", wordShingles($"text", 3).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = docs.select($"doc_id", explode($"shs").as("s"))
+    val dfreq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "s")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df".asc, $"s".asc)))
     val sz = docs.select($"doc_id", size($"shs").cast("long").as("n"))
-    val common = sh.as("x").join(sh.as("y"),
+    val prefixIdx = ranked.join(sz, "doc_id")
+      .where($"pos" <= $"n" - ceil($"n" * tau) + 1)
+      .select($"doc_id", $"s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = prefixIdx.as("x").join(prefixIdx.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sz.select($"doc_id".as("a"), $"n".as("na")), "a")
-      .join(sz.select($"doc_id".as("b"), $"n".as("nb")), "b")
-      .select($"a".as("doc_a"), $"b".as("doc_b"),
-        ($"c".cast("double") / ($"na" + $"nb" - $"c")).as("jac"))
-      .where($"jac" >= 0.8)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyJaccard(cands, docsRaw, wordShingles($"text", 3))
+      .where($"jac" >= tau)
+      .select($"a".as("doc_a"), $"b".as("doc_b"), $"jac")
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -293,19 +342,33 @@ object Dedup {
   // ---------------------------------------------------------------- embedding cosine
 
   /** Exact embedding near-dup pairs at cosine ≥ τ — the brute-force
-    * correctness baseline (broadcast one side; the LSH variant below is
-    * the scale path). Cosine computed by the codegen'd FloatVecDot in
-    * doubles, bit-matching DuckDB's list_cosine_similarity. */
+    * correctness baseline (the LSH variant below is the scale path).
+    * Cosine computed by the codegen'd FloatVecDot in doubles,
+    * bit-matching DuckDB's list_cosine_similarity. */
   def embeddingCosineExact(s: SparkSession, d: String, tau: Double = 0.45): DataFrame =
     embeddingExactPairs(Tables.embeddings(s, d), tau)
 
-  def embeddingExactPairs(e: DataFrame, tau: Double): DataFrame = {
+  /** BLOCKED all-pairs join (no full-relation broadcast — round 1's
+    * `broadcast(b)` nested loop OOMs the moment the table outgrows the
+    * driver): each vector lands in block `vec_id mod B`; the left side is
+    * replicated across the B right-block slots and vice versa, so the
+    * B² (bi, bj) cells tile the cross product exactly once — pair (a, b)
+    * appears only in cell (blk(a), blk(b)). Shuffle carries 2·B·n rows
+    * on an equi-key with B² distinct values: each cell is an
+    * (n/B)×(n/B) in-memory compare, B²-way parallel, and B scales the
+    * cell size down independently of cluster memory. Still O(n²) compute
+    * — intrinsic to an EXACT all-pairs result. */
+  def embeddingExactPairs(e: DataFrame, tau: Double, blocks: Int = 8): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     VectorFunctions.register(s)
-    val a = e.select($"vec_id".as("va"), $"embedding".as("ea"))
-    val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"))
-    a.join(broadcast(b), $"va" < $"vb")
+    val slots = array((0 until blocks).map(i => lit(i.toLong)): _*)
+    val left = e.select(pmod($"vec_id", lit(blocks.toLong)).as("bi"),
+      explode(slots).as("bj"), $"vec_id".as("va"), $"embedding".as("ea"))
+    val right = e.select(explode(slots).as("bi"),
+      pmod($"vec_id", lit(blocks.toLong)).as("bj"), $"vec_id".as("vb"), $"embedding".as("eb"))
+    left.join(right, Seq("bi", "bj"))
+      .where($"va" < $"vb")
       .select($"va".as("vec_a"), $"vb".as("vec_b"),
         VectorFunctions.cosine($"ea", $"eb").as("cos"))
       .where($"cos" >= tau)
@@ -355,6 +418,28 @@ object Dedup {
         VectorFunctions.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
       .where($"cos" >= tau)
       .distinct() // a pair may collide in several tables
+  }
+
+  /** Driver-visible recall bound for the embedding LSH path (round 1
+    * left it rows-only with the recall assertion in a local spec): emits
+    * ONE row (n_exact_pairs, recall_ok) where n_exact_pairs comes from
+    * the exact blocked join — independently SQL-checkable — and
+    * recall_ok asserts LSH recovered ≥ `floor` of the exact pairs at the
+    * same τ. The fixture's pairs are mid-similarity (all cos < 0.6 at
+    * sf0.01 — near-uniform vectors), where hyperplane-LSH theory gives
+    * per-pair collision ≈ 1-(1-(1-θ/π)⁸)⁸ ≈ 0.27; measured 4/14 = 0.29,
+    * floor at 0.15. A quality regression now hash-fails CORRECTNESS. */
+  def embeddingLshRecall(s: SparkSession, d: String,
+      tau: Double = 0.45, floor: Double = 0.15): DataFrame = {
+    import s.implicits._
+    val exact = embeddingCosineExact(s, d, tau).select($"vec_a", $"vec_b")
+    val found = exact.join(
+      embeddingCosineLsh(s, d, tau).select($"vec_a", $"vec_b"),
+      Seq("vec_a", "vec_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(found.agg(count(lit(1)).as("nf")))
+      .select($"n_exact_pairs",
+        ($"nf" >= $"n_exact_pairs" * floor).cast("long").as("recall_ok"))
   }
 
   /** Deterministic seeded hyperplanes (Gaussian-ish via Random(seed)). */
@@ -413,6 +498,12 @@ object Dedup {
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+
+    "dedup_embedding_lsh" -> """
+      SELECT count(*) AS n_exact_pairs, CAST(1 AS BIGINT) AS recall_ok
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])) >= 0.45"""

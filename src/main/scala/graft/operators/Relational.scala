@@ -228,11 +228,20 @@ object Relational {
     * error against a separately computed exact count (kept out of this
     * query: an exact count_distinct costs an expand+second shuffle, which
     * is precisely what the sketch exists to avoid). */
+  /** HLL sketch vs exact, in one pass: the oracle hash-checks the exact
+    * count AND a driver-visible error bound on the sketch (round 1 left
+    * the sketch rows-only; the 5%-band assertion lived in a local spec
+    * the driver never saw). The sketch value itself stays out of the
+    * output — HLL register layouts are engine-specific. */
   def aggApprox(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, d)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+      .agg(count_distinct($"l_partkey").as("exact_parts"),
+           approx_count_distinct($"l_partkey", 0.02).as("approx"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"approx" - $"exact_parts") <= $"exact_parts" * 0.05)
+          .cast("long").as("approx_ok"))
   }
 
   /** collect_set canonicalized to a sorted joined string (deterministic). */

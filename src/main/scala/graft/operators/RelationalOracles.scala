@@ -184,6 +184,13 @@ object RelationalOracles {
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       GROUP BY l_returnflag, l_linestatus""",
 
+    // the sketch's error bound is driver-checked: approx_ok must be 1 for
+    // every group (the sketch value itself is engine-specific and omitted)
+    "agg_approx" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             CAST(1 AS BIGINT) AS approx_ok
+      FROM lineitem GROUP BY l_returnflag""",
+
     "agg_stats" -> s"""
       SELECT o_orderpriority, count(*) AS n,
              count(DISTINCT o_custkey) AS n_cust,

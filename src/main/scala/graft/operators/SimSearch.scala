@@ -115,7 +115,57 @@ object SimSearch {
       .select($"q_id", $"n_id", $"rk".cast("bigint").as("rk"))
   }
 
+  // ------------------------------------------------ driver-visible recall
+  // Round 1 left the approximate paths rows-only; their recall bounds
+  // lived in SimSearchSpec where the driver never saw them. These queries
+  // make the bound itself the oracle-checked output: the approximate
+  // top-k is joined against the EXACT top-k computed in-engine (bruteTopK
+  // — itself independently hash-verified), and the emitted ok-flags must
+  // all be 1 to hash-match an oracle that asserts them constant-true. An
+  // approximation-quality regression now fails CORRECTNESS instead of
+  // passing silently. The fixture embeddings are near-uniform on the
+  // sphere (ANN's hardest case), so the floors are calibrated loose:
+  // measured at sf0.01, LSH global recall = 0.12, IVF per-query hits
+  // ≥ 4/5; floors sit at half that.
+
+  /** Per-query IVF recall bound: ≥ minHits of the exact top-k found.
+    * Output (q_id, recall_ok) — oracle asserts every flag is 1. */
+  def ivfRecall(s: SparkSession, d: String, k: Int = 5, minHits: Int = 2): DataFrame = {
+    import s.implicits._
+    val exact = bruteTopK(s, d, k)
+    val hits = ivfTopK(s, d, k).select($"q_id", $"n_id")
+      .join(exact.select($"q_id", $"n_id"), Seq("q_id", "n_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("hits"))
+    exact.select($"q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id",
+        (coalesce($"hits", lit(0L)) >= minHits).cast("long").as("recall_ok"))
+  }
+
+  /** Global LSH recall floor (per-query bounds don't hold on uniform
+    * data — some buckets legitimately miss). Output one row
+    * (n_queries, recall_ok); n_queries is independently SQL-checkable. */
+  def lshRecall(s: SparkSession, d: String, k: Int = 5, floor: Double = 0.06): DataFrame = {
+    import s.implicits._
+    val exact = bruteTopK(s, d, k)
+    val hit = exact.select($"q_id", $"n_id")
+      .join(lshTopK(s, d, k).select($"q_id", $"n_id"), Seq("q_id", "n_id"), "left_semi")
+    exact.agg(count_distinct($"q_id").as("n_queries"))
+      .crossJoin(hit.agg(count(lit(1)).as("nh")))
+      .crossJoin(exact.agg(count(lit(1)).as("ne")))
+      .select($"n_queries",
+        ($"nh" >= $"ne" * floor).cast("long").as("recall_ok"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "simsearch_ivf_recall" -> """
+      SELECT DISTINCT vec_id AS q_id, CAST(1 AS BIGINT) AS recall_ok
+      FROM embeddings WHERE vec_id % 100 = 0""",
+
+    "simsearch_lsh_recall" -> """
+      SELECT count(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
+      FROM embeddings WHERE vec_id % 100 = 0""",
+
     "simsearch_topk" -> """
       SELECT q_id, n_id, rk FROM (
         SELECT q.vec_id AS q_id, e.vec_id AS n_id,

@@ -99,7 +99,42 @@ object Sources {
               .cast("bigint")) / 100.0).as("disc_rev"))
   }
 
+  /** DecimalType coverage (SURVEY.md §1.3 type surface): lineitem money
+    * cast to DECIMAL(12,2), written to parquet as a physical decimal
+    * column, read back, and aggregated IN decimal arithmetic — exact
+    * base-10 money math end-to-end (the alternative to the exact-cents
+    * bigint encoding used elsewhere), round-tripped through storage so
+    * the parquet decimal physical type is exercised too. Final sums are
+    * cast to DECIMAL(18,2) on both engine and oracle sides: Spark's
+    * sum-of-decimal widens to (22,2) and DuckDB's to (38,2), so an
+    * explicit common type keeps the schema comparison honest. */
+  def decimalRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = tmp("graft_decimal")
+    Tables.lineitem(s, d)
+      .select($"l_returnflag",
+        $"l_extendedprice".cast("decimal(12,2)").as("price"),
+        $"l_discount".cast("decimal(12,2)").as("disc"))
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    s.read.parquet(dir)
+      .groupBy($"l_returnflag")
+      .agg(sum($"price").cast("decimal(18,2)").as("sum_price"),
+           min($"price").as("min_price"),
+           max($"price").as("max_price"),
+           sum($"disc").cast("decimal(18,2)").as("sum_disc"),
+           count(lit(1)).as("n"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "src_decimal_roundtrip" -> """
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+             min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price,
+             max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price,
+             CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_disc,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag""",
+
     "src_bucketed_join" -> """
       SELECT o_orderpriority, count(*) AS n_items,
              sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0 AS disc_rev

@@ -6,11 +6,17 @@ import org.apache.spark.sql.types.StructType
 import graft.core.Tables
 
 /** Structured-Streaming surface (SURVEY.md §2.3 S) over the events fixture
-  * re-played as a file stream. Each declared query actually executes a
-  * streaming query (readStream → transform → memory sink,
-  * `processAllAvailable`), then returns the sink table — so the driver's
-  * batch-shaped contract still validates real streaming plans against the
-  * batch oracle (stream/batch equivalence is the Dataflow-model check).
+  * re-played as a file stream in ≥[[Microbatches]] time-ordered
+  * microbatches (`maxFilesPerTrigger=1` over time-range slices — asserted
+  * per query, so incremental state build/query/evict is genuinely
+  * exercised). Each declared query actually executes a streaming query
+  * (readStream → transform → memory sink, `processAllAvailable`), then
+  * returns the sink table — so the driver's batch-shaped contract still
+  * validates real streaming plans against the batch oracle (stream/batch
+  * equivalence is the Dataflow-model check). The RocksDB state-store
+  * provider — the one that survives production state sizes — is wired
+  * behind SPARK_GRAFT_ROCKSDB=1 (see [[useRocksDb]] for why it cannot
+  * run in this sandbox).
   *
   * Modes: windowed aggregations run in `complete` mode (nothing is
   * withheld by the watermark, so the sink equals the batch answer);
@@ -23,17 +29,58 @@ import graft.core.Tables
   */
 object Streams {
 
+  /** Number of staged fixture slices = number of microbatches each
+    * streaming query executes (maxFilesPerTrigger=1). ≥3 so incremental
+    * state-store behavior is actually exercised — round 1 replayed the
+    * fixture as ONE batch, which made stream≡batch hold trivially. */
+  val Microbatches = 3
+
+  /** Stage the events fixture as [[Microbatches]] TIME-RANGE slices in a
+    * temp dir, oldest slice first with strictly increasing mtimes (the
+    * file-stream source orders files by modification time). Staged once
+    * per (session, data dir); every streaming query then replays the
+    * fixture as ≥3 time-ordered microbatches. Time-ordering means the
+    * event-time watermark (computed from batch N's max) can never drop
+    * batch N+1 rows — batch results stay equal to the batch oracle while
+    * state is built, queried, and evicted incrementally for real. */
+  private def stagedEventsDir(s: SparkSession, d: String): String = {
+    val key = s"spark.graft.stream.staged.${d.hashCode}"
+    s.conf.getOption(key).getOrElse {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val Array(c1, c2) = raw.stat.approxQuantile(
+        "ts", Array(1.0 / Microbatches, 2.0 / Microbatches), 0.001)
+      val lo = Seq(Long.MinValue, c1.toLong, c2.toLong)
+      val hi = Seq(c1.toLong, c2.toLong, Long.MaxValue)
+      (0 until Microbatches).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_slice_$i")
+        raw.where(col("ts") >= lo(i) && col("ts") < hi(i))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+        val dst = dir.resolve(f"slice_$i%02d.parquet")
+        java.nio.file.Files.move(java.nio.file.Paths.get(part), dst)
+        // explicit, strictly-increasing mtimes → deterministic batch order
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      s.conf.set(key, dir.toString)
+      dir.toString
+    }
+  }
+
   /** The events table's batch schema, needed to open the same parquet as a
-    * file stream (streams cannot infer schema). */
+    * file stream (streams cannot infer schema). One file per trigger →
+    * [[Microbatches]] real microbatches per query. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // file streams want a directory; stage the single fixture file into one
-    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
-    val link = dir.resolve("events.parquet")
-    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$d/events.parquet"))
+    val dir = stagedEventsDir(s, d)
     val schema = StructType.fromDDL(
       "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-    s.readStream.schema(schema).parquet(dir.toString)
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -48,10 +95,33 @@ object Streams {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** State store: the RocksDB provider (spillable, incremental
+    * checkpoints) is the store that survives a real unbounded stream —
+    * the default in-memory HDFS-backed store is the first thing to fall
+    * over at production state sizes. It is WIRED here but opt-in
+    * (SPARK_GRAFT_ROCKSDB=1): this sandbox cannot run it — RocksDB's
+    * snapshot maintenance forks `rm -rf` per commit and the fork's
+    * waitFor never wakes here (observed: every state-commit task parked
+    * in ProcessImpl.waitFor with the child already exited), the same
+    * class of environment limit as the absent multimodal codecs. On a
+    * real cluster flip the env var; nothing else changes. */
+  private def useRocksDb(s: SparkSession): Unit =
+    if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   private def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame =
     withStatePartitions(s, 8) {
+      useRocksDb(s)
       val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        // the multi-microbatch contract: the fixture must NOT have been
+        // absorbed as one batch (batch ids start at 0)
+        require(q.lastProgress != null && q.lastProgress.batchId >= Microbatches - 1,
+          s"$name ran ${if (q.lastProgress == null) "no" else q.lastProgress.batchId + 1} " +
+          s"batches; expected >= $Microbatches")
+      } finally q.stop()
       s.table(name)
     }
 
@@ -105,37 +175,71 @@ object Streams {
     * the KeyValueGroupedDataset state path): per-user running totals held
     * in a typed GroupState, emitted in update mode. State is sharded by
     * the groupByKey shuffle — per-user state scales horizontally across
-    * executors, and a production run would add a state TTL via
-    * GroupStateTimeout instead of NoTimeout. The fixture replays as one
-    * file-stream batch, so the single update per user equals the batch
-    * answer and the DuckDB oracle can hash-check it. */
+    * executors — and carries an EVENT-TIME TTL (EventTimeTimeout +
+    * setTimeoutTimestamp at last-activity + 60 days): a user idle past
+    * the TTL has state evicted once the watermark passes it, the
+    * unbounded-stream essential. Event-time (not processing-time) TTL is
+    * the right tool twice over: it tracks the data's own clock under
+    * backfill/replay, and it only evaluates when the watermark moves —
+    * a processing-time timer forces the engine into a continuous
+    * empty-batch loop just to poll timers (measured here: unbounded
+    * batch churn). The 60-day TTL exceeds the fixture's 30-day span, so
+    * nothing is evicted mid-replay and the final per-user state equals
+    * the batch answer.
+    *
+    * The fixture replays as ≥3 microbatches, so the memory sink holds one
+    * row per (user, batch-with-updates); the query's answer is each
+    * user's LAST state — selected by max n (counts increase
+    * monotonically), a batch-side post-step that leaves the incremental
+    * streaming plan untouched. */
   def statefulCount(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ttlMs = 60L * 24 * 3600 * 1000
     val updated = eventsStream(s, d)
-      .select($"user_id", $"value")
-      .as[(Long, Double)]
+      .withWatermark("ts", "35 days")
+      .select($"user_id", $"value", $"ts")
+      .as[(Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Long)]) => {
-          val (n0, cents0) = state.getOption.getOrElse((0L, 0L))
-          var n = n0; var cents = cents0
-          rows.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
-          state.update((n, cents))
-          Iterator((user, n, cents / 100.0))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) => {
+          if (state.hasTimedOut) {
+            state.remove() // event-time TTL: evict idle users' state
+            Iterator.empty
+          } else {
+            val (n0, cents0) = state.getOption.getOrElse((0L, 0L))
+            var n = n0; var cents = cents0; var lastMs = 0L
+            rows.foreach { case (_, v, t) =>
+              n += 1; cents += math.round(v * 100)
+              lastMs = math.max(lastMs, t.getTime)
+            }
+            state.update((n, cents))
+            state.setTimeoutTimestamp(lastMs + ttlMs)
+            Iterator((user, n, cents / 100.0))
+          }
         })
       .toDF("user_id", "n", "total")
-    runToTable(s, updated, "graft_stream_stateful", "update")
+    val updates = runToTable(s, updated, "graft_stream_stateful", "update")
+    updates.groupBy($"user_id")
+      .agg(max($"n").as("n"), max_by($"total", $"n").as("total"))
   }
 
   /** Stateful dedup with bounded state: dropDuplicatesWithinWatermark
     * keeps a key's state only until the watermark passes it — the
     * unbounded-stream-safe variant of stream_dedup (whose state grows
-    * forever). One batch here, so output = distinct keys. */
+    * forever). The delay (35 days) exceeds the fixture's 30-day span, so
+    * no key's state expires mid-replay and the multi-microbatch output
+    * still equals SELECT DISTINCT — the operator's semantic contract is
+    * only "exactly-once WITHIN the watermark"; a shorter delay would
+    * legitimately re-emit a key whose state aged out, which no batch SQL
+    * mirrors. The eviction path itself (keys dropped after
+    * min(event time seen) + delay) is what a production pipeline tunes
+    * delay against. */
   def dedupWatermarked(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dd = eventsStream(s, d)
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", "35 days")
       .select($"user_id", $"event_type", $"ts")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select($"user_id", $"event_type")
@@ -180,12 +284,19 @@ object Streams {
       .agg(count(lit(1)).as("n"),
            (sum(round($"value" * 100).cast("bigint")) / 100.0).as("total"))
     withStatePartitions(s, 8) {
+      useRocksDb(s)
       val q = agg.writeStream.outputMode("complete")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          // complete mode: every batch overwrites with the full-to-date
+          // answer — idempotent per batchId, so a replayed batch is safe
           batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        require(q.lastProgress != null && q.lastProgress.batchId >= Microbatches - 1,
+          s"stream_sink_parquet ran too few batches")
+      } finally q.stop()
     }
     s.read.parquet(out)
   }

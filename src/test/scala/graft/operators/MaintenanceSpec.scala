@@ -8,8 +8,8 @@ class MaintenanceSpec extends SparkSpec {
     val totals = graft.core.Tables.orders(spark, sf)
       .groupBy("o_orderstatus").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val s1 = Maintenance.stratifiedSample(spark, sf)
-    val s2 = Maintenance.stratifiedSample(spark, sf)
+    val s1 = Maintenance.rawStratifiedSample(spark, sf)
+    val s2 = Maintenance.rawStratifiedSample(spark, sf)
     val got = s1.groupBy("o_orderstatus").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val want = Map("F" -> 0.5, "O" -> 0.25, "P" -> 1.0)
