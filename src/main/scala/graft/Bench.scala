@@ -48,6 +48,8 @@ object Bench {
     catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // (name, median, max-min spread) — spread lands in the JSON so recorded
+    // baselines carry run-to-run variance, not just a point estimate
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -58,19 +60,19 @@ object Bench {
             None
         }
       }
-      val median =
-        if (times.isEmpty) -1.0
-        else times.sorted.apply(times.size / 2)
-      name -> median
+      if (times.isEmpty) (name, -1.0, 0.0)
+      else (name, times.sorted.apply(times.size / 2), times.max - times.min)
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val sp = results.map { case (k, _, r) => jstr(k) + ":" + f"$r%.3f" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$sp,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -265,12 +265,17 @@ object Dedup {
     * prefix, so the d² blowup of a raw inverted-index self-join on a hot
     * shingle (the round-1 shape) cannot happen — the self-join touches
     * ~(1-τ)·|d| rare shingles per doc. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(s, d), 0.8)
+
+  /** Core prefix-filtered pipeline over any (doc_id, text) frame;
+    * losslessness vs the exhaustive all-pairs join is property-tested in
+    * DedupSpec on random near-dup corpora. */
+  def ngramJaccardPairs(docsIn: DataFrame, tau: Double): DataFrame = {
+    val s = docsIn.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val tau = 0.8
-    val docsRaw = Tables.documents(s, d)
-    val docs = docsRaw
+    val docs = docsIn
       .select($"doc_id", wordShingles($"text", 3).as("shs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = docs.select($"doc_id", explode($"shs").as("s"))
@@ -281,15 +286,27 @@ object Dedup {
     val sz = docs.select($"doc_id", size($"shs").cast("long").as("n"))
     val prefixIdx = ranked.join(sz, "doc_id")
       .where($"pos" <= $"n" - ceil($"n" * tau) + 1)
-      .select($"doc_id", $"s")
+      .select($"doc_id", $"s", $"n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate join adds the (also lossless) length-ratio filter:
+    // c ≤ min(na,nb) and na+nb-c ≥ max(na,nb) give J ≤ min/max, so
+    // J ≥ τ forces min(na,nb) ≥ τ·max(na,nb)
     val cands = prefixIdx.as("x").join(prefixIdx.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+        col("x.n") >= col("y.n") * tau && col("y.n") >= col("x.n") * tau)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    verifyJaccard(cands, docsRaw, wordShingles($"text", 3))
+    // verification per candidate pair on the CACHED shingle arrays with a
+    // single codegen'd array_intersect — no re-explode, no intersection
+    // join (the explode-based verifier re-shuffled |pairs|·|shingles/doc|
+    // rows and was 85% of this query's round-2 runtime)
+    val a = docs.select($"doc_id".as("a"), $"shs".as("sha"))
+    val b = docs.select($"doc_id".as("b"), $"shs".as("shb"))
+    cands.join(a, "a").join(b, "b")
+      .withColumn("c", size(array_intersect($"sha", $"shb")).cast("double"))
+      .select($"a".as("doc_a"), $"b".as("doc_b"),
+        ($"c" / (size($"sha") + size($"shb") - $"c")).as("jac"))
       .where($"jac" >= tau)
-      .select($"a".as("doc_a"), $"b".as("doc_b"), $"jac")
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -62,6 +62,58 @@ class DedupSpec extends SparkSpec {
     assert(r.isEmpty)
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // reference union-find, always attaching the larger root under the
+      // smaller → every tree's root is its component's min node id
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("prefix-filtered ngram jaccard equals the exhaustive all-pairs result") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def randDoc(len: Int): Vector[String] = Vector.fill(len)(vocab(rnd.nextInt(vocab.size)))
+    // 20 random docs + mutated near-dups of the first few (1-token edits)
+    val bases = (0 until 20).map(i => i.toLong -> randDoc(12 + rnd.nextInt(8)))
+    val mutated = (0 until 6).map { i =>
+      val (id, toks) = bases(i)
+      val t2 = toks.updated(rnd.nextInt(toks.size), vocab(rnd.nextInt(vocab.size)))
+      (100L + id) -> t2
+    }
+    val all = (bases ++ mutated).map { case (id, toks) => (id, toks.mkString(" ")) }
+    // exhaustive reference on word-3-gram sets
+    def grams(toks: Seq[String]): Set[String] =
+      toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val sets = all.map { case (id, text) => id -> grams(text.split(" ").toSeq) }.toMap
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b && sa.nonEmpty
+      c = (sa intersect sb).size.toDouble
+      j = c / (sa.size + sb.size - c) if j >= 0.8
+    } yield (a, b)).toSet
+    val got = Dedup.ngramJaccardPairs(all.toDF("doc_id", "text"), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "test corpus must contain qualifying near-dups")
+  }
+
   test("connectedComponents labels every node with its component's min id") {
     import spark.implicits._
     // components: {1,2,3,4} (path), {10,11}, {20,21,22} (triangle)
