@@ -43,15 +43,23 @@ object SimSearch {
       .select($"q_id", $"n_id", $"rk".cast("bigint").as("rk"))
   }
 
-  /** Multi-table LSH-bucketed approximate top-k (scale path; see class
-    * doc): corpus + queries bucketed into L tables × k-bit signatures;
-    * candidates = same (table, bucket) in ANY table (OR-amplified),
-    * deduped, scored, per-query top-k. */
+  /** Multi-table MULTIPROBE LSH approximate top-k (scale path; see class
+    * doc): corpus + queries bucketed into L tables × b-bit signatures;
+    * each query probes its own bucket PLUS the b hamming-1 neighbor
+    * buckets per table (bucket XOR one-hot masks) — a true neighbor that
+    * lands one hyperplane away is still found. Multiprobe multiplies only
+    * the probe fan-out (×(1+b) on the tiny query side), not the index
+    * size — the standard recall lever when adding tables is too
+    * expensive (measured here: recall 0.12 → 0.60 at sf0.01 / 0.64 at
+    * sf0.1 with the same 8-table index). Candidates are deduped, scored
+    * exactly, per-query top-k. */
   def lshTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     import s.implicits._
     val corpus = Dedup.lshBuckets(Tables.embeddings(s, d), dim = 64, seed = 11L)
+    val masks = array((0L +: (0 until Dedup.LshBits).map(j => 1L << j)).map(lit(_)): _*)
     val queries = corpus.where($"vec_id" % 100 === 0)
-      .select($"table_id", $"bucket", $"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .select($"table_id", explode(transform(masks, m => $"bucket".bitwiseXOR(m))).as("bucket"),
+        $"vec_id".as("q_id"), $"embedding".as("q_emb"))
     val cands = corpus.join(broadcast(queries), Seq("table_id", "bucket"))
       .where($"vec_id" =!= $"q_id")
       .select($"q_id", $"q_emb", $"vec_id".as("n_id"), $"embedding")
@@ -125,8 +133,8 @@ object SimSearch {
   // approximation-quality regression now fails CORRECTNESS instead of
   // passing silently. The fixture embeddings are near-uniform on the
   // sphere (ANN's hardest case), so the floors are calibrated loose:
-  // measured at sf0.01, LSH global recall = 0.12, IVF per-query hits
-  // ≥ 4/5; floors sit at half that.
+  // measured at sf0.01, multiprobe-LSH global recall = 0.60, IVF
+  // per-query hits ≥ 4/5; floors sit at half that.
 
   /** Per-query IVF recall bound: ≥ minHits of the exact top-k found.
     * Output (q_id, recall_ok) — oracle asserts every flag is 1. */
@@ -145,7 +153,7 @@ object SimSearch {
   /** Global LSH recall floor (per-query bounds don't hold on uniform
     * data — some buckets legitimately miss). Output one row
     * (n_queries, recall_ok); n_queries is independently SQL-checkable. */
-  def lshRecall(s: SparkSession, d: String, k: Int = 5, floor: Double = 0.06): DataFrame = {
+  def lshRecall(s: SparkSession, d: String, k: Int = 5, floor: Double = 0.3): DataFrame = {
     import s.implicits._
     val exact = bruteTopK(s, d, k)
     val hit = exact.select($"q_id", $"n_id")

@@ -90,4 +90,22 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("simsearch_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("exact embedding all-pairs has no full-relation broadcast nested loop") {
+    // the blocked B×B join must be an equi-join on the block cell — a
+    // nested-loop or cartesian means the no-driver-ceiling design regressed
+    val df = Dedup.embeddingCosineExact(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ngram jaccard candidate join is an equi-join with no cartesian") {
+    val df = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
