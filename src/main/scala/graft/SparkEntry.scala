@@ -86,6 +86,7 @@ object SparkEntry {
     "src_partitioned_write" -> (graft.sources.Sources.partitionedWrite _),
     "src_bucketed_join"     -> (graft.sources.Sources.bucketedJoin _),
     "src_decimal_roundtrip" -> (graft.sources.Sources.decimalRoundtrip _),
+    "src_schema_evolution"  -> (graft.sources.Sources.schemaEvolution _),
     // E. custom Aggregator
     "agg_topk_group"   -> (graft.agg.TopK.topOrdersPerBucket _),
     // J. dedup
@@ -117,6 +118,7 @@ object SparkEntry {
     "mm_frames" -> (Multimodal.sampleFrames _),
     // J. pipeline maintenance
     "maint_compact"     -> ((s: SparkSession, d: String) => Maintenance.compact(s, d)),
+    "maint_upsert"      -> (Maintenance.upsert _),
     "sample_stratified" -> (Maintenance.stratifiedSample _),
     // S. streaming
     "stream_tumbling" -> (graft.streaming.Streams.tumbling _),

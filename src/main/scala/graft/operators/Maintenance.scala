@@ -53,6 +53,29 @@ object Maintenance {
           .cast("long").as("rate_ok"))
   }
 
+  /** Snapshot upsert — the MERGE INTO pattern without a table format:
+    * new snapshot = updates ∪ inserts FULL-OUTER-joined onto the base on
+    * the key, taking the update side's values where present. This is how
+    * a pipeline without Delta/Iceberg applies a CDC batch: one shuffle
+    * on the key (broadcast the delta instead when it is small), then an
+    * overwrite of the affected partitions. Updates bump price by exactly
+    * 1.00 (integer cents — order-independent and oracle-exact); inserts
+    * are key-shifted copies. */
+  def upsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d).select($"o_orderkey", $"o_orderstatus",
+      round($"o_totalprice" * 100).cast("bigint").as("cents"))
+    val delta = base.where($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", lit("U").as("o_orderstatus"), ($"cents" + 100).as("cents"))
+      .unionByName(base.where($"o_orderkey" % 7 === 0)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), $"cents"))
+    base.as("b").join(delta.as("u"), Seq("o_orderkey"), "full_outer")
+      .select($"o_orderkey",
+        coalesce($"u.o_orderstatus", $"b.o_orderstatus").as("o_orderstatus"),
+        (coalesce($"u.cents", $"b.cents") / 100.0).as("o_totalprice"))
+  }
+
   /** The raw sample itself (spec-checked for determinism and rates). */
   def rawStratifiedSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -63,6 +86,21 @@ object Maintenance {
 
   val oracle: Map[String, String] = Map(
     "maint_compact" -> "SELECT doc_id, text FROM documents",
+    "maint_upsert" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      delta AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus, cents + 100 AS cents
+        FROM base WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', cents
+        FROM base WHERE o_orderkey % 7 = 0)
+      SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+             COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+             COALESCE(u.cents, b.cents) / CAST(100 AS DOUBLE) AS o_totalprice
+      FROM base b FULL OUTER JOIN delta u ON b.o_orderkey = u.o_orderkey""",
     "sample_stratified" -> """
       SELECT DISTINCT o_orderstatus, CAST(1 AS BIGINT) AS rate_ok
       FROM orders"""

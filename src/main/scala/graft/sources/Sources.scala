@@ -134,7 +134,34 @@ object Sources {
            count(lit(1)).as("n"))
   }
 
+  /** Schema evolution (SURVEY.md §2.4 B upgrade): a 100 TB lake always
+    * holds files written under several schema versions. Batch 1 writes
+    * the nation table under an old 2-column schema; batch 2 appends the
+    * current 3-column one; `mergeSchema` reads the union schema with
+    * nulls for columns absent in old files — the standard
+    * drift-tolerant read. (Schema merging costs a footer read per file
+    * at planning time; at scale you pin the merged schema in a
+    * catalog/metastore instead of re-inferring — the read path here is
+    * the same either way.) */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = tmp("graft_evolve")
+    val nation = Tables.nation(s, d)
+    nation.where($"n_nationkey" < 12).select($"n_nationkey", $"n_name")
+      .write.mode(SaveMode.Append).parquet(dir)
+    nation.where($"n_nationkey" >= 12)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .write.mode(SaveMode.Append).parquet(dir)
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+  }
+
   val oracle: Map[String, String] = Map(
+    "src_schema_evolution" -> """
+      SELECT n_nationkey, n_name,
+             CASE WHEN n_nationkey < 12 THEN NULL ELSE n_regionkey END AS n_regionkey
+      FROM nation""",
+
     "src_decimal_roundtrip" -> """
       SELECT l_returnflag,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
