@@ -110,8 +110,9 @@ object Streams {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
-  private def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame =
-    withStatePartitions(s, 8) {
+  private def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String,
+      statePartitions: Int = 8): DataFrame =
+    withStatePartitions(s, statePartitions) {
       useRocksDb(s)
       val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
       try {
@@ -267,7 +268,10 @@ object Streams {
         $"c_user" === $"p_user" &&
         $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))
       .select($"c_user".as("user_id"), $"click_id", $"purchase_id", $"amount")
-    runToTable(s, joined, "graft_stream_ss_join", "append")
+    // a stream-stream join commits TWO state stores per partition per
+    // batch — fixed costs scale with partitions × batches, so this query
+    // sizes the store count down to the fixture's throughput
+    runToTable(s, joined, "graft_stream_ss_join", "append", statePartitions = 4)
   }
 
   /** foreachBatch parquet sink — the production sink pattern: each

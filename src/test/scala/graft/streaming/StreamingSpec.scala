@@ -71,4 +71,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.contains((ts("2024-01-01 00:00:00"), 1L, 2L)))
   }
+
+  test("file-stream replay executes >=3 time-ordered microbatches end-to-end") {
+    // covers the staged-slice path in CI (runToTable's batchId require
+    // throws if the fixture collapses into fewer batches) and checks the
+    // multi-batch result still equals the batch answer
+    val got = Streams.tumbling(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    import spark.implicits._
+    val want = graft.core.Tables.events(spark, sf)
+      .groupBy(date_trunc("day", $"ts").as("w_start"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
 }
