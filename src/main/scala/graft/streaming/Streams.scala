@@ -150,16 +150,22 @@ object Streams {
     runToTable(s, agg, "graft_stream_sliding", "complete")
   }
 
-  /** Session windows per user (1h gap): session start + event count.
-    * Runs the same `session_window` expression Structured Streaming uses
-    * for stateful sessionization (batch execution here; the streaming
-    * execution path is exercised in StreamingSpec with a MemoryStream). */
+  /** STREAMING session windows per user (1h gap): session start + event
+    * count, executed incrementally over the ≥3 staged microbatches — a
+    * session spanning a batch boundary exists as two partial sessions in
+    * the state store until the later batch MERGES them, the genuinely
+    * stateful part of streaming sessionization (round 1 ran this
+    * aggregation in batch mode). Complete output mode: the final batch's
+    * sink equals the fully-merged batch answer, which the
+    * gaps-and-islands oracle replays. */
   def sessionize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, d)
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
       .groupBy(session_window($"ts", "1 hour"), $"user_id")
       .agg(count(lit(1)).as("n_events"))
       .select($"session_window.start".as("sess_start"), $"user_id", $"n_events")
+    runToTable(s, agg, "graft_stream_session", "complete")
   }
 
   /** Streaming dedup on (user_id, event_type): emits each key once on
