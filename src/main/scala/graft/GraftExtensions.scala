@@ -38,5 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_hashes", "shingle_hashes(text, n) - distinct hashed char n-gram shingles"),
       (exprs: Seq[Expression]) => graft.functions.ShingleHashes(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(hashes) - 64-bit SimHash of array<bigint> token hashes"),
+      (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs.head)))
   }
 }

@@ -309,11 +309,17 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
-    * xxhash64(token). Built from 64 fixed-shift bit columns (codegen-able,
-    * no variable shifts), OR-folded. Per-row only — no shuffle. The token
-    * hash array is let-bound so the 64 per-bit aggregates share ONE
-    * tokenize+hash evaluation instead of each recomputing it. */
+    * xxhash64(token), computed by the one-pass codegen [[graft.functions
+    * .SimHash64]] expression (the 64 declarative `aggregate` bit-folds
+    * each re-walked the token array interpreted — the most expensive
+    * per-row stage of the round-1 bench). Per-row only — no shuffle. */
   def simhash(text: Column): Column =
+    graft.functions.SimHashFunctions.simhash64(
+      transform(array_distinct(split(lower(text), " ")), t => xxhash64(t)))
+
+  /** The original 64-fold declarative formulation, kept as the parity
+    * reference for SimHashParitySpec (bit-identical contract). */
+  def simhashDeclarative(text: Column): Column =
     bind(transform(array_distinct(split(lower(text), " ")), t => xxhash64(t)), toksH => {
       val bits = (0 until 64).map { j =>
         val vote = aggregate(toksH, lit(0L),
@@ -355,6 +361,7 @@ object Dedup {
   def simhashPairs(docsIn: DataFrame, maxHamming: Int): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
+    graft.functions.SimHashFunctions.register(s)
     val withSig = docsIn.select($"doc_id", simhash($"text").as("sh"))
     val segsFixed = withSig.select($"doc_id", $"sh",
       explode(array((0 until 4).map(j =>
