@@ -63,8 +63,11 @@ object Bench {
       if (times.isEmpty) (name, -1.0, 0.0)
       else (name, times.sorted.apply(times.size / 2), times.max - times.min)
     }
+    // escape backslash/quote and blank ALL control chars (<0x20) — an
+    // exception message embedding raw bytes must not break the one JSON
+    // line the driver parses
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\n\\r\\t]", " ") + "\""
+      .map(c => if (c < ' ') ' ' else c) + "\""
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val sp = results.map { case (k, _, r) => jstr(k) + ":" + f"$r%.3f" }

@@ -36,8 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "shingle_hashes(text, n) - distinct hashed char n-gram shingles"),
-      (exprs: Seq[Expression]) => graft.functions.ShingleHashes(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => graft.functions.ShingleHashes.build(exprs)))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(hashes) - 64-bit SimHash of array<bigint> token hashes"),

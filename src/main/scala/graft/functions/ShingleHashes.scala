@@ -84,10 +84,32 @@ object ShingleHashes {
     new GenericArrayData(out)
   }
 
+  /** Builder shared by register() and GraftExtensions: validates arity
+    * and that `n` is a foldable integer literal BEFORE eval — a
+    * non-foldable or mistyped arg gets a clear error instead of an
+    * opaque ClassCastException/NPE from `eval(null).asInstanceOf[Int]`
+    * (SQL integer literals ≥ 2^31 arrive as Long; CAST(12 AS BIGINT) is
+    * legitimate and must work). */
+  def build(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): ShingleHashes = {
+    require(exprs.length == 2,
+      s"shingle_hashes(text, n) takes exactly 2 arguments, got ${exprs.length}")
+    val nExpr = exprs(1)
+    require(nExpr.foldable, "shingle_hashes(text, n): n must be a constant integer")
+    val n = nExpr.eval(null) match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"shingle_hashes(text, n): n must be an integer literal, got $other")
+    }
+    require(n > 0, s"shingle_hashes(text, n): n must be positive, got $n")
+    ShingleHashes(exprs.head, n)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHashes(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+      "shingle_hashes", build, "built-in")
 
   /** Column API (register first): hashed n-gram shingles of a string. */
   def shingleHashes(text: Column, n: Int): Column =

@@ -272,6 +272,12 @@ object Dedup {
     val s = docsIn.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // Deliberately NOT unpersisted: the caller gets a lazy frame, so an
+    // in-function unpersist would run before the caller's action. The
+    // cache is session-scoped by design (the persisted-index LSH
+    // pattern); CacheManager dedupes by canonical plan, so repeated
+    // calls reuse ONE entry rather than stacking copies, and
+    // MEMORY_AND_DISK is LRU-evictable under pressure.
     val docs = docsIn
       .select($"doc_id", wordShingles($"text", 3).as("shs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -348,13 +354,24 @@ object Dedup {
     * identical/near-identical recall (hamming 0) stays in DedupSpec. */
   def simhashRecall(s: SparkSession, d: String, floor: Double = 0.08): DataFrame = {
     import s.implicits._
-    val exact = minhashLsh(s, d).select($"doc_a", $"doc_b")
-    val found = exact.join(simhashDedup(s, d).select($"doc_a", $"doc_b"),
-      Seq("doc_a", "doc_b"), "left_semi")
-    exact.agg(count(lit(1)).as("n_exact_pairs"))
-      .crossJoin(found.agg(count(lit(1)).as("nf")))
-      .select($"n_exact_pairs",
-        ($"nf" >= $"n_exact_pairs" * floor).cast("long").as("recall_ok"))
+    recallCounts(minhashLsh(s, d).select($"doc_a", $"doc_b"),
+        simhashDedup(s, d).select($"doc_a", $"doc_b"), Seq("doc_a", "doc_b"))
+      .select($"n_exact".as("n_exact_pairs"),
+        ($"n_found" >= $"n_exact" * floor).cast("long").as("recall_ok"))
+  }
+
+  /** Shared recall-bound core (used by every single-row recall query in
+    * Dedup and SimSearch, so the bound's semantics — left-semi hit
+    * counting, empty-exact behavior — live in exactly one place): one
+    * row (n_exact, n_found) counting `exact` rows and the subset of them
+    * present in `approx` under `keys`. n_exact = 0 ⇒ n_found = 0 and any
+    * `n_found >= n_exact * floor` flag is vacuously true, matching an
+    * oracle that counts zero qualifying rows. */
+  private[operators] def recallCounts(exact: DataFrame, approx: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val found = exact.join(approx, keys, "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
   }
 
   /** Core SimHash candidate+verify pipeline over any (doc_id, text) frame. */
@@ -474,14 +491,10 @@ object Dedup {
   def embeddingLshRecall(s: SparkSession, d: String,
       tau: Double = 0.45, floor: Double = 0.15): DataFrame = {
     import s.implicits._
-    val exact = embeddingCosineExact(s, d, tau).select($"vec_a", $"vec_b")
-    val found = exact.join(
-      embeddingCosineLsh(s, d, tau).select($"vec_a", $"vec_b"),
-      Seq("vec_a", "vec_b"), "left_semi")
-    exact.agg(count(lit(1)).as("n_exact_pairs"))
-      .crossJoin(found.agg(count(lit(1)).as("nf")))
-      .select($"n_exact_pairs",
-        ($"nf" >= $"n_exact_pairs" * floor).cast("long").as("recall_ok"))
+    recallCounts(embeddingCosineExact(s, d, tau).select($"vec_a", $"vec_b"),
+        embeddingCosineLsh(s, d, tau).select($"vec_a", $"vec_b"), Seq("vec_a", "vec_b"))
+      .select($"n_exact".as("n_exact_pairs"),
+        ($"n_found" >= $"n_exact" * floor).cast("long").as("recall_ok"))
   }
 
   /** Deterministic seeded hyperplanes (Gaussian-ish via Random(seed)). */

@@ -223,11 +223,6 @@ object Relational {
         avgMoney($"o_totalprice").as("avg_price"))
   }
 
-  /** approx_count_distinct (HLL++) — algorithm-specific, no DuckDB oracle;
-    * driver records a rows-only check; EntrySpec bounds the relative
-    * error against a separately computed exact count (kept out of this
-    * query: an exact count_distinct costs an expand+second shuffle, which
-    * is precisely what the sketch exists to avoid). */
   /** HLL sketch vs exact, in one pass: the oracle hash-checks the exact
     * count AND a driver-visible error bound on the sketch (round 1 left
     * the sketch rows-only; the 5%-band assertion lived in a local spec

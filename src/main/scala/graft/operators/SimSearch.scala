@@ -156,13 +156,11 @@ object SimSearch {
   def lshRecall(s: SparkSession, d: String, k: Int = 5, floor: Double = 0.3): DataFrame = {
     import s.implicits._
     val exact = bruteTopK(s, d, k)
-    val hit = exact.select($"q_id", $"n_id")
-      .join(lshTopK(s, d, k).select($"q_id", $"n_id"), Seq("q_id", "n_id"), "left_semi")
     exact.agg(count_distinct($"q_id").as("n_queries"))
-      .crossJoin(hit.agg(count(lit(1)).as("nh")))
-      .crossJoin(exact.agg(count(lit(1)).as("ne")))
+      .crossJoin(Dedup.recallCounts(exact.select($"q_id", $"n_id"),
+        lshTopK(s, d, k).select($"q_id", $"n_id"), Seq("q_id", "n_id")))
       .select($"n_queries",
-        ($"nh" >= $"ne" * floor).cast("long").as("recall_ok"))
+        ($"n_found" >= $"n_exact" * floor).cast("long").as("recall_ok"))
   }
 
   val oracle: Map[String, String] = Map(

@@ -57,8 +57,10 @@ object Streams {
         val tmp = java.nio.file.Files.createTempDirectory(s"graft_slice_$i")
         raw.where(col("ts") >= lo(i) && col("ts") < hi(i))
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        val listing = java.nio.file.Files.list(tmp)
+        val part = try listing.toArray.map(_.toString)
           .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+        finally listing.close() // Files.list holds an open DirectoryStream
         val dst = dir.resolve(f"slice_$i%02d.parquet")
         java.nio.file.Files.move(java.nio.file.Paths.get(part), dst)
         // explicit, strictly-increasing mtimes → deterministic batch order

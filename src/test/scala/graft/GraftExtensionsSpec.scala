@@ -31,6 +31,15 @@ class GraftExtensionsSpec extends SparkSpec {
       val sig = s2.sql("SELECT minhash_sig(shingle_hashes('abcdefghijklmnopqr', 12))")
         .head.getSeq[Long](0)
       assert(sig.length == graft.functions.MinHashFunctions.NumPerms)
+      // SQL integer literals may arrive as BIGINT — the builder must accept
+      val viaLong = s2.sql("SELECT size(shingle_hashes('abcdefghijklmnopqr', CAST(12 AS BIGINT)))")
+        .head.getInt(0)
+      assert(viaLong > 0)
+      // and reject a non-constant n with a clear message, not a CCE/NPE
+      val err = intercept[Exception] {
+        s2.sql("SELECT shingle_hashes('abc', v) FROM VALUES (3) t(v)").collect()
+      }
+      assert(err.getMessage.contains("constant integer"), err.getMessage)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
