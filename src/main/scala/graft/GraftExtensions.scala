@@ -41,5 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(hashes) - 64-bit SimHash of array<bigint> token hashes"),
       (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(text, k, w) - distinct winnowing (MOSS) fingerprint md5 hexes"),
+      graft.functions.WinnowFingerprints.builder))
   }
 }

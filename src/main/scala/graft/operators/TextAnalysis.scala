@@ -116,12 +116,25 @@ object TextAnalysis {
     * every k-gram (k=8), slide a w=4 window over the hash sequence, keep
     * each window's minimum — a position-robust fingerprint set whose
     * density is 2/(w+1), used for plagiarism/near-dup detection at scale.
-    * The k-gram hash array is materialized ONCE in a projection before the
-    * window sweep references it (a lambda re-evaluates its argument per
-    * element — the exact trap that made the naive MinHash 30× slower).
-    * md5 (not xxhash64) so DuckDB can replay it for the oracle; hash
-    * choice is immaterial to the winnowing guarantee. */
+    * Computed by the one-pass codegen [[graft.functions
+    * .WinnowFingerprints]] expression (the declarative formulation
+    * materialized an n-element md5-hex array per row and re-sliced it
+    * per window position — 3.0 s at sf0.1, the 2nd most expensive
+    * per-row stage of the round-2 bench; bit-parity asserted in
+    * WinnowParitySpec). md5 (not xxhash64) so DuckDB can replay it for
+    * the oracle; hash choice is immaterial to the winnowing guarantee. */
   def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.WinnowFingerprints.register(s)
+    Tables.documents(s, d)
+      .select($"doc_id",
+        explode(graft.functions.WinnowFingerprints
+          .winnowFingerprints(lower($"text"), 8, 4)).as("fp"))
+  }
+
+  /** The original declarative formulation, kept as the parity reference
+    * for WinnowParitySpec (bit-identical contract). */
+  def winnowFingerprintDeclarative(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = 8
     val w = 4
