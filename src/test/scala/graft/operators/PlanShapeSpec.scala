@@ -101,6 +101,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("events_funnel has no broadcast and a single user_id exchange") {
+    // the funnel's per-user frames are O(total users) — round 2 broadcast
+    // them, which OOMs the build side at 10⁹ users. The window shape must
+    // keep everything on one hash partitioning: no broadcast anywhere and
+    // exactly one exchange (windows + final agg all reuse it).
+    val p = plan("events_funnel").split("== Initial Plan ==")(0)
+    assert(!p.contains("Broadcast"), "no O(users) frame may be broadcast\n" + p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected one user_id exchange, got $exchanges\n$p")
+  }
+
   test("ngram jaccard candidate join is an equi-join with no cartesian") {
     val df = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
     df.collect()
