@@ -399,8 +399,9 @@ object Dedup {
     * pipeline) and recall_ok asserts SimHash-at-hamming≤3 recovered ≥
     * `floor` of them. SimHash with a 3-bit budget on 64 bits is a
     * high-precision NEAR-EXACT duplicate detector — jaccard-0.9 pairs
-    * legitimately differ in more bits — so the measured recall at
-    * sf0.01 is 0.16 and the floor sits at half that; the planted
+    * legitimately differ in more bits — so measured recall (RecallProbe,
+    * round 3) is 0.16 at sf0.01 / 0.19 at sf0.1 and the floor is
+    * ratcheted to 0.12 ≈ 0.8× the min measured; the planted
     * identical/near-identical recall (hamming 0) stays in DedupSpec. */
   def simhashRecall(s: SparkSession, d: String, floor: Double = 0.12): DataFrame = {
     import s.implicits._
@@ -417,7 +418,7 @@ object Dedup {
     * present in `approx` under `keys`. n_exact = 0 ⇒ n_found = 0 and any
     * `n_found >= n_exact * floor` flag is vacuously true, matching an
     * oracle that counts zero qualifying rows. */
-  private[operators] def recallCounts(exact: DataFrame, approx: DataFrame,
+  private[graft] def recallCounts(exact: DataFrame, approx: DataFrame,
       keys: Seq[String]): DataFrame = {
     val found = exact.join(approx, keys, "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
@@ -536,10 +537,12 @@ object Dedup {
     * recall_ok asserts LSH recovered ≥ `floor` of the exact pairs at the
     * same τ. The fixture's pairs are mid-similarity (all cos < 0.6 at
     * sf0.01 — near-uniform vectors), where hyperplane-LSH theory gives
-    * per-pair collision ≈ 1-(1-(1-θ/π)⁸)⁸ ≈ 0.27; measured 4/14 = 0.29,
-    * floor at 0.15. A quality regression now hash-fails CORRECTNESS. */
+    * per-pair collision ≈ 1-(1-(1-θ/π)⁸)⁸ ≈ 0.27; measured (RecallProbe,
+    * round 3) 4/14 = 0.29 at sf0.01 and 32/144 = 0.22 at sf0.1, floor
+    * ratcheted to 0.17 ≈ 0.8× the min measured. A quality regression now
+    * hash-fails CORRECTNESS. */
   def embeddingLshRecall(s: SparkSession, d: String,
-      tau: Double = 0.45, floor: Double = 0.15): DataFrame = {
+      tau: Double = 0.45, floor: Double = 0.17): DataFrame = {
     import s.implicits._
     recallCounts(embeddingCosineExact(s, d, tau).select($"vec_a", $"vec_b"),
         embeddingCosineLsh(s, d, tau).select($"vec_a", $"vec_b"), Seq("vec_a", "vec_b"))

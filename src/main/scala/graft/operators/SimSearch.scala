@@ -25,14 +25,31 @@ import graft.functions.VectorFunctions
   */
 object SimSearch {
 
-  /** Exact top-k neighbors (k=5) for every query vector
-    * (vec_id % 100 == 0), self excluded. Deterministic: ties broken by
-    * neighbor id; output carries rank, not the float score. */
+  /** FIXED query-set size: queries are vec_id < NumQueries — a constant
+    * number of probe vectors regardless of corpus scale. The round-2
+    * parametrization (vec_id % 100 == 0) silently coupled the query set
+    * to the corpus: 1% OF THE CORPUS broadcast on the build side grows
+    * linearly and expires the "broadcast the small side" reasoning at
+    * 100 TB. The search contract at scale is (small query batch) ×
+    * (arbitrarily large corpus); a caller with more queries batches them
+    * in NumQueries-sized chunks. */
+  val NumQueries = 20
+
+  /** FIXED coarse-quantizer size for IVF: C centroids independent of
+    * corpus cardinality (round 2 sampled vec_id % 97 — again O(corpus)
+    * broadcast). C scales with desired cell granularity, not data volume;
+    * at 100 TB you raise C deliberately (and shard the centroid table)
+    * rather than letting it track the corpus. */
+  val NumCentroids = 32
+
+  /** Exact top-k neighbors (k=5) for the fixed query set
+    * (vec_id < [[NumQueries]]), self excluded. Deterministic: ties broken
+    * by neighbor id; output carries rank, not the float score. */
   def bruteTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     import s.implicits._
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
-    val queries = e.where($"vec_id" % 100 === 0)
+    val queries = e.where($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
     val scored = e.join(broadcast(queries), $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("n_id"),
@@ -57,7 +74,7 @@ object SimSearch {
     import s.implicits._
     val corpus = Dedup.lshBuckets(Tables.embeddings(s, d), dim = 64, seed = 11L)
     val masks = array((0L +: (0 until Dedup.LshBits).map(j => 1L << j)).map(lit(_)): _*)
-    val queries = corpus.where($"vec_id" % 100 === 0)
+    val queries = corpus.where($"vec_id" < NumQueries)
       .select($"table_id", explode(transform(masks, m => $"bucket".bitwiseXOR(m))).as("bucket"),
         $"vec_id".as("q_id"), $"embedding".as("q_emb"))
     val cands = corpus.join(broadcast(queries), Seq("table_id", "bucket"))
@@ -74,9 +91,11 @@ object SimSearch {
 
   /** IVF (inverted-file) ANN — the other classic scale path beside LSH.
     *
-    *  - Coarse quantizer: C centroids drawn deterministically from the
-    *    corpus itself (`vec_id % 97 == 3` sample — a seeded k-means would
-    *    drop in here unchanged; the index structure is what's exercised).
+    *  - Coarse quantizer: exactly [[NumCentroids]] centroids drawn
+    *    deterministically from the corpus by hash order (TakeOrdered —
+    *    O(C) on the driver however large the corpus; a seeded k-means
+    *    would drop in here unchanged; the index structure is what's
+    *    exercised).
     *  - Assignment: centroids are BROADCAST; each corpus vector scores all
     *    C and keeps its argmax via `max_by` — partial aggregation collapses
     *    the C copies per vector map-side (the broadcast join leaves all C
@@ -88,11 +107,15 @@ object SimSearch {
     *
     * Recall < 1 by construction → rows-only check; recall vs brute force
     * is asserted in SimSearchSpec. */
-  def ivfTopK(s: SparkSession, d: String, k: Int = 5, nprobe: Int = 4): DataFrame = {
+  def ivfTopK(s: SparkSession, d: String, k: Int = 5, nprobe: Int = 8): DataFrame = {
     import s.implicits._
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
-    val centroids = e.where($"vec_id" % 97 === 3)
+    // deterministic pseudo-random C-row sample, O(C) regardless of corpus
+    // size (TakeOrderedAndProject, no full sort)
+    val centroids = e
+      .orderBy(pmod(xxhash64($"vec_id"), lit(1000003L)).asc, $"vec_id".asc)
+      .limit(NumCentroids)
       .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
 
     // nearest-centroid assignment for every corpus vector (inverted lists)
@@ -105,7 +128,7 @@ object SimSearch {
            first($"embedding").as("embedding"))
 
     // queries probe their nprobe nearest centroids
-    val probes = scoredAll.where($"vec_id" % 100 === 0)
+    val probes = scoredAll.where($"vec_id" < NumQueries)
       .withColumn("pr", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)))
       .where($"pr" <= nprobe)
@@ -132,28 +155,41 @@ object SimSearch {
   // all be 1 to hash-match an oracle that asserts them constant-true. An
   // approximation-quality regression now fails CORRECTNESS instead of
   // passing silently. The fixture embeddings are near-uniform on the
-  // sphere (ANN's hardest case), so the floors are calibrated loose:
-  // measured at sf0.01, multiprobe-LSH global recall = 0.60, IVF
-  // per-query hits ≥ 4/5; floors sit at half that.
+  // sphere (ANN's hardest case). Floors are ratcheted to ~0.8× measured
+  // (graft.tools.RecallProbe, round 3, fixed 20-query / 32-centroid
+  // parametrization): multiprobe-LSH global recall 0.64 (sf0.01) / 0.68
+  // (sf0.1) → floor 0.5; IVF nprobe=8/32 global recall 0.48 / 0.44 →
+  // floor 0.35, with per-query min hits = 1 at both SFs → minHits 1.
 
-  /** Per-query IVF recall bound: ≥ minHits of the exact top-k found.
-    * Output (q_id, recall_ok) — oracle asserts every flag is 1. */
-  def ivfRecall(s: SparkSession, d: String, k: Int = 5, minHits: Int = 2): DataFrame = {
+  /** Per-query + global IVF recall bound. Output (q_id, recall_ok,
+    * global_ok): recall_ok = this query found ≥ minHits of its exact
+    * top-k (measured per-query min is exactly 1 on the near-uniform
+    * fixture — some cells legitimately hold one true neighbor);
+    * global_ok — constant across rows — asserts total hits ≥ floor of
+    * all exact pairs, the tight bound a per-query minimum can't express.
+    * Oracle asserts both flags constant-true. */
+  def ivfRecall(s: SparkSession, d: String, k: Int = 5, minHits: Int = 1,
+      floor: Double = 0.35): DataFrame = {
     import s.implicits._
     val exact = bruteTopK(s, d, k)
     val hits = ivfTopK(s, d, k).select($"q_id", $"n_id")
       .join(exact.select($"q_id", $"n_id"), Seq("q_id", "n_id"), "left_semi")
       .groupBy($"q_id").agg(count(lit(1)).as("hits"))
+    val globalOk = exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(sum($"hits").as("n_found")))
+      .select(($"n_found" >= $"n_exact" * floor).cast("long").as("global_ok"))
     exact.select($"q_id").distinct()
       .join(hits, Seq("q_id"), "left")
+      .crossJoin(globalOk) // 1-row scalar
       .select($"q_id",
-        (coalesce($"hits", lit(0L)) >= minHits).cast("long").as("recall_ok"))
+        (coalesce($"hits", lit(0L)) >= minHits).cast("long").as("recall_ok"),
+        $"global_ok")
   }
 
   /** Global LSH recall floor (per-query bounds don't hold on uniform
     * data — some buckets legitimately miss). Output one row
     * (n_queries, recall_ok); n_queries is independently SQL-checkable. */
-  def lshRecall(s: SparkSession, d: String, k: Int = 5, floor: Double = 0.3): DataFrame = {
+  def lshRecall(s: SparkSession, d: String, k: Int = 5, floor: Double = 0.5): DataFrame = {
     import s.implicits._
     val exact = bruteTopK(s, d, k)
     exact.agg(count_distinct($"q_id").as("n_queries"))
@@ -164,15 +200,16 @@ object SimSearch {
   }
 
   val oracle: Map[String, String] = Map(
-    "simsearch_ivf_recall" -> """
-      SELECT DISTINCT vec_id AS q_id, CAST(1 AS BIGINT) AS recall_ok
-      FROM embeddings WHERE vec_id % 100 = 0""",
+    "simsearch_ivf_recall" -> s"""
+      SELECT DISTINCT vec_id AS q_id, CAST(1 AS BIGINT) AS recall_ok,
+             CAST(1 AS BIGINT) AS global_ok
+      FROM embeddings WHERE vec_id < $NumQueries""",
 
-    "simsearch_lsh_recall" -> """
+    "simsearch_lsh_recall" -> s"""
       SELECT count(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
-      FROM embeddings WHERE vec_id % 100 = 0""",
+      FROM embeddings WHERE vec_id < $NumQueries""",
 
-    "simsearch_topk" -> """
+    "simsearch_topk" -> s"""
       SELECT q_id, n_id, rk FROM (
         SELECT q.vec_id AS q_id, e.vec_id AS n_id,
                row_number() OVER (
@@ -180,7 +217,7 @@ object SimSearch {
                  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                                  CAST(e.embedding AS DOUBLE[])) DESC,
                           e.vec_id ASC) AS rk
-        FROM embeddings q JOIN embeddings e ON q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id
+        FROM embeddings q JOIN embeddings e ON q.vec_id < $NumQueries AND e.vec_id <> q.vec_id
       ) t WHERE rk <= 5"""
   )
 }
