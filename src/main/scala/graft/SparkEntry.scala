@@ -79,6 +79,7 @@ object SparkEntry {
     "fn_json"          -> (Relational.fnJson _),
     // SQL entry path
     "sql_q3_shipping"  -> (Sql.q3Shipping _),
+    "sql_ext_winnow"   -> (Sql.extWinnow _),
     // B. sources / sinks
     "src_csv_roundtrip"     -> (graft.sources.Sources.csvRoundtrip _),
     "src_json_roundtrip"    -> (graft.sources.Sources.jsonRoundtrip _),
@@ -122,6 +123,7 @@ object SparkEntry {
     "sample_stratified" -> (Maintenance.stratifiedSample _),
     // S. streaming
     "stream_tumbling" -> (graft.streaming.Streams.tumbling _),
+    "stream_tumbling_append" -> (graft.streaming.Streams.tumblingAppend _),
     "stream_sliding"  -> (graft.streaming.Streams.sliding _),
     "stream_session"  -> (graft.streaming.Streams.sessionize _),
     "stream_dedup"    -> (graft.streaming.Streams.dedupKeys _),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.core.Tables
 
 /** SQL entry path: the engine's tables registered as temp views and
@@ -51,7 +52,73 @@ object Sql {
     """)
   }
 
+  /** One extensions-configured session per SparkContext (the memo twin of
+    * a cluster's spark.sql.extensions static conf, which is read once at
+    * first-session creation): reuses the JVM's context, restores the
+    * caller's active/default session, and is what every pure-SQL query
+    * below runs on. */
+  private val extMemo =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, SparkSession]()
+  private def extSession(s: SparkSession): SparkSession =
+    extMemo.computeIfAbsent(s.sparkContext, _ => {
+      val prevActive = SparkSession.getActiveSession
+      val prevDefault = SparkSession.getDefaultSession
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      try SparkSession.builder()
+        .master(s.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions())
+        .getOrCreate()
+      finally {
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
+    })
+
+  /** The pure-SQL route through [[graft.GraftExtensions]] end-to-end
+    * (SURVEY §2.3 custom-operator distribution path): an
+    * extensions-configured session resolves the engine's codegen
+    * expressions — `winnow_fingerprints`, `simhash64` — from SQL text
+    * with no programmatic register() call, and the winnowing output is
+    * hash-checked against the same DuckDB replay as text_winnow (a real
+    * oracle, not a smoke flag). simhash64 has no SQL-replayable oracle
+    * (xxhash64 bit patterns), so the SQL-route value is compared against
+    * the DataFrame-route expression per doc and the agreement flag is
+    * oracle-asserted constant-true. */
+  def extWinnow(s: SparkSession, d: String): DataFrame = {
+    val s2 = extSession(s)
+    import s2.implicits._
+    Tables.documents(s2, d).createOrReplaceTempView("graft_documents_ext")
+    val sqlSide = s2.sql("""
+      SELECT doc_id,
+             simhash64(transform(array_distinct(split(lower(text), ' ')),
+                                 t -> xxhash64(t))) AS sh_sql,
+             winnow_fingerprints(lower(text), 8, 4) AS fps
+      FROM graft_documents_ext""")
+    val dfSide = Tables.documents(s2, d)
+      .select($"doc_id", Dedup.simhash($"text").as("sh_df"))
+    sqlSide.join(dfSide, "doc_id")
+      .select($"doc_id", explode($"fps").as("fp"),
+        ($"sh_sql" === $"sh_df").cast("long").as("simhash_sql_eq"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "sql_ext_winnow" -> """
+      WITH h AS (
+        SELECT doc_id, i,
+               md5(substr(t, CAST(i AS INT), 8)) AS hh,
+               length(t) - 7 AS n
+        FROM (SELECT doc_id, lower(text) AS t FROM documents) d
+        JOIN generate_series(1, 8192) g(i) ON i <= length(t) - 7
+        WHERE length(t) >= 11),
+      w AS (
+        SELECT doc_id, i, n,
+               min(hh) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
+        FROM h)
+      SELECT DISTINCT doc_id, f AS fp, CAST(1 AS BIGINT) AS simhash_sql_eq
+      FROM w WHERE i <= n - 3""",
+
     "sql_q3_shipping" -> """
       SELECT l.l_orderkey AS orderkey,
              sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))

@@ -18,10 +18,11 @@ import graft.core.Tables
   * behind SPARK_GRAFT_ROCKSDB=1 (see [[useRocksDb]] for why it cannot
   * run in this sandbox).
   *
-  * Modes: windowed aggregations run in `complete` mode (nothing is
-  * withheld by the watermark, so the sink equals the batch answer);
-  * dedup runs in `append` (dedup emits on first sight). Watermarks are
-  * still declared — state would be GC'd correctly on an unbounded stream.
+  * Modes: the three windowed aggregations run in `complete` mode
+  * (nothing withheld by the watermark, so the sink equals the batch
+  * answer); [[tumblingAppend]] runs the production `append` shape —
+  * watermark-finalized windows only; dedup runs in `append` (emit on
+  * first sight); statefulCount in `update`.
   *
   * Scale: watermark + window state lives in the state store keyed by
   * (window, key) — partitioned by the same shuffle as the aggregation, so
@@ -138,6 +139,31 @@ object Streams {
            (sum(round($"value" * 100).cast("bigint")) / 100.0).as("total"))
       .select($"window.start".as("w_start"), $"event_type", $"n", $"total")
     runToTable(s, agg, "graft_stream_tumbling", "complete")
+  }
+
+  /** Tumbling 1-day windows in APPEND mode — the production shape for an
+    * unbounded stream: a window's single final row is emitted only when
+    * the watermark (max event time − 10 min) passes the window END, and
+    * its state is then evicted; windows the watermark has not yet closed
+    * are withheld. The complete-mode windowed queries above re-emit the
+    * whole result each batch (fine for a dashboard sink, unbounded for a
+    * log sink); append is the at-most-once-per-window contract an
+    * append-only sink (parquet, Kafka) requires. Over the ≥3 time-ordered
+    * microbatches the final watermark sits 10 min before the fixture's
+    * max ts (mid-day on day 30), so exactly the day-1..29 windows are
+    * finalized — which is what the oracle replays: batch windows whose
+    * end ≤ global max ts − 10 min. (Spark runs the extra no-data batch
+    * that flushes windows closed by the LAST data batch's watermark
+    * advance; processAllAvailable waits for it.) */
+  def tumblingAppend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+           (sum(round($"value" * 100).cast("bigint")) / 100.0).as("total"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"total")
+    runToTable(s, agg, "graft_stream_tumbling_append", "append")
   }
 
   /** Sliding windows (6h window, 3h slide): every event lands in exactly
@@ -335,6 +361,17 @@ object Streams {
 
     "stream_dedup_watermark" -> """
       SELECT DISTINCT user_id, event_type FROM events""",
+
+    // append mode: only windows the final watermark closed, i.e. window
+    // end ≤ max event time − the 10-minute delay
+    "stream_tumbling_append" -> """
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+             event_type, count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+      FROM events
+      WHERE CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) + INTERVAL 1 DAY
+            <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 10 MINUTE
+      GROUP BY 1, 2""",
 
     "stream_tumbling" -> """
       SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
