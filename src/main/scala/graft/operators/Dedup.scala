@@ -337,11 +337,16 @@ object Dedup {
       tau: Double): DataFrame = {
     val s = prefixIdx.sparkSession
     import s.implicits._
+    // localCheckpoint the (tiny) candidate-pair set: verifyJaccard scans
+    // `pairs` three times (candidate-doc semi-join + both verify joins),
+    // which would re-run the index self-join per scan; checkpointing also
+    // keeps plan lineage flat. Eager + small ⇒ no cache-registry growth.
     val cands = prefixIdx.as("x").join(prefixIdx.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
         col("x.n") >= col("y.n") * tau && col("y.n") >= col("x.n") * tau)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+      .localCheckpoint()
     verifyJaccard(cands, docsRaw, wordShingles($"text", 3))
       .where($"jac" >= tau)
       .select($"a".as("doc_a"), $"b".as("doc_b"), $"jac")
