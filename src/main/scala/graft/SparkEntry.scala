@@ -87,6 +87,7 @@ object SparkEntry {
     "src_partitioned_write" -> (graft.sources.Sources.partitionedWrite _),
     "src_bucketed_join"     -> (graft.sources.Sources.bucketedJoin _),
     "src_decimal_roundtrip" -> (graft.sources.Sources.decimalRoundtrip _),
+    "src_orc_roundtrip"     -> (graft.sources.Sources.orcRoundtrip _),
     "src_schema_evolution"  -> (graft.sources.Sources.schemaEvolution _),
     // E. custom Aggregator
     "agg_topk_group"   -> (graft.agg.TopK.topOrdersPerBucket _),
@@ -112,6 +113,8 @@ object SparkEntry {
     "text_winnow"      -> (TextAnalysis.winnowFingerprint _),
     "text_tfidf"       -> (TextAnalysis.tfidfTop3 _),
     "text_bigrams"     -> (TextAnalysis.topBigrams _),
+    "text_repetition"  -> (TextAnalysis.repetition _),
+    "text_pack"        -> ((s: SparkSession, d: String) => TextAnalysis.sequencePack(s, d)),
     // J. multimodal plumbing
     "mm_meta"   -> (Multimodal.mediaMeta _),
     "mm_decode" -> (Multimodal.decodeFeatures _),
@@ -120,6 +123,7 @@ object SparkEntry {
     // J. pipeline maintenance
     "maint_compact"     -> ((s: SparkSession, d: String) => Maintenance.compact(s, d)),
     "maint_upsert"      -> (Maintenance.upsert _),
+    "maint_hash_split"  -> (Maintenance.hashSplit _),
     "sample_stratified" -> (Maintenance.stratifiedSample _),
     // S. streaming
     "stream_tumbling" -> (graft.streaming.Streams.tumbling _),

@@ -76,6 +76,27 @@ object Maintenance {
         (coalesce($"u.cents", $"b.cents") / 100.0).as("o_totalprice"))
   }
 
+  /** Deterministic hash-based dataset split (train/val/test): bucket =
+    * first 32 bits of md5(doc_id) mod 100 → 90/5/5. Content-addressed
+    * splits are how a training pipeline keeps membership stable as the
+    * corpus grows — a doc's split never changes when neighbors are added
+    * or the table is repartitioned, unlike randomSplit (partition-order
+    * dependent) or modulo-on-id (correlated with ingestion order when
+    * ids are sequential). Pure per-row arithmetic + one tiny aggregate;
+    * md5 (not xxhash64) so DuckDB replays the bucketing bit-exactly. */
+  def hashSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket =
+      conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    Tables.documents(s, d)
+      .select(when(bucket < 90, "train").when(bucket < 95, "val")
+                .otherwise("test").as("split"),
+              $"n_chars")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+  }
+
   /** The raw sample itself (spec-checked for determinism and rates). */
   def rawStratifiedSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -86,6 +107,14 @@ object Maintenance {
 
   val oracle: Map[String, String] = Map(
     "maint_compact" -> "SELECT doc_id, text FROM documents",
+    "maint_hash_split" -> """
+      SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             count(*) AS n_docs, sum(n_chars) AS sum_chars
+      FROM (SELECT n_chars,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+            FROM documents)
+      GROUP BY 1""",
     "maint_upsert" -> """
       WITH base AS (
         SELECT o_orderkey, o_orderstatus,

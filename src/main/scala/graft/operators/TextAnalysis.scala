@@ -93,6 +93,53 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Repetition-based quality scoring (the Gopher/MassiveText repetition
+    * filters): per doc, the duplicate-bigram fraction (1 − distinct/total
+    * word 2-grams — high when a document loops) and the top-token
+    * fraction (most frequent token's share — high for degenerate spam).
+    * Entirely per-row HOF arithmetic on the token array: zero shuffle,
+    * the per-doc O(tokens²) occurrence count is bounded by document
+    * length, not corpus size — the textbook map-side quality gate a
+    * 100 TB curation pass runs before anything heavier. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nToks = size($"tk")
+    val bi = Dedup.wordShinglesOf($"tk", 2) // with multiplicity
+    val nBi = size(bi)
+    val nBiDistinct = size(array_distinct(bi))
+    // occurrences of each distinct token ($"tk" is a materialized column —
+    // plain attribute read inside the lambda, not a re-evaluated expr)
+    val topCount = array_max(transform(array_distinct($"tk"),
+      u => size(filter($"tk", x => x === u))))
+    Tables.documents(s, d)
+      .select($"doc_id", toks($"text").as("tk"))
+      .select($"doc_id",
+        nToks.cast("bigint").as("n_toks"),
+        when(nBi > 0, round(lit(1.0) - nBiDistinct.cast("double") / nBi, 6))
+          .otherwise(0.0).as("dup_bigram_frac"),
+        round(topCount.cast("double") / nToks, 6).as("top_tok_frac"))
+  }
+
+  /** Sequence packing (training-batch assembly): concatenate each shard's
+    * documents in doc_id order and cut at a fixed token budget — bin_id =
+    * which context-window a document STARTS in. Packing is per-shard
+    * (pmod(doc_id, shards)), not global: a global cumulative sum would
+    * serialize through one partition, while per-shard windows scale with
+    * the cluster — the shape a 100 TB tokenize-and-pack job actually
+    * uses (shards ≫ executors, each window sorted locally after one
+    * hash exchange). */
+  def sequencePack(s: SparkSession, d: String, budget: Int = 512,
+      shards: Int = 32): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+    Tables.documents(s, d)
+      .select($"doc_id", pmod($"doc_id", lit(shards.toLong)).as("shard"),
+              size(toks($"text")).cast("bigint").as("n_toks"))
+      .withColumn("cum", sum($"n_toks").over(w))
+      .select($"doc_id", $"shard", $"n_toks",
+              floor(($"cum" - $"n_toks") / lit(budget.toDouble)).cast("bigint").as("bin_id"))
+  }
+
   /** GPT-2-style BPE pre-tokenizer regex — the contraction/letter-run/
     * digit-run/punct-run split every byte-pair tokenizer applies before
     * merges. Counting these is the standard "how many tokens is this
@@ -186,6 +233,35 @@ object TextAnalysis {
     }.toMap
     def hits(l: String) = s"len(list_filter(toks, t -> list_contains(${stopList(l)}, t)))"
     Map(
+      "text_repetition" -> """
+        WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        topf AS (
+          SELECT doc_id, max(c) AS maxc FROM (
+            SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY doc_id, w)
+          GROUP BY doc_id),
+        bistat AS (
+          SELECT doc_id, count(*) AS nb, count(DISTINCT g) AS nbd FROM (
+            SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS g
+            FROM tk JOIN generate_series(1, 4096) gs(i) ON i <= len(t) - 1)
+          GROUP BY doc_id)
+        SELECT tk.doc_id, len(t) AS n_toks,
+               round(COALESCE(1.0 - CAST(nbd AS DOUBLE) / nb, 0.0), 6) AS dup_bigram_frac,
+               round(CAST(maxc AS DOUBLE) / len(t), 6) AS top_tok_frac
+        FROM tk
+        JOIN topf ON tk.doc_id = topf.doc_id
+        LEFT JOIN bistat ON tk.doc_id = bistat.doc_id""",
+
+      "text_pack" -> """
+        WITH tk AS (
+          SELECT doc_id, doc_id % 32 AS shard,
+                 len(string_split(lower(text), ' ')) AS n_toks
+          FROM documents)
+        SELECT doc_id, shard, n_toks,
+               CAST(floor((sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id)
+                           - n_toks) / 512.0) AS BIGINT) AS bin_id
+        FROM tk""",
+
       "text_tokens" -> s"""
         SELECT doc_id,
                len(regexp_extract_all(lower(text), '${WordCount.TokenPattern.replace("'", "''")}')) AS n_regex_toks,

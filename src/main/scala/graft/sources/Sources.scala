@@ -151,6 +151,19 @@ object Sources {
            count(lit(1)).as("n"))
   }
 
+  /** parquet → ORC → DataFrame: the other columnar format a lake
+    * migration reads/writes (built-in Spark datasource; splittable,
+    * predicate-pushdown-capable like parquet). The oracle sees only the
+    * original parquet, so the whole ORC encode→decode path is what is
+    * being hash-checked. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = tmp("graft_orc")
+    Tables.supplier(s, d).write.mode(SaveMode.Overwrite).orc(dir)
+    s.read.orc(dir)
+      .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+  }
+
   /** Schema evolution (SURVEY.md §2.4 B upgrade): a 100 TB lake always
     * holds files written under several schema versions. Batch 1 writes
     * the nation table under an old 2-column schema; batch 2 appends the
@@ -195,6 +208,7 @@ object Sources {
       GROUP BY o_orderpriority""",
 
     "src_csv_roundtrip" -> "SELECT * FROM customer",
+    "src_orc_roundtrip" -> "SELECT * FROM supplier",
     "src_json_roundtrip" -> "SELECT * FROM nation",
     "src_text_kv" -> """
       SELECT CAST(o_orderkey AS VARCHAR) AS k, o_orderstatus AS v FROM orders""",
