@@ -112,6 +112,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected one user_id exchange, got $exchanges\n$p")
   }
 
+  test("text_repetition is a pure map — zero exchanges") {
+    // the curation gate a 100 TB pass runs map-side before anything
+    // shuffle-bearing; an exchange appearing here means the per-row HOF
+    // design regressed into an aggregation
+    val p = plan("text_repetition")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("text_pack shuffles once (per-shard window), never globally sorts") {
+    val p = plan("text_pack").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected one shard exchange, got $exchanges\n$p")
+    assert(!p.contains("rangepartitioning"),
+      "packing must not serialize through a global sort\n" + p)
+  }
+
   test("ngram jaccard candidate join is an equi-join with no cartesian") {
     val df = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
     df.collect()
