@@ -256,10 +256,16 @@ object Dedup {
 
   /** Near-dup CLUSTERS (the actual dedup operation): MinHash-LSH pairs →
     * connected components → (doc_id, cluster_rep = min doc id of the
-    * component). A pipeline keeps rows where doc_id == cluster_rep. */
+    * component). A pipeline keeps rows where doc_id == cluster_rep.
+    * Consumes the session-shared pairs artifact ([[minhashLshShared]]):
+    * clustering is a DOWNSTREAM op over the pairs output — in a 100 TB
+    * pipeline the pair set is materialized once and both the pair report
+    * and the clustering read it, rather than re-running
+    * signature+LSH+verify per consumer (dedup_minhash itself still
+    * measures the full pipeline fresh). */
   def minhashClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val edges = minhashLsh(s, d).select($"doc_a".as("a"), $"doc_b".as("b"))
+    val edges = minhashLshShared(s, d).select($"doc_a".as("a"), $"doc_b".as("b"))
     connectedComponents(edges)
       .select($"n".as("doc_id"), $"l".as("cluster_rep"))
   }
