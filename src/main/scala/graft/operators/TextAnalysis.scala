@@ -214,10 +214,19 @@ object TextAnalysis {
   def tfidfTop3(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
+    // ONE corpus pass: df is derived FROM tf (tf's (doc, term) grouping
+    // already is the distinct set), so the corpus's token occurrences are
+    // exploded and shuffled once — the round-2 version ran the explode
+    // twice and shuffled both copies (tf groupBy + df distinct), which
+    // made this the most contention-sensitive query of the driver's
+    // round-2 bench (7.2× its recorded median).
+    // localCheckpoint: tf feeds BOTH df and the scored join; without it
+    // the explode+groupBy would re-run per consumer (the subtrees differ
+    // — partial-agg below df's exchange — so ReuseExchange can't help)
     val term = docs.select($"doc_id", explode(toks($"text")).as("term"))
     val tf = term.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = term.select($"doc_id", $"term").distinct()
-      .groupBy($"term").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .select($"doc_id", $"term",
