@@ -60,6 +60,8 @@ object SparkEntry {
     "window_dist"      -> (Relational.windowDist _),
     // E. percentiles
     "agg_percentile"   -> (Relational.aggPercentile _),
+    "agg_approx_percentile" -> (Relational.aggApproxPercentile _),
+    "agg_sketch_union" -> (Relational.aggSketchUnion _),
     // G. sort / limit
     "sort_limit"       -> (Relational.sortLimit _),
     "sort_global"      -> (Relational.sortGlobal _),

@@ -412,6 +412,55 @@ object Relational {
            count(lit(1)).as("n"))
   }
 
+  /** Approximate percentiles — the production path at 100 TB (exact
+    * interpolated percentiles need a full per-group sort; the
+    * percentile_approx sketch is bounded-memory and MERGEABLE, so
+    * partial aggregation works map-side). Oracle-checked accuracy
+    * contract per group: each approx percentile must land inside the
+    * exact ±5-percentile-point value band computed in the same pass
+    * (generous vs the sketch's ~1e-4 rank error at accuracy=10000 —
+    * a regression to junk fails, bit-level sketch drift doesn't). */
+  def aggApproxPercentile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(
+        percentile_approx($"o_totalprice", lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx($"o_totalprice", lit(0.9), lit(10000)).as("ap90"),
+        percentile($"o_totalprice", lit(0.45)).as("lo50"),
+        percentile($"o_totalprice", lit(0.55)).as("hi50"),
+        percentile($"o_totalprice", lit(0.85)).as("lo90"),
+        percentile($"o_totalprice", lit(0.95)).as("hi90"),
+        count(lit(1)).as("n"))
+      .select($"o_orderstatus", $"n",
+        ($"ap50" >= $"lo50" && $"ap50" <= $"hi50").cast("long").as("p50_ok"),
+        ($"ap90" >= $"lo90" && $"ap90" <= $"hi90").cast("long").as("p90_ok"))
+  }
+
+  /** DataSketches HLL build + MERGE — the re-aggregatable distinct-count
+    * pattern: per-shard sketches (here per nation) are unioned into a
+    * global estimate without re-touching rows, which is how a 100 TB
+    * pipeline maintains distinct counts incrementally (sketch per
+    * partition/day, merge on demand — impossible with exact
+    * count_distinct, whose partials aren't mergeable without the full
+    * key set). Oracle checks the exact side and a 5% error flag on the
+    * merged estimate; sketch bytes stay out of the output. */
+  def aggSketchUnion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perNation = Tables.customer(s, d)
+      .groupBy($"c_nationkey")
+      .agg(hll_sketch_agg($"c_custkey").as("sk"))
+    val merged = perNation
+      .agg(count(lit(1)).as("n_nations"),
+           hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+    val exact = Tables.customer(s, d)
+      .agg(count_distinct($"c_custkey").as("exact_total"))
+    merged.crossJoin(exact) // two 1-row frames
+      .select($"n_nations", $"exact_total",
+        (abs($"est" - $"exact_total") <= $"exact_total" * 0.05)
+          .cast("long").as("union_ok"))
+  }
+
   /** Ordered funnel (view → click → purchase): per user, each step's
     * earliest timestamp strictly after the previous step's. ONE shuffle
     * on user_id, then three chained whole-partition window minima (each

@@ -191,6 +191,19 @@ object RelationalOracles {
              CAST(1 AS BIGINT) AS approx_ok
       FROM lineitem GROUP BY l_returnflag""",
 
+    // sketch/approx values are engine-specific; the oracle checks the
+    // exact columns and asserts the accuracy flags constant-true
+    "agg_approx_percentile" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok
+      FROM orders GROUP BY o_orderstatus""",
+
+    "agg_sketch_union" -> """
+      SELECT count(DISTINCT c_nationkey) AS n_nations,
+             count(DISTINCT c_custkey) AS exact_total,
+             CAST(1 AS BIGINT) AS union_ok
+      FROM customer""",
+
     "agg_stats" -> s"""
       SELECT o_orderpriority, count(*) AS n,
              count(DISTINCT o_custkey) AS n_cust,
