@@ -155,20 +155,27 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String): DataFrame =
     minhashPairs(Tables.documents(s, d), 0.9)
 
-  /** Session-scoped memo of the verified MinHash-LSH pairs frame, shared
-    * by every consumer that needs the exact-pairs set as an INPUT rather
-    * than as the thing being measured (dedup_simhash's recall
-    * denominator; round 2 recomputed the entire signature+LSH+verify
-    * pipeline inside dedup_simhash and it was the driver bench's #2
-    * cost). Only the verified pairs are persisted — a few hundred rows of
-    * (id, id, jac) — never signatures or text. Keyed by (session, dir);
-    * entries live as long as the session, like the bucketed-table memo in
-    * Sources. */
-  private val sharedPairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  def minhashLshShared(s: SparkSession, d: String): DataFrame =
-    sharedPairsMemo.computeIfAbsent((s, d), _ =>
-      minhashLsh(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  /** Session-scoped MATERIALIZED pairs artifact, shared by every consumer
+    * that needs the exact-pairs set as an INPUT rather than as the thing
+    * being measured (dedup_minhash_clusters' edge list; dedup_simhash's
+    * recall denominator — round 2 recomputed the entire
+    * signature+LSH+verify pipeline per consumer and it was the driver
+    * bench's #2 cost). The pairs are WRITTEN to a temp parquet once per
+    * (session, dir) — a few hundred rows of (id, id, jac), never
+    * signatures or text — and memoized via session conf (same pattern as
+    * the bucketed tables / ngram index: the memo dies with the session,
+    * no JVM-lifetime retention of sessions or cached frames). */
+  def minhashLshShared(s: SparkSession, d: String): DataFrame = {
+    val srcKey = "spark.graft.minhashpairs.src"
+    val dirKey = "spark.graft.minhashpairs.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_minhash_pairs").toString
+      minhashLsh(s, d).write.mode("overwrite").parquet(dir)
+      s.conf.set(dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    s.read.parquet(s.conf.get(dirKey))
+  }
 
   /** Core MinHash-LSH pipeline over any (doc_id, text) frame. The
     * signature path runs entirely through the two codegen expressions
@@ -300,17 +307,19 @@ object Dedup {
     // the query fell off an 8× bench cliff. Same session-scoped staleness
     // contract as the Sources memos (fixtures are immutable in-session).
     val tau = 0.8
-    val idxDir = ngramIdxMemo.computeIfAbsent((s, d), _ => {
+    // session-conf memo (same pattern as Sources.bucketedJoin): dies with
+    // the session instead of pinning sessions/frames in a JVM singleton
+    val srcKey = "spark.graft.ngramidx.src"
+    val dirKey = "spark.graft.ngramidx.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
       val dir = java.nio.file.Files.createTempDirectory("graft_ngram_idx").toString
       ngramPrefixIndex(Tables.documents(s, d), tau)
         .write.mode("overwrite").parquet(dir)
-      dir
-    })
-    ngramVerifiedPairs(s.read.parquet(idxDir), Tables.documents(s, d), tau)
+      s.conf.set(dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    ngramVerifiedPairs(s.read.parquet(s.conf.get(dirKey)), Tables.documents(s, d), tau)
   }
-
-  private val ngramIdxMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
   /** Prefix index (doc_id, s, n): each doc's first |d| − ⌈τ·|d|⌉ + 1
     * shingles in global rare-first order, plus its shingle count. ONE
@@ -339,6 +348,17 @@ object Dedup {
     * min(na,nb) ≥ τ·max(na,nb). Verification recomputes shingle arrays
     * ONLY for candidate docs (semi-join pushdown inside verifyJaccard)
     * and intersects with one codegen'd array_intersect per pair. */
+  /** Candidate pairs from the prefix index self-join (exposed separately
+    * so PlanShapeSpec can assert the join shape of THIS frame — the
+    * eager checkpoint in [[ngramVerifiedPairs]] would otherwise hide the
+    * candidate join from the verified query's executed plan). */
+  private[operators] def ngramCandidates(prefixIdx: DataFrame, tau: Double): DataFrame =
+    prefixIdx.as("x").join(prefixIdx.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+        col("x.n") >= col("y.n") * tau && col("y.n") >= col("x.n") * tau)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
   private def ngramVerifiedPairs(prefixIdx: DataFrame, docsRaw: DataFrame,
       tau: Double): DataFrame = {
     val s = prefixIdx.sparkSession
@@ -347,12 +367,7 @@ object Dedup {
     // `pairs` three times (candidate-doc semi-join + both verify joins),
     // which would re-run the index self-join per scan; checkpointing also
     // keeps plan lineage flat. Eager + small ⇒ no cache-registry growth.
-    val cands = prefixIdx.as("x").join(prefixIdx.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
-        col("x.n") >= col("y.n") * tau && col("y.n") >= col("x.n") * tau)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-      .localCheckpoint()
+    val cands = ngramCandidates(prefixIdx, tau).localCheckpoint()
     verifyJaccard(cands, docsRaw, wordShingles($"text", 3))
       .where($"jac" >= tau)
       .select($"a".as("doc_a"), $"b".as("doc_b"), $"jac")

@@ -56,7 +56,9 @@ object Sql {
     * a cluster's spark.sql.extensions static conf, which is read once at
     * first-session creation): reuses the JVM's context, restores the
     * caller's active/default session, and is what every pure-SQL query
-    * below runs on. */
+    * below runs on. Retention is bounded by the number of SparkContexts
+    * (one per JVM in practice) — unlike a per-session memo, this cannot
+    * grow with session churn. */
   private val extMemo =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, SparkSession]()
   private def extSession(s: SparkSession): SparkSession =
@@ -109,21 +111,11 @@ object Sql {
   }
 
   val oracle: Map[String, String] = Map(
-    "sql_ext_winnow" -> """
-      WITH h AS (
-        SELECT doc_id, i,
-               md5(substr(t, CAST(i AS INT), 8)) AS hh,
-               length(t) - 7 AS n
-        FROM (SELECT doc_id, lower(text) AS t FROM documents) d
-        JOIN generate_series(1, 8192) g(i) ON i <= length(t) - 7
-        WHERE length(t) >= 11),
-      w AS (
-        SELECT doc_id, i, n,
-               min(hh) OVER (PARTITION BY doc_id ORDER BY i
-                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
-        FROM h)
-      SELECT DISTINCT doc_id, f AS fp, CAST(1 AS BIGINT) AS simhash_sql_eq
-      FROM w WHERE i <= n - 3""",
+    // derived from the text_winnow oracle (single source of truth for the
+    // winnowing replay) plus the SQL-route parity flag
+    "sql_ext_winnow" -> s"""
+      SELECT doc_id, fp, CAST(1 AS BIGINT) AS simhash_sql_eq
+      FROM (${TextAnalysis.oracle("text_winnow")}) t""",
 
     "sql_q3_shipping" -> """
       SELECT l.l_orderkey AS orderkey,

@@ -101,7 +101,13 @@ object TextAnalysis {
     * the per-doc O(tokens²) occurrence count is bounded by document
     * length, not corpus size — the textbook map-side quality gate a
     * 100 TB curation pass runs before anything heavier. */
-  def repetition(s: SparkSession, d: String): DataFrame = {
+  def repetition(s: SparkSession, d: String): DataFrame =
+    repetitionOf(Tables.documents(s, d))
+
+  /** Core over any (doc_id, text) frame (the declared query and the
+    * CurationSpec edge cases both drive THIS code path). */
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val nToks = size($"tk")
     val bi = Dedup.wordShinglesOf($"tk", 2) // with multiplicity
@@ -111,7 +117,7 @@ object TextAnalysis {
     // plain attribute read inside the lambda, not a re-evaluated expr)
     val topCount = array_max(transform(array_distinct($"tk"),
       u => size(filter($"tk", x => x === u))))
-    Tables.documents(s, d)
+    docs
       .select($"doc_id", toks($"text").as("tk"))
       .select($"doc_id",
         nToks.cast("bigint").as("n_toks"),

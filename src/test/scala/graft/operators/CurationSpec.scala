@@ -15,19 +15,8 @@ class CurationSpec extends SparkSpec {
       (2L, "a a a a a a a a"),            // degenerate: all one token
       (3L, "one two three four five six") // all-distinct
     ).toDF("doc_id", "text")
-    // reuse the declared query's expressions via a temp swap of the input:
-    // repetition() reads the documents table, so test the same column
-    // exprs through a select on the synthetic frame
-    val out = docs
-      .select($"doc_id", split(lower($"text"), " ").as("tk"))
-      .select($"doc_id",
-        size($"tk").cast("bigint").as("n_toks"),
-        when(size(Dedup.wordShinglesOf($"tk", 2)) > 0,
-          round(lit(1.0) - size(array_distinct(Dedup.wordShinglesOf($"tk", 2))).cast("double")
-            / size(Dedup.wordShinglesOf($"tk", 2)), 6)).otherwise(0.0).as("dup_bigram_frac"),
-        round(array_max(transform(array_distinct($"tk"),
-          u => size(filter($"tk", x => x === u)))).cast("double") / size($"tk"), 6)
-          .as("top_tok_frac"))
+    // drives the PRODUCTION code path (repetitionOf), not a copy of it
+    val out = TextAnalysis.repetitionOf(docs)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(out(1L) === ((1L, 0.0, 1.0)))          // no bigrams, trivially top-heavy
     assert(out(2L)._2 > 0.85 && out(2L)._3 === 1.0) // "a a": 7 bigrams, 1 distinct

@@ -129,10 +129,15 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("ngram jaccard candidate join is an equi-join with no cartesian") {
-    val df = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
+    // assert on the candidate-generation frame itself: the declared query
+    // eagerly checkpoints it, so its executed plan would not show the
+    // candidate self-join at all (a cartesian regression could hide there)
+    val idx = Dedup.ngramPrefixIndex(graft.core.Tables.documents(spark, sf), 0.8)
+    val cands = Dedup.ngramCandidates(idx, 0.8)
+    cands.collect()
+    val p = cands.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
   }
 }
