@@ -136,6 +136,7 @@ object SparkEntry {
     "stream_stateful_count"  -> (graft.streaming.Streams.statefulCount _),
     "stream_dedup_watermark" -> (graft.streaming.Streams.dedupWatermarked _),
     "stream_stream_join"     -> (graft.streaming.Streams.streamStreamJoin _),
+    "stream_stream_left_join" -> (graft.streaming.Streams.streamStreamLeftJoin _),
     "stream_sink_parquet"    -> (graft.streaming.Streams.sinkParquet _),
   )
 

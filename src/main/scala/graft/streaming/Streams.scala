@@ -308,6 +308,33 @@ object Streams {
     runToTable(s, joined, "graft_stream_ss_join", "append", statePartitions = 4)
   }
 
+  /** Watermarked stream-stream LEFT OUTER join — the shape that needs
+    * state-EXPIRY semantics, not just state lookup: a click with no
+    * purchase in its hour is emitted with nulls only once the watermark
+    * proves no matching purchase can still arrive (wm passes
+    * c_ts + 1 hour, the click's last possible match time), i.e. on state
+    * eviction. Clicks whose match window the final watermark has not yet
+    * closed are withheld (2 rows at sf0.01 — the oracle replays exactly
+    * this: matched pairs ∪ unmatched clicks with c_ts + 1h < max ts − 1h).
+    * Inner-join results stream out immediately as before. */
+  def streamStreamLeftJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStream(s, d)
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+              $"value".as("amount"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+        $"c_user" === $"p_user" &&
+        $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select($"c_user".as("user_id"), $"click_id", $"purchase_id", $"amount")
+    runToTable(s, joined, "graft_stream_ss_left", "append", statePartitions = 4)
+  }
+
   /** foreachBatch parquet sink — the production sink pattern: each
     * microbatch lands as parquet with exactly-once-per-batch semantics
     * (batchId available for idempotent writes); the query result is the
@@ -353,6 +380,31 @@ object Streams {
        AND c.event_type = 'click' AND p.event_type = 'purchase'
        AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
        AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR""",
+
+    // matched rows always emit; an unmatched click emits nulls iff the
+    // final GLOBAL watermark closed its 1h match window. Each stream's
+    // watermark tracks only its own filtered rows (the EventTimeWatermark
+    // node sits above the event_type filter), and the engine's global
+    // watermark is the MIN across inputs — so the replay uses
+    // least(max click ts, max purchase ts) − 1h, not the all-events max.
+    "stream_stream_left_join" -> """
+      WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS c_ts
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, event_id AS purchase_id, value AS amount,
+                   CAST(ts AS TIMESTAMP) AS p_ts
+            FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT c.user_id, c.click_id, p.purchase_id, p.amount
+            FROM c JOIN p ON c.user_id = p.user_id
+             AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR),
+      wm AS (SELECT least((SELECT max(c_ts) FROM c), (SELECT max(p_ts) FROM p))
+                    - INTERVAL 1 HOUR AS w)
+      SELECT user_id, click_id, purchase_id, amount FROM m
+      UNION ALL
+      SELECT c.user_id, c.click_id,
+             CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS DOUBLE) AS amount
+      FROM c, wm
+      WHERE c.click_id NOT IN (SELECT click_id FROM m)
+        AND c.c_ts + INTERVAL 1 HOUR < wm.w""",
 
     "stream_stateful_count" -> """
       SELECT user_id, count(*) AS n,
