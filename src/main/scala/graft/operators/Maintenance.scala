@@ -107,6 +107,25 @@ object Maintenance {
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
   }
 
+  /** Exactly-K-per-group sample (fixed examples per source — the "take 3
+    * docs from every source for the eval set" op): rank each group's
+    * docs by md5(doc_id) and keep the first k. Content-addressed like
+    * [[hashSplit]], so the selected set is stable under corpus growth,
+    * repartitioning, and ingestion order — none of which hold for
+    * sampleBy/randomSplit. One shuffle (window per group); for groups too
+    * large to sort, the bounded-buffer Aggregator in `graft.agg.TopK` is
+    * the same operation with O(k) memory per group. */
+  def groupSample(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string").cast("binary")).asc, $"doc_id".asc)
+    Tables.documents(s, d)
+      .select($"source", $"doc_id")
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .where($"rk" <= k)
+  }
+
   /** The raw sample itself (spec-checked for determinism and rates). */
   def rawStratifiedSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -117,6 +136,15 @@ object Maintenance {
 
   val oracle: Map[String, String] = Map(
     "maint_compact" -> "SELECT doc_id, text FROM documents",
+    "maint_group_sample" -> """
+      SELECT source, doc_id, rk FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                           doc_id ASC) AS rk
+        FROM documents) t
+      WHERE rk <= 3""",
+
     "maint_hash_split" -> """
       SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
                   ELSE 'test' END AS split,
