@@ -115,12 +115,18 @@ object Maintenance {
     * sampleBy/randomSplit. One shuffle (window per group); for groups too
     * large to sort, the bounded-buffer Aggregator in `graft.agg.TopK` is
     * the same operation with O(k) memory per group. */
-  def groupSample(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+  def groupSample(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    groupSampleOf(Tables.documents(s, d), k)
+
+  /** Core over any (source, doc_id, …) frame (the declared query and the
+    * CurationSpec stability test both drive THIS code path). */
+  def groupSampleOf(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"source")
       .orderBy(md5($"doc_id".cast("string").cast("binary")).asc, $"doc_id".asc)
-    Tables.documents(s, d)
+    docs
       .select($"source", $"doc_id")
       .withColumn("rk", row_number().over(w).cast("bigint"))
       .where($"rk" <= k)

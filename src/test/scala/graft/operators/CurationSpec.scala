@@ -52,6 +52,22 @@ class CurationSpec extends SparkSpec {
     assert(out("train").toDouble / total > 0.8 && out("train").toDouble / total < 0.97, out.toString)
   }
 
+  test("group sample: exactly min(k, |group|) per group, repartition-stable") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val got = Maintenance.groupSampleOf(docs, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perGroup = got.groupBy(_._1).view.mapValues(_.size).toMap
+    sizes.foreach { case (src, n) =>
+      assert(perGroup.getOrElse(src, 0) === math.min(3L, n), s"group $src")
+    }
+    // content-addressed: the same set regardless of physical layout
+    val reshuffled = Maintenance.groupSampleOf(docs.repartition(7), 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(reshuffled === got)
+  }
+
   test("orc roundtrip preserves the supplier table bit-exactly") {
     val back = graft.sources.Sources.orcRoundtrip(spark, sf)
     val orig = graft.core.Tables.supplier(spark, sf)
