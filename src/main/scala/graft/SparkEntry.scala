@@ -126,6 +126,7 @@ object SparkEntry {
     "maint_compact"     -> ((s: SparkSession, d: String) => Maintenance.compact(s, d)),
     "maint_upsert"      -> (Maintenance.upsert _),
     "maint_hash_split"  -> (Maintenance.hashSplit _),
+    "maint_hash_split_docs" -> (Maintenance.hashSplitDocs _),
     "maint_group_sample" -> ((s: SparkSession, d: String) => Maintenance.groupSample(s, d)),
     "sample_stratified" -> (Maintenance.stratifiedSample _),
     // S. streaming

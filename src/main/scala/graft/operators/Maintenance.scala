@@ -96,15 +96,33 @@ object Maintenance {
     * md5 (not xxhash64) so DuckDB replays the bucketing bit-exactly. */
   def hashSplit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bucket =
-      conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 8), 16, 10)
-        .cast("bigint") % 100
+    val bucket = bucketCol
     Tables.documents(s, d)
       .select(when(bucket < 90, "train").when(bucket < 95, "val")
                 .otherwise("test").as("split"),
               $"n_chars")
       .groupBy($"split")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+  }
+
+  /** Per-doc view of [[hashSplit]]'s bucketing: (doc_id, bucket, split).
+    * Exists so a hash-split mismatch localizes to specific rows instead of
+    * an opaque 3-row aggregate — the debuggability the round-3 red row
+    * lacked. Same expression as [[hashSplit]]; pure per-row arithmetic. */
+  def hashSplitDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket = bucketCol
+    Tables.documents(s, d)
+      .select($"doc_id", bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** First 32 bits of md5(doc_id) mod 100, as a bigint column. */
+  private def bucketCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col => c}
+    conv(substring(md5(c("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % 100
   }
 
   /** Exactly-K-per-group sample (fixed examples per source — the "take 3
@@ -140,6 +158,17 @@ object Maintenance {
       .select($"o_orderkey", $"o_orderstatus")
   }
 
+  /** First-32-bits-of-md5 mod 100 in version-stable SQL: each of the 8 hex
+    * digits is decoded positionally via strpos over the hex alphabet (both
+    * ANSI-ish and stable across DuckDB versions, unlike '0x'-string casts). */
+  private val hexBucketSql: String = {
+    val terms = (1 to 8).map { i =>
+      val weight = 1L << (4 * (8 - i))
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $weight"
+    }
+    "(" + terms.mkString("(", "\n               + ", ")") + " % 100)"
+  }
+
   val oracle: Map[String, String] = Map(
     "maint_compact" -> "SELECT doc_id, text FROM documents",
     "maint_group_sample" -> """
@@ -151,14 +180,20 @@ object Maintenance {
         FROM documents) t
       WHERE rk <= 3""",
 
-    "maint_hash_split" -> """
+    // Hex → int via positional digit arithmetic (strpos on a hex-digit
+    // alphabet), NOT the '0x'-string CAST whose semantics have varied
+    // across DuckDB versions — round 3's only red row traced to that idiom.
+    "maint_hash_split" -> s"""
       SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
                   ELSE 'test' END AS split,
              count(*) AS n_docs, sum(n_chars) AS sum_chars
-      FROM (SELECT n_chars,
-              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
-            FROM documents)
+      FROM (SELECT n_chars, $hexBucketSql AS b FROM documents)
       GROUP BY 1""",
+    "maint_hash_split_docs" -> s"""
+      SELECT doc_id, b AS bucket,
+             CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, $hexBucketSql AS b FROM documents)""",
     "maint_upsert" -> """
       WITH base AS (
         SELECT o_orderkey, o_orderstatus,
