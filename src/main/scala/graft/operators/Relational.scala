@@ -155,23 +155,31 @@ object Relational {
     * native ASOF JOIN. */
   def joinAsof(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, d)
-    def side(kind: String) = ev.where($"event_type" === kind)
-      .groupBy($"user_id", $"ts").agg(max($"event_id").as("event_id"))
-    val clicks = side("click")
-    val signups = side("signup")
-    val tagged = signups
-      .select($"user_id", $"ts", lit(0).as("kind"), lit(null).cast("long").as("click_id"),
-              $"event_id".as("signup_id"))
-      .unionByName(clicks.select($"user_id", $"ts", lit(1).as("kind"),
-              $"event_id".as("click_id"), lit(null).cast("long").as("signup_id")))
+    // ONE scan (both event kinds in a single pushed-down filter) and ONE
+    // shuffle: the round-3 tie-dedup ran a groupBy(user_id, ts) per side —
+    // two extra exchanges — before the window. Both dedups now ride the
+    // same windowed pass: ordering by (ts, kind, event_id) makes the
+    // running `last` signup pick the max event_id at the latest ts ≤ click
+    // ts for free, and a `lead` over the identical partition+order drops
+    // every click that is followed by another click at the same (user, ts)
+    // — keeping exactly the max-event_id click. Same window spec → the
+    // planner stacks both window ops on one Exchange(user_id) + sort.
+    val tagged = Tables.events(s, d)
+      .where($"event_type".isin("click", "signup"))
+      .select($"user_id", $"ts",
+        when($"event_type" === "signup", 0).otherwise(1).as("kind"),
+        $"event_id")
     val w = Window.partitionBy($"user_id")
-      .orderBy($"ts".asc, $"kind".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .orderBy($"ts".asc, $"kind".asc, $"event_id".asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
-      .withColumn("asof_signup", last($"signup_id", ignoreNulls = true).over(w))
-      .where($"kind" === 1 && $"asof_signup".isNotNull)
-      .select($"user_id", $"click_id", $"asof_signup".as("signup_id"))
+      .withColumn("asof_signup",
+        last(when($"kind" === 0, $"event_id"), ignoreNulls = true).over(running))
+      .withColumn("nxt_ts", lead($"ts", 1).over(w))
+      .withColumn("nxt_kind", lead($"kind", 1).over(w))
+      .where($"kind" === 1 && $"asof_signup".isNotNull &&
+        ($"nxt_ts".isNull || $"nxt_ts" =!= $"ts" || $"nxt_kind" =!= $"kind"))
+      .select($"user_id", $"event_id".as("click_id"), $"asof_signup".as("signup_id"))
   }
 
   /** Skew-mitigated join by explicit key salting: the fact side gets a

@@ -112,6 +112,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected one user_id exchange, got $exchanges\n$p")
   }
 
+  test("join_asof runs on a single user_id exchange and one scan") {
+    // round 3's tie-dedup added two per-side groupBy(user_id, ts) shuffles
+    // before the window; the dedup now rides the window's own sort, so the
+    // whole as-of is one scan of events + one hash exchange
+    val p = plan("join_asof").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one user_id exchange, got $exchanges\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one events scan, got $scans\n$p")
+  }
+
   test("text_repetition is a pure map — zero exchanges") {
     // the curation gate a 100 TB pass runs map-side before anything
     // shuffle-bearing; an exchange appearing here means the per-row HOF
