@@ -103,7 +103,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingLshRecall(s, d)),
     // J. similarity search (approximate paths emit oracle-checked recall
     // bounds vs the exact in-engine top-k; raw top-k spec'd in SimSearchSpec)
-    "simsearch_topk"       -> ((s: SparkSession, d: String) => SimSearch.bruteTopK(s, d)),
+    "simsearch_topk"       -> ((s: SparkSession, d: String) => SimSearch.bruteTopKShared(s, d)),
     "simsearch_lsh_recall" -> ((s: SparkSession, d: String) => SimSearch.lshRecall(s, d)),
     "simsearch_ivf_recall" -> ((s: SparkSession, d: String) => SimSearch.ivfRecall(s, d)),
     // J. text analysis

@@ -87,7 +87,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("simsearch brute force broadcasts the query side") {
-    val p = plan("simsearch_topk")
+    // the declared simsearch_topk reads the session-scoped exact-top-k
+    // artifact; the plan contract lives on the compute path that writes it
+    val df = SimSearch.bruteTopK(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
