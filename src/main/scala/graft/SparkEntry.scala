@@ -132,6 +132,7 @@ object SparkEntry {
     // S. streaming
     "stream_tumbling" -> (graft.streaming.Streams.tumbling _),
     "stream_tumbling_append" -> (graft.streaming.Streams.tumblingAppend _),
+    "stream_tumbling_update" -> (graft.streaming.Streams.tumblingUpdate _),
     "stream_sliding"  -> (graft.streaming.Streams.sliding _),
     "stream_session"  -> (graft.streaming.Streams.sessionize _),
     "stream_dedup"    -> (graft.streaming.Streams.dedupKeys _),

@@ -21,8 +21,9 @@ import graft.core.Tables
   * Modes: the three windowed aggregations run in `complete` mode
   * (nothing withheld by the watermark, so the sink equals the batch
   * answer); [[tumblingAppend]] runs the production `append` shape —
-  * watermark-finalized windows only; dedup runs in `append` (emit on
-  * first sight); statefulCount in `update`.
+  * watermark-finalized windows only; [[tumblingUpdate]] the `update`
+  * dashboard shape — changed rows only, last revision selected; dedup
+  * runs in `append` (emit on first sight); statefulCount in `update`.
   *
   * Scale: watermark + window state lives in the state store keyed by
   * (window, key) — partitioned by the same shuffle as the aggregation, so
@@ -164,6 +165,37 @@ object Streams {
            (sum(round($"value" * 100).cast("bigint")) / 100.0).as("total"))
       .select($"window.start".as("w_start"), $"event_type", $"n", $"total")
     runToTable(s, agg, "graft_stream_tumbling_append", "append")
+  }
+
+  /** Tumbling 1-day windows in UPDATE mode — the dashboard-sink shape
+    * (closes SURVEY §2.3 S's "agg in update/append modes" for *windowed*
+    * aggs; round 3 ran windowed aggs only complete+append and update only
+    * for the unwindowed stateful count): each batch emits ONLY the
+    * (window, key) rows it changed — neither complete's full re-emit nor
+    * append's watermark-withheld finalization. The memory sink therefore
+    * holds every REVISION a window's row went through across the ≥3
+    * time-ordered microbatches; the query's answer is each key's last
+    * revision (max n — counts grow monotonically), the same batch-side
+    * post-step statefulCount uses. Time-ordered replay means a window's
+    * state is never evicted before all its rows arrive, so the last
+    * revision per key equals the batch answer and the complete-mode
+    * oracle applies. A `require` asserts at least one key was revised
+    * across batches — the observable that separates update from append. */
+  def tumblingUpdate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+           (sum(round($"value" * 100).cast("bigint")) / 100.0).as("total"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"total")
+    val updates = runToTable(s, agg, "graft_stream_tumbling_update", "update")
+    val last = updates.groupBy($"w_start", $"event_type")
+      .agg(max($"n").as("n"), max_by($"total", $"n").as("total"))
+    require(updates.count() > last.count(),
+      "update mode emitted exactly one revision per key — batch-boundary " +
+      "windows should have been revised; is the fixture replaying as one batch?")
+    last
   }
 
   /** Sliding windows (6h window, 3h slide): every event lands in exactly
@@ -426,6 +458,15 @@ object Streams {
       GROUP BY 1, 2""",
 
     "stream_tumbling" -> """
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+             event_type, count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+      FROM events GROUP BY 1, 2""",
+
+    // update mode, last revision per (window, key) selected — equals the
+    // batch answer because the time-ordered replay never evicts a window's
+    // state before all its rows arrive
+    "stream_tumbling_update" -> """
       SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
              event_type, count(*) AS n,
              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
