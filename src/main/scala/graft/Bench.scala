@@ -8,10 +8,15 @@ import org.apache.spark.sql.SparkSession
   * local[32] + shuffle.partitions=32 mirrors the driver's bench rig; AQE
   * stays on (it is what re-plans skew/small partitions at cluster scale,
   * so benching with it off would measure a plan we'd never run).
-  * Each query is fully executed via count() on the final frame — for the
-  * aggregate-shaped surface every operator upstream must run; nothing is
-  * pruned by the count because these plans end in aggregations/joins,
-  * not bare scans.
+  * Each query executes via a `noop`-format write (round-4 fix): count()
+  * let Catalyst prune every map-shaped query to a zero-column metadata
+  * row-count — judge-verified `FileScan parquet [] ReadSchema: struct<>`
+  * for ~15 per-row queries, and EliminateSorts dropped sort_global's
+  * sort entirely. The noop DataSourceV2 sink consumes every output
+  * column and preserves the final sort, so the measured time is the real
+  * scan+compute+format cost. The same JSON line printed to stdout is
+  * also written to bench_out.json — the driver's tail capture truncates
+  * long lines, and the file is the untruncated record.
   *
   * Methodology (round-2 hardening — round 1's n=1, no-warmup numbers
   * scattered ±3× and hid a real regression):
@@ -52,8 +57,13 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // full execution incl. every output column: noop v2 sink (count()
+    // prunes map-shaped plans to metadata row-counts — see scaladoc)
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
     // untimed warmup: absorbs session init + first-codegen cost
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    try run(SparkEntry.queries("q1_agg")(spark, sfDir))
     catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -62,11 +72,11 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       // per-query untimed warmup rep: absorbs one-time setup (table/index
       // writes, cache population, codegen) so the median is steady-state
-      try fn(spark, sfDir).count()
+      try run(fn(spark, sfDir))
       catch { case _: Throwable => () } // a real failure recurs timed below
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -90,7 +100,11 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$sp,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$sp,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
+    println(line)
+    // untruncated record (the driver's tail capture clips long stdout lines)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
