@@ -379,19 +379,35 @@ object Relational {
               coalesce($"next_qty", lit(-1.0)).as("next_qty"))
   }
 
-  /** Frames: running total (ROWS) + banded total (RANGE) in exact cents. */
+  /** Frames: running total (ROWS) + banded total (RANGE) in exact cents.
+    *
+    * The banded sum (all orders within $100k below this one's price) is
+    * computed as the DIFFERENCE OF TWO CUMULATIVE range frames —
+    * cum(≤ v) − cum(≤ v − band − 1) — NOT as one sliding
+    * `rangeBetween(-band, 0)` frame: Spark evaluates a sliding frame by
+    * re-aggregating the whole in-frame buffer per row, O(rows × frame
+    * width) per partition (measured 45 s at sf0.1 — 50k-row partitions
+    * whose band covers a large value fraction; the first honest noop-sink
+    * bench surfaced it), while unbounded-preceding frames grow
+    * incrementally, O(rows) total. Tie semantics are identical: a range
+    * frame always includes the full peer group at each bound, and with
+    * integer cents the −(band+1) upper offset is exactly "strictly below
+    * v − band". This difference-of-cumulatives identity is THE way to
+    * express wide value-banded aggregates at scale. */
   def windowFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val byKey = Window.partitionBy($"o_orderstatus")
       .orderBy($"o_orderkey".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val byPrice = Window.partitionBy($"o_orderstatus")
-      .orderBy($"o_totalprice_c".asc)
-      .rangeBetween(-100000L * 100, 0L)
+    val byPrice = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice_c".asc)
+    val cumAll = byPrice.rangeBetween(Window.unboundedPreceding, 0L)
+    val cumBelowBand = byPrice.rangeBetween(Window.unboundedPreceding, -100000L * 100 - 1)
     Tables.orders(s, d)
       .select($"o_orderstatus", $"o_orderkey", cents($"o_totalprice").as("o_totalprice_c"))
       .withColumn("running_c", sum($"o_totalprice_c").over(byKey))
-      .withColumn("band_c", sum($"o_totalprice_c").over(byPrice))
+      .withColumn("band_c",
+        sum($"o_totalprice_c").over(cumAll) -
+          coalesce(sum($"o_totalprice_c").over(cumBelowBand), lit(0L)))
       .select($"o_orderstatus", $"o_orderkey",
               ($"running_c" / 100.0).as("running"), ($"band_c" / 100.0).as("band"))
   }

@@ -16,7 +16,7 @@ object BenchDelta {
     val basePath = if (args.length > 1) args(1) else "BASELINE.md"
 
     val benchLine = {
-      val src = Source.fromFile(benchPath)
+      val src = Source.fromFile(benchPath, "UTF-8")
       try src.getLines().mkString("\n") finally src.close()
     }
     // pull the "queries":{...} object out of the single JSON line
@@ -29,7 +29,7 @@ object BenchDelta {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
     // BASELINE.md rows: | query | median sec | spread |
-    val baseSrc = Source.fromFile(basePath)
+    val baseSrc = Source.fromFile(basePath, "UTF-8")
     val base = try {
       baseSrc.getLines().flatMap { l =>
         """\|\s*([a-z][A-Za-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|\s*[0-9.]+\s*\|""".r
