@@ -117,6 +117,11 @@ object SparkEntry {
     "text_bigrams"     -> (TextAnalysis.topBigrams _),
     "text_repetition"  -> (TextAnalysis.repetition _),
     "text_pack"        -> ((s: SparkSession, d: String) => TextAnalysis.sequencePack(s, d)),
+    // J. corpus curation (composed passes over the per-signal blocks)
+    "curate_contamination" -> ((s: SparkSession, d: String) => Curation.contamination(s, d)),
+    "curate_pii_scrub"     -> (Curation.piiScrub _),
+    "curate_mix_plan"      -> ((s: SparkSession, d: String) => Curation.mixPlan(s, d)),
+    "curate_filter_funnel" -> (Curation.filterFunnel _),
     // J. multimodal plumbing
     "mm_meta"   -> (Multimodal.mediaMeta _),
     "mm_decode" -> (Multimodal.decodeFeatures _),
@@ -149,5 +154,6 @@ object SparkEntry {
     RelationalOracles.sql ++ Sql.oracle ++ graft.mr.WordCount.oracle ++
     graft.sources.Sources.oracle ++ graft.agg.TopK.oracle ++
     Dedup.oracle ++ SimSearch.oracle ++ TextAnalysis.oracle ++ Maintenance.oracle ++
+    Curation.oracle ++
     Multimodal.oracle ++ graft.streaming.Streams.oracle
 }

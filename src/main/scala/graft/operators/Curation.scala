@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Training-data curation operators beyond the per-signal building blocks
+  * in [[TextAnalysis]] — the composed / corpus-level passes a 100 TB
+  * pipeline actually schedules (SURVEY.md §2.3 J):
+  *
+  *  - [[contamination]] — benchmark decontamination by n-gram containment;
+  *  - [[piiScrub]] — regex PII redaction (emails / IPv4 / phone-shaped);
+  *  - [[mixPlan]] — temperature-weighted source mixing plan;
+  *  - [[filterFunnel]] — the composed keep/drop gate with a first-fail
+  *    reason, stacking the length, stopword, repetition and language
+  *    signals in one per-row pass.
+  */
+object Curation {
+
+  private def toks(text: Column): Column = split(lower(text), " ")
+
+  private def hitCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(lit): _*)))
+
+  // ------------------------------------------------- benchmark contamination
+
+  /** Docs with id < EvalDocs form the "benchmark" set — a FIXED prefix, so
+    * the broadcast eval-gram set is O(1) in corpus scale (the same
+    * fixed-query-set discipline as [[SimSearch.NumQueries]]). */
+  val EvalDocs = 20
+
+  /** Benchmark contamination check (the decontamination pass every
+    * training corpus runs against its eval suites): for each corpus doc,
+    * the number of distinct word 5-grams it shares with ANY eval doc, its
+    * total distinct 5-grams, and the containment rate. Only contaminated
+    * docs (n_shared > 0) are emitted — at 100 TB that is the report a
+    * pipeline materializes, not a row per clean doc.
+    *
+    * Shape: ONE corpus shingling pass; the eval-gram set is tiny and
+    * BROADCAST into a left join, so corpus grams never shuffle for the
+    * membership test; per-doc totals ride the same single groupBy
+    * (wordShingles arrays are already distinct-per-doc, so plain count —
+    * partial-aggregated map-side — replaces count_distinct). */
+  def contamination(s: SparkSession, d: String, n: Int = 5): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", explode(Dedup.wordShingles($"text", n)).as("g"))
+    val evalGrams = grams.where($"doc_id" < EvalDocs).select($"g").distinct()
+    grams.where($"doc_id" >= EvalDocs)
+      .join(broadcast(evalGrams.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("n_shared"),
+           count(lit(1)).as("n_grams"))
+      .where($"n_shared" > 0)
+      .select($"doc_id", $"n_shared", $"n_grams",
+        round($"n_shared".cast("double") / $"n_grams", 6).as("rate"))
+  }
+
+  // --------------------------------------------------------------- PII scrub
+
+  /** Same regex dialect subset in Java (Spark) and RE2 (DuckDB): character
+    * classes, bounded repetition — no backrefs, no lookaround. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "555-[0-9]{4}"
+
+  /** PII redaction: count then replace emails, IPv4 addresses and
+    * phone-shaped tokens with typed placeholder tags. The fixture corpus
+    * is synthetic word salad with no PII, so each doc first gets a
+    * deterministic injected contact tail (email + ip + phone derived from
+    * doc_id) — FIXTURE STAGING, replayed identically by the oracle; the
+    * operator under test is the scrubber. Entirely per-row regex
+    * (codegen'd), zero shuffle — the map-side pass a 100 TB pipeline runs
+    * inline with ingestion. Order matters and is fixed: emails first (an
+    * email can embed digit runs), then IPs, then phones. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val injected = concat($"text",
+      lit(" contact user"), $"doc_id".cast("string"),
+      lit("@example.com ip 10.0."), pmod($"doc_id", lit(256L)).cast("string"),
+      lit(".7 call 555-01"),
+      lpad(pmod($"doc_id", lit(100L)).cast("string"), 2, "0"))
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace($"t", lit(EmailRe), lit("<EMAIL>")),
+          lit(Ipv4Re), lit("<IP>")),
+        lit(PhoneRe), lit("<PHONE>"))
+    Tables.documents(s, d)
+      .select($"doc_id", injected.as("t"))
+      .select($"doc_id",
+        size(regexp_extract_all($"t", lit(EmailRe), lit(0))).cast("bigint").as("n_email"),
+        size(regexp_extract_all($"t", lit(Ipv4Re), lit(0))).cast("bigint").as("n_ip"),
+        size(regexp_extract_all($"t", lit(PhoneRe), lit(0))).cast("bigint").as("n_phone"),
+        scrubbed.as("scrubbed"))
+  }
+
+  // ---------------------------------------------------------------- mix plan
+
+  /** Temperature-weighted source mixing plan (the multinomial-sampling
+    * weights of multilingual/multi-source training): weight_i ∝
+    * n_i^alpha with alpha = 0.5 — up-weights small sources relative to
+    * proportional sampling — and integer per-source targets for a fixed
+    * example budget. The plan is a per-source aggregate (tiny at any
+    * corpus scale) that downstream samplers consume as a broadcast; the
+    * actual draw is [[Maintenance.groupSampleOf]]-shaped. */
+  def mixPlan(s: SparkSession, d: String, alpha: Double = 0.5,
+      budget: Long = 1000L): DataFrame = {
+    import s.implicits._
+    val bySrc = Tables.documents(s, d)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val z = bySrc.agg(sum(pow($"n_docs", alpha)).as("z"))
+    bySrc.crossJoin(broadcast(z)) // 1-row scalar
+      .select($"source", $"n_docs",
+        round(pow($"n_docs", alpha) / $"z", 6).as("weight"),
+        floor(lit(budget) * pow($"n_docs", alpha) / $"z").cast("bigint")
+          .as("target_docs"))
+  }
+
+  // ------------------------------------------------------------ filter funnel
+
+  /** The composed curation gate: every quality signal evaluated in ONE
+    * per-row pass, emitting keep + the FIRST failing rule (the funnel
+    * report that tells a pipeline owner what each rule costs in yield).
+    * Rule order is fixed: too_short → low_stopword → repetitive → lang.
+    * Thresholds compare the same 6dp-rounded ratios the per-signal
+    * queries emit, so the funnel is exactly consistent with
+    * [[TextAnalysis.quality]] / [[TextAnalysis.repetitionOf]] /
+    * [[TextAnalysis.langId]]. Pure map — zero exchanges (plan-asserted),
+    * the gate a 100 TB pass runs before anything shuffle-bearing. */
+  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nToks = size($"tk")
+    val stopRatio =
+      round(hitCount($"tk", TextAnalysis.StopwordSets.head._2).cast("double") / nToks, 6)
+    val bi = Dedup.wordShinglesOf($"tk", 2) // with multiplicity
+    val dupBigramFrac = when(size(bi) > 0,
+        round(lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi), 6))
+      .otherwise(0.0)
+    val topTokFrac = round(
+      array_max(transform(array_distinct($"tk"),
+        u => size(filter($"tk", x => x === u)))).cast("double") / nToks, 6)
+    val scores = TextAnalysis.StopwordSets.map { case (lang, ws) =>
+      lang -> hitCount($"tk", ws)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val langPred = scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    val reason =
+      when($"n_chars" < 100 || nToks < 20, "too_short")
+        .when(stopRatio < 0.05, "low_stopword")
+        .when(dupBigramFrac > 0.2 || topTokFrac > 0.3, "repetitive")
+        .when(langPred =!= "en", "lang")
+        .otherwise("keep")
+    Tables.documents(s, d)
+      .select($"doc_id", length($"text").as("n_chars"), toks($"text").as("tk"))
+      .select($"doc_id", reason.as("reason"), (reason === "keep").as("keep"))
+  }
+
+  // ----------------------------------------------------------------- oracles
+
+  val oracle: Map[String, String] = {
+    val en = TextAnalysis.StopwordSets.head._2.map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    val langHits = TextAnalysis.StopwordSets.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(tk, t -> list_contains($lst, t))) AS c_$l"
+    }.mkString(",\n                 ")
+    Map(
+      "curate_contamination" -> s"""
+        WITH base AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        ng AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 4], ' ') AS g
+          FROM base JOIN generate_series(1, 4096) gs(i) ON i <= len(tk) - 4),
+        ev AS (SELECT DISTINCT g FROM ng WHERE doc_id < $EvalDocs)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+               count(*) AS n_grams,
+               round(CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS rate
+        FROM ng LEFT JOIN ev ON ng.g = ev.g
+        WHERE ng.doc_id >= $EvalDocs
+        GROUP BY ng.doc_id
+        HAVING sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) > 0""",
+
+      "curate_pii_scrub" -> s"""
+        WITH inj AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.7 call 555-01'
+                      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS BIGINT) AS n_ip,
+               CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phone,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+                   '$Ipv4Re', '<IP>', 'g'),
+                 '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+        FROM inj""",
+
+      "curate_mix_plan" -> """
+        WITH bysrc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        z AS (SELECT sum(pow(n_docs, 0.5)) AS z FROM bysrc)
+        SELECT source, n_docs,
+               round(pow(n_docs, 0.5) / z, 6) AS weight,
+               CAST(floor(1000 * pow(n_docs, 0.5) / z) AS BIGINT) AS target_docs
+        FROM bysrc, z""",
+
+      "curate_filter_funnel" -> s"""
+        WITH base AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 string_split(lower(text), ' ') AS tk
+          FROM documents),
+        topf AS (
+          SELECT doc_id, max(c) AS maxc FROM (
+            SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(tk) AS w FROM base) GROUP BY doc_id, w)
+          GROUP BY doc_id),
+        bistat AS (
+          SELECT doc_id, count(*) AS nb, count(DISTINCT g) AS nbd FROM (
+            SELECT doc_id, tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS g
+            FROM base JOIN generate_series(1, 4096) gs(i) ON i <= len(tk) - 1)
+          GROUP BY doc_id),
+        feat AS (
+          SELECT b.doc_id, n_chars, len(tk) AS n_toks,
+                 round(CAST(len(list_filter(tk, t -> list_contains($en, t)))
+                            AS DOUBLE) / len(tk), 6) AS stop_ratio,
+                 round(COALESCE(1.0 - CAST(nbd AS DOUBLE) / nb, 0.0), 6) AS dupf,
+                 round(CAST(maxc AS DOUBLE) / len(tk), 6) AS topfrac,
+                 $langHits
+          FROM base b
+          JOIN topf ON b.doc_id = topf.doc_id
+          LEFT JOIN bistat ON b.doc_id = bistat.doc_id),
+        pred AS (
+          SELECT *, greatest(c_en, c_de, c_es, c_fr, c_zh) AS best FROM feat)
+        SELECT doc_id,
+               CASE
+                 WHEN n_chars < 100 OR n_toks < 20 THEN 'too_short'
+                 WHEN stop_ratio < 0.05 THEN 'low_stopword'
+                 WHEN dupf > 0.2 OR topfrac > 0.3 THEN 'repetitive'
+                 WHEN NOT (c_en = best AND best > 0) THEN 'lang'
+                 ELSE 'keep' END AS reason,
+               (CASE
+                 WHEN n_chars < 100 OR n_toks < 20 THEN 'too_short'
+                 WHEN stop_ratio < 0.05 THEN 'low_stopword'
+                 WHEN dupf > 0.2 OR topfrac > 0.3 THEN 'repetitive'
+                 WHEN NOT (c_en = best AND best > 0) THEN 'lang'
+                 ELSE 'keep' END) = 'keep' AS keep
+        FROM pred"""
+    )
+  }
+}

@@ -68,6 +68,66 @@ class CurationSpec extends SparkSpec {
     assert(reshuffled === got)
   }
 
+  test("contamination flags a planted exact duplicate of an eval doc at rate 1.0") {
+    // doc 9991 duplicates eval doc 1's text verbatim; doc 9992 is clean
+    import spark.implicits._
+    val evalText = graft.core.Tables.documents(spark, sf)
+      .where(col("doc_id") === 1L).select("text").head().getString(0)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .unionByName(Seq((9991L, evalText),
+        (9992L, "totally novel words nowhere else written ever once more")).toDF("doc_id", "text"))
+    // same pipeline as the declared query, over the augmented frame
+    val grams = docs.select($"doc_id", explode(Dedup.wordShingles($"text", 5)).as("g"))
+    val ev = grams.where($"doc_id" < Curation.EvalDocs).select("g").distinct()
+    val out = grams.where($"doc_id" >= Curation.EvalDocs)
+      .join(broadcast(ev.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("ns"), count(lit(1)).as("ng"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(9991L)._1 === out(9991L)._2, "verbatim dup must be fully contained")
+    assert(out(9992L)._1 === 0L, "novel text must not be flagged")
+  }
+
+  test("pii scrub leaves no unredacted email/ip/phone behind") {
+    val scrubbed = Curation.piiScrub(spark, sf)
+    val leftover = scrubbed.where(
+      col("scrubbed").rlike(Curation.EmailRe) ||
+      col("scrubbed").rlike(Curation.Ipv4Re) ||
+      col("scrubbed").rlike(Curation.PhoneRe)).count()
+    assert(leftover === 0L)
+    assert(scrubbed.where(col("scrubbed").contains("<EMAIL>") &&
+      col("scrubbed").contains("<IP>") &&
+      col("scrubbed").contains("<PHONE>")).count() === scrubbed.count())
+  }
+
+  test("mix plan: weights sum to ~1 and targets never exceed the budget") {
+    val plan = Curation.mixPlan(spark, sf, budget = 1000L).collect()
+    val wSum = plan.map(_.getDouble(2)).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum $wSum")
+    assert(plan.map(_.getLong(3)).sum <= 1000L, "floor() keeps targets under budget")
+    // alpha=0.5 up-weights small sources: weight/count must be decreasing in count
+    val byN = plan.map(r => r.getLong(1).toDouble -> r.getDouble(2)).sortBy(_._1)
+    byN.sliding(2).foreach { case Array((n1, w1), (n2, w2)) =>
+      if (n2 > n1) assert(w2 / n2 < w1 / n1, "temperature must flatten the mix")
+      case _ => ()
+    }
+  }
+
+  test("filter funnel agrees with the standalone quality keep flag on length+stopword") {
+    import spark.implicits._
+    val funnel = Curation.filterFunnel(spark, sf).select($"doc_id", $"reason")
+    val q = TextAnalysis.quality(spark, sf).select($"doc_id", $"keep".as("q_keep"))
+    // quality's keep = NOT(too_short) AND NOT(low_stopword); the funnel's
+    // first two rules are exactly those signals, so: q_keep=false ⟺
+    // funnel reason ∈ {too_short, low_stopword}
+    val disagree = funnel.join(q, "doc_id")
+      .where(($"q_keep" && $"reason".isin("too_short", "low_stopword")) ||
+             (!$"q_keep" && !$"reason".isin("too_short", "low_stopword")))
+      .count()
+    assert(disagree === 0L)
+  }
+
   test("orc roundtrip preserves the supplier table bit-exactly") {
     val back = graft.sources.Sources.orcRoundtrip(spark, sf)
     val orig = graft.core.Tables.supplier(spark, sf)

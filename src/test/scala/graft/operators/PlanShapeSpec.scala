@@ -127,6 +127,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans == 1, s"expected one events scan, got $scans\n$p")
   }
 
+  test("curate_filter_funnel is a pure map — zero exchanges") {
+    // the composed curation gate must stay map-side like its component
+    // signals; an exchange means a signal regressed into an aggregation
+    val p = plan("curate_filter_funnel")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("curate_contamination broadcasts the eval-gram set (no corpus-gram shuffle join)") {
+    val p = plan("curate_contamination").split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "eval set must broadcast, not shuffle\n" + p)
+  }
+
   test("text_repetition is a pure map — zero exchanges") {
     // the curation gate a 100 TB pass runs map-side before anything
     // shuffle-bearing; an exchange appearing here means the per-row HOF
