@@ -137,9 +137,8 @@ object Curation {
     val dupBigramFrac = when(size(bi) > 0,
         round(lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi), 6))
       .otherwise(0.0)
-    val topTokFrac = round(
-      array_max(transform(array_distinct($"tk"),
-        u => size(filter($"tk", x => x === u)))).cast("double") / nToks, 6)
+    val topTokFrac =
+      round(TextAnalysis.topTokenCount($"tk").cast("double") / nToks, 6)
     val scores = TextAnalysis.StopwordSets.map { case (lang, ws) =>
       lang -> hitCount($"tk", ws)
     }
