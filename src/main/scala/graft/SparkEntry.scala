@@ -106,6 +106,7 @@ object SparkEntry {
     "simsearch_topk"       -> ((s: SparkSession, d: String) => SimSearch.bruteTopKShared(s, d)),
     "simsearch_lsh_recall" -> ((s: SparkSession, d: String) => SimSearch.lshRecall(s, d)),
     "simsearch_ivf_recall" -> ((s: SparkSession, d: String) => SimSearch.ivfRecall(s, d)),
+    "simsearch_quantized_recall" -> ((s: SparkSession, d: String) => SimSearch.quantizedRecall(s, d)),
     // J. text analysis
     "text_tokens"      -> (TextAnalysis.tokenStats _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -122,6 +123,8 @@ object SparkEntry {
     "curate_pii_scrub"     -> (Curation.piiScrub _),
     "curate_mix_plan"      -> ((s: SparkSession, d: String) => Curation.mixPlan(s, d)),
     "curate_filter_funnel" -> (Curation.filterFunnel _),
+    "curate_blocklist_bloom" -> (Curation.blocklistBloom _),
+    "curate_quality_prune"  -> ((s: SparkSession, d: String) => Curation.qualityPrune(s, d)),
     // J. multimodal plumbing
     "mm_meta"   -> (Multimodal.mediaMeta _),
     "mm_decode" -> (Multimodal.decodeFeatures _),
@@ -133,6 +136,7 @@ object SparkEntry {
     "maint_hash_split"  -> (Maintenance.hashSplit _),
     "maint_hash_split_docs" -> (Maintenance.hashSplitDocs _),
     "maint_group_sample" -> ((s: SparkSession, d: String) => Maintenance.groupSample(s, d)),
+    "maint_purge"       -> (Maintenance.purgeAudit _),
     "sample_stratified" -> (Maintenance.stratifiedSample _),
     // S. streaming
     "stream_tumbling" -> (graft.streaming.Streams.tumbling _),
@@ -146,6 +150,7 @@ object SparkEntry {
     "stream_stream_join"     -> (graft.streaming.Streams.streamStreamJoin _),
     "stream_stream_left_join" -> (graft.streaming.Streams.streamStreamLeftJoin _),
     "stream_sink_parquet"    -> (graft.streaming.Streams.sinkParquet _),
+    "stream_static_join"     -> (graft.streaming.Streams.streamStaticJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -157,6 +157,103 @@ object Curation {
       .select($"doc_id", reason.as("reason"), (reason === "keep").as("keep"))
   }
 
+  // ------------------------------------------------------- blocklist bloom
+
+  /** Bloom geometry: m = 8192 bits (128 longs — a fixed-size bitmap
+    * whatever the corpus), k = 5 hash functions. At the fixture's worst
+    * case (sf0.1: 500 blocklist keys) the false-positive rate is
+    * (1 − e^(−kn/m))^k ≈ 1.3e-3 — far inside the 1% bound the query
+    * asserts. A production deployment sizes m from |blocklist|·10 bits;
+    * the structure is corpus-scale-free either way. */
+  val BloomBits = 8192
+  val BloomHashes = 5
+
+  /** k seeded positions for one key. xxhash64(key, seed) keeps the whole
+    * family codegen'd — no UDFs in the build or probe path. */
+  private def bloomPositions(key: Column): Column =
+    array((0 until BloomHashes).map(i =>
+      pmod(xxhash64(key, lit(i)), lit(BloomBits.toLong))): _*)
+
+  /** Distributed Bloom-filter build + probe — dedup-against-blocklist,
+    * the pre-join membership filter a 100 TB ingest runs before paying an
+    * exact anti-join (same role as Spark's own runtime-filter
+    * BloomFilterAggregate, built here from declarative pieces so the
+    * bitmap is an inspectable artifact):
+    *
+    *  - BUILD: blocklist = the already-ingested snapshot (doc_id % 10
+    *    == 0), keyed by sha2(text). Each key explodes to k bit
+    *    positions; `groupBy(word) bit_or(1L << bit)` assembles the
+    *    bitmap — ≤128 rows, shuffle carries O(k·|blocklist|) longs,
+    *    never documents.
+    *  - PROBE: every doc's k positions LEFT-join the BROADCAST bitmap
+    *    (O(1) in corpus scale); a doc is a bloom member iff all k bits
+    *    are set (min over hit flags).
+    *  - The exact answer (semi-join on the full hash) runs beside it and
+    *    the output row asserts the two Bloom guarantees: zero false
+    *    negatives (every exact member bloom-hits) and false positives
+    *    under 1% of non-members.
+    *
+    * Output one row (n_docs, n_members, no_false_neg_ok, fp_ok); the
+    * oracle recomputes n_docs/n_members exactly and asserts both flags
+    * constant-true. */
+  def blocklistBloom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", sha2($"text", 256).as("h"))
+    val block = docs.where(pmod($"doc_id", lit(10L)) === 0)
+    val bitmap = block
+      .select(explode(bloomPositions($"h")).as("pos"))
+      .select(($"pos" / 64).cast("long").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
+      .groupBy($"word").agg(bit_or($"m").as("mask"))
+    val bloomHits = docs
+      .select($"doc_id", explode(bloomPositions($"h")).as("pos"))
+      .select($"doc_id", ($"pos" / 64).cast("long").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
+      .join(broadcast(bitmap), Seq("word"), "left")
+      .select($"doc_id",
+        (coalesce($"mask", lit(0L)).bitwiseAND($"m") =!= 0).cast("int").as("hit"))
+      .groupBy($"doc_id").agg(min($"hit").as("bloom_member"))
+    val exact = docs.join(
+        broadcast(block.select($"h").distinct().withColumn("em", lit(1))),
+        Seq("h"), "left")
+      .select($"doc_id", coalesce($"em", lit(0)).as("exact_member"))
+    exact.join(bloomHits, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"exact_member").cast("bigint").as("n_members"),
+        max(when($"exact_member" === 1 && $"bloom_member" === 0, 1).otherwise(0))
+          .as("false_neg"),
+        sum(when($"exact_member" === 0 && $"bloom_member" === 1, 1).otherwise(0))
+          .as("n_fp"))
+      .select($"n_docs", $"n_members",
+        ($"false_neg" === 0).cast("long").as("no_false_neg_ok"),
+        ($"n_fp" <= ($"n_docs" - $"n_members") * 0.01).cast("long").as("fp_ok"))
+  }
+
+  // ------------------------------------------------------- quality pruning
+
+  /** Percentile-threshold quality pruning: keep documents whose stopword
+    * ratio (the [[TextAnalysis.quality]] signal, 6dp-rounded) is at or
+    * above the corpus's exact 25th percentile — "drop the worst quartile",
+    * the relative-threshold prune corpus curation uses when an absolute
+    * cutoff is unknown. The threshold is ONE interpolated-percentile
+    * scalar (distributed aggregate, no global sort) cross-joined back as
+    * a broadcast; membership is stable because scores are 6dp-spaced
+    * while cross-engine threshold arithmetic agrees to ~1e-15. At 100 TB
+    * the same shape holds with approx_percentile when the exact sketch
+    * is too slow — the fixture asserts the exact path. */
+  def qualityPrune(s: SparkSession, d: String, p: Double = 0.25): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, d)
+      .select($"doc_id", toks($"text").as("tk"))
+      .select($"doc_id",
+        round(hitCount($"tk", TextAnalysis.StopwordSets.head._2).cast("double")
+          / size($"tk"), 6).as("score"))
+    val thr = scored.agg(percentile($"score", lit(p)).as("thr"))
+    scored.crossJoin(broadcast(thr)) // 1-row scalar
+      .where($"score" >= $"thr")
+      .select($"doc_id", $"score")
+  }
+
   // ----------------------------------------------------------------- oracles
 
   val oracle: Map[String, String] = {
@@ -203,6 +300,26 @@ object Curation {
                    '$Ipv4Re', '<IP>', 'g'),
                  '$PhoneRe', '<PHONE>', 'g') AS scrubbed
         FROM inj""",
+
+      "curate_blocklist_bloom" -> """
+        SELECT count(*) AS n_docs,
+               CAST(sum(CASE WHEN EXISTS (
+                 SELECT 1 FROM documents b
+                 WHERE b.doc_id % 10 = 0 AND b.text = d.text)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+               CAST(1 AS BIGINT) AS no_false_neg_ok,
+               CAST(1 AS BIGINT) AS fp_ok
+        FROM documents d""",
+
+      "curate_quality_prune" -> s"""
+        WITH sc AS (
+          SELECT doc_id,
+                 round(CAST(len(list_filter(string_split(lower(text), ' '),
+                         t -> list_contains($en, t))) AS DOUBLE)
+                       / len(string_split(lower(text), ' ')), 6) AS score
+          FROM documents),
+        thr AS (SELECT quantile_cont(score, 0.25) AS thr FROM sc)
+        SELECT doc_id, score FROM sc, thr WHERE score >= thr""",
 
       "curate_mix_plan" -> """
         WITH bysrc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),

@@ -158,6 +158,38 @@ object Maintenance {
       .select($"o_orderkey", $"o_orderstatus")
   }
 
+  /** Right-to-be-forgotten purge (GDPR/CCPA): delete every event of the
+    * users on a deletion list. The list comes from the customer dim
+    * (c_custkey % 10 == 7 stands in for the compliance queue) and is
+    * BROADCAST into an anti-join — the fact table streams through
+    * map-side, nothing shuffles, which is the only shape that works when
+    * the purge scans 100 TB of events for a few thousand ids. */
+  def purge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dl = Tables.customer(s, d)
+      .where(pmod($"c_custkey", lit(10L)) === 7)
+      .select($"c_custkey".as("user_id"))
+    Tables.events(s, d).join(broadcast(dl), Seq("user_id"), "left_anti")
+  }
+
+  /** The purge AUDIT a compliance pipeline must emit with the delete:
+    * per event_type, rows before / purged / after. One pass over events
+    * (broadcast left join + conditional count) — it never runs the scan
+    * twice to count both sides. `MaintenanceSpec` asserts the audit's
+    * n_after equals [[purge]]'s actual row counts. */
+  def purgeAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dl = Tables.customer(s, d)
+      .where(pmod($"c_custkey", lit(10L)) === 7)
+      .select($"c_custkey".as("user_id"), lit(1L).as("del"))
+    Tables.events(s, d).join(broadcast(dl), Seq("user_id"), "left")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_before"),
+           sum(coalesce($"del", lit(0L))).as("n_purged"))
+      .select($"event_type", $"n_before", $"n_purged",
+        ($"n_before" - $"n_purged").as("n_after"))
+  }
+
   /** First-32-bits-of-md5 mod 100 in version-stable SQL: each of the 8 hex
     * digits is decoded positionally via strpos over the hex alphabet (both
     * ANSI-ish and stable across DuckDB versions, unlike '0x'-string casts). */
@@ -171,6 +203,14 @@ object Maintenance {
 
   val oracle: Map[String, String] = Map(
     "maint_compact" -> "SELECT doc_id, text FROM documents",
+    "maint_purge" -> """
+      SELECT e.event_type, count(*) AS n_before,
+             CAST(count(dl.user_id) AS BIGINT) AS n_purged,
+             count(*) - count(dl.user_id) AS n_after
+      FROM events e LEFT JOIN (
+        SELECT c_custkey AS user_id FROM customer WHERE c_custkey % 10 = 7) dl
+        USING (user_id)
+      GROUP BY e.event_type""",
     "maint_group_sample" -> """
       SELECT source, doc_id, rk FROM (
         SELECT source, doc_id,

@@ -168,6 +168,64 @@ object SimSearch {
       .select($"q_id", $"n_id", $"rk".cast("bigint").as("rk"))
   }
 
+  /** Int8 scalar-quantized corpus (vec_id, qvec: array<tinyint>): each
+    * vector is scaled by its own max-|x|/127 and rounded — the symmetric
+    * per-vector scheme every production vector store ships first. Cosine
+    * is scale-invariant per vector, so quantized cosine needs NO
+    * dequantization scale: cos(round(a/s_a), round(b/s_b)) approximates
+    * cos(a, b) directly, and the only loss is rounding. The payoff at
+    * 100 TB is the index footprint: 64 floats → 64 bytes is a 4× cut in
+    * scan bytes / cache pressure on the O(corpus) side of every probe.
+    * Zero-vector guard keeps the scale strictly positive. */
+  def quantizedCorpus(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.select($"vec_id", $"embedding",
+        greatest(array_max(transform($"embedding", x => abs(x))), lit(1e-30f))
+          .cast("double").as("s"))
+      .select($"vec_id",
+        transform($"embedding", x => round(x / $"s" * 127).cast("tinyint")).as("qvec"))
+  }
+
+  /** Exact top-k over the int8-quantized corpus: identical search shape
+    * to [[bruteTopK]] (broadcast fixed query batch, one corpus pass,
+    * per-query window top-k) but scoring int8 codes widened to float in
+    * the codegen kernel — the storage is quantized, the arithmetic is
+    * the same [[graft.functions.FloatVecDot]] hot loop. */
+  def quantizedTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val fl = quantizedCorpus(Tables.embeddings(s, d))
+      .select($"vec_id", transform($"qvec", x => x.cast("float")).as("emb"))
+    val queries = fl.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"))
+    val scored = fl.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        VectorFunctions.cosine($"q_emb", $"emb").as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where($"rk" <= k)
+      .select($"q_id", $"n_id", $"rk".cast("bigint").as("rk"))
+  }
+
+  /** Quantization-quality bound, same contract as [[lshRecall]]: top-k
+    * over int8 codes vs the exact float top-k ([[bruteTopKShared]]).
+    * Unlike LSH/IVF there is no candidate pruning here — the recall loss
+    * is pure rounding error — so the floor is far higher (measured 0.99
+    * at sf0.01 / 1.00 at sf0.1 on the near-uniform fixture,
+    * graft.tools.FlagProbe; floor 0.85 leaves margin for corpora with
+    * tighter neighbor gaps). Output one row (n_queries, recall_ok). */
+  def quantizedRecall(s: SparkSession, d: String, k: Int = 5,
+      floor: Double = 0.85): DataFrame = {
+    import s.implicits._
+    val exact = bruteTopKShared(s, d, k)
+    exact.agg(count_distinct($"q_id").as("n_queries"))
+      .crossJoin(Dedup.recallCounts(exact.select($"q_id", $"n_id"),
+        quantizedTopK(s, d, k).select($"q_id", $"n_id"), Seq("q_id", "n_id")))
+      .select($"n_queries",
+        ($"n_found" >= $"n_exact" * floor).cast("long").as("recall_ok"))
+  }
+
   // ------------------------------------------------ driver-visible recall
   // Round 1 left the approximate paths rows-only; their recall bounds
   // lived in SimSearchSpec where the driver never saw them. These queries
@@ -236,6 +294,10 @@ object SimSearch {
       FROM embeddings WHERE vec_id < $NumQueries""",
 
     "simsearch_lsh_recall" -> s"""
+      SELECT count(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
+      FROM embeddings WHERE vec_id < $NumQueries""",
+
+    "simsearch_quantized_recall" -> s"""
       SELECT count(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
       FROM embeddings WHERE vec_id < $NumQueries""",
 

@@ -228,6 +228,29 @@ object Streams {
     runToTable(s, agg, "graft_stream_session", "complete")
   }
 
+  /** Stream-STATIC enrichment join — the most common production join
+    * shape (a fact stream decorated with a dimension table) and a
+    * different machine than the stream-stream joins below: the static
+    * side needs NO watermark and NO join state; every microbatch plans a
+    * fresh broadcast-hash lookup against the dim snapshot, so the stream
+    * side never shuffles for the join. Enriched events then aggregate
+    * into 1-day windows per market segment (complete mode). The oracle
+    * replays the batch join + window — stream-static inner join over an
+    * append-only static table is exactly batch-equivalent. */
+  def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = broadcast(Tables.customer(s, d)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment"))
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .join(dim, Seq("user_id"))
+      .groupBy(window($"ts", "1 day"), $"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+           (sum(round($"value" * 100).cast("bigint")) / 100.0).as("total"))
+      .select($"window.start".as("w_start"), $"c_mktsegment", $"n", $"total")
+    runToTable(s, agg, "graft_stream_static_join", "complete")
+  }
+
   /** Streaming dedup on (user_id, event_type): emits each key once on
     * first sight (append mode). Output = the distinct key set. */
   def dedupKeys(s: SparkSession, d: String): DataFrame = {
@@ -455,6 +478,13 @@ object Streams {
       FROM events
       WHERE CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) + INTERVAL 1 DAY
             <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 10 MINUTE
+      GROUP BY 1, 2""",
+
+    "stream_static_join" -> """
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+             c_mktsegment, count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
       GROUP BY 1, 2""",
 
     "stream_tumbling" -> """

@@ -28,4 +28,22 @@ class MaintenanceSpec extends SparkSpec {
     assert(files.length === 3, files.mkString(", "))
     assert(out.count() === graft.core.Tables.documents(spark, sf).count())
   }
+
+  test("purge audit is consistent with the actual purged frame") {
+    val audit = Maintenance.purgeAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val after = Maintenance.purge(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    audit.foreach { case (et, (before, purged, remain)) =>
+      assert(before - purged === remain)
+      assert(after.getOrElse(et, 0L) === remain, s"$et: audit=$remain purge=${after.get(et)}")
+    }
+    // no purged user survives
+    val survivors = Maintenance.purge(spark, sf)
+      .where(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.lit(10L)) === 7).count()
+    assert(survivors === 0L)
+  }
 }

@@ -168,4 +168,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Join"), p)
   }
+
+  test("maint_purge anti-joins via broadcast — the fact side never shuffles") {
+    val df = Maintenance.purge(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("curate_blocklist_bloom probes a broadcast bitmap (no corpus-side merge join)") {
+    val p = plan("curate_blocklist_bloom")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("curate_quality_prune threshold is a one-row broadcast, not a join by sort") {
+    val p = plan("curate_quality_prune")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

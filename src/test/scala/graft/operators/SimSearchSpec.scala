@@ -29,6 +29,22 @@ class SimSearchSpec extends SparkSpec {
     assert(recall > 10.0 * 5 / corpus, s"recall=$recall corpus=$corpus")
   }
 
+  test("int8 quantization stores bytes in [-127,127] and keeps recall near 1") {
+    val q = SimSearch.quantizedCorpus(graft.core.Tables.embeddings(spark, sf))
+    // storage really is int8 (the 4x footprint claim)
+    assert(q.schema("qvec").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, true))
+    import org.apache.spark.sql.functions._
+    val bad = q.where(exists(col("qvec"), x => abs(x) > 127)).count()
+    assert(bad === 0L)
+    // every vector hits |q|=127 at its max-|x| coordinate (scale is per-vector)
+    val noMax = q.where(!array_contains(transform(col("qvec"), x => abs(x)), 127)).count()
+    assert(noMax === 0L)
+    val approx = pairs(SimSearch.quantizedTopK(spark, sf))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.85, s"quantized recall=$recall")
+  }
+
   test("approximate results are always true neighbors (no fabricated ids)") {
     val ids = graft.core.Tables.embeddings(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
