@@ -33,6 +33,7 @@ object SparkEntry {
     // D. joins
     "join_inner_bcast" -> (Relational.joinInnerBcast _),
     "join_left"        -> (Relational.joinLeft _),
+    "join_right"       -> (Relational.joinRight _),
     "join_full"        -> (Relational.joinFull _),
     "join_semi"        -> (Relational.joinSemi _),
     "join_anti"        -> (Relational.joinAnti _),

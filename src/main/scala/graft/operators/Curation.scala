@@ -196,9 +196,15 @@ object Curation {
     * Output one row (n_docs, n_members, no_false_neg_ok, fp_ok); the
     * oracle recomputes n_docs/n_members exactly and asserts both flags
     * constant-true. */
-  def blocklistBloom(s: SparkSession, d: String): DataFrame = {
+  def blocklistBloom(s: SparkSession, d: String): DataFrame =
+    blocklistBloomOf(Tables.documents(s, d))
+
+  /** Core over any (doc_id, text, …) frame — exposed so specs can plant
+    * duplicates and assert the no-false-negative guarantee end-to-end. */
+  def blocklistBloomOf(docsRaw: DataFrame): DataFrame = {
+    val s = docsRaw.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, d).select($"doc_id", sha2($"text", 256).as("h"))
+    val docs = docsRaw.select($"doc_id", sha2($"text", 256).as("h"))
     val block = docs.where(pmod($"doc_id", lit(10L)) === 0)
     val bitmap = block
       .select(explode(bloomPositions($"h")).as("pos"))

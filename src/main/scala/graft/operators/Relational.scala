@@ -89,6 +89,21 @@ object Relational {
            coalesce(sumMoney($"o_totalprice"), lit(0.0)).as("spend"))
   }
 
+  /** Right outer join — the remaining §2.3 D direction: the fact table on
+    * the LEFT, the dimension on the RIGHT, keeping dimension rows with no
+    * facts (parts never sold aggregate to zero). Catalyst mirrors it into
+    * the same physical join as the left-outer case; what's exercised is
+    * the API direction and the null-producing stream side. */
+  def joinRight(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    l.join(p, $"l_partkey" === $"p_partkey", "right")
+      .groupBy($"p_partkey", $"p_name")
+      .agg(count($"l_orderkey").as("n_lines"),
+           coalesce(sumMoney($"l_quantity"), lit(0.0)).as("qty_sold"))
+  }
+
   /** Full outer join of two aggregated sides (per-nation customer count vs
     * supplier count) — exercises null-producing both sides. */
   def joinFull(s: SparkSession, d: String): DataFrame = {

@@ -42,6 +42,12 @@ object RelationalOracles {
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_name""",
 
+    "join_right" -> s"""
+      SELECT p_partkey, p_name, count(l_orderkey) AS n_lines,
+             coalesce(sum(${cents("l_quantity")}) / 100.0, 0.0) AS qty_sold
+      FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+      GROUP BY p_partkey, p_name""",
+
     "join_full" -> """
       SELECT coalesce(ck, sk) AS nationkey,
              coalesce(n_cust, 0) AS n_cust,

@@ -134,4 +134,21 @@ class CurationSpec extends SparkSpec {
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
   }
+
+  test("bloom blocklist never misses a planted duplicate (no false negatives)") {
+    import spark.implicits._
+    // plant exact copies of blocklist docs under fresh ids that are NOT
+    // themselves on the blocklist (offset ≡ 1 mod 10): each copy is a
+    // non-blocklist doc whose text IS blocklisted — it must bloom-hit
+    // (the structural no-false-negative guarantee, here end-to-end)
+    val docs = graft.core.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val planted = docs.where(pmod($"doc_id", lit(10L)) === 0)
+      .select(($"doc_id" + 1000001L).as("doc_id"), $"text")
+    val n = docs.count(); val np = planted.count()
+    val out = Curation.blocklistBloomOf(docs.union(planted)).head()
+    assert(out.getAs[Long]("n_docs") === n + np)
+    assert(out.getAs[Long]("n_members") === 2 * np) // originals + copies
+    assert(out.getAs[Long]("no_false_neg_ok") === 1L)
+    assert(out.getAs[Long]("fp_ok") === 1L)
+  }
 }
