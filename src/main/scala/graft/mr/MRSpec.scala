@@ -13,11 +13,13 @@ import org.apache.spark.sql.SparkSession
   * Field mapping (same spec shape, object-store plumbing dropped):
   *  - InputFilesDir  → the text-scan glob (ContainerName is the blob-store
   *    address of the same bytes — one path here)
-  *  - NumMapTasks    → advisory minimum input splits (the reference packs
-  *    byte ranges into exactly M shards, mr_master.go:152-217; Spark's
-  *    FilePartition packing is the same algorithm with a byte budget, so
-  *    we set minPartitions and let the scan decide — merged output is
-  *    partition-invariant either way, asserted by MRLawsSpec)
+  *  - NumMapTasks    → EXACT-M byte-range shards via [[ByteShards]]
+  *    (round 4; the reference packs byte ranges into exactly M shards,
+  *    mr_master.go:152-217 — previously this field was an advisory
+  *    minPartitions, the one accepted lifecycle deviation). One Spark
+  *    partition per packed shard; merged output stays partition-invariant
+  *    (MRLawsSpec), and ByteShardsSpec asserts packing + line-alignment
+  *    parity for arbitrary M
   *  - NumReduceTasks → R, the partitionSort bucket count
   *  - MapperFunc / ReducerFunc → script commands (run via python3 like the
   *    reference's exec, azure_util.go:158-165)
@@ -68,10 +70,7 @@ object MRSpec {
       if (in.isDirectory) in.listFiles().filter(_.isFile).map(_.getPath).sorted.toSeq
       else Seq(spec.inputFilesDir)
     val lines =
-      if (spec.numMapTasks > 0)
-        spark.createDataset(
-          spark.sparkContext.textFile(paths.mkString(","), spec.numMapTasks))(
-          org.apache.spark.sql.Encoders.STRING)
+      if (spec.numMapTasks > 0) ByteShards.lines(spark, paths, spec.numMapTasks)
       else MRJob.text(spark, paths: _*)
     val outDir = s"${spec.outputFilesDir}/${spec.userId}_j${spec.jobId}"
     MRJob.mapScript(lines, Seq("python3", spec.mapperFunc))
