@@ -54,9 +54,18 @@ object SessionArtifacts {
     }
   }
 
+  /** Replace a memoized artifact-dir conf value, deleting the artifact
+    * the old value pointed at first: a rebuild for a new data dir must
+    * not orphan the previous corpus's directory beyond [[clear]]'s reach
+    * (clear only sweeps dirs referenced from CURRENT conf values). */
+  private[graft] def resetDir(s: SparkSession, dirKey: String, newDir: String): Unit = {
+    s.conf.getOption(dirKey).foreach(deleteIfArtifactDir)
+    s.conf.set(dirKey, newDir)
+  }
+
   /** Best-effort recursive delete, gated to `graft_*` dirs under the JVM
     * temp dir so a mis-set conf value can never point the sweep at data. */
-  private def deleteIfArtifactDir(v: String): Unit = {
+  private[graft] def deleteIfArtifactDir(v: String): Unit = {
     import java.nio.file.{Files, Paths, Path}
     val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir")).toAbsolutePath
     val p = try Paths.get(v).toAbsolutePath catch { case _: Exception => return }

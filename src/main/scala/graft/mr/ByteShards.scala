@@ -74,8 +74,11 @@ object ByteShards {
 
   /** Sharded line scan with EXACTLY one Spark partition per packed shard.
     * Returns the same line multiset as `spark.read.textFile(paths)` for
-    * any M (property-tested in ByteShardsSpec). */
+    * any M (property-tested in ByteShardsSpec). The driver's Hadoop
+    * configuration is shipped to the tasks so executor-side opens see the
+    * same credentials / filesystem settings the driver statted with. */
   def lines(spark: SparkSession, paths: Seq[String], m: Int): Dataset[String] = {
+    import scala.jdk.CollectionConverters._
     val hconf = spark.sparkContext.hadoopConfiguration
     val statted = paths.map { p =>
       val hp = new Path(p)
@@ -84,42 +87,59 @@ object ByteShards {
     val shards = shardFiles(statted, m)
     if (shards.isEmpty)
       return spark.emptyDataset(Encoders.STRING)
+    // Configuration is not serializable; ship its entries and rebuild
+    val confEntries = hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
     val rdd = spark.sparkContext
       .parallelize(shards, shards.size) // one slice == one shard == one task
-      .flatMap(sh => sh.ranges.iterator.flatMap(readRange))
+      .flatMap { sh =>
+        val conf = new Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        sh.ranges.iterator.flatMap(r => readRange(r, conf))
+      }
     spark.createDataset(rdd)(Encoders.STRING)
   }
 
   /** Split-aligned line read of one byte range (runs on the executor).
-    * Strips '\n' terminators and a preceding '\r' (textFile parity). */
-  private[mr] def readRange(r: Range): Iterator[String] = {
+    * Line terminators match Hadoop's LineReader — LF, CRLF, or lone CR —
+    * so the multiset parity with `textFile` holds for any input. The
+    * stream is closed when the iterator drains AND on task completion
+    * (a limit/early-abort must not leak the file handle). */
+  private[mr] def readRange(r: Range, conf: Configuration): Iterator[String] = {
     val p = new Path(r.path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val raw = fs.open(p)
     raw.seek(r.start)
     val in = new java.io.BufferedInputStream(raw, 128 * 1024)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => try in.close() catch { case _: Exception => () }))
     var pos = r.start
     var eof = false
 
-    // read one byte, tracking the absolute position
-    def readByte(): Int = {
-      val b = in.read()
-      if (b < 0) eof = true else pos += 1
-      b
-    }
-    // consume through the next '\n'; return the line without terminator
+    // consume one full line incl. terminator (LF / CRLF / lone CR),
+    // tracking the absolute byte position; sets eof on stream end
     def readLine(): String = {
       val buf = new java.io.ByteArrayOutputStream(256)
-      var b = readByte()
-      while (b >= 0 && b != '\n') { buf.write(b); b = readByte() }
-      val bytes = buf.toByteArray
-      val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
-        bytes.length - 1 else bytes.length
-      new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+      var done = false
+      while (!done) {
+        val b = in.read()
+        if (b < 0) { eof = true; done = true }
+        else {
+          pos += 1
+          if (b == '\n') done = true
+          else if (b == '\r') {
+            in.mark(1)
+            val nb = in.read()
+            if (nb == '\n') pos += 1          // CRLF: consume both
+            else if (nb >= 0) in.reset()      // lone CR terminates the line
+            done = true
+          } else buf.write(b)
+        }
+      }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     }
 
     // mid-file start: the partial (or boundary-complete) first line belongs
-    // to the neighbor that read past its end — skip through its '\n'
+    // to the neighbor that read past its end — skip through its terminator
     if (r.start != 0) readLine()
 
     new Iterator[String] {

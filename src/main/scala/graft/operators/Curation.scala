@@ -17,10 +17,13 @@ import graft.core.Tables
   */
 object Curation {
 
-  private def toks(text: Column): Column = split(lower(text), " ")
+  // one tokenizer / scorer implementation, shared with TextAnalysis — the
+  // funnel's "exactly consistent with the per-signal queries" contract is
+  // structural (same Column expressions), not a maintained copy
+  private def toks(text: Column): Column = TextAnalysis.toks(text)
 
   private def hitCount(tokens: Column, words: Seq[String]): Column =
-    size(filter(tokens, t => t.isin(words.map(lit): _*)))
+    TextAnalysis.hitCount(tokens, words)
 
   // ------------------------------------------------- benchmark contamination
 
@@ -139,13 +142,7 @@ object Curation {
       .otherwise(0.0)
     val topTokFrac =
       round(TextAnalysis.topTokenCount($"tk").cast("double") / nToks, 6)
-    val scores = TextAnalysis.StopwordSets.map { case (lang, ws) =>
-      lang -> hitCount($"tk", ws)
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val langPred = scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
-      when(sc === best && best > 0, lit(lang)).otherwise(acc)
-    }
+    val langPred = TextAnalysis.langPredOf($"tk")
     val reason =
       when($"n_chars" < 100 || nToks < 20, "too_short")
         .when(stopRatio < 0.05, "low_stopword")

@@ -171,7 +171,7 @@ object Dedup {
     if (!s.conf.getOption(srcKey).contains(d)) {
       val dir = java.nio.file.Files.createTempDirectory("graft_minhash_pairs").toString
       minhashLsh(s, d).write.mode("overwrite").parquet(dir)
-      s.conf.set(dirKey, dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
       s.conf.set(srcKey, d)
     }
     s.read.parquet(s.conf.get(dirKey))
@@ -324,8 +324,8 @@ object Dedup {
       val cdir = java.nio.file.Files.createTempDirectory("graft_ngram_cands").toString
       ngramCandidates(s.read.parquet(dir), tau)
         .write.mode("overwrite").parquet(cdir)
-      s.conf.set(dirKey, dir)
-      s.conf.set(candKey, cdir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      graft.core.SessionArtifacts.resetDir(s, candKey, cdir)
       s.conf.set(srcKey, d)
     }
     ngramVerifyHashed(s.read.parquet(s.conf.get(candKey)), Tables.documents(s, d), tau)

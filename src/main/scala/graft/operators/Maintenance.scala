@@ -28,10 +28,16 @@ object Maintenance {
       val frag = Files.createTempDirectory("graft_frag").toString
       Tables.documents(s, d).repartition(64)
         .write.mode(SaveMode.Overwrite).parquet(frag)
-      s.conf.set(fragKey, frag)
+      graft.core.SessionArtifacts.resetDir(s, fragKey, frag)
       s.conf.set(fragSrcKey, d)
     }
-    val out = Files.createTempDirectory("graft_compact").toString
+    // ONE session-scoped output dir, overwritten per call — a fresh temp
+    // dir per invocation would leak a compacted copy per bench rep
+    val outKey = "spark.graft.compact.outdir"
+    val out = s.conf.getOption(outKey).getOrElse {
+      val o = Files.createTempDirectory("graft_compact").toString
+      s.conf.set(outKey, o); o
+    }
     s.read.parquet(s.conf.get(fragKey)).repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(out)
     s.read.parquet(out).select($"doc_id", $"text")

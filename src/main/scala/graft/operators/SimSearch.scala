@@ -76,7 +76,7 @@ object SimSearch {
     if (!s.conf.getOption(srcKey).contains(s"$d#$k")) {
       val dir = java.nio.file.Files.createTempDirectory("graft_brute_topk").toString
       bruteTopK(s, d, k).write.mode("overwrite").parquet(dir)
-      s.conf.set(dirKey, dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
       s.conf.set(srcKey, s"$d#$k")
     }
     s.read.parquet(s.conf.get(dirKey))

@@ -23,10 +23,28 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "de", "un", "une", "est", "pour", "que", "dans"),
     "zh" -> Seq("的", "了", "是", "我", "不", "在", "他", "有", "这", "上"))
 
-  private def toks(text: Column): Column = split(lower(text), " ")
+  // shared with Curation (the funnel's consistency with these signals is
+  // structural, not copy-pasted)
+  private[operators] def toks(text: Column): Column = split(lower(text), " ")
 
-  private def hitCount(tokens: Column, words: Seq[String]): Column =
+  private[operators] def hitCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(lit): _*)))
+
+  /** Per-language stopword hit counts over a token array. */
+  private[operators] def langScores(tokens: Column): Seq[(String, Column)] =
+    StopwordSets.map { case (lang, words) => lang -> hitCount(tokens, words) }
+
+  /** The langId argmax with fixed priority order (en > de > es > fr > zh)
+    * on ties — ONE implementation consumed by [[langId]] and
+    * [[Curation.filterFunnel]]. */
+  private[operators] def langPredOf(tokens: Column): Column = {
+    val scores = langScores(tokens)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight gives earlier entries priority on ties (en first)
+    scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
 
   /** Token counting: regex tokens (reference tokenizer), whitespace tokens,
     * distinct tokens. */
@@ -45,14 +63,10 @@ object TextAnalysis {
   def langId(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val t = toks($"text")
-    val scores = StopwordSets.map { case (lang, words) => lang -> hitCount(t, words) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pred = scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
-      when(sc === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    // foldRight gives earlier entries priority on ties (en first).
+    val scores = langScores(t)
     Tables.documents(s, d).select(
-      Seq($"doc_id") ++ scores.map { case (l, c) => c.cast("bigint").as(s"c_$l") } :+ pred.as("lang_pred"): _*)
+      Seq($"doc_id") ++ scores.map { case (l, c) => c.cast("bigint").as(s"c_$l") } :+
+        langPredOf(t).as("lang_pred"): _*)
   }
 
   /** Quality scoring: length, token stats, punctuation/stopword/alpha
@@ -73,7 +87,11 @@ object TextAnalysis {
       avgTokLen.as("avg_tok_len"),
       round(punct.cast("double") / nChars, 6).as("punct_ratio"),
       round(stop.cast("double") / nToks, 6).as("stopword_ratio"),
-      (nChars >= 100 && nToks >= 20 && (stop.cast("double") / nToks) >= 0.05).as("keep"))
+      // keep gates on the same 6dp-ROUNDED ratio the row emits (and that
+      // Curation.filterFunnel compares), so the two stay exactly
+      // consistent for any corpus
+      (nChars >= 100 && nToks >= 20 &&
+        round(stop.cast("double") / nToks, 6) >= 0.05).as("keep"))
   }
 
   /** Corpus bigram mining with a stopword filter: tokens minus English
@@ -327,7 +345,7 @@ object TextAnalysis {
                round(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
                round(CAST(stop AS DOUBLE) / n_toks, 6) AS stopword_ratio,
                (n_chars >= 100 AND n_toks >= 20
-                AND CAST(stop AS DOUBLE) / n_toks >= 0.05) AS keep
+                AND round(CAST(stop AS DOUBLE) / n_toks, 6) >= 0.05) AS keep
         FROM (
           SELECT doc_id, length(text) AS n_chars,
                  len(string_split(lower(text), ' ')) AS n_toks,

@@ -88,8 +88,13 @@ object Sources {
     // stale until a new session (fixtures are immutable here; a library
     // deployment should key on a content/mtime fingerprint instead).
     val key = "spark.graft.bucketed.dir"
+    // the table FILES live in a graft_bucketed temp dir; register it under
+    // its own conf key so SessionArtifacts.clear can delete it (DROP TABLE
+    // on external tables leaves the files, and `key` holds the DATA dir)
+    val tmpKey = "spark.graft.bucketed.tmpdir"
     if (!s.conf.getOption(key).contains(d)) {
       val base = tmp("graft_bucketed")
+      graft.core.SessionArtifacts.resetDir(s, tmpKey, base)
       s.sql("DROP TABLE IF EXISTS graft_li_bkt")
       s.sql("DROP TABLE IF EXISTS graft_ord_bkt")
       Tables.lineitem(s, d)
@@ -139,7 +144,7 @@ object Sources {
           $"l_extendedprice".cast("decimal(12,2)").as("price"),
           $"l_discount".cast("decimal(12,2)").as("disc"))
         .write.mode(SaveMode.Overwrite).parquet(dir)
-      s.conf.set(dirKey, dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
       s.conf.set(srcKey, d)
     }
     s.read.parquet(s.conf.get(dirKey))

@@ -65,6 +65,18 @@ class ByteShardsSpec extends SparkSpec {
     java.nio.file.Files.delete(tmp)
   }
 
+  test("CR / CRLF / LF terminators all match textFile (Hadoop LineReader parity)") {
+    val tmp = java.nio.file.Files.createTempFile("graft_shards_cr", ".txt")
+    val content = "a\r\nbb\rccc\nd\r\r\ne" // mixed terminators, no final newline
+    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+    val expected = spark.read.textFile(tmp.toString).collect().toSeq.sorted
+    (1 to content.length).foreach { m =>
+      val got = ByteShards.lines(spark, Seq(tmp.toString), m).collect().toSeq.sorted
+      assert(got === expected, s"M=$m")
+    }
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("multi-file shards: a shard can span files and a file can span shards") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_multi")
     val fa = dir.resolve("a.txt"); val fb = dir.resolve("b.txt")

@@ -85,4 +85,15 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(got == want)
   }
+
+  test("update mode revises batch-boundary windows (more revisions than keys)") {
+    // staged-fixture property: the quantile slice cuts fall INSIDE 1-day
+    // windows, so at least one (window, key) is emitted in more than one
+    // microbatch — the observable separating update mode from append
+    val revisions = Streams.tumblingUpdateRevisions(spark, sf)
+    val keys = revisions.select("w_start", "event_type").distinct()
+    assert(revisions.count() > keys.count(),
+      "no (window, key) was revised across microbatches — slice cuts " +
+      "appear to align with window boundaries")
+  }
 }
