@@ -92,6 +92,46 @@ class ByteShardsSpec extends SparkSpec {
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
+  test("property: random content x random M always yields the exact line multiset") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Hadoop LineReader reference semantics, implemented independently:
+    // terminators LF, CRLF, lone CR; a trailing unterminated fragment is a
+    // line; empty content has no lines
+    def expectedLines(content: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val buf = new StringBuilder
+      var i = 0
+      while (i < content.length) {
+        content(i) match {
+          case '\n' => out += buf.result(); buf.clear(); i += 1
+          case '\r' =>
+            out += buf.result(); buf.clear()
+            i += (if (i + 1 < content.length && content(i + 1) == '\n') 2 else 1)
+          case c => buf += c; i += 1
+        }
+      }
+      if (buf.nonEmpty) out += buf.result()
+      out.result()
+    }
+    val genContent = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar, 2 -> Gen.const('\n'), 1 -> Gen.const('\r')))
+      .map(_.mkString)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val prop = Prop.forAll(genContent, Gen.choose(1, 40)) { (content, m) =>
+      val tmp = java.nio.file.Files.createTempFile("graft_prop", ".txt")
+      try {
+        java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+        val shards = ByteShards.shardFiles(
+          Seq((tmp.toString, content.getBytes("UTF-8").length.toLong)), m)
+        val got = shards.flatMap(_.ranges.flatMap(r =>
+          ByteShards.readRange(r, conf).toSeq))
+        got.sorted == expectedLines(content).sorted
+      } finally java.nio.file.Files.delete(tmp)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("MRSpec honors NumMapTasks exactly through the lifecycle") {
     val out = java.nio.file.Files.createTempDirectory("graft_mrspec_out")
     val spec = MRSpec(
