@@ -126,6 +126,7 @@ object SparkEntry {
     "curate_filter_funnel" -> (Curation.filterFunnel _),
     "curate_blocklist_bloom" -> (Curation.blocklistBloom _),
     "curate_quality_prune"  -> ((s: SparkSession, d: String) => Curation.qualityPrune(s, d)),
+    "curate_pipeline"       -> (Curation.pipelineReport _),
     // J. multimodal plumbing
     "mm_meta"   -> (Multimodal.mediaMeta _),
     "mm_decode" -> (Multimodal.decodeFeatures _),

@@ -133,25 +133,67 @@ object Curation {
     * the gate a 100 TB pass runs before anything shuffle-bearing. */
   def filterFunnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val nToks = size($"tk")
+    Tables.documents(s, d)
+      .select($"doc_id", length($"text").as("n_chars"), toks($"text").as("tk"))
+      .select($"doc_id", funnelReason.as("reason"), (funnelReason === "keep").as("keep"))
+  }
+
+  /** The funnel's first-fail reason, over a projection carrying `n_chars`
+    * and the token array `tk` — ONE expression shared by [[filterFunnel]]
+    * and the composed [[pipelineReport]]. */
+  private def funnelReason: Column = {
+    val tk = col("tk")
+    val nToks = size(tk)
     val stopRatio =
-      round(hitCount($"tk", TextAnalysis.StopwordSets.head._2).cast("double") / nToks, 6)
-    val bi = Dedup.wordShinglesOf($"tk", 2) // with multiplicity
+      round(hitCount(tk, TextAnalysis.StopwordSets.head._2).cast("double") / nToks, 6)
+    val bi = Dedup.wordShinglesOf(tk, 2) // with multiplicity
     val dupBigramFrac = when(size(bi) > 0,
         round(lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi), 6))
       .otherwise(0.0)
     val topTokFrac =
-      round(TextAnalysis.topTokenCount($"tk").cast("double") / nToks, 6)
-    val langPred = TextAnalysis.langPredOf($"tk")
-    val reason =
-      when($"n_chars" < 100 || nToks < 20, "too_short")
-        .when(stopRatio < 0.05, "low_stopword")
-        .when(dupBigramFrac > 0.2 || topTokFrac > 0.3, "repetitive")
-        .when(langPred =!= "en", "lang")
-        .otherwise("keep")
-    Tables.documents(s, d)
-      .select($"doc_id", length($"text").as("n_chars"), toks($"text").as("tk"))
-      .select($"doc_id", reason.as("reason"), (reason === "keep").as("keep"))
+      round(TextAnalysis.topTokenCount(tk).cast("double") / nToks, 6)
+    when(col("n_chars") < 100 || nToks < 20, "too_short")
+      .when(stopRatio < 0.05, "low_stopword")
+      .when(dupBigramFrac > 0.2 || topTokFrac > 0.3, "repetitive")
+      .when(TextAnalysis.langPredOf(tk) =!= "en", "lang")
+      .otherwise("keep")
+  }
+
+  // --------------------------------------------------- end-to-end pipeline
+
+  /** The FLAGSHIP composed pass — the actual shape of a production
+    * curation job, chaining the library's operators over one corpus scan:
+    *
+    *   quality gate ([[funnelReason]], pure map) →
+    *   exact dedup (deterministic representative: min doc_id per sha2(text),
+    *   ONE window shuffle on the content hash — 32-byte keys, never text) →
+    *   content-addressed train/val/test assignment
+    *   ([[Maintenance.bucketCol]], per-row arithmetic) →
+    *   per-(split, source) report: doc count + whitespace-token budget.
+    *
+    * One scan, one shuffle for the dedup window, one partial-aggregated
+    * groupBy — the 100 TB plan is exactly this, just wider. Every stage
+    * reuses the SAME expressions the per-signal queries assert, so the
+    * pipeline's semantics are pinned transitively by their oracles; the
+    * composed DuckDB oracle replays the whole chain end-to-end. */
+  def pipelineReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val kept = Tables.documents(s, d)
+      .select($"doc_id", $"text", $"source",
+        length($"text").as("n_chars"), toks($"text").as("tk"))
+      .where(funnelReason === "keep")
+    val w = Window.partitionBy(sha2($"text", 256)).orderBy($"doc_id")
+    val deduped = kept
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+    val bucket = Maintenance.bucketCol
+    deduped
+      .select(when(bucket < 90, "train").when(bucket < 95, "val")
+                .otherwise("test").as("split"),
+              $"source", size($"tk").as("n_toks"))
+      .groupBy($"split", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_toks").cast("bigint").as("sum_toks"))
   }
 
   // ------------------------------------------------------- blocklist bloom
@@ -259,7 +301,7 @@ object Curation {
 
   // ----------------------------------------------------------------- oracles
 
-  val oracle: Map[String, String] = {
+  private lazy val oracleBase: Map[String, String] = {
     val en = TextAnalysis.StopwordSets.head._2.map(w => s"'$w'")
       .mkString("[", ", ", "]")
     val langHits = TextAnalysis.StopwordSets.map { case (l, ws) =>
@@ -375,4 +417,29 @@ object Curation {
         FROM pred"""
     )
   }
+
+  /** The composed pipeline oracle REUSES the funnel oracle as a subquery
+    * (CTE-in-subquery — the same structural-sharing discipline as the
+    * Spark side reusing [[funnelReason]]), then replays dedup, the
+    * hex-arithmetic split buckets, and the report. */
+  private lazy val pipelineOracle: Map[String, String] = Map(
+    "curate_pipeline" -> s"""
+      WITH funnel AS (SELECT * FROM (${oracleBase("curate_filter_funnel")}) fq),
+      kept AS (
+        SELECT d.doc_id, d.text, d.source FROM documents d
+        JOIN funnel ON d.doc_id = funnel.doc_id
+        WHERE funnel.reason = 'keep'),
+      dedup AS (
+        SELECT doc_id, text, source FROM (
+          SELECT kept.*, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM kept) t
+        WHERE rn = 1)
+      SELECT CASE WHEN ${Maintenance.hexBucketSql} < 90 THEN 'train'
+                  WHEN ${Maintenance.hexBucketSql} < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             source, count(*) AS n_docs,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS sum_toks
+      FROM dedup GROUP BY 1, 2""")
+
+  val oracle: Map[String, String] = oracleBase ++ pipelineOracle
 }

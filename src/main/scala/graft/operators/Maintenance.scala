@@ -125,7 +125,7 @@ object Maintenance {
   }
 
   /** First 32 bits of md5(doc_id) mod 100, as a bigint column. */
-  private def bucketCol: org.apache.spark.sql.Column = {
+  private[operators] def bucketCol: org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col => c}
     conv(substring(md5(c("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("bigint") % 100
@@ -199,7 +199,7 @@ object Maintenance {
   /** First-32-bits-of-md5 mod 100 in version-stable SQL: each of the 8 hex
     * digits is decoded positionally via strpos over the hex alphabet (both
     * ANSI-ish and stable across DuckDB versions, unlike '0x'-string casts). */
-  private val hexBucketSql: String = {
+  private[operators] val hexBucketSql: String = {
     val terms = (1 to 8).map { i =>
       val weight = 1L << (4 * (8 - i))
       s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $weight"

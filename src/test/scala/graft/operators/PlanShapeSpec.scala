@@ -189,4 +189,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("curate_pipeline: one scan, no joins — gate is a filter, dedup one window") {
+    val df = graft.SparkEntry.queries("curate_pipeline")(spark, sf)
+    df.collect()
+    // AQE prints Final + Initial sections; count scans in the final only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the whole chain composes without a single join: gate = Filter,
+    // dedup = window on the content hash, split = per-row arithmetic
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(p.split("Scan parquet").length - 1 === 1, s"expected one scan:\n$p")
+  }
 }
