@@ -105,13 +105,16 @@ object Streams {
   /** State store: the RocksDB provider (spillable, incremental
     * checkpoints) is the store that survives a real unbounded stream —
     * the default in-memory HDFS-backed store is the first thing to fall
-    * over at production state sizes. It is WIRED here but opt-in
-    * (SPARK_GRAFT_ROCKSDB=1): this sandbox cannot run it — RocksDB's
-    * snapshot maintenance forks `rm -rf` per commit and the fork's
-    * waitFor never wakes here (observed: every state-commit task parked
-    * in ProcessImpl.waitFor with the child already exited), the same
-    * class of environment limit as the absent multimodal codecs. On a
-    * real cluster flip the env var; nothing else changes. */
+    * over at production state sizes. Opt-in via SPARK_GRAFT_ROCKSDB=1.
+    *
+    * Round-4 status: the round-2 sandbox limitation (snapshot
+    * maintenance's forked delete parking every commit in
+    * ProcessImpl.waitFor) NO LONGER REPRODUCES — all 12 streaming
+    * queries run green under the provider (driver-shape bench, zero
+    * errors, comparable latencies), and `RocksDbSpec` asserts in CI that
+    * a RocksDB-backed windowed agg reports rocksdb state-store metrics
+    * and matches the default-store result. The env var stays opt-in only
+    * so recorded bench baselines keep comparing like-to-like stores. */
   private def useRocksDb(s: SparkSession): Unit =
     if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1"))
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
