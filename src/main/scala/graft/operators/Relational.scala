@@ -383,8 +383,16 @@ object Relational {
   /** lag / lead over a totally ordered per-key sequence. */
   def windowLagLead(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture
+    // (118k duplicate pairs at sf0.1) — one duplicated full key makes
+    // lag/lead nondeterministic across engines AND across runs of the
+    // same engine. l_quantity as the final key totalizes the order over
+    // every emitted column, so any remaining ties are between fully
+    // identical rows, which lag/lead may swap without changing the
+    // result multiset.
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc,
+               $"l_quantity".asc)
     Tables.lineitem(s, d)
       .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_shipdate", $"l_quantity")
       .withColumn("prev_qty", lag($"l_quantity", 1).over(w))
@@ -435,8 +443,13 @@ object Relational {
     Tables.customer(s, d)
       .select($"c_nationkey", $"c_custkey", $"c_acctbal")
       .withColumn("quartile", ntile(4).over(w).cast("bigint"))
-      .withColumn("pct_rank", round(percent_rank().over(w), 6))
-      .withColumn("cume", round(cume_dist().over(w), 6))
+      // UNROUNDED: percent_rank/cume_dist are single divisions of exact
+      // integers, bitwise-identical across engines — while round(x, 6)
+      // DIVERGES whenever (rank-1)/(n-1) lands exactly on a 5e-7
+      // boundary (e.g. 41/640 = 0.0640625 at sf0.1: Spark rounds half
+      // up, DuckDB half even)
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
   }
 
   /** Exact interpolated percentiles (median + p90) per group — rounded to

@@ -92,8 +92,8 @@ object RelationalOracles {
     "window_dist" -> """
       SELECT c_nationkey, c_custkey, c_acctbal,
              ntile(4) OVER w AS quartile,
-             round(percent_rank() OVER w, 6) AS pct_rank,
-             round(cume_dist() OVER w, 6) AS cume
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
       FROM customer
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)""",
 
@@ -268,7 +268,8 @@ object RelationalOracles {
              coalesce(lag(l_quantity, 1) OVER w, -1.0) AS prev_qty,
              coalesce(lead(l_quantity, 1) OVER w, -1.0) AS next_qty
       FROM lineitem
-      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)""",
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC,
+                   l_linenumber ASC, l_quantity ASC)""",
 
     "window_frames" -> s"""
       SELECT o_orderstatus, o_orderkey,
