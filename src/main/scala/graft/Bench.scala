@@ -102,8 +102,12 @@ object Bench {
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$sp,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
     println(line)
-    // untruncated record (the driver's tail capture clips long stdout lines)
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+    // untruncated record (the driver's tail capture clips long stdout lines).
+    // Subset runs (SPARK_GRAFT_ONLY) land in a separate file so an
+    // iterate-on-two-queries run can never clobber the committed full-table
+    // artifact with a partial one.
+    val outFile = if (only.isDefined) "bench_out_partial.json" else "bench_out.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
