@@ -54,6 +54,7 @@ object SparkEntry {
     "sql_scalar_subquery" -> (Relational.sqlScalarSubquery _),
     "fn_na"            -> (Relational.fnNa _),
     "events_funnel"    -> (Relational.eventsFunnel _),
+    "events_sessionize" -> (Relational.eventsSessionize _),
     // F. window functions
     "window_rank"      -> (Relational.windowRank _),
     "window_lag_lead"  -> (Relational.windowLagLead _),
@@ -139,6 +140,8 @@ object SparkEntry {
     "maint_hash_split_docs" -> (Maintenance.hashSplitDocs _),
     "maint_group_sample" -> ((s: SparkSession, d: String) => Maintenance.groupSample(s, d)),
     "maint_purge"       -> (Maintenance.purgeAudit _),
+    "maint_weighted_sample" -> ((s: SparkSession, d: String) => Maintenance.weightedSample(s, d)),
+    "maint_zorder"      -> (Maintenance.zorderLayout _),
     "sample_stratified" -> (Maintenance.stratifiedSample _),
     // S. streaming
     "stream_tumbling" -> (graft.streaming.Streams.tumbling _),

@@ -164,6 +164,79 @@ object Maintenance {
       .select($"o_orderkey", $"o_orderstatus")
   }
 
+  /** Deterministic weighted sample — priority sampling (Duffield, Lund &
+    * Thorup, "Priority sampling for estimation of arbitrary subset sums",
+    * JACM 2007): each doc draws a content-addressed uniform u from md5
+    * (the same first-32-bits draw as [[hashSplit]]) and gets priority
+    * q = w/u with weight w = n_chars; the sample is the global top-k by
+    * q. Heavier docs get proportionally larger priorities, so inclusion
+    * probability scales with weight — the "sample long documents more"
+    * knob of a training-mix pipeline — while staying fully deterministic:
+    * membership is stable under corpus repartition/growth (unlike
+    * rand()-weighted reservoirs) and replayable by the oracle bit-exactly.
+    * Numerics are engine-portable by construction: w·2³² is an exact
+    * double (w < 2²¹), and one IEEE correctly-rounded division is
+    * bit-identical everywhere — no transcendentals (the u^(1/w)
+    * exponential-clocks formulation would hit libm differences).
+    * Plan shape: per-partition top-k + single merge
+    * (TakeOrderedAndProject, plan-asserted) — no global sort, no driver
+    * ceiling; the final rank window runs on the k surviving rows only. */
+  def weightedSample(s: SparkSession, d: String, k: Int = 100): DataFrame =
+    weightedSampleOf(Tables.documents(s, d), k)
+
+  /** Core over any (doc_id, source, n_chars) frame — the declared query
+    * and MaintenanceSpec's stability/scale-invariance laws drive this. */
+  def weightedSampleOf(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint")
+    val q = ($"n_chars".cast("double") * 4294967296.0) / ($"h" + 1).cast("double")
+    docs
+      .select($"doc_id", $"source", $"n_chars", h.as("h"))
+      .select($"doc_id", $"source", $"n_chars", q.as("q"))
+      .orderBy($"q".desc, $"doc_id".asc)
+      .limit(k)
+      // rank over the k-row result of the limit — bounded, not O(corpus)
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"q".desc, $"doc_id".asc)).cast("bigint"))
+  }
+
+  /** Z-order (Morton) layout report: interleave the low 16 bits of
+    * l_partkey (even bit positions) and l_suppkey (odd) into a Morton
+    * code z, then aggregate per z-prefix bucket (z >> 12 — each bucket
+    * models one file of a z-sorted write) the row count and the min/max
+    * extent of BOTH dimensions. Z-ordering is how a 100 TB lake gets
+    * multi-column data skipping: sorting by z makes every file's
+    * (partkey, suppkey) bounding box small in BOTH dims, so min/max file
+    * stats prune scans filtered on either column — a linear sort on
+    * partkey alone leaves every file's suppkey extent spanning the full
+    * domain ([[graft.operators.MaintenanceSpec]] asserts the z layout
+    * beats it). Pure per-row shift/mask arithmetic (codegen, no UDF) +
+    * one aggregation; the real write path is `repartitionByRange(z)` +
+    * parquet, whose file stats this report mirrors deterministically. */
+  def zorderLayout(s: SparkSession, d: String): DataFrame =
+    zorderLayoutOf(Tables.lineitem(s, d))
+
+  /** Core over any frame with (l_partkey, l_suppkey) — the declared query
+    * and the MaintenanceSpec extent comparison both drive this path. */
+  def zorderLayoutOf(li: DataFrame): DataFrame = {
+    val s = li.sparkSession
+    import s.implicits._
+    val x = $"l_partkey".cast("bigint").bitwiseAND(0xFFFFL)
+    val y = $"l_suppkey".cast("bigint").bitwiseAND(0xFFFFL)
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(1L), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(1L), 2 * i + 1)
+    }.reduce(_ + _)
+    li.select($"l_partkey", $"l_suppkey", z.as("z"))
+      .groupBy(shiftright($"z", 12).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min($"l_partkey").as("min_part"), max($"l_partkey").as("max_part"),
+        min($"l_suppkey").as("min_supp"), max($"l_suppkey").as("max_supp"))
+  }
+
   /** Right-to-be-forgotten purge (GDPR/CCPA): delete every event of the
     * users on a deletion list. The list comes from the customer dim
     * (c_custkey % 10 == 7 stands in for the compliance queue) and is
@@ -196,19 +269,50 @@ object Maintenance {
         ($"n_before" - $"n_purged").as("n_after"))
   }
 
-  /** First-32-bits-of-md5 mod 100 in version-stable SQL: each of the 8 hex
-    * digits is decoded positionally via strpos over the hex alphabet (both
-    * ANSI-ish and stable across DuckDB versions, unlike '0x'-string casts). */
-  private[operators] val hexBucketSql: String = {
+  /** First 32 bits of md5(expr) as a BIGINT in version-stable SQL: each of
+    * the 8 hex digits is decoded positionally via strpos over the hex
+    * alphabet (both ANSI-ish and stable across DuckDB versions, unlike
+    * '0x'-string casts). */
+  private[operators] def md5Hex32Sql(expr: String): String = {
     val terms = (1 to 8).map { i =>
       val weight = 1L << (4 * (8 - i))
-      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $weight"
+      s"(strpos('0123456789abcdef', substr(md5($expr), $i, 1)) - 1) * $weight"
     }
-    "(" + terms.mkString("(", "\n               + ", ")") + " % 100)"
+    terms.mkString("(", "\n               + ", ")")
   }
+
+  /** First-32-bits-of-md5 mod 100 (see [[md5Hex32Sql]]). */
+  private[operators] val hexBucketSql: String =
+    "(" + md5Hex32Sql("CAST(doc_id AS VARCHAR)") + " % 100)"
+
+  /** Morton interleave of (l_partkey & 0xFFFF) even bits / (l_suppkey &
+    * 0xFFFF) odd bits as portable SQL — same shift/mask arithmetic as
+    * [[zorderLayoutOf]], fully parenthesized against precedence drift. */
+  private[operators] val zMortonSql: String =
+    (0 until 16).map { i =>
+      s"((((l_partkey & 65535) >> $i) & 1) << ${2 * i})" +
+        s" + ((((l_suppkey & 65535) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", "\n             + ", ")")
 
   val oracle: Map[String, String] = Map(
     "maint_compact" -> "SELECT doc_id, text FROM documents",
+    "maint_weighted_sample" -> s"""
+      WITH pri AS (
+        SELECT doc_id, source, n_chars,
+               (CAST(n_chars AS DOUBLE) * 4294967296)
+                 / (${md5Hex32Sql("CAST(doc_id AS VARCHAR)")} + 1) AS q
+        FROM documents)
+      SELECT doc_id, source, n_chars, q,
+             row_number() OVER (ORDER BY q DESC, doc_id ASC) AS rk
+      FROM pri ORDER BY q DESC, doc_id ASC LIMIT 100""",
+    "maint_zorder" -> s"""
+      SELECT z >> 12 AS bucket, count(*) AS n,
+             min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+             min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+      FROM (SELECT l_partkey, l_suppkey,
+                   $zMortonSql AS z
+            FROM lineitem)
+      GROUP BY 1""",
     "maint_purge" -> """
       SELECT e.event_type, count(*) AS n_before,
              CAST(count(dl.user_id) AS BIGINT) AS n_purged,

@@ -539,6 +539,36 @@ object Relational {
                 + when($"t3".isNotNull, 1).otherwise(0)).cast("bigint").as("steps_completed"))
   }
 
+  /** Batch sessionization: split each user's event stream into sessions
+    * at >12h inactivity gaps (the batch twin of `stream_session`). ONE
+    * shuffle on user_id, then two window passes over the SAME
+    * partitioning (lag to flag session starts, running sum to number
+    * them) and a final groupBy that reuses it again — Catalyst plans a
+    * single exchange for all three. Session numbering is tie-order
+    * invariant: events sharing a timestamp see the same lagged ts either
+    * way, so the flags (and their prefix sums) don't depend on how the
+    * sort broke the tie. Per-session metrics are count/min/max only —
+    * no double summation, so the result is bit-stable under any
+    * partitioning. At 100 TB this is the canonical "billions of small
+    * groups" window: state per user is one row, and AQE handles the
+    * skewed power-user partitions. */
+  def eventsSessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val gapUs = 12L * 3600 * 1000 * 1000 // 12h in microseconds
+    Tables.events(s, d).select($"user_id", $"event_id", $"ts")
+      .withColumn("new_sess",
+        (unix_micros($"ts") - unix_micros(coalesce(lag($"ts", 1).over(byTs), $"ts"))
+          > gapUs).cast("long"))
+      .withColumn("session_idx", sum($"new_sess").over(byTs))
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"),
+           min($"ts").as("sess_start"), max($"ts").as("sess_end"))
+      .withColumn("duration_us",
+        unix_micros($"sess_end") - unix_micros($"sess_start"))
+  }
+
   // ---------------------------------------------------------------- G. sort / limit / top-k
 
   /** Global multi-key sort (no limit): Catalyst samples for a

@@ -128,6 +128,26 @@ object RelationalOracles {
       FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
               LEFT JOIN s3 ON s1.user_id = s3.user_id""",
 
+    "events_sessionize" -> """
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      f AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(coalesce(lag(ts) OVER w, ts))
+                         > 43200000000 THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      g AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS session_idx
+        FROM f)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             count(*) AS n_events,
+             min(ts) AS sess_start, max(ts) AS sess_end,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+      FROM g GROUP BY user_id, session_idx""",
+
     "agg_pivot" -> """
       SELECT o_orderpriority,
              count(*) FILTER (o_orderstatus = 'F') AS n_f,

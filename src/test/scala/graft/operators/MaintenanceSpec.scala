@@ -29,6 +29,60 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.count() === graft.core.Tables.documents(spark, sf).count())
   }
 
+  test("weighted sample is stable under repartition and scale-invariant in the weights") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val base = Maintenance.weightedSampleOf(docs, 50).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("rk"))))
+    // content-addressed: physical layout must not move the sample
+    val reparted = Maintenance.weightedSampleOf(docs.repartition(13), 50).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("rk"))))
+    assert(base.sorted.toSeq === reparted.sorted.toSeq)
+    // priority q = w/u is homogeneous in w: scaling every weight by a
+    // constant scales every priority equally, so the SELECTED SET (and
+    // order) is identical — the sample depends on relative weights only
+    val scaled = Maintenance.weightedSampleOf(
+      docs.withColumn("n_chars", col("n_chars") * 7), 50).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("rk"))))
+    assert(base.sorted.toSeq === scaled.sorted.toSeq)
+    // weights matter: the weighted sample must differ from the unweighted
+    // one (all weights equal → pure hash order) on this corpus
+    val unweighted = Maintenance.weightedSampleOf(
+      docs.withColumn("n_chars", lit(1L)), 50).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")))
+    assert(base.map(_._1).toSet !== unweighted.toSet)
+  }
+
+  test("z-order buckets bound BOTH dimension extents; a linear sort leaves one unbounded") {
+    import org.apache.spark.sql.functions._
+    // sf0.001's 4 occupied buckets make extents degenerate — the layout
+    // property needs sf0.01's 64-bucket grid (1999×99 key domain)
+    val d01 = "/root/testdata/sf0.01"
+    val li = graft.core.Tables.lineitem(spark, d01)
+    val z = Maintenance.zorderLayoutOf(li)
+      .agg(avg(col("max_supp") - col("min_supp")).as("avg_supp_ext"),
+           avg(col("max_part") - col("min_part")).as("avg_part_ext"),
+           count(lit(1)).as("n_buckets")).collect().head
+    // linear layout twin: same file count, files cut along partkey order
+    val nb = z.getLong(2).toInt
+    val lin = li.select(col("l_partkey"), col("l_suppkey"),
+        ntile(nb).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("l_partkey"), col("l_suppkey"), col("l_orderkey"), col("l_linenumber")))
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg((max("l_suppkey") - min("l_suppkey")).as("supp_ext"))
+      .agg(avg(col("supp_ext"))).collect().head.getDouble(0)
+    val suppDomain = li.agg(max("l_suppkey") - min("l_suppkey")).collect().head.getLong(0)
+    // z buckets: suppkey extent well under the domain; partkey-sorted
+    // files span (nearly) the whole suppkey domain in every file
+    assert(z.getDouble(0) < 0.75 * suppDomain,
+      s"z supp extent ${z.getDouble(0)} vs domain $suppDomain")
+    assert(lin > 0.9 * suppDomain, s"linear layout should leave supp unbounded: $lin")
+    assert(z.getDouble(0) < 0.8 * lin,
+      s"z layout must beat linear on the second dim: z=${z.getDouble(0)} linear=$lin")
+  }
+
   test("purge audit is consistent with the actual purged frame") {
     val audit = Maintenance.purgeAudit(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

@@ -127,6 +127,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans == 1, s"expected one events scan, got $scans\n$p")
   }
 
+  test("events_sessionize rides a single user_id exchange end-to-end") {
+    // lag flag, running sum, and the per-session groupBy must all reuse
+    // the one hash partitioning — a second exchange means the window and
+    // the aggregate stopped sharing it
+    val p = plan("events_sessionize").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected one user_id exchange, got $exchanges\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one events scan, got $scans\n$p")
+  }
+
+  test("maint_weighted_sample plans per-partition top-k (TakeOrderedAndProject)") {
+    // priority sampling must not global-sort the corpus: per-partition
+    // top-k + single merge is the only shape that holds at 100 TB
+    val p = plan("maint_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), "no global sort exchange\n" + p)
+  }
+
   test("curate_filter_funnel is a pure map — zero exchanges") {
     // the composed curation gate must stay map-side like its component
     // signals; an exchange means a signal regressed into an aggregation
