@@ -180,6 +180,111 @@ object TextAnalysis {
               floor(($"cum" - $"n_toks") / lit(budget.toDouble)).cast("bigint").as("bin_id"))
   }
 
+  /** Exact corpus heavy hitters (tokens with count > n/k, k=40) via the
+    * two-pass sketch-then-confirm pattern — how a 100 TB pass finds its
+    * hot keys (stopword lists, skewed join keys, degenerate spam tokens)
+    * WITHOUT shuffling the full token vocabulary:
+    *
+    *  - pass 1: a per-partition Misra-Gries summary (capacity 2k, O(k)
+    *    memory) run inside `mapPartitions`; the union of per-partition
+    *    candidates is a guaranteed SUPERSET of every global heavy hitter
+    *    (pigeonhole: freq > n/k globally forces freq_p > n_p/k in some
+    *    partition, and MG with capacity ≥ k retains any such item). The
+    *    candidate set is O(k · partitions) — collected to the driver like
+    *    the IVF centroid draw, it is sketch-bounded, never O(vocabulary).
+    *  - pass 2: ONE aggregation with every non-candidate collapsed into a
+    *    sentinel bucket, so the shuffle carries ≤ 2k·P + 1 distinct keys
+    *    while still summing the exact stream total n; the exact threshold
+    *    cnt·k > n then filters false candidates.
+    *
+    * The MG candidate set varies with partitioning; the RESULT does not —
+    * the superset guarantee + exact confirm make the output the exact
+    * heavy-hitter set under any layout (spec-pinned). Integer cross-
+    * multiply (cnt·k > n) avoids division entirely. A direct
+    * groupBy(token) computes the same answer but shuffles every distinct
+    * token — at web-corpus vocabulary sizes that is the difference
+    * between a bounded sketch shuffle and a full-vocabulary exchange.
+    * (With candidate sets beyond a few thousand, swap the `isInCollection`
+    * literal for a broadcast semi-join.) */
+  def heavyHitters(s: SparkSession, d: String, k: Int = 40): DataFrame =
+    heavyHittersOf(Tables.documents(s, d), k)
+
+  /** Core over any (doc_id, text) frame — declared query + the
+    * HeavyHitterSpec partitioning-invariance law drive this path. */
+  def heavyHittersOf(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tokens = docs
+      .select(explode(filter(toks($"text"), t => t =!= "")).as("tok"))
+    val candidates: Seq[String] = tokens.as[String]
+      .mapPartitions(it => misraGries(it, 2 * k).iterator)
+      .distinct().collect().toSeq
+    if (candidates.isEmpty) // empty corpus: empty result, schema intact
+      return tokens.select($"tok", lit(0L).as("cnt")).where(lit(false))
+    val Other = " other"
+    val counted = tokens
+      .groupBy(when($"tok".isInCollection(candidates), $"tok")
+        .otherwise(Other).as("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counted.agg(sum($"cnt").as("n_total")) // 1-row scalar
+    counted.crossJoin(total)
+      .where($"tok" =!= Other && $"cnt" * k > $"n_total")
+      .select($"tok", $"cnt")
+  }
+
+  /** Misra-Gries frequent-items summary (capacity c) of one iterator:
+    * tracked count +1 on hit, insert at 1 while below capacity, else the
+    * decrement-all step (every counter −1, zeros evicted). Guarantee:
+    * any item with true frequency > n/(c+1) in the stream survives.
+    * O(c) memory; decrement cost amortizes to O(1) per element. */
+  private[operators] def misraGries(it: Iterator[String], c: Int): Seq[String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      m.get(t) match {
+        case Some(v) => m(t) = v + 1
+        case None if m.size < c => m(t) = 1L
+        case None =>
+          m.keys.toList.foreach { key =>
+            val nv = m(key) - 1
+            if (nv == 0) m.remove(key) else m(key) = nv
+          }
+      }
+    }
+    m.keys.toSeq
+  }
+
+  /** Inverted index build (term → posting list) over word bigrams — the
+    * original MapReduce textbook workload, shaped for a 100 TB corpus:
+    *
+    *  - postings are DISTINCT per doc (array_distinct before explode), so
+    *    the shuffle carries (gram, doc_id) pairs, not occurrences;
+    *  - ONE exchange: the per-gram ranking window and the final groupBy
+    *    share the gram hash partitioning (Catalyst reuses it);
+    *  - per-index-entry state is BOUNDED: each entry stores df (exact)
+    *    plus only the HEAD of the posting list (first 20 doc_ids in
+    *    doc_id order) — collect_list sees the rank-filtered rows only,
+    *    never an unbounded stopword-class list. Real index shards page
+    *    long posting lists exactly this way (head block + continuation);
+    *    an entry's full list at 100 TB can exceed executor memory, so an
+    *    UNCAPPED collect_set is the classic inverted-index OOM.
+    *  - df >= 2 prunes the hapax tail (typically most of the vocabulary,
+    *    and useless for lookup joins).
+    */
+  def invertedIndex(s: SparkSession, d: String, minDf: Int = 2,
+      headLen: Int = 20): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", explode(array_distinct(
+        Dedup.wordShinglesOf(filter(toks($"text"), t => t =!= ""), 2))).as("gram"))
+    val w = Window.partitionBy($"gram").orderBy($"doc_id")
+    grams.withColumn("rk", row_number().over(w))
+      .groupBy($"gram")
+      .agg(count(lit(1)).as("df"),
+        array_join(sort_array(collect_list(when($"rk" <= headLen, $"doc_id"))), "|")
+          .as("postings_head"))
+      .where($"df" >= minDf)
+  }
+
   /** GPT-2-style BPE pre-tokenizer regex — the contraction/letter-run/
     * digit-run/punct-run split every byte-pair tokenizer applies before
     * merges. Counting these is the standard "how many tokens is this
@@ -282,6 +387,31 @@ object TextAnalysis {
     }.toMap
     def hits(l: String) = s"len(list_filter(toks, t -> list_contains(${stopList(l)}, t)))"
     Map(
+      "text_heavy_hitters" -> """
+        WITH t2 AS (
+          SELECT tok FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+          WHERE tok <> '')
+        SELECT tok, count(*) AS cnt FROM t2
+        GROUP BY tok
+        HAVING count(*) * 40 > (SELECT count(*) FROM t2)""",
+
+      "text_inverted_index" -> """
+        WITH tk AS (
+          SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS gram
+          FROM tk JOIN generate_series(1, 4096) gs(i) ON i <= len(t) - 1),
+        r AS (
+          SELECT gram, doc_id,
+                 row_number() OVER (PARTITION BY gram ORDER BY doc_id) AS rk
+          FROM g)
+        SELECT gram, count(*) AS df,
+               array_to_string(list_sort(list(doc_id) FILTER (rk <= 20)), '|')
+                 AS postings_head
+        FROM r GROUP BY gram HAVING count(*) >= 2""",
+
       "text_repetition" -> """
         WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         topf AS (

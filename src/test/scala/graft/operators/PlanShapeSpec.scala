@@ -146,6 +146,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), "no global sort exchange\n" + p)
   }
 
+  test("text_inverted_index shares one gram exchange between rank and aggregate") {
+    // the posting-head window and the df groupBy must reuse the same gram
+    // hash partitioning; a second exchange means the single-pass design
+    // regressed into rank-shuffle-then-agg-shuffle
+    val p = plan("text_inverted_index").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected one gram exchange, got $exchanges\n$p")
+  }
+
   test("curate_filter_funnel is a pure map — zero exchanges") {
     // the composed curation gate must stay map-side like its component
     // signals; an exchange means a signal regressed into an aggregation
