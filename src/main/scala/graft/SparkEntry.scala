@@ -158,6 +158,7 @@ object SparkEntry {
     "stream_stream_left_join" -> (graft.streaming.Streams.streamStreamLeftJoin _),
     "stream_sink_parquet"    -> (graft.streaming.Streams.sinkParquet _),
     "stream_static_join"     -> (graft.streaming.Streams.streamStaticJoin _),
+    "stream_upsert_sink"     -> (graft.streaming.Streams.upsertSink _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

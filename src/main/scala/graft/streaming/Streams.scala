@@ -434,7 +434,66 @@ object Streams {
     s.read.parquet(out)
   }
 
+  /** Streaming CDC apply (foreachBatch MERGE): maintain a last-writer-wins
+    * per-user snapshot from the event stream — the "serving table fed by a
+    * stream" production shape (a Kafka topic compacted into a queryable
+    * current-state table). Each microbatch is first collapsed to its
+    * latest row per key (one window over the batch), then merged with the
+    * previous snapshot version, latest (ts, event_id) winning — the same
+    * MERGE discipline as [[graft.operators.Maintenance.upsert]], run
+    * incrementally. Snapshot versions are WRITTEN, not overwritten
+    * (v(batchId) reads v(batchId−1)): overwriting the parquet a lazy plan
+    * is still reading is the classic self-overwrite corruption, and
+    * versioning is also what makes a replayed batch idempotent
+    * (re-writing v(id) from v(id−1) is a no-op). The merge key-compare is
+    * (ts, event_id) — total order, so the result is independent of batch
+    * boundaries AND batch order. At scale: one user_id shuffle per batch
+    * (batch ≪ snapshot); bucket both sides on user_id (src_bucketed_join)
+    * to make the merge zero-exchange. */
+  def upsertSink(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
+    def latestPerUser(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("last_ts").desc, col("last_event_id").desc)
+      df.withColumn("rk", row_number().over(w)).where(col("rk") === 1).drop("rk")
+    }
+    val stream = eventsStream(s, d).select($"user_id", $"ts".as("last_ts"),
+      $"event_id".as("last_event_id"), $"event_type".as("last_type"),
+      $"value".as("last_value"))
+    var lastVersion = -1L
+    withStatePartitions(s, 8) {
+      useRocksDb(s)
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val delta = latestPerUser(batch.toDF())
+          val merged =
+            if (lastVersion < 0) delta
+            else latestPerUser(delta.unionByName(s.read.parquet(s"$root/v$lastVersion")))
+          merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$root/v$batchId")
+          lastVersion = batchId
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        require(q.lastProgress != null && q.lastProgress.batchId >= Microbatches - 1,
+          s"stream_upsert_sink ran too few batches")
+      } finally q.stop()
+    }
+    s.read.parquet(s"$root/v$lastVersion").drop("last_event_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "stream_upsert_sink" -> """
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
+             event_type AS last_type, value AS last_value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rk
+            FROM events)
+      WHERE rk = 1""",
+
     "stream_sink_parquet" -> """
       SELECT event_type, count(*) AS n,
              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total

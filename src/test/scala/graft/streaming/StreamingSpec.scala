@@ -86,6 +86,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("incremental CDC snapshot equals the batch latest-per-user answer") {
+    // the foreachBatch merge runs >=3 versioned merges (require inside
+    // upsertSink); the final snapshot must be exactly the batch
+    // last-writer-wins state — one row per user, independent of where
+    // the batch boundaries fell
+    import spark.implicits._
+    val got = Streams.upsertSink(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val want = graft.core.Tables.events(spark, sf)
+      .withColumn("rk", row_number().over(w)).where($"rk" === 1)
+      .select($"user_id", $"ts", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSet
+    assert(got == want)
+    assert(got.size == graft.core.Tables.events(spark, sf)
+      .select("user_id").distinct().count())
+  }
+
   test("update mode revises batch-boundary windows (more revisions than keys)") {
     // staged-fixture property: the quantile slice cuts fall INSIDE 1-day
     // windows, so at least one (window, key) is emitted in more than one
