@@ -122,6 +122,7 @@ object SparkEntry {
     "text_pack"        -> ((s: SparkSession, d: String) => TextAnalysis.sequencePack(s, d)),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "text_inverted_index" -> ((s: SparkSession, d: String) => TextAnalysis.invertedIndex(s, d)),
+    "text_chunk"         -> ((s: SparkSession, d: String) => TextAnalysis.chunk(s, d)),
     // J. corpus curation (composed passes over the per-signal blocks)
     "curate_contamination" -> ((s: SparkSession, d: String) => Curation.contamination(s, d)),
     "curate_pii_scrub"     -> (Curation.piiScrub _),

@@ -285,6 +285,31 @@ object TextAnalysis {
       .where($"df" >= minDf)
   }
 
+  /** Overlapping-window document chunking (the RAG / long-context
+    * training splitter): cut each document's token array into windows of
+    * B=32 tokens advancing by stride S=24 (overlap 8), last window
+    * ragged. Chunk count = 1 if n ≤ B else ⌈(n−B)/S⌉ + 1 — every token
+    * is covered and consecutive chunks share exactly the overlap. Pure
+    * per-row array arithmetic (transform + slice + posexplode): zero
+    * shuffle, output size ~ n/S rows per doc — the map-side explode a
+    * 100 TB chunking pass runs before embedding/tokenizing each chunk. */
+  def chunk(s: SparkSession, d: String, b: Int = 32, stride: Int = 24): DataFrame = {
+    import s.implicits._
+    val t = filter(toks($"text"), x => x =!= "")
+    val n = size($"t")
+    val nChunks = when(n <= b, lit(1))
+      .otherwise(ceil((n - b).cast("double") / stride).cast("int") + 1)
+    Tables.documents(s, d)
+      .select($"doc_id", t.as("t"))
+      .select($"doc_id",
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => struct(
+            size(slice($"t", i * stride + 1, lit(b))).cast("bigint").as("nt"),
+            array_join(slice($"t", i * stride + 1, lit(b)), " ").as("ct")))))
+      .select($"doc_id", $"pos".cast("bigint").as("chunk_id"),
+        $"col.nt".as("n_chunk_toks"), $"col.ct".as("chunk_text"))
+  }
+
   /** GPT-2-style BPE pre-tokenizer regex — the contraction/letter-run/
     * digit-run/punct-run split every byte-pair tokenizer applies before
     * merges. Counting these is the standard "how many tokens is this
@@ -395,6 +420,22 @@ object TextAnalysis {
         SELECT tok, count(*) AS cnt FROM t2
         GROUP BY tok
         HAVING count(*) * 40 > (SELECT count(*) FROM t2)""",
+
+      "text_chunk" -> """
+        WITH tk AS (
+          SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+          FROM documents),
+        c AS (
+          SELECT doc_id, t,
+                 CASE WHEN len(t) <= 32 THEN 1
+                      ELSE CAST(ceil((len(t) - 32) / 24.0) AS INT) + 1 END AS nc
+          FROM tk)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+               CAST(len(t[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)]) AS BIGINT)
+                 AS n_chunk_toks,
+               array_to_string(t[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)], ' ')
+                 AS chunk_text
+        FROM c JOIN generate_series(0, 4096) gs(i) ON i < nc""",
 
       "text_inverted_index" -> """
         WITH tk AS (

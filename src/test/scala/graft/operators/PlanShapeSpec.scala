@@ -155,6 +155,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected one gram exchange, got $exchanges\n$p")
   }
 
+  test("Catalyst injects a runtime bloom filter from a selective dim filter") {
+    // the 100 TB scan-pruning path: a selective predicate on the orders
+    // side should inject bloom_filter_might_contain onto the lineitem
+    // scan, so the fact side drops non-joining rows BEFORE the shuffle.
+    // Thresholds are production-sized (10 MB / 10 GB), far above the test
+    // fixture, so they are lowered here to surface the plan; the point
+    // pinned is that the engine's join shapes remain ELIGIBLE (equi-join,
+    // shuffle join, selective creation side) for the optimization.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      val o = graft.core.Tables.orders(spark, "/root/testdata/sf0.01")
+        .where($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 200000.0)
+      val j = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      j.collect()
+      // the injected filter prints as might_contain(scalar-subquery ...)
+      // over a bloom_filter_agg build on the creation side
+      val lp = j.queryExecution.optimizedPlan.toString
+      assert(lp.contains("might_contain") && lp.contains("bloom_filter_agg"),
+        "runtime bloom filter was not injected\n" + lp)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("curate_filter_funnel is a pure map — zero exchanges") {
     // the composed curation gate must stay map-side like its component
     // signals; an exchange means a signal regressed into an aggregation
