@@ -123,6 +123,7 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "text_inverted_index" -> ((s: SparkSession, d: String) => TextAnalysis.invertedIndex(s, d)),
     "text_chunk"         -> ((s: SparkSession, d: String) => TextAnalysis.chunk(s, d)),
+    "text_logprob"       -> (TextAnalysis.logprob _),
     // J. corpus curation (composed passes over the per-signal blocks)
     "curate_contamination" -> ((s: SparkSession, d: String) => Curation.contamination(s, d)),
     "curate_pii_scrub"     -> (Curation.piiScrub _),
@@ -145,6 +146,7 @@ object SparkEntry {
     "maint_purge"       -> (Maintenance.purgeAudit _),
     "maint_weighted_sample" -> ((s: SparkSession, d: String) => Maintenance.weightedSample(s, d)),
     "maint_zorder"      -> (Maintenance.zorderLayout _),
+    "maint_analyze"     -> (Maintenance.analyzeStats _),
     "sample_stratified" -> (Maintenance.stratifiedSample _),
     // S. streaming
     "stream_tumbling" -> (graft.streaming.Streams.tumbling _),

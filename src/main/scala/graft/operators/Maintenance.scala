@@ -237,6 +237,38 @@ object Maintenance {
         min($"l_suppkey").as("min_supp"), max($"l_suppkey").as("max_supp"))
   }
 
+  /** Column-statistics collection (the ANALYZE TABLE ... FOR COLUMNS
+    * pass): per column of orders, row/null counts, min/max, and distinct
+    * count — the stats substrate a cost-based optimizer's join reorder /
+    * broadcast decisions and a lake's file-skipping metadata both feed
+    * on. ONE scan: every column's stats are computed as parallel
+    * aggregates in a single two-phase HashAggregate pass (never one scan
+    * per column). Exact NDV here; at 100 TB the same pass swaps in
+    * approx_count_distinct (mergeable HLL partials — see agg_approx's
+    * oracle-checked bound) since exact NDV shuffles the full key set.
+    * Numeric min/max on o_totalprice use integer cents (engine-exact). */
+  def analyzeStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val cents = round($"o_totalprice" * 100).cast("bigint")
+    val stats = o.agg(
+      count(lit(1)).as("n_rows"),
+      // o_custkey
+      sum($"o_custkey".isNull.cast("long")).as("custkey_nulls"),
+      min($"o_custkey").as("custkey_min"), max($"o_custkey").as("custkey_max"),
+      count_distinct($"o_custkey").as("custkey_ndv"),
+      // o_totalprice (cents)
+      min(cents).as("price_min_cents"), max(cents).as("price_max_cents"),
+      count_distinct(cents).as("price_ndv"),
+      // o_orderstatus
+      count_distinct($"o_orderstatus").as("status_ndv"),
+      min($"o_orderstatus").as("status_min"), max($"o_orderstatus").as("status_max"),
+      // o_orderdate
+      min($"o_orderdate").as("date_min"), max($"o_orderdate").as("date_max"),
+      count_distinct($"o_orderdate").as("date_ndv"))
+    stats
+  }
+
   /** Right-to-be-forgotten purge (GDPR/CCPA): delete every event of the
     * users on a deletion list. The list comes from the customer dim
     * (c_custkey % 10 == 7 stands in for the compliance queue) and is
@@ -344,6 +376,22 @@ object Maintenance {
              CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
                   ELSE 'test' END AS split
       FROM (SELECT doc_id, $hexBucketSql AS b FROM documents)""",
+    "maint_analyze" -> """
+      SELECT count(*) AS n_rows,
+             CAST(count(*) - count(o_custkey) AS BIGINT) AS custkey_nulls,
+             min(o_custkey) AS custkey_min, max(o_custkey) AS custkey_max,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS custkey_ndv,
+             min(CAST(round(o_totalprice * 100) AS BIGINT)) AS price_min_cents,
+             max(CAST(round(o_totalprice * 100) AS BIGINT)) AS price_max_cents,
+             CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_ndv,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_ndv,
+             min(o_orderstatus) AS status_min, max(o_orderstatus) AS status_max,
+             min(CAST(o_orderdate AS TIMESTAMP)) AS date_min,
+             max(CAST(o_orderdate AS TIMESTAMP)) AS date_max,
+             CAST(count(DISTINCT o_orderdate) AS BIGINT) AS date_ndv
+      FROM orders""",
+
     "maint_upsert" -> """
       WITH base AS (
         SELECT o_orderkey, o_orderstatus,

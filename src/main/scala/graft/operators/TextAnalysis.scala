@@ -310,6 +310,37 @@ object TextAnalysis {
         $"col.nt".as("n_chunk_toks"), $"col.ct".as("chunk_text"))
   }
 
+  /** Unigram-LM quality score (the KenLM-perplexity-proxy curation
+    * signal): per doc, the mean negative log-likelihood of its tokens
+    * under the corpus's own unigram distribution — low = stereotypical
+    * text, high = rare-token-heavy (OCR noise, gibberish). Same one-pass
+    * derivation as tf-idf: corpus explodes ONCE into (doc, term, tf);
+    * term frequencies and the corpus total derive from that aggregate, so
+    * the token stream is shuffled once and the freq join carries (term,
+    * count) pairs, never documents. Numeric discipline: each term's
+    * −ln p is computed once and scaled to an INTEGER (micro-nats) before
+    * any summation — per-doc totals are integer sums (order-independent
+    * under any partitioning), and the only double ops are one ln and two
+    * exact-input divisions per term/doc. Summing raw double logs across
+    * a group would be partial-aggregation-order dependent — the one
+    * floating-point trap every distributed scoring pass must dodge. */
+  def logprob(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(filter(toks($"text"), t => t =!= "")).as("tok"))
+    val tf = tok.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // one corpus explode feeds both consumers below
+    val freq = tf.groupBy($"tok").agg(sum($"tf").as("c"))
+    val total = freq.agg(sum($"c").as("n_total")) // 1-row scalar
+    tf.join(freq, "tok").crossJoin(broadcast(total))
+      .withColumn("li",
+        round(-log($"c".cast("double") / $"n_total") * 1e6).cast("bigint"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_toks"),
+        round(sum($"tf" * $"li").cast("double") / (sum($"tf") * 1e6), 6)
+          .as("mean_neglogp"))
+  }
+
   /** GPT-2-style BPE pre-tokenizer regex — the contraction/letter-run/
     * digit-run/punct-run split every byte-pair tokenizer applies before
     * merges. Counting these is the standard "how many tokens is this
@@ -420,6 +451,24 @@ object TextAnalysis {
         SELECT tok, count(*) AS cnt FROM t2
         GROUP BY tok
         HAVING count(*) * 40 > (SELECT count(*) FROM t2)""",
+
+      "text_logprob" -> """
+        WITH tok AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+          WHERE tok <> ''),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        freq AS (SELECT tok, sum(tf) AS c FROM tf GROUP BY 1),
+        tot AS (SELECT sum(c) AS n_total FROM freq)
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+               round(CAST(sum(tf * li) AS DOUBLE)
+                     / (CAST(sum(tf) AS DOUBLE) * 1000000), 6) AS mean_neglogp
+        FROM (SELECT doc_id, tf,
+                     CAST(round(-ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))
+                                * 1000000) AS BIGINT) AS li
+              FROM tf JOIN freq USING (tok) CROSS JOIN tot)
+        GROUP BY doc_id""",
 
       "text_chunk" -> """
         WITH tk AS (
