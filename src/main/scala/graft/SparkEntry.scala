@@ -103,6 +103,7 @@ object SparkEntry {
     "dedup_simhash"       -> ((s: SparkSession, d: String) => Dedup.simhashRecall(s, d)),
     "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingCosineExact(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingLshRecall(s, d)),
+    "graph_pagerank"      -> (Dedup.pagerank _),
     // J. similarity search (approximate paths emit oracle-checked recall
     // bounds vs the exact in-engine top-k; raw top-k spec'd in SimSearchSpec)
     "simsearch_topk"       -> ((s: SparkSession, d: String) => SimSearch.bruteTopKShared(s, d)),

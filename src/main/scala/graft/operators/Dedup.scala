@@ -277,6 +277,60 @@ object Dedup {
       .select($"n".as("doc_id"), $"l".as("cluster_rep"))
   }
 
+  /** PageRank over the near-dup similarity graph — the second iterative
+    * graph op (after [[connectedComponents]]), the one a curation
+    * pipeline uses to pick each near-dup cluster's most "central"
+    * representative instead of min-id. Damping 0.85, [[PagerankIters]]
+    * power iterations, every iteration one join + one aggregate on the
+    * same src partitioning, lineage truncated per round.
+    *
+    * INTEGER-EXACT by construction: scores live in parts-per-billion
+    * (S = 10⁹); each neighbor contribution is (s·85) div (deg·100) and
+    * the teleport term S·15/100 div n — integer division throughout, so
+    * per-node totals are integer sums, order-independent under any
+    * partitioning, and replayable bit-exactly by the oracle's unrolled
+    * SQL. Summing double-precision ranks across partitions — how a naive
+    * port would do it — is partial-aggregation-order dependent and can
+    * never hash-match. (The deliberate cost: div-truncation leaks ≤1 ppb
+    * per edge per round out of the score mass; centrality ORDER is
+    * unaffected.)
+    *
+    * The node count n is a driver scalar (one count over the degree
+    * frame — bounded by graph nodes, the CC-head() class of exception);
+    * dangling nodes cannot exist in an undirected pair graph. */
+  def pagerank(s: SparkSession, d: String): DataFrame =
+    pagerankOf(minhashLshShared(s, d))
+
+  /** Core over any (doc_a, doc_b) pair frame — the declared query and
+    * DedupSpec's conservation/centrality laws both drive this path. */
+  def pagerankOf(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .distinct().localCheckpoint()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nv = deg.count()
+    if (nv == 0L) // no near-dup pairs at this SF: empty result, schema fixed
+      return edges.select($"src".as("doc_id"), lit(0L).as("score_ppb")).where(lit(false))
+    val scale = 1000000000L
+    val teleport = (scale * 15L / 100L) / nv
+    var score = deg.select($"src".as("v"), lit(scale / nv).as("s"))
+    for (_ <- 1 to PagerankIters) {
+      score = edges.join(score, edges("src") === score("v"))
+        .join(deg, "src")
+        .select($"dst", expr("(s * 85) div (deg * 100)").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("in_sum"))
+        .select($"dst".as("v"), ($"in_sum" + teleport).as("s"))
+        .localCheckpoint()
+    }
+    score.select($"v".as("doc_id"), $"s".as("score_ppb"))
+  }
+
+  /** Power-iteration count for [[pagerank]] — mirrored by the oracle's
+    * unrolled CTE chain. */
+  val PagerankIters = 5
+
   /** Exact n-gram Jaccard dedup (word 3-grams, τ=0.8) via PREFIX-FILTERED
     * set-similarity self-join (Chaudhuri et al. SSJoin / Bayardo AllPairs)
     * — lossless, so the result equals the exhaustive oracle:
@@ -652,7 +706,37 @@ object Dedup {
       WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $tau"""
   }
 
+  /** [[pagerank]]'s oracle: the same integer power iteration, unrolled as
+    * one CTE per round (DuckDB's recursive CTEs are UNION-semantics
+    * fixpoints, unusable for a fixed-iteration-count recurrence). */
+  private def pagerankOracle: String = {
+    val iters = (1 to PagerankIters).map { i =>
+      s"""s$i AS (
+        SELECT e.dst AS v, CAST((150000000 // n) + sum((sc.s * 85) // (d.deg * 100)) AS BIGINT) AS s
+        FROM edges e
+        JOIN s${i - 1} sc ON e.src = sc.v
+        JOIN deg d ON e.src = d.src
+        CROSS JOIN nv
+        GROUP BY e.dst, n)"""
+    }.mkString(",\n      ")
+    // AS MATERIALIZED: DuckDB inlines plain CTEs per reference, so the
+    // shingle self-join would re-run once per unrolled iteration (16×
+    // slower at sf0.01, runaway at sf0.1); materialization pins the
+    // evaluate-once semantics the Spark side gets from localCheckpoint
+    s"""
+      WITH pairs AS MATERIALIZED (${shingleOracle(0.9, "char12")}),
+      edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      nv AS (SELECT count(*) AS n FROM deg),
+      s0 AS (SELECT src AS v, 1000000000 // n AS s FROM deg CROSS JOIN nv),
+      $iters
+      SELECT v AS doc_id, s AS score_ppb FROM s$PagerankIters"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankOracle,
     "dedup_exact" -> """
       SELECT min(doc_id) AS doc_id_kept, count(*) AS n_copies
       FROM documents GROUP BY text""",

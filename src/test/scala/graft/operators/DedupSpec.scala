@@ -124,4 +124,26 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("pagerank: hub outranks leaves, mass is conserved-ish, layout-invariant") {
+    import spark.implicits._
+    // star 1-{2,3,4,5} plus a detached edge 10-11
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.pagerankOf(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 7)
+    // the hub holds strictly more mass than any leaf; symmetric leaves tie
+    assert(Seq(2L, 3L, 4L, 5L).forall(l => got(1L) > got(l)))
+    assert(Seq(3L, 4L, 5L).forall(l => got(l) === got(2L)))
+    assert(got(10L) === got(11L))
+    // integer truncation leaks ≤1 ppb per edge per round: total stays
+    // within a tight band under S = 1e9
+    val total = got.values.sum
+    assert(total > 990000000L && total <= 1000000000L, s"mass=$total")
+    // bit-identical under a different physical layout
+    val got2 = Dedup.pagerankOf(pairs.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === got)
+  }
 }
