@@ -81,6 +81,9 @@ object SparkEntry {
     "fn_array"         -> (Relational.fnArray _),
     "fn_map"           -> (Relational.fnMap _),
     "fn_json"          -> (Relational.fnJson _),
+    "fn_try"           -> (Relational.fnTry _),
+    "agg_unpivot"      -> (Relational.aggUnpivot _),
+    "ts_gapfill"       -> (Relational.tsGapfill _),
     // SQL entry path
     "sql_q3_shipping"  -> (Sql.q3Shipping _),
     "sql_ext_winnow"   -> (Sql.extWinnow _),

@@ -746,4 +746,61 @@ object Relational {
       from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
         .getField("k").as("k_struct"))
   }
+
+  /** Error-tolerant expressions (the dirty-data ingestion path): try_cast
+    * on strings that don't parse, try_divide across a divisor that hits
+    * zero — each yields NULL instead of failing the task, which is the
+    * only viable contract when one malformed row out of 10¹¹ must not
+    * kill a 6-hour job. All per-row codegen; the oracle replays the
+    * identical null semantics via TRY_CAST/NULLIF. */
+  def fnTry(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).select(
+      $"o_orderkey",
+      expr("try_cast(o_orderpriority AS INT)").as("prio_bad"), // '1-URGENT' → NULL
+      expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+      try_divide(round($"o_totalprice" * 100).cast("bigint"),
+        pmod($"o_custkey", lit(3L))).as("cents_per"), // ⅓ of rows divide by zero
+      expr("try_cast(o_orderstatus AS DATE)").as("date_bad")) // 'F' → NULL
+  }
+
+  /** Unpivot (melt) — the inverse of [[aggPivot]]: the wide per-priority
+    * status counts fold back into (priority, status, n) rows. Wide→long
+    * reshaping is how a pipeline normalizes metric tables for storage;
+    * the unpivot itself is a zero-shuffle per-row expansion. */
+  def aggUnpivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    aggPivot(s, d).unpivot(
+      Array($"o_orderpriority"),
+      Array($"n_f", $"n_o", $"n_p"),
+      "status", "n")
+  }
+
+  /** Calendar gap-fill + LOCF (time-series resampling): per user, the
+    * daily activity series over the user's own [first, last] day span
+    * with missing days materialized (count 0) and the last seen day's
+    * cents carried forward. The calendar derives from ONE per-user
+    * min/max aggregate exploded through `sequence` — never a cross join
+    * against a global calendar — so row count is Σ user-spans. The LOCF
+    * window and the daily aggregate share the user_id partitioning.
+    * Counts and integer cents only: no double summation anywhere. */
+  def tsGapfill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"),
+           sum(round($"value" * 100).cast("bigint")).as("cents"))
+    val cal = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id",
+        explode(sequence($"d0", $"d1", expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        coalesce($"n", lit(0L)).as("n_events"),
+        coalesce($"cents", lit(0L)).as("day_cents"),
+        last($"cents", ignoreNulls = true).over(w).as("locf_cents"))
+  }
 }

@@ -155,6 +155,46 @@ object RelationalOracles {
              count(*) FILTER (o_orderstatus = 'P') AS n_p
       FROM orders GROUP BY o_orderpriority""",
 
+    "agg_unpivot" -> """
+      WITH p AS (
+        SELECT o_orderpriority,
+               count(*) FILTER (o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, 'n_f' AS status, n_f AS n FROM p
+      UNION ALL SELECT o_orderpriority, 'n_o', n_o FROM p
+      UNION ALL SELECT o_orderpriority, 'n_p', n_p FROM p""",
+
+    "fn_try" -> """
+      SELECT o_orderkey,
+             TRY_CAST(o_orderpriority AS INT) AS prio_bad,
+             TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               / NULLIF(o_custkey % 3, 0) AS cents_per,
+             TRY_CAST(o_orderstatus AS DATE) AS date_bad
+      FROM orders""",
+
+    "ts_gapfill" -> """
+      WITH daily AS (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2),
+      span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      cal AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM span)
+      SELECT c.user_id, c.day,
+             CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+             CAST(coalesce(cents, 0) AS BIGINT) AS day_cents,
+             CAST(last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY c.user_id ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS locf_cents
+      FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day""",
+
     "sql_scalar_subquery" -> """
       SELECT o_orderkey, o_orderstatus, o_totalprice
       FROM orders o
