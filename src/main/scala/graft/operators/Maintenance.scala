@@ -124,12 +124,16 @@ object Maintenance {
           .otherwise("test").as("split"))
   }
 
+  /** First 32 bits of md5(expr) as a bigint column — the Scala twin of
+    * [[md5Hex32Sql]]; every content-addressed draw (split buckets,
+    * sample priorities) derives from THIS one expression so a hash-scheme
+    * change cannot skew Spark and oracle apart per-operator. */
+  private[operators] def md5Hex32Col(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(e.cast("string").cast("binary")), 1, 8), 16, 10).cast("bigint")
+
   /** First 32 bits of md5(doc_id) mod 100, as a bigint column. */
-  private[operators] def bucketCol: org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col => c}
-    conv(substring(md5(c("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("bigint") % 100
-  }
+  private[operators] def bucketCol: org.apache.spark.sql.Column =
+    md5Hex32Col(org.apache.spark.sql.functions.col("doc_id")) % 100
 
   /** Exactly-K-per-group sample (fixed examples per source — the "take 3
     * docs from every source for the eval set" op): rank each group's
@@ -190,8 +194,7 @@ object Maintenance {
     val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val h = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("bigint")
+    val h = md5Hex32Col($"doc_id")
     val q = ($"n_chars".cast("double") * 4294967296.0) / ($"h" + 1).cast("double")
     docs
       .select($"doc_id", $"source", $"n_chars", h.as("h"))
@@ -241,11 +244,14 @@ object Maintenance {
     * pass): per column of orders, row/null counts, min/max, and distinct
     * count — the stats substrate a cost-based optimizer's join reorder /
     * broadcast decisions and a lake's file-skipping metadata both feed
-    * on. ONE scan: every column's stats are computed as parallel
-    * aggregates in a single two-phase HashAggregate pass (never one scan
-    * per column). Exact NDV here; at 100 TB the same pass swaps in
-    * approx_count_distinct (mergeable HLL partials — see agg_approx's
-    * oracle-checked bound) since exact NDV shuffles the full key set.
+    * on. ONE scan — never a scan per column — but NOT one aggregation
+    * pass: five count_distinct over different expressions make Catalyst
+    * plan an Expand that replicates each input row per distinct group
+    * (×5 rows into the aggregation; visible in the bench as the most
+    * expensive non-stream row of its batch). That is the honest cost of
+    * EXACT NDV; at 100 TB the same pass swaps in approx_count_distinct
+    * (mergeable HLL partials — see agg_approx's oracle-checked bound),
+    * which both kills the Expand and stops shuffling full key sets.
     * Numeric min/max on o_totalprice use integer cents (engine-exact). */
   def analyzeStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -320,10 +320,12 @@ object TextAnalysis {
     * count) pairs, never documents. Numeric discipline: each term's
     * −ln p is computed once and scaled to an INTEGER (micro-nats) before
     * any summation — per-doc totals are integer sums (order-independent
-    * under any partitioning), and the only double ops are one ln and two
-    * exact-input divisions per term/doc. Summing raw double logs across
-    * a group would be partial-aggregation-order dependent — the one
-    * floating-point trap every distributed scoring pass must dodge. */
+    * under any partitioning), the per-doc mean is an integer division,
+    * and the only double ops are one ln and one exact-input division per
+    * TERM. Summing raw double logs across a group would be
+    * partial-aggregation-order dependent, and a rounded double ratio in
+    * the output would sit on cross-engine half-boundary rounding — both
+    * floating-point traps a distributed scoring pass must dodge. */
   def logprob(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tok = Tables.documents(s, d)
@@ -337,8 +339,10 @@ object TextAnalysis {
         round(-log($"c".cast("double") / $"n_total") * 1e6).cast("bigint"))
       .groupBy($"doc_id")
       .agg(sum($"tf").as("n_toks"),
-        round(sum($"tf" * $"li").cast("double") / (sum($"tf") * 1e6), 6)
-          .as("mean_neglogp"))
+        // integer micro-nats END TO END: a rounded double ratio here would
+        // reintroduce the exact cross-engine half-boundary rounding class
+        // the window_dist fix removed (Spark HALF_UP vs DuckDB half-even)
+        expr("sum(tf * li) div sum(tf)").as("mean_neglogp_unat"))
   }
 
   /** GPT-2-style BPE pre-tokenizer regex — the contraction/letter-run/
@@ -462,8 +466,7 @@ object TextAnalysis {
         freq AS (SELECT tok, sum(tf) AS c FROM tf GROUP BY 1),
         tot AS (SELECT sum(c) AS n_total FROM freq)
         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
-               round(CAST(sum(tf * li) AS DOUBLE)
-                     / (CAST(sum(tf) AS DOUBLE) * 1000000), 6) AS mean_neglogp
+               CAST(sum(tf * li) // sum(tf) AS BIGINT) AS mean_neglogp_unat
         FROM (SELECT doc_id, tf,
                      CAST(round(-ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))
                                 * 1000000) AS BIGINT) AS li

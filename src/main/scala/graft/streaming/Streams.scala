@@ -442,38 +442,54 @@ object Streams {
     * previous snapshot version, latest (ts, event_id) winning — the same
     * MERGE discipline as [[graft.operators.Maintenance.upsert]], run
     * incrementally. Snapshot versions are WRITTEN, not overwritten
-    * (v(batchId) reads v(batchId−1)): overwriting the parquet a lazy plan
-    * is still reading is the classic self-overwrite corruption, and
-    * versioning is also what makes a replayed batch idempotent
-    * (re-writing v(id) from v(id−1) is a no-op). The merge key-compare is
-    * (ts, event_id) — total order, so the result is independent of batch
-    * boundaries AND batch order. At scale: one user_id shuffle per batch
-    * (batch ≪ snapshot); bucket both sides on user_id (src_bucketed_join)
-    * to make the merge zero-exchange. */
+    * (v(batchId) reads the highest COMPLETE version below it): overwriting
+    * the parquet a lazy plan is still reading is the classic
+    * self-overwrite corruption. Replay idempotency is carried by the
+    * snapshot DIRECTORY, not driver memory: each batch lists the on-disk
+    * versions, merges from the newest complete one below its id, and
+    * skips the write entirely if its own version already completed — so a
+    * restarted/replayed batch (checkpointed recovery re-delivers the last
+    * uncommitted batch) reproduces the same chain instead of resetting
+    * it, and a crashed half-write (no _SUCCESS) is redone. The merge
+    * key-compare is (ts, event_id) — total order, so the result is
+    * independent of batch boundaries AND batch order. At scale: one
+    * user_id shuffle per batch (batch ≪ snapshot); bucket both sides on
+    * user_id (src_bucketed_join) to make the merge zero-exchange. */
   def upsertSink(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
+    val rootPath = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
+    val root = rootPath.toString
     def latestPerUser(df: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("last_ts").desc, col("last_event_id").desc)
       df.withColumn("rk", row_number().over(w)).where(col("rk") === 1).drop("rk")
     }
+    // complete (= _SUCCESS-marked) snapshot versions currently on disk
+    def completeVersions(): Seq[Long] = {
+      val listing = java.nio.file.Files.list(rootPath)
+      try listing.toArray.map(_.toString).toSeq
+        .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")))
+        .flatMap(p => p.split('/').last.stripPrefix("v").toLongOption)
+      finally listing.close()
+    }
     val stream = eventsStream(s, d).select($"user_id", $"ts".as("last_ts"),
       $"event_id".as("last_event_id"), $"event_type".as("last_type"),
       $"value".as("last_value"))
-    var lastVersion = -1L
     withStatePartitions(s, 8) {
       useRocksDb(s)
       val q = stream.writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          val delta = latestPerUser(batch.toDF())
-          val merged =
-            if (lastVersion < 0) delta
-            else latestPerUser(delta.unionByName(s.read.parquet(s"$root/v$lastVersion")))
-          merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$root/v$batchId")
-          lastVersion = batchId
+          val versions = completeVersions()
+          if (!versions.contains(batchId)) { // replayed-and-committed: skip
+            val delta = latestPerUser(batch.toDF())
+            val merged = versions.filter(_ < batchId).maxOption match {
+              case None       => delta
+              case Some(prev) => latestPerUser(delta.unionByName(s.read.parquet(s"$root/v$prev")))
+            }
+            merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$root/v$batchId")
+          }
         }
         .start()
       try {
@@ -482,7 +498,7 @@ object Streams {
           s"stream_upsert_sink ran too few batches")
       } finally q.stop()
     }
-    s.read.parquet(s"$root/v$lastVersion").drop("last_event_id")
+    s.read.parquet(s"$root/v${completeVersions().max}").drop("last_event_id")
   }
 
   val oracle: Map[String, String] = Map(
