@@ -107,17 +107,23 @@ object Curation {
     * example budget. The plan is a per-source aggregate (tiny at any
     * corpus scale) that downstream samplers consume as a broadcast; the
     * actual draw is [[Maintenance.groupSampleOf]]-shaped. */
-  def mixPlan(s: SparkSession, d: String, alpha: Double = 0.5,
-      budget: Long = 1000L): DataFrame = {
+  def mixPlan(s: SparkSession, d: String, budget: Long = 1000L): DataFrame = {
     import s.implicits._
     val bySrc = Tables.documents(s, d)
       .groupBy($"source").agg(count(lit(1)).as("n_docs"))
-    val z = bySrc.agg(sum(pow($"n_docs", alpha)).as("z"))
+      // √n scaled to an INTEGER (micro-units) per source BEFORE the
+      // normalizer sums it: sum(sqrt(n)) as raw doubles was
+      // order-dependent under partial aggregation on BOTH engines — it
+      // flaked run-to-run under DuckDB's parallel sum when one source's
+      // weight sat on a rounding boundary. sqrt (unlike pow(x, 0.5)) is
+      // IEEE correctly-rounded, so li is bit-identical cross-engine, and
+      // the integer sum is order-independent.
+      .withColumn("li", round(sqrt($"n_docs") * 1e6).cast("bigint"))
+    val z = bySrc.agg(sum($"li").as("z")) // integer normalizer
     bySrc.crossJoin(broadcast(z)) // 1-row scalar
       .select($"source", $"n_docs",
-        round(pow($"n_docs", alpha) / $"z", 6).as("weight"),
-        floor(lit(budget) * pow($"n_docs", alpha) / $"z").cast("bigint")
-          .as("target_docs"))
+        round($"li".cast("double") / $"z", 6).as("weight"),
+        floor((lit(budget) * $"li") / $"z").cast("bigint").as("target_docs"))
   }
 
   // ------------------------------------------------------------ filter funnel
@@ -367,11 +373,15 @@ object Curation {
         SELECT doc_id, score FROM sc, thr WHERE score >= thr""",
 
       "curate_mix_plan" -> """
-        WITH bysrc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
-        z AS (SELECT sum(pow(n_docs, 0.5)) AS z FROM bysrc)
+        WITH bysrc AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS li
+          FROM documents GROUP BY source),
+        z AS (SELECT sum(li) AS z FROM bysrc)
         SELECT source, n_docs,
-               round(pow(n_docs, 0.5) / z, 6) AS weight,
-               CAST(floor(1000 * pow(n_docs, 0.5) / z) AS BIGINT) AS target_docs
+               round(CAST(li AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight,
+               CAST(floor(CAST(1000 * li AS DOUBLE) / CAST(z AS DOUBLE)) AS BIGINT)
+                 AS target_docs
         FROM bysrc, z""",
 
       "curate_filter_funnel" -> s"""

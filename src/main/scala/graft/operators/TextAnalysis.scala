@@ -221,7 +221,7 @@ object TextAnalysis {
       .distinct().collect().toSeq
     if (candidates.isEmpty) // empty corpus: empty result, schema intact
       return tokens.select($"tok", lit(0L).as("cnt")).where(lit(false))
-    val Other = " other"
+    val Other = " other" // leading space: split-on-space tokens can never contain one
     val counted = tokens
       .groupBy(when($"tok".isInCollection(candidates), $"tok")
         .otherwise(Other).as("tok"))
