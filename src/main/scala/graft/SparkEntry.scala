@@ -166,6 +166,8 @@ object SparkEntry {
     "stream_sink_parquet"    -> (graft.streaming.Streams.sinkParquet _),
     "stream_static_join"     -> (graft.streaming.Streams.streamStaticJoin _),
     "stream_upsert_sink"     -> (graft.streaming.Streams.upsertSink _),
+    "stream_approx_distinct" -> (graft.streaming.Streams.approxDistinct _),
+    "dedup_incremental"      -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

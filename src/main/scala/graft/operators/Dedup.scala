@@ -277,6 +277,48 @@ object Dedup {
       .select($"n".as("doc_id"), $"l".as("cluster_rep"))
   }
 
+  /** Incremental near-dup detection — the INGESTION-TIME dedup shape: new
+    * documents (the delta) are probed against the banded signature index
+    * of the EXISTING corpus (the base), never re-self-joining the whole
+    * corpus. Base/delta membership is the content-addressed hash split
+    * ([[Maintenance.bucketCol]] < 90 = base, ≥ 90 = delta — stands in for
+    * yesterday's corpus vs today's batch). The base index is a
+    * session-materialized parquet artifact, same discipline as the other
+    * indexes: at 100 TB the banded index is maintained beside the corpus
+    * and each ingest batch pays only sig(delta) + an index probe — work
+    * ∝ |delta|, not ∝ |corpus|. Verification restricts to candidate docs
+    * on BOTH sides ([[verifyJaccard]]), and the (1−0.9⁴)³² ≈ 1.5e-15
+    * per-pair band-miss bound makes the verified output equal the
+    * exhaustive cross-corpus oracle. */
+  def incrementalDedup(s: SparkSession, d: String, tau: Double = 0.9): DataFrame = {
+    import s.implicits._
+    graft.functions.MinHashFunctions.register(s)
+    graft.functions.ShingleHashes.register(s)
+    val docs = Tables.documents(s, d)
+    def sigs(f: DataFrame) = f
+      .select($"doc_id", graft.functions.ShingleHashes.shingleHashes($"text", 12).as("hs"))
+      .where(size($"hs") > 0)
+      .select($"doc_id", graft.functions.MinHashFunctions.minhashSig($"hs").as("sig"))
+    val srcKey = "spark.graft.basebands.src"
+    val dirKey = "spark.graft.basebands.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_base_bands").toString
+      lshBands(sigs(docs.where(Maintenance.bucketCol < 90)), "doc_id", "sig")
+        .write.mode("overwrite").parquet(dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    val baseBands = s.read.parquet(s.conf.get(dirKey))
+    val deltaBands = lshBands(sigs(docs.where(Maintenance.bucketCol >= 90)), "doc_id", "sig")
+    val cands = baseBands.as("x")
+      .join(deltaBands.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    verifyJaccard(cands, docs, charShingles($"text", 12))
+      .where($"jac" >= tau)
+      .select($"a".as("base_id"), $"b".as("delta_id"), $"jac")
+  }
+
   /** PageRank over the near-dup similarity graph — the second iterative
     * graph op (after [[connectedComponents]]), the one a curation
     * pipeline uses to pick each near-dup cluster's most "central"
@@ -737,6 +779,27 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
+    "dedup_incremental" -> s"""
+      WITH sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 12) AS s
+        FROM (SELECT doc_id, lower(text) AS t FROM documents) d
+        JOIN generate_series(1, 4096) g(i) ON i <= length(t) - 11),
+      bk AS MATERIALIZED (
+        SELECT doc_id, ${Maintenance.hexBucketSql} AS bkt FROM documents),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        FROM sh x
+        JOIN sh y ON x.s = y.s
+        JOIN bk bx ON bx.doc_id = x.doc_id AND bx.bkt < 90
+        JOIN bk byy ON byy.doc_id = y.doc_id AND byy.bkt >= 90
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT a AS base_id, b AS delta_id,
+             CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+      FROM common
+      JOIN sz sa ON common.a = sa.doc_id
+      JOIN sz sb ON common.b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9""",
     "dedup_exact" -> """
       SELECT min(doc_id) AS doc_id_kept, count(*) AS n_copies
       FROM documents GROUP BY text""",

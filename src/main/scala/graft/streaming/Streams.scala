@@ -501,7 +501,41 @@ object Streams {
     s.read.parquet(s"$root/v${completeVersions().max}").drop("last_event_id")
   }
 
+  /** Windowed approximate distinct users per day — the streaming
+    * dashboard staple (exact count_distinct is impossible incrementally
+    * without holding every key; the HLL sketch is mergeable per-batch
+    * state, and merges are max-based, so the estimate is independent of
+    * batch boundaries and arrival order). The declared output follows
+    * the agg_approx pattern: the engine-specific estimate stays OUT of
+    * the hash-compared columns — each window emits its exact batch
+    * distinct count plus a flag that the streaming HLL estimate landed
+    * within 5% of it, which the oracle replays exactly. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 day"))
+      // rsd 0.02 → the 5% flag is a ~2.5σ bound (default rsd 0.05 makes
+      // 5% a 1σ coin flip — same calibration as agg_approx)
+      .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
+      .select($"window.start".as("w_start"), $"approx_users")
+    val streamed = runToTable(s, agg, "graft_stream_approx_distinct", "complete")
+    val exact = Tables.events(s, d)
+      .groupBy(date_trunc("day", $"ts").as("w_start"))
+      .agg(count_distinct($"user_id").as("n_exact"))
+    exact.join(streamed, Seq("w_start"))
+      .select($"w_start", $"n_exact",
+        (abs($"approx_users" - $"n_exact") <= $"n_exact" * 0.05)
+          .cast("long").as("within_5pct"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "stream_approx_distinct" -> """
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             CAST(1 AS BIGINT) AS within_5pct
+      FROM events GROUP BY 1""",
+
     "stream_upsert_sink" -> """
       SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
              event_type AS last_type, value AS last_value
