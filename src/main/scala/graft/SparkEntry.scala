@@ -151,6 +151,7 @@ object SparkEntry {
     "maint_weighted_sample" -> ((s: SparkSession, d: String) => Maintenance.weightedSample(s, d)),
     "maint_zorder"      -> (Maintenance.zorderLayout _),
     "maint_analyze"     -> (Maintenance.analyzeStats _),
+    "maint_backfill"    -> (Maintenance.backfill _),
     "sample_stratified" -> (Maintenance.stratifiedSample _),
     // S. streaming
     "stream_tumbling" -> (graft.streaming.Streams.tumbling _),

@@ -275,6 +275,49 @@ object Maintenance {
     stats
   }
 
+  /** Partition backfill/repair — dynamic partition overwrite, the lake
+    * op that fixes one corrupted day without touching its neighbors:
+    * the events table is staged day-partitioned once per (session, dir),
+    * then corrected rows for ONE target day (cents doubled — the stand-in
+    * repair) are written with `partitionOverwriteMode=dynamic`, which
+    * replaces exactly the partitions present in the write and leaves
+    * every other day's files untouched. Static overwrite mode — the
+    * default — would TRUNCATE THE WHOLE TABLE first; at 100 TB that
+    * single conf is the difference between rewriting one day and
+    * rewriting the lake. The read-back per-day aggregate shows the
+    * target day corrected and every other day bit-identical. Target day
+    * = 11th distinct day (a one-string driver scalar, bounded like the
+    * centroid draw). Counts + integer cents only. */
+  def backfill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_id", $"user_id",
+      round($"value" * 100).cast("bigint").as("cents"),
+      date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+    val srcKey = "spark.graft.backfill.src"
+    val dirKey = "spark.graft.backfill.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = Files.createTempDirectory("graft_backfill").toString
+      ev.write.mode(SaveMode.Overwrite).partitionBy("day").parquet(dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    val tbl = s.conf.get(dirKey)
+    val target = ev.select($"day").distinct().orderBy($"day".asc)
+      .limit(11).collect().last.getString(0)
+    // corrected rows derive from the SOURCE, so re-running the repair is
+    // idempotent (always source×2, never compounding)
+    val fixed = ev.where($"day" === target).withColumn("cents", $"cents" * 2)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try fixed.write.mode(SaveMode.Overwrite).partitionBy("day").parquet(tbl)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.read.parquet(tbl).groupBy($"day")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+  }
+
   /** Right-to-be-forgotten purge (GDPR/CCPA): delete every event of the
     * users on a deletion list. The list comes from the customer dim
     * (c_custkey % 10 == 7 stands in for the compliance queue) and is
@@ -397,6 +440,19 @@ object Maintenance {
              max(CAST(o_orderdate AS TIMESTAMP)) AS date_max,
              CAST(count(DISTINCT o_orderdate) AS BIGINT) AS date_ndv
       FROM orders""",
+
+    "maint_backfill" -> """
+      WITH ev AS (
+        SELECT strftime(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
+                        '%Y-%m-%d') AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      days AS (SELECT DISTINCT day FROM ev ORDER BY day LIMIT 11),
+      target AS (SELECT max(day) AS t FROM days)
+      SELECT day, count(*) AS n,
+             CAST(sum(cents * CASE WHEN day = (SELECT t FROM target)
+                                   THEN 2 ELSE 1 END) AS BIGINT) AS sum_cents
+      FROM ev GROUP BY day""",
 
     "maint_upsert" -> """
       WITH base AS (

@@ -83,6 +83,35 @@ class MaintenanceSpec extends SparkSpec {
       s"z layout must beat linear on the second dim: z=${z.getDouble(0)} linear=$lin")
   }
 
+  test("backfill rewrites only the target day's partition files") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def listing(root: String): Map[String, Long] = {
+      val s = Files.walk(Paths.get(root))
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+    Maintenance.backfill(spark, sf).collect() // stages table + first repair
+    val root = spark.conf.get("spark.graft.backfill.dir")
+    val before = listing(root)
+    Thread.sleep(1100) // parquet mtime granularity
+    Maintenance.backfill(spark, sf).collect() // second repair of same day
+    val after = listing(root)
+    val (target, untouched) = before.keys.partition { p =>
+      // the repaired day is the one whose files changed between runs
+      !after.contains(p) || after(p) != before(p)
+    }
+    assert(untouched.nonEmpty, "expected non-target partitions to survive")
+    // every changed file is inside exactly one day= partition directory
+    val targetDays = target.flatMap(_.split('/').find(_.startsWith("day=")).toSeq).toSet
+    assert(targetDays.size <= 1, s"more than one partition rewritten: $targetDays")
+    // untouched files are bit-identical paths with unchanged mtimes (static
+    // overwrite mode would have truncated them all)
+    untouched.foreach(p => assert(after(p) == before(p), p))
+  }
+
   test("purge audit is consistent with the actual purged frame") {
     val audit = Maintenance.purgeAudit(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
