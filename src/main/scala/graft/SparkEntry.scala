@@ -82,6 +82,8 @@ object SparkEntry {
     "fn_map"           -> (Relational.fnMap _),
     "fn_json"          -> (Relational.fnJson _),
     "fn_try"           -> (Relational.fnTry _),
+    "fn_bitwise"       -> (Relational.fnBitwise _),
+    "agg_histogram"    -> (Relational.aggHistogram _),
     "agg_unpivot"      -> (Relational.aggUnpivot _),
     "ts_gapfill"       -> (Relational.tsGapfill _),
     // SQL entry path

@@ -747,6 +747,36 @@ object Relational {
         .getField("k").as("k_struct"))
   }
 
+  /** Fixed-width integer histogram of order values ($50k buckets on
+    * integer cents — division and boundaries are exact, unlike a
+    * float-width bucketing whose edges drift): one two-phase hash
+    * aggregate; the per-bucket min/max show each bucket's true extent.
+    * The histogram is the profile behind mix planning and outlier
+    * triage; at 100 TB it is the same single pass. */
+  def aggHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = round($"o_totalprice" * 100).cast("bigint")
+    Tables.orders(s, d)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT) div 5000000").as("bucket"), c.as("cents"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+  }
+
+  /** Bitwise function family over key columns: and/or/xor, shifts, and
+    * popcount — the primitives every hash/bitmap/bloom structure builds
+    * on, all codegen'd integer ops. */
+  def fnBitwise(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).select(
+      $"o_orderkey",
+      $"o_orderkey".bitwiseAND(255L).as("k_and"),
+      $"o_orderkey".bitwiseOR(4096L).as("k_or"),
+      $"o_orderkey".bitwiseXOR($"o_custkey").as("k_xor"),
+      shiftleft($"o_orderkey", 3).as("k_shl"),
+      shiftright($"o_orderkey", 2).as("k_shr"),
+      bit_count($"o_orderkey").cast("bigint").as("k_pop"))
+  }
+
   /** Error-tolerant expressions (the dirty-data ingestion path): try_cast
     * on strings that don't parse, try_divide across a divisor that hits
     * zero — each yields NULL instead of failing the task, which is the

@@ -166,6 +166,23 @@ object RelationalOracles {
       UNION ALL SELECT o_orderpriority, 'n_o', n_o FROM p
       UNION ALL SELECT o_orderpriority, 'n_p', n_p FROM p""",
 
+    "agg_histogram" -> """
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bucket,
+             count(*) AS n,
+             min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+             max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+      FROM orders GROUP BY 1""",
+
+    "fn_bitwise" -> """
+      SELECT o_orderkey,
+             o_orderkey & 255 AS k_and,
+             o_orderkey | 4096 AS k_or,
+             xor(o_orderkey, o_custkey) AS k_xor,
+             o_orderkey << 3 AS k_shl,
+             o_orderkey >> 2 AS k_shr,
+             CAST(bit_count(o_orderkey) AS BIGINT) AS k_pop
+      FROM orders""",
+
     "fn_try" -> """
       SELECT o_orderkey,
              TRY_CAST(o_orderpriority AS INT) AS prio_bad,
