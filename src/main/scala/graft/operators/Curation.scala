@@ -122,7 +122,10 @@ object Curation {
     val z = bySrc.agg(sum($"li").as("z")) // integer normalizer
     bySrc.crossJoin(broadcast(z)) // 1-row scalar
       .select($"source", $"n_docs",
-        round($"li".cast("double") / $"z", 6).as("weight"),
+        // weight in parts-per-million via INTEGER floor-div — round(li/z, 6)
+        // would put the hash-compared column right back on the cross-engine
+        // half-boundary rounding class the integer normalizer exists to dodge
+        expr("(li * 1000000) div z").as("weight_ppm"),
         floor((lit(budget) * $"li") / $"z").cast("bigint").as("target_docs"))
   }
 
@@ -379,7 +382,7 @@ object Curation {
           FROM documents GROUP BY source),
         z AS (SELECT sum(li) AS z FROM bysrc)
         SELECT source, n_docs,
-               round(CAST(li AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight,
+               CAST((li * 1000000) // z AS BIGINT) AS weight_ppm,
                CAST(floor(CAST(1000 * li AS DOUBLE) / CAST(z AS DOUBLE)) AS BIGINT)
                  AS target_docs
         FROM bysrc, z""",

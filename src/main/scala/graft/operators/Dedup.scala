@@ -93,6 +93,21 @@ object Dedup {
     graft.functions.MinHashFunctions.minhashSig(
       transform(shingles, sh => pmod(xxhash64(sh), lit(P))))
 
+  /** (doc_id, sig) — the ONE MinHash signature derivation (char-12
+    * shingle hashes → 128-slot signature, empty-shingle docs dropped),
+    * shared by the full-corpus pair pipeline and the incremental probe
+    * so the two can never drift apart on shingle width or filtering. */
+  def sigsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.MinHashFunctions.register(s)
+    graft.functions.ShingleHashes.register(s)
+    docs
+      .select($"doc_id", graft.functions.ShingleHashes.shingleHashes($"text", 12).as("hs"))
+      .where(size($"hs") > 0)
+      .select($"doc_id", graft.functions.MinHashFunctions.minhashSig($"hs").as("sig"))
+  }
+
   /** (doc_id, band_id, band_key) — one row per band; band_key hashes the
     * band's 4 signature slots together with the band id. */
   def lshBands(docs: DataFrame, idCol: String, sigCol: String): DataFrame = {
@@ -185,13 +200,7 @@ object Dedup {
   def minhashPairs(docsIn: DataFrame, tau: Double): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
-    graft.functions.MinHashFunctions.register(s)
-    graft.functions.ShingleHashes.register(s)
-    val withSig = docsIn
-      .select($"doc_id", graft.functions.ShingleHashes.shingleHashes($"text", 12).as("hs"))
-      .where(size($"hs") > 0)
-      .select($"doc_id", graft.functions.MinHashFunctions.minhashSig($"hs").as("sig"))
-    val cands = lshCandidates(lshBands(withSig, "doc_id", "sig"), "doc_id")
+    val cands = lshCandidates(lshBands(sigsOf(docsIn), "doc_id", "sig"), "doc_id")
     verifyJaccard(cands, docsIn, charShingles($"text", 12))
       .where($"jac" >= tau)
       .select($"a".as("doc_a"), $"b".as("doc_b"), $"jac")
@@ -292,24 +301,18 @@ object Dedup {
     * exhaustive cross-corpus oracle. */
   def incrementalDedup(s: SparkSession, d: String, tau: Double = 0.9): DataFrame = {
     import s.implicits._
-    graft.functions.MinHashFunctions.register(s)
-    graft.functions.ShingleHashes.register(s)
     val docs = Tables.documents(s, d)
-    def sigs(f: DataFrame) = f
-      .select($"doc_id", graft.functions.ShingleHashes.shingleHashes($"text", 12).as("hs"))
-      .where(size($"hs") > 0)
-      .select($"doc_id", graft.functions.MinHashFunctions.minhashSig($"hs").as("sig"))
     val srcKey = "spark.graft.basebands.src"
     val dirKey = "spark.graft.basebands.dir"
     if (!s.conf.getOption(srcKey).contains(d)) {
       val dir = java.nio.file.Files.createTempDirectory("graft_base_bands").toString
-      lshBands(sigs(docs.where(Maintenance.bucketCol < 90)), "doc_id", "sig")
+      lshBands(sigsOf(docs.where(Maintenance.bucketCol < 90)), "doc_id", "sig")
         .write.mode("overwrite").parquet(dir)
       graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
       s.conf.set(srcKey, d)
     }
     val baseBands = s.read.parquet(s.conf.get(dirKey))
-    val deltaBands = lshBands(sigs(docs.where(Maintenance.bucketCol >= 90)), "doc_id", "sig")
+    val deltaBands = lshBands(sigsOf(docs.where(Maintenance.bucketCol >= 90)), "doc_id", "sig")
     val cands = baseBands.as("x")
       .join(deltaBands.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key"))
@@ -781,6 +784,9 @@ object Dedup {
     "graph_pagerank" -> pagerankOracle,
     "dedup_incremental" -> s"""
       WITH sh AS MATERIALIZED (
+        -- 4096-position cap: repo-wide oracle convention (see shingleOracle /
+        -- the text oracles) resting on the fixture's <=600-char doc bound;
+        -- Spark shingles the full text, so a longer-doc fixture must raise it
         SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 12) AS s
         FROM (SELECT doc_id, lower(text) AS t FROM documents) d
         JOIN generate_series(1, 4096) g(i) ON i <= length(t) - 11),

@@ -307,13 +307,12 @@ object Maintenance {
     // corrected rows derive from the SOURCE, so re-running the repair is
     // idempotent (always source×2, never compounding)
     val fixed = ev.where($"day" === target).withColumn("cents", $"cents" * 2)
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    // getOption on a registered SQL conf yields the effective default even
+    // when never set, so restore is a plain set-back of that value
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try fixed.write.mode(SaveMode.Overwrite).partitionBy("day").parquet(tbl)
-    finally prev match {
-      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     s.read.parquet(tbl).groupBy($"day")
       .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
   }

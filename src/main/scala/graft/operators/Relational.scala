@@ -752,12 +752,15 @@ object Relational {
     * float-width bucketing whose edges drift): one two-phase hash
     * aggregate; the per-bucket min/max show each bucket's true extent.
     * The histogram is the profile behind mix planning and outlier
-    * triage; at 100 TB it is the same single pass. */
+    * triage; at 100 TB it is the same single pass. (Bucket uses integer
+    * `div`, which truncates toward zero — identical to DuckDB's floor
+    * `//` only on the non-negative domain; o_totalprice > 0 always. A
+    * signed-domain histogram needs an explicit floor-div.) */
   def aggHistogram(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val c = round($"o_totalprice" * 100).cast("bigint")
     Tables.orders(s, d)
-      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT) div 5000000").as("bucket"), c.as("cents"))
+      .select(round($"o_totalprice" * 100).cast("bigint").as("cents"))
+      .select(expr("cents div 5000000").as("bucket"), $"cents") // ONE cents definition
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"), min($"cents").as("min_cents"), max($"cents").as("max_cents"))
   }

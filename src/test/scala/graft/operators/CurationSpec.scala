@@ -103,11 +103,12 @@ class CurationSpec extends SparkSpec {
 
   test("mix plan: weights sum to ~1 and targets never exceed the budget") {
     val plan = Curation.mixPlan(spark, sf, budget = 1000L).collect()
-    val wSum = plan.map(_.getDouble(2)).sum
-    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum $wSum")
+    // weight_ppm is integer parts-per-million; floor-div leaks < 1 ppm/source
+    val wSum = plan.map(_.getLong(2)).sum
+    assert(wSum > 1000000L - plan.length && wSum <= 1000000L, s"ppm sum $wSum")
     assert(plan.map(_.getLong(3)).sum <= 1000L, "floor() keeps targets under budget")
     // alpha=0.5 up-weights small sources: weight/count must be decreasing in count
-    val byN = plan.map(r => r.getLong(1).toDouble -> r.getDouble(2)).sortBy(_._1)
+    val byN = plan.map(r => r.getLong(1).toDouble -> r.getLong(2).toDouble).sortBy(_._1)
     byN.sliding(2).foreach { case Array((n1, w1), (n2, w2)) =>
       if (n2 > n1) assert(w2 / n2 < w1 / n1, "temperature must flatten the mix")
       case _ => ()

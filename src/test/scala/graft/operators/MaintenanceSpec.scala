@@ -104,6 +104,7 @@ class MaintenanceSpec extends SparkSpec {
       !after.contains(p) || after(p) != before(p)
     }
     assert(untouched.nonEmpty, "expected non-target partitions to survive")
+    assert(target.nonEmpty, "the repair must actually rewrite the target day")
     // every changed file is inside exactly one day= partition directory
     val targetDays = target.flatMap(_.split('/').find(_.startsWith("day=")).toSeq).toSet
     assert(targetDays.size <= 1, s"more than one partition rewritten: $targetDays")
