@@ -55,6 +55,12 @@ object SparkEntry {
     "fn_na"            -> (Relational.fnNa _),
     "events_funnel"    -> (Relational.eventsFunnel _),
     "events_sessionize" -> (Relational.eventsSessionize _),
+    "events_retention" -> (Relational.eventsRetention _),
+    "events_attribution" -> (Relational.eventsAttribution _),
+    "events_paths"     -> (Relational.eventsPaths _),
+    "agg_moments"      -> (Relational.aggMoments _),
+    "agg_mode"         -> (Relational.aggMode _),
+    "ts_interpolate"   -> (Relational.tsInterpolate _),
     // F. window functions
     "window_rank"      -> (Relational.windowRank _),
     "window_lag_lead"  -> (Relational.windowLagLead _),

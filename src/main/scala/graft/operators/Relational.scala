@@ -809,6 +809,165 @@ object Relational {
       "status", "n")
   }
 
+  /** Weekly cohort retention: users are cohorted by the week of their
+    * first event; each (cohort_week, week_offset) cell counts the users
+    * of that cohort active `offset` weeks later — the canonical product
+    * analytics matrix. ONE exchange on user_id does all per-user work
+    * (min week + the distinct active-week set in a single aggregate; a
+    * user's week set is bounded by the calendar, so `collect_set` state
+    * is O(weeks), never O(events)); the second aggregate groups a
+    * (cohort, offset) table whose cardinality is weeks², independent of
+    * user count. Offsets are exact multiples of 7 days, so the integer
+    * `div 7` is lossless. At 100 TB the shape is unchanged — billions of
+    * users hash across the first exchange and the output stays tiny. */
+  def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id", date_trunc("week", $"ts").as("week"))
+      .groupBy($"user_id")
+      .agg(min($"week").as("cohort_week"), collect_set($"week").as("weeks"))
+      .select($"cohort_week", explode($"weeks").as("week"))
+      .select($"cohort_week",
+        expr("datediff(week, cohort_week) div 7").cast("bigint").as("week_offset"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Last-touch attribution: each purchase's revenue is credited to the
+    * campaign (`props.k`) of the user's most recent click no older than
+    * 7 days; purchases with no qualifying click fall into campaign −1.
+    * Same single-pass shape as [[joinAsof]]: union the two event kinds,
+    * ONE window over (user, ts, kind, event_id) carries the last click's
+    * campaign and timestamp forward (`last(..., ignoreNulls)`), then one
+    * aggregate. The tie rule is explicit — a click sharing a purchase's
+    * timestamp sorts first (kind 0 < 1) and is attributable — so the
+    * result is independent of shuffle order. Revenue is integer cents.
+    * At scale this beats the join formulation: no build side, no skew
+    * joins, state per user is one row. */
+  def eventsAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+    val clicks = e.where($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id", lit(0L).as("kind"),
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        lit(null).cast("long").as("cents"))
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", lit(1L).as("kind"),
+        lit(null).cast("long").as("k"),
+        round($"value" * 100).cast("bigint").as("cents"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"kind".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_k", last($"k", ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when($"kind" === 0, $"ts"), ignoreNulls = true).over(w))
+      .where($"kind" === 1)
+      // NULL last_click_ts (no prior click) fails the >= and falls to −1
+      .select(
+        when($"last_click_ts" >= $"ts" - expr("INTERVAL 7 DAYS"), $"last_k")
+          .otherwise(lit(-1L)).as("campaign"),
+        $"cents")
+      .groupBy($"campaign")
+      .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("revenue_cents"))
+  }
+
+  /** Event-sequence transition counts (the first-order Markov model of
+    * user behavior): per user, events in (ts, event_id) total order;
+    * each consecutive pair contributes one (src_type → dst_type)
+    * transition. ONE window exchange on user_id, then an aggregate over
+    * the |types|² transition matrix. The total order makes the
+    * transition multiset deterministic even with equal timestamps. */
+  def eventsPaths(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .where($"next_type".isNotNull)
+      .groupBy($"event_type".as("src_type"), $"next_type".as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Exact statistical moments per group — the integer sums (n, Σx, Σx²,
+    * Σy, Σy², Σxy) from which variance, covariance and correlation
+    * derive in closed form. This is the mergeable-statistics pattern for
+    * 100 TB: one map-side-combinable pass produces partials that sum
+    * associatively (plain `var_samp`/`corr` over doubles is
+    * partial-order dependent and can never hash-match across engines).
+    * x = quantity (≤50), y = discount in integer percent (≤10): the
+    * squared sums stay ≪ 2⁶³ at any realistic SF. RelationalSpec derives
+    * corr from these sums and checks it against Spark's own `corr`. */
+  def aggMoments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_returnflag",
+        $"l_quantity".cast("bigint").as("q"),
+        round($"l_discount" * 100).cast("bigint").as("disc_pc"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"q").as("sum_q"), sum($"q" * $"q").as("sum_q2"),
+        sum($"disc_pc").as("sum_d"), sum($"disc_pc" * $"disc_pc").as("sum_d2"),
+        sum($"q" * $"disc_pc").as("sum_qd"))
+  }
+
+  /** Per-group mode (most frequent value) with a deterministic tie rule:
+    * highest count first, lexicographically-smallest value on ties. Two
+    * hash aggregates — (group, value) counts, then a row_number window
+    * over the count table, which is |groups|·|distinct values|, not
+    * |rows|. The heavy first aggregate is map-side combinable; the mode
+    * pick runs on the tiny profile. (Spark's builtin `mode` breaks ties
+    * arbitrarily — useless under a hash-compare gate and a liability for
+    * reproducible pipelines; this shape is the deterministic fix.) */
+  def aggMode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.customer(s, d)
+      .groupBy($"c_nationkey".cast("long").as("nationkey"), $"c_mktsegment".as("segment"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"nationkey").orderBy($"n".desc, $"segment".asc)
+    counts.withColumn("rk", row_number().over(w)).where($"rk" === 1)
+      .select($"nationkey", $"segment".as("mode_segment"), $"n".as("mode_n"))
+  }
+
+  /** Linear interpolation over the gap-filled daily series (the
+    * numeric-series twin of [[tsGapfill]]'s LOCF): missing days get the
+    * distance-weighted mean of the bracketing observed days, computed in
+    * integer cents as (prev·(gap−step) + next·step) div gap. The
+    * weighted-mean form keeps the numerator non-negative, where integer
+    * division truncates identically in Spark (`div`, toward zero) and
+    * DuckDB (`//`, floor) — the subtraction form prev + Δ·step/gap has a
+    * sign-dependent rounding mismatch between the two. Present days pass
+    * their own cents through untouched. Two frames (LOCF-backward,
+    * LOCF-forward) over the SAME (user, day) sort share one exchange. */
+  def tsInterpolate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"),
+           sum(round($"value" * 100).cast("bigint")).as("cents"))
+    val cal = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id",
+        explode(sequence($"d0", $"d1", expr("INTERVAL 1 DAY"))).as("day"))
+    val ord = Window.partitionBy($"user_id").orderBy($"day".asc)
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day", coalesce($"n", lit(0L)).as("n_events"),
+        last($"cents", ignoreNulls = true).over(wPrev).as("prev_cents"),
+        last(when($"cents".isNotNull, $"day"), ignoreNulls = true).over(wPrev).as("prev_day"),
+        first($"cents", ignoreNulls = true).over(wNext).as("next_cents"),
+        first(when($"cents".isNotNull, $"day"), ignoreNulls = true).over(wNext).as("next_day"))
+      // span is [first observed, last observed], so prev/next always exist
+      .select($"user_id", $"day", $"n_events",
+        when($"prev_day" === $"next_day", $"prev_cents")
+          .otherwise(expr(
+            """(prev_cents * datediff(next_day, day)
+               + next_cents * datediff(day, prev_day))
+              div datediff(next_day, prev_day)"""))
+          .as("interp_cents"))
+  }
+
   /** Calendar gap-fill + LOCF (time-series resampling): per user, the
     * daily activity series over the user's own [first, last] day span
     * with missing days materialized (count 0) and the last seen day's

@@ -436,6 +436,105 @@ object RelationalOracles {
       SELECT event_id,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
-      FROM events"""
+      FROM events""",
+
+    "events_retention" -> """
+      WITH w AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week
+        FROM events),
+      c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+      SELECT c.cohort_week,
+             CAST(datediff('day', c.cohort_week, w.week) // 7 AS BIGINT) AS week_offset,
+             count(*) AS n_users
+      FROM w JOIN c ON w.user_id = c.user_id
+      GROUP BY 1, 2""",
+
+    "events_attribution" -> """
+      WITH u AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+               CASE WHEN event_type = 'click'
+                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT) END AS cents
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      a AS (
+        SELECT *,
+               last_value(k IGNORE NULLS) OVER w AS last_k,
+               last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER w
+                 AS last_click_ts
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, kind ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT CASE WHEN last_click_ts >= ts - INTERVAL 7 DAY
+                  THEN last_k ELSE -1 END AS campaign,
+             count(*) AS n_purchases, sum(cents) AS revenue_cents
+      FROM a WHERE kind = 1 GROUP BY 1""",
+
+    "events_paths" -> """
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS next_type
+        FROM events)
+      SELECT event_type AS src_type, next_type AS dst_type, count(*) AS n
+      FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2""",
+
+    "agg_moments" -> """
+      SELECT l_returnflag, count(*) AS n,
+             sum(q) AS sum_q, sum(q * q) AS sum_q2,
+             sum(d) AS sum_d, sum(d * d) AS sum_d2,
+             sum(q * d) AS sum_qd
+      FROM (SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS q,
+                   CAST(round(l_discount * 100) AS BIGINT) AS d
+            FROM lineitem)
+      GROUP BY 1""",
+
+    "agg_mode" -> """
+      WITH counts AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               c_mktsegment AS segment, count(*) AS n
+        FROM customer GROUP BY 1, 2),
+      rk AS (
+        SELECT nationkey, segment, n,
+               row_number() OVER (PARTITION BY nationkey
+                                  ORDER BY n DESC, segment ASC) AS rk
+        FROM counts)
+      SELECT nationkey, segment AS mode_segment, n AS mode_n
+      FROM rk WHERE rk = 1""",
+
+    "ts_interpolate" -> """
+      WITH daily AS (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2),
+      span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      cal AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM span),
+      x AS (
+        SELECT c.user_id, c.day, coalesce(n, 0) AS n_events,
+               last_value(cents IGNORE NULLS) OVER wp AS prev_cents,
+               last_value(CASE WHEN cents IS NOT NULL THEN c.day END IGNORE NULLS)
+                 OVER wp AS prev_day,
+               first_value(cents IGNORE NULLS) OVER wn AS next_cents,
+               first_value(CASE WHEN cents IS NOT NULL THEN c.day END IGNORE NULLS)
+                 OVER wn AS next_day
+        FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+        WINDOW wp AS (PARTITION BY c.user_id ORDER BY c.day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY c.user_id ORDER BY c.day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+             CAST(CASE WHEN prev_day = next_day THEN prev_cents
+                  ELSE (prev_cents * datediff('day', day, next_day)
+                        + next_cents * datediff('day', prev_day, day))
+                       // datediff('day', prev_day, next_day) END AS BIGINT)
+               AS interp_cents
+      FROM x"""
   )
 }
