@@ -115,6 +115,8 @@ object SparkEntry {
     "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingCosineExact(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingLshRecall(s, d)),
     "graph_pagerank"      -> (Dedup.pagerank _),
+    "graph_triangles"     -> ((s: SparkSession, d: String) => Dedup.triangles(s, d)),
+    "dedup_normalized"    -> (Dedup.normalizedDedup _),
     // J. similarity search (approximate paths emit oracle-checked recall
     // bounds vs the exact in-engine top-k; raw top-k spec'd in SimSearchSpec)
     "simsearch_topk"       -> ((s: SparkSession, d: String) => SimSearch.bruteTopKShared(s, d)),
@@ -136,6 +138,7 @@ object SparkEntry {
     "text_inverted_index" -> ((s: SparkSession, d: String) => TextAnalysis.invertedIndex(s, d)),
     "text_chunk"         -> ((s: SparkSession, d: String) => TextAnalysis.chunk(s, d)),
     "text_logprob"       -> (TextAnalysis.logprob _),
+    "text_collocations"  -> (TextAnalysis.collocations _),
     // J. corpus curation (composed passes over the per-signal blocks)
     "curate_contamination" -> ((s: SparkSession, d: String) => Curation.contamination(s, d)),
     "curate_pii_scrub"     -> (Curation.piiScrub _),

@@ -322,6 +322,82 @@ object Dedup {
       .select($"a".as("base_id"), $"b".as("delta_id"), $"jac")
   }
 
+  /** Normalization dedup (the "fuzzy-exact" tier between [[exact]] and
+    * MinHash, CCNet-style): lowercase, fold every non-alphanumeric run to
+    * a single space, trim — then group by md5 of the normalized text.
+    * Catches the reformatting/punctuation/whitespace near-copies that
+    * byte-exact dedup misses at a per-row map cost, no candidate join.
+    * Restricted to Latin-script languages ([a-z0-9] normalization is
+    * meaningless for zh — a real pipeline routes by script first). The
+    * fixture has no such variants, so copies with doubled spacing and
+    * punctuation noise are injected for one doc in ten (ids offset by
+    * 10⁶) — same staged-fixture pattern as curate_pii_scrub, replayed
+    * verbatim by the oracle. Shuffles 16-byte hashes, never documents;
+    * members are listed in numeric order so the row is a deterministic
+    * set. */
+  def normalizedDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .where($"lang".isin("en", "de", "es", "fr"))
+      .select($"doc_id", $"text")
+    val variants = base.where(pmod($"doc_id", lit(10L)) === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        concat(lit("  "), expr("replace(text, ' ', '   ')"), lit(" *** !!!")).as("text"))
+    val norm = trim(regexp_replace(regexp_replace(lower($"text"),
+      lit("[^a-z0-9 ]"), lit(" ")), lit(" +"), lit(" ")))
+    base.unionByName(variants)
+      .select($"doc_id", md5(norm.cast("binary")).as("h"))
+      .groupBy($"h")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_docs"),
+           sort_array(collect_list($"doc_id")).as("ids"))
+      .where($"n_docs" >= 2)
+      .select($"canonical_id", $"n_docs",
+        array_join(transform($"ids", _.cast("string")), ",").as("members"))
+  }
+
+  /** Triangle counting over the near-dup similarity graph — the local
+    * clustering signal (a doc in many triangles sits in a dense
+    * template/boilerplate family; a high-degree, zero-triangle doc is a
+    * hub worth inspecting). Emits (doc_id, degree, n_tri) per node.
+    *
+    * Degree-oriented wedge enumeration (the MapReduce triangle algorithm
+    * of Suri & Vassilvitskii, WWW'11): orient every undirected edge from
+    * its lower-(degree, id) endpoint, enumerate wedges at each node's
+    * out-neighbors only, close against the canonical a<b edge set. Each
+    * triangle is found exactly once — at its minimum vertex under the
+    * (degree, id) total order, whose two out-edges into the triangle
+    * exist by construction. Orientation bounds out-degree by O(√m) on
+    * any graph, so wedge count — the join's intermediate — is O(m^1.5)
+    * instead of Σdeg², which is what survives a hot hub at 100 TB: an
+    * id-oriented join explodes on the skewed node, a degree-oriented one
+    * cannot. The oracle enumerates the same triangles as ordered id
+    * triples a<b<c — the triangle SET is orientation-independent, so the
+    * two strategies must agree bit-for-bit. */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = minhashLshShared(s, d)
+      .select($"doc_a".as("a"), $"doc_b".as("b")).localCheckpoint()
+    val deg = e.select($"a".as("doc_id")).unionAll(e.select($"b".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("degree")).localCheckpoint()
+    val dir = e
+      .join(deg.select($"doc_id".as("a"), $"degree".as("da")), "a")
+      .join(deg.select($"doc_id".as("b"), $"degree".as("db")), "b")
+      .select(
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+          struct($"a".as("u"), $"b".as("v")))
+        .otherwise(struct($"b".as("u"), $"a".as("v"))).as("x"))
+      .select($"x.u".as("u"), $"x.v".as("v"))
+    val wedges = dir.as("x").join(dir.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("hub"), col("x.v").as("p"), col("y.v").as("q"))
+    val tri = wedges.join(e, wedges("p") === e("a") && wedges("q") === e("b"))
+      .select($"hub", $"p", $"q")
+    val tn = tri.select(explode(array($"hub", $"p", $"q")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_tri"))
+    deg.join(tn, Seq("doc_id"), "left")
+      .select($"doc_id", $"degree", coalesce($"n_tri", lit(0L)).as("n_tri"))
+  }
+
   /** PageRank over the near-dup similarity graph — the second iterative
     * graph op (after [[connectedComponents]]), the one a curation
     * pipeline uses to pick each near-dup cluster's most "central"
@@ -809,6 +885,41 @@ object Dedup {
     "dedup_exact" -> """
       SELECT min(doc_id) AS doc_id_kept, count(*) AS n_copies
       FROM documents GROUP BY text""",
+    "dedup_normalized" -> """
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE lang IN ('en', 'de', 'es', 'fr')),
+      var AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               '  ' || replace(text, ' ', '   ') || ' *** !!!' AS text
+        FROM base WHERE doc_id % 10 = 0),
+      u AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+      n AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+        FROM u)
+      SELECT min(doc_id) AS canonical_id, count(*) AS n_docs,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+      FROM n GROUP BY h HAVING count(*) >= 2""",
+    "graph_triangles" -> s"""
+      WITH pairs AS MATERIALIZED (${shingleOracle(0.9, "char12")}),
+      e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs),
+      tri AS (
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      deg AS (
+        SELECT doc_id, count(*) AS degree FROM (
+          SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e) nodes
+        GROUP BY 1),
+      tn AS (
+        SELECT doc_id, count(*) AS n_tri FROM (
+          SELECT a AS doc_id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri) tnodes
+        GROUP BY 1)
+      SELECT d.doc_id, d.degree, CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri
+      FROM deg d LEFT JOIN tn ON d.doc_id = tn.doc_id""",
     "dedup_minhash" -> shingleOracle(0.9, "char12"),
     "dedup_simhash" -> s"""
       SELECT count(*) AS n_exact_pairs, CAST(1 AS BIGINT) AS recall_ok

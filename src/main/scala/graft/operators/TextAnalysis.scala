@@ -111,6 +111,37 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Collocation mining: directional bigram "lift" — how much more often
+    * word w2 follows w1 than independence predicts — in exact integer
+    * parts-per-million: lift = (c₁₂·N·10⁶) div (c₁·c₂), with c₁ = w1's
+    * occurrences as a bigram left word, c₂ = w2's as a right word, N =
+    * total bigrams. The integer form is the cross-engine-stable PMI
+    * surrogate (PMI's log changes no ordering; summing nothing, we keep
+    * the score exact). Minimum support 5 kills the noise tail. One heavy
+    * aggregate over (w1, w2) — map-side combinable — then two
+    * whole-partition window sums and a 1-row scalar join over the tiny
+    * distinct-bigram profile; the corpus itself is touched once. */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = StopwordSets.head._2
+    val toksFiltered = filter(split(lower($"text"), " "),
+      t => !t.isin(stop.map(lit): _*) && t =!= "")
+    val big = Tables.documents(s, d)
+      .select(Dedup.wordShinglesOf(toksFiltered, 2).as("grams"))
+      .select(explode($"grams").as("bigram"))
+      .select(split($"bigram", " ").getItem(0).as("w1"),
+              split($"bigram", " ").getItem(1).as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // profile table: reused by both marginals + total
+    big
+      .withColumn("cx", sum($"n").over(Window.partitionBy($"w1")))
+      .withColumn("cy", sum($"n").over(Window.partitionBy($"w2")))
+      .crossJoin(broadcast(big.agg(sum($"n").as("nn"))))
+      .where($"n" >= 5)
+      .select($"w1", $"w2", $"n",
+        expr("(n * nn * 1000000) div (cx * cy)").as("lift_ppm"))
+  }
+
   /** Repetition-based quality scoring (the Gopher/MassiveText repetition
     * filters): per doc, the duplicate-bigram fraction (1 − distinct/total
     * word 2-grams — high when a document loops) and the top-token
@@ -600,6 +631,24 @@ object TextAnalysis {
                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
           FROM h)
         SELECT DISTINCT doc_id, f AS fp FROM w WHERE i <= n - 3""",
+
+      "text_collocations" -> s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                   t -> t <> '' AND NOT list_contains(${stopList("en")}, t)) AS tk
+          FROM documents),
+        g AS (
+          SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+          FROM toks JOIN generate_series(1, 4096) g(i) ON i <= len(tk) - 1),
+        big AS (SELECT w1, w2, count(*) AS n FROM g GROUP BY 1, 2),
+        lft AS (SELECT w1, sum(n) AS cx FROM big GROUP BY 1),
+        rgt AS (SELECT w2, sum(n) AS cy FROM big GROUP BY 1),
+        tot AS (SELECT sum(n) AS nn FROM big)
+        SELECT b.w1, b.w2, b.n,
+               CAST((b.n * nn * 1000000) // (cx * cy) AS BIGINT) AS lift_ppm
+        FROM big b JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+        WHERE b.n >= 5""",
 
       "text_bigrams" -> s"""
         WITH toks AS (
