@@ -373,10 +373,16 @@ object Dedup {
     * cannot. The oracle enumerates the same triangles as ordered id
     * triples a<b<c — the triangle SET is orientation-independent, so the
     * two strategies must agree bit-for-bit. */
-  def triangles(s: SparkSession, d: String): DataFrame = {
+  def triangles(s: SparkSession, d: String): DataFrame =
+    trianglesOf(minhashLshShared(s, d))
+
+  /** Core over any canonical (doc_a < doc_b) pair frame — the declared
+    * query and DedupSpec's planted-graph/equivalence laws both drive
+    * this path. */
+  def trianglesOf(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
     import s.implicits._
-    val e = minhashLshShared(s, d)
-      .select($"doc_a".as("a"), $"doc_b".as("b")).localCheckpoint()
+    val e = pairs.select($"doc_a".as("a"), $"doc_b".as("b")).localCheckpoint()
     val deg = e.select($"a".as("doc_id")).unionAll(e.select($"b".as("doc_id")))
       .groupBy($"doc_id").agg(count(lit(1)).as("degree")).localCheckpoint()
     val dir = e

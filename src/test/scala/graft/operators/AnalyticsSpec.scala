@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Laws for the batch-6 analytics operators. The oracle gate proves
+  * cross-engine agreement on the fixtures; these prove internal
+  * consistency (conservation, equivalence of independent formulations,
+  * planted-structure recovery) that a hash-match alone can't localize. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("retention: the offset-0 cell is exactly the cohort size, and caps every later cell") {
+    val ret = Relational.eventsRetention(spark, sf)
+      .collect().map(r => ((r.getTimestamp(0), r.getLong(1)), r.getLong(2))).toMap
+    val cohorts = Tables.events(spark, sf)
+      .select($"user_id", date_trunc("week", $"ts").as("week"))
+      .groupBy($"user_id").agg(min($"week").as("cohort"))
+      .groupBy($"cohort").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    assert(cohorts.nonEmpty)
+    for ((cw, n) <- cohorts) assert(ret((cw, 0L)) == n)
+    for (((cw, _), n) <- ret) assert(n <= cohorts(cw))
+  }
+
+  test("attribution: purchases and revenue are conserved across campaigns") {
+    val att = Relational.eventsAttribution(spark, sf).collect()
+    val purchases = Tables.events(spark, sf).where($"event_type" === "purchase")
+      .agg(count(lit(1)), sum(round($"value" * 100).cast("bigint")))
+      .head()
+    assert(att.map(_.getLong(1)).sum == purchases.getLong(0))
+    assert(att.map(_.getLong(2)).sum == purchases.getLong(1))
+    // campaigns are props.k values (0..99) or the unattributed bucket −1
+    assert(att.map(_.getLong(0)).forall(k => k == -1L || (k >= 0L && k < 100L)))
+  }
+
+  test("paths: transitions are conserved — one per consecutive event pair per user") {
+    val total = Relational.eventsPaths(spark, sf).agg(sum($"n")).head().getLong(0)
+    val e = Tables.events(spark, sf)
+    val expected = e.count() - e.select($"user_id").distinct().count()
+    assert(total == expected)
+  }
+
+  test("moments: correlation derived from the integer sums matches Spark's corr") {
+    val rows = Relational.aggMoments(spark, sf).collect()
+    val sparkCorr = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(corr($"l_quantity", $"l_discount").as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, sq, sq2, sd, sd2, sqd) =
+        (r.getLong(1).toDouble, r.getLong(2).toDouble, r.getLong(3).toDouble,
+         r.getLong(4).toDouble, r.getLong(5).toDouble, r.getLong(6).toDouble)
+      val derived = (n * sqd - sq * sd) /
+        (math.sqrt(n * sq2 - sq * sq) * math.sqrt(n * sd2 - sd * sd))
+      // disc_pc = discount·100; correlation is scale-invariant
+      assert(math.abs(derived - sparkCorr(r.getString(0))) < 1e-9)
+    }
+  }
+
+  test("mode: the picked segment has the true max count, smallest-value ties") {
+    val modes = Relational.aggMode(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val counts = Tables.customer(spark, sf)
+      .groupBy($"c_nationkey".cast("long").as("nk"), $"c_mktsegment".as("seg"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byNation = counts.groupBy(_._1)
+    assert(modes.keySet == byNation.keySet)
+    for ((nk, (seg, n)) <- modes) {
+      val best = byNation(nk).map(_._3).max
+      assert(n == best)
+      val tied = byNation(nk).filter(_._3 == best).map(_._2).min
+      assert(seg == tied)
+    }
+  }
+
+  test("interpolate: observed days pass through; gaps stay within the bracket") {
+    val interp = Relational.tsInterpolate(spark, sf)
+    val daily = Tables.events(spark, sf)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(sum(round($"value" * 100).cast("bigint")).as("cents"))
+    // observed days: interp == the day's own cents
+    val mismatch = interp.where($"n_events" > 0)
+      .join(daily, Seq("user_id", "day"))
+      .where($"interp_cents" =!= $"cents").count()
+    assert(mismatch == 0)
+    // gap days exist at this SF and interpolate within the user's daily range
+    val gaps = interp.where($"n_events" === 0)
+    assert(gaps.count() > 0)
+    val range = daily.groupBy($"user_id")
+      .agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    val outOfRange = gaps.join(range, "user_id")
+      .where($"interp_cents" < $"lo" || $"interp_cents" > $"hi").count()
+    assert(outOfRange == 0)
+  }
+
+  test("collocations: lift matches an independent join-based recomputation") {
+    val got = TextAnalysis.collocations(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    val stop = TextAnalysis.StopwordSets.head._2
+    val toksF = filter(split(lower($"text"), " "),
+      t => !t.isin(stop.map(lit): _*) && t =!= "")
+    val big = Tables.documents(spark, sf)
+      .select(explode(Dedup.wordShinglesOf(toksF, 2)).as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nn = big.values.sum
+    val cx = big.groupBy(_._1.split(" ")(0)).view.mapValues(_.values.sum).toMap
+    val cy = big.groupBy(_._1.split(" ")(1)).view.mapValues(_.values.sum).toMap
+    for (((w1, w2), (n, lift)) <- got) {
+      assert(n == big(s"$w1 $w2") && n >= 5)
+      assert(lift == n * nn * 1000000L / (cx(w1) * cy(w2)))
+    }
+    assert(big.count(_._2 >= 5) == got.size)
+  }
+
+  test("normalized dedup: every staged variant groups with its base doc") {
+    val groups = Dedup.normalizedDedup(spark, sf).collect()
+      .map(r => r.getString(2).split(",").map(_.toLong).toSet)
+    val variantIds = groups.flatten.filter(_ >= 1000000L)
+    assert(variantIds.nonEmpty)
+    for (v <- variantIds)
+      assert(groups.exists(g => g.contains(v) && g.contains(v - 1000000L)))
+  }
+
+  test("triangles: degree-oriented enumeration equals the id-ordered formulation on a planted graph") {
+    // K4 on {1..4} (4 triangles) + a path 5-6-7 (none) + pendant 8
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (1L, 8L)).toDF("doc_a", "doc_b")
+    val got = Dedup.trianglesOf(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // id-ordered independent count
+    val e = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = e.flatMap(p => Set(p._1, p._2)).toSeq.sorted
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && e((a, b))
+      c <- nodes if b < c && e((b, c)) && e((a, c))
+    } yield (a, b, c)
+    val perNode = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(tris.size == 4)
+    for ((id, (deg, nt)) <- got) {
+      assert(nt == perNode.getOrElse(id, 0L))
+      assert(deg == e.count(p => p._1 == id || p._2 == id).toLong)
+    }
+    // handshake + 3×-membership conservation
+    assert(got.values.map(_._1).sum == 2L * e.size)
+    assert(got.values.map(_._2).sum == 3L * tris.size)
+  }
+
+  test("triangles: fixture graph agrees with the id-ordered join formulation") {
+    val pairs = Dedup.minhashLshShared(spark, sf).select($"doc_a", $"doc_b")
+    val got = Dedup.trianglesOf(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val e = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = e.flatMap(p => Set(p._1, p._2))
+    val tris = for {
+      (a, b) <- e.toSeq
+      c <- nodes if b < c && e((b, c)) && e((a, c))
+    } yield (a, b, c)
+    val perNode = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = nodes.map { id =>
+      (id, e.count(p => p._1 == id || p._2 == id).toLong, perNode.getOrElse(id, 0L))
+    }
+    assert(got == expected)
+  }
+}
