@@ -61,6 +61,8 @@ object SparkEntry {
     "agg_moments"      -> (Relational.aggMoments _),
     "agg_mode"         -> (Relational.aggMode _),
     "ts_interpolate"   -> (Relational.tsInterpolate _),
+    "events_anomaly"   -> (Relational.eventsAnomaly _),
+    "fn_url"           -> (Relational.fnUrl _),
     // F. window functions
     "window_rank"      -> (Relational.windowRank _),
     "window_lag_lead"  -> (Relational.windowLagLead _),
@@ -70,6 +72,7 @@ object SparkEntry {
     "agg_percentile"   -> (Relational.aggPercentile _),
     "agg_approx_percentile" -> (Relational.aggApproxPercentile _),
     "agg_sketch_union" -> (Relational.aggSketchUnion _),
+    "agg_cms"          -> (Relational.aggCms _),
     // G. sort / limit
     "sort_limit"       -> (Relational.sortLimit _),
     "sort_global"      -> (Relational.sortGlobal _),
@@ -139,6 +142,7 @@ object SparkEntry {
     "text_chunk"         -> ((s: SparkSession, d: String) => TextAnalysis.chunk(s, d)),
     "text_logprob"       -> (TextAnalysis.logprob _),
     "text_collocations"  -> (TextAnalysis.collocations _),
+    "text_dup_passages"  -> (TextAnalysis.dupPassages _),
     // J. corpus curation (composed passes over the per-signal blocks)
     "curate_contamination" -> ((s: SparkSession, d: String) => Curation.contamination(s, d)),
     "curate_pii_scrub"     -> (Curation.piiScrub _),
@@ -163,6 +167,7 @@ object SparkEntry {
     "maint_zorder"      -> (Maintenance.zorderLayout _),
     "maint_analyze"     -> (Maintenance.analyzeStats _),
     "maint_backfill"    -> (Maintenance.backfill _),
+    "maint_skew_report" -> (Maintenance.skewReport _),
     "sample_stratified" -> (Maintenance.stratifiedSample _),
     // S. streaming
     "stream_tumbling" -> (graft.streaming.Streams.tumbling _),

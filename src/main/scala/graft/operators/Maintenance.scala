@@ -365,6 +365,37 @@ object Maintenance {
   private[operators] val hexBucketSql: String =
     "(" + md5Hex32Sql("CAST(doc_id AS VARCHAR)") + " % 100)"
 
+  /** Shuffle-key skew profile: the pre-flight diagnostic for any big
+    * join/aggregation — per-key row counts (here l_suppkey, the key a
+    * supplier-side join would hash on) reduced to ONE summary row:
+    * key count, total, min/max, exact discrete p50/p99 (explicit rank
+    * rule: rank ⌊(n−1)·q⌋+1 in (count, key) order — no interpolated
+    * percentile, whose index conventions differ across engines), and
+    * max-over-mean in integer ppm. A max/mean ratio ≫ 1 is the salting
+    * trigger; p99/p50 separates one hot key from a heavy tail. The heavy
+    * aggregate is map-side combinable; ranking runs on the |keys|
+    * profile (suppliers here — for billion-key profiles swap the exact
+    * rank for approx quantiles, the summary schema is unchanged). */
+  def skewReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables.lineitem(s, d)
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
+    val ranked = cnt.withColumn("rk",
+      row_number().over(Window.orderBy($"cnt".asc, $"l_suppkey".asc)))
+    val stats = cnt.agg(
+      count(lit(1)).as("n_keys"), sum($"cnt").as("total_rows"),
+      min($"cnt").as("min_cnt"), max($"cnt").as("max_cnt"))
+    ranked.crossJoin(broadcast(stats))
+      .agg(
+        max($"n_keys").as("n_keys"), max($"total_rows").as("total_rows"),
+        max($"min_cnt").as("min_cnt"), max($"max_cnt").as("max_cnt"),
+        max(when($"rk" === expr("((n_keys - 1) * 50) div 100 + 1"), $"cnt")).as("p50_cnt"),
+        max(when($"rk" === expr("((n_keys - 1) * 99) div 100 + 1"), $"cnt")).as("p99_cnt"))
+      .select($"n_keys", $"total_rows", $"min_cnt", $"max_cnt", $"p50_cnt", $"p99_cnt",
+        expr("max_cnt * n_keys * 1000000 div total_rows").as("max_over_mean_ppm"))
+  }
+
   /** Morton interleave of (l_partkey & 0xFFFF) even bits / (l_suppkey &
     * 0xFFFF) odd bits as portable SQL — same shift/mask arithmetic as
     * [[zorderLayoutOf]], fully parenthesized against precedence drift. */
@@ -376,6 +407,21 @@ object Maintenance {
 
   val oracle: Map[String, String] = Map(
     "maint_compact" -> "SELECT doc_id, text FROM documents",
+    "maint_skew_report" -> """
+      WITH cnt AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+      r AS (SELECT cnt, row_number() OVER (ORDER BY cnt ASC, l_suppkey ASC) AS rk
+            FROM cnt),
+      s AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows,
+                   min(cnt) AS min_cnt, max(cnt) AS max_cnt
+            FROM cnt)
+      SELECT n_keys, total_rows, min_cnt, max_cnt,
+             (SELECT cnt FROM r, s WHERE rk = ((n_keys - 1) * 50) // 100 + 1)
+               AS p50_cnt,
+             (SELECT cnt FROM r, s WHERE rk = ((n_keys - 1) * 99) // 100 + 1)
+               AS p99_cnt,
+             CAST(max_cnt * n_keys * 1000000 // total_rows AS BIGINT)
+               AS max_over_mean_ppm
+      FROM s""",
     "maint_weighted_sample" -> s"""
       WITH pri AS (
         SELECT doc_id, source, n_chars,

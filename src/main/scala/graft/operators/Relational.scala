@@ -513,6 +513,40 @@ object Relational {
           .cast("long").as("union_ok"))
   }
 
+  /** Mergeable frequency sketch (Count–Min, Cormode & Muthukrishnan):
+    * build ONE distributed CMS over the join key (`count_min_sketch` is
+    * an associative partial aggregate — partitions sketch locally and
+    * merge, exactly how a 100 TB hot-key pre-pass runs), broadcast the
+    * ~100 KB sketch, probe every key's estimate distributed. Emits the
+    * two CMS guarantees as oracle-checked flags per key: estimates never
+    * undercount, and overshoot ≤ ⌈ε·N⌉ (ε = 0.001, N from the data —
+    * the w.p.-1−δ bound; with seed fixed the sketch is deterministic,
+    * so the flags are replay-stable). The sketch singleton to the driver
+    * is the CC-head() class of exception (one bounded binary); the probe
+    * deserializes once per partition — a [[DataFrame]] map would
+    * re-parse the sketch per row. */
+  def aggCms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select($"l_suppkey")
+    val skBytes = li.agg(expr(
+        "count_min_sketch(l_suppkey, CAST(0.001 AS DOUBLE), CAST(0.999 AS DOUBLE), 42)")
+        .as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val bc = s.sparkContext.broadcast(skBytes)
+    val exact = li.groupBy($"l_suppkey").agg(count(lit(1)).as("exact_cnt"))
+    val probed = exact.as[(Long, Long)].mapPartitions { it =>
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bc.value))
+      it.map { case (k, ex) => (k, ex, cms.estimateCount(k)) }
+    }.toDF("l_suppkey", "exact_cnt", "est_cnt")
+    probed
+      .crossJoin(broadcast(exact.agg(sum($"exact_cnt").as("total"))))
+      .select($"l_suppkey", $"exact_cnt",
+        ($"est_cnt" >= $"exact_cnt").cast("long").as("no_underestimate_ok"),
+        ($"est_cnt" - $"exact_cnt" <= ceil($"total" * 0.001))
+          .cast("long").as("overestimate_bound_ok"))
+  }
+
   /** Ordered funnel (view → click → purchase): per user, each step's
     * earliest timestamp strictly after the previous step's. ONE shuffle
     * on user_id, then three chained whole-partition window minima (each
@@ -966,6 +1000,52 @@ object Relational {
                + next_cents * datediff(day, prev_day))
               div datediff(next_day, prev_day)"""))
           .as("interp_cents"))
+  }
+
+  /** Integer-exact 3σ outlier detection: flag events whose value sits
+    * more than three population standard deviations from the user's own
+    * mean. The test |x−μ| > 3σ is evaluated as (n·x − S)² > 9·(n·S₂ − S²)
+    * — both sides exact BIGINT (multiply the z² inequality through by
+    * n²·σ²'s denominator) — so the flag set is bit-stable under any
+    * partitioning and engines can't drift in a sqrt or a double sum.
+    * ONE user_id window exchange carries all three moment sums; the
+    * point itself stays in its own baseline (population z, the standard
+    * streaming-monitor convention). Bounds: |cents| ≤ 5·10⁶ and n ≤ 10⁹
+    * per user keep every product < 2⁶³. */
+  def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", round($"value" * 100).cast("bigint").as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sum_c", sum($"cents").over(w))
+      .withColumn("sum_c2", sum($"cents" * $"cents").over(w))
+      .where($"n" >= 2 &&
+        ($"n" * $"cents" - $"sum_c") * ($"n" * $"cents" - $"sum_c") >
+          lit(9L) * ($"n" * $"sum_c2" - $"sum_c" * $"sum_c"))
+      .select($"user_id", $"event_id", $"cents")
+  }
+
+  /** URL parsing family (`parse_url`: HOST / PATH / QUERY / keyed query
+    * param) — the per-row extraction every web-corpus pipeline runs
+    * before host-level dedup or robots filtering. URLs are synthesized
+    * deterministically from document fields (same staged-fixture pattern
+    * as curate_pii_scrub), so the oracle can assert ground truth by
+    * RECONSTRUCTING each component from the same fields — testing
+    * Spark's parser against the URL grammar rather than against itself.
+    * All codegen, zero shuffle. */
+  def fnUrl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val url = concat(lit("https://"), $"source", lit(".example.com/"), $"lang",
+      lit("/doc-"), $"doc_id".cast("string"),
+      lit("?ref=r"), pmod($"doc_id", lit(7L)).cast("string"))
+    Tables.documents(s, d)
+      .select($"doc_id", url.as("url"))
+      .select($"doc_id", $"url",
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'QUERY', 'ref')").as("ref"))
   }
 
   /** Calendar gap-fill + LOCF (time-series resampling): per user, the

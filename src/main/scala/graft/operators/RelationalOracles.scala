@@ -505,6 +505,35 @@ object RelationalOracles {
       SELECT nationkey, segment AS mode_segment, n AS mode_n
       FROM rk WHERE rk = 1""",
 
+    "agg_cms" -> """
+      SELECT l_suppkey, count(*) AS exact_cnt,
+             CAST(1 AS BIGINT) AS no_underestimate_ok,
+             CAST(1 AS BIGINT) AS overestimate_bound_ok
+      FROM lineitem GROUP BY 1""",
+
+    "events_anomaly" -> """
+      WITH e AS (
+        SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      s AS (
+        SELECT user_id, count(*) AS n, sum(cents) AS sc, sum(cents * cents) AS sc2
+        FROM e GROUP BY 1)
+      SELECT e.user_id, e.event_id, e.cents
+      FROM e JOIN s ON e.user_id = s.user_id
+      WHERE n >= 2
+        AND (n * cents - sc) * (n * cents - sc) > 9 * (n * sc2 - sc * sc)""",
+
+    "fn_url" -> """
+      SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/doc-'
+               || CAST(doc_id AS VARCHAR) || '?ref=r' || CAST(doc_id % 7 AS VARCHAR)
+               AS url,
+             source || '.example.com' AS host,
+             '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) AS path,
+             'ref=r' || CAST(doc_id % 7 AS VARCHAR) AS query,
+             'r' || CAST(doc_id % 7 AS VARCHAR) AS ref
+      FROM documents""",
+
     "ts_interpolate" -> """
       WITH daily AS (
         SELECT user_id,

@@ -111,6 +111,32 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Duplicated-passage profile (the sub-document dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): a passage = a distinct word 8-gram; a passage is
+    * duplicated if it appears in ≥2 documents; each doc reports how much
+    * of it is duplicated material (exact integer ppm). Doc-level dedup
+    * misses exactly this — two long docs sharing one boilerplate
+    * paragraph — and the ppm profile is what a curation pass thresholds
+    * to excise it. Shape: one (doc, shingle) explode, the
+    * document-frequency count as a window over the SAME shingle
+    * exchange, then a per-doc aggregate; the shuffle carries shingle
+    * strings once (at 100 TB, hash the shingles first — the
+    * ShingleHashes expression exists for exactly that). Docs under 8
+    * tokens have no passages and drop out (same contract as the
+    * shingle-based dedup family). */
+  def dupPassages(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"doc_id", explode(Dedup.wordShingles($"text", 8)).as("s"))
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select($"doc_id", $"n_shingles", $"n_dup",
+        expr("n_dup * 1000000 div n_shingles").as("dup_ppm"))
+  }
+
   /** Collocation mining: directional bigram "lift" — how much more often
     * word w2 follows w1 than independence predicts — in exact integer
     * parts-per-million: lift = (c₁₂·N·10⁶) div (c₁·c₂), with c₁ = w1's
@@ -631,6 +657,21 @@ object TextAnalysis {
                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
           FROM h)
         SELECT DISTINCT doc_id, f AS fp FROM w WHERE i <= n - 3""",
+
+      "text_dup_passages" -> """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS s
+          FROM toks JOIN generate_series(1, 4096) g(i) ON i <= len(tk) - 7),
+        df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+        SELECT doc_id, count(*) AS n_shingles,
+               CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000 // count(*)
+                 AS BIGINT) AS dup_ppm
+        FROM sh JOIN df USING (s)
+        GROUP BY doc_id""",
 
       "text_collocations" -> s"""
         WITH toks AS (

@@ -152,6 +152,81 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 3L * tris.size)
   }
 
+  test("anomaly: integer flag set matches the double-precision 3-sigma rule") {
+    val flagged = Relational.eventsAnomaly(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pts = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", round($"value" * 100).cast("bigint").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = pts.groupBy(_._1)
+    for ((u, rows) <- byUser; if rows.length >= 2) {
+      val n = rows.length.toDouble
+      val mu = rows.map(_._3).sum / n
+      val sigma = math.sqrt(rows.map(p => (p._3 - mu) * (p._3 - mu)).sum / n)
+      for ((_, eid, c) <- rows) {
+        val z = if (sigma == 0) 0.0 else math.abs(c - mu) / sigma
+        if (z > 3 + 1e-9) assert(flagged((u, eid)))
+        if (z < 3 - 1e-9) assert(!flagged((u, eid)))
+      }
+    }
+    assert(flagged.nonEmpty)
+  }
+
+  test("skew report: summary row matches a local recomputation of the key profile") {
+    val r = Maintenance.skewReport(spark, sf).head()
+    val cnts = Tables.lineitem(spark, sf)
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("n"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy(x => (x._2, x._1)).map(_._2)
+    val nk = cnts.length
+    assert(r.getLong(0) == nk && r.getLong(1) == cnts.sum)
+    assert(r.getLong(2) == cnts.min && r.getLong(3) == cnts.max)
+    assert(r.getLong(4) == cnts((nk - 1) * 50 / 100))
+    assert(r.getLong(5) == cnts((nk - 1) * 99 / 100))
+    assert(r.getLong(6) == cnts.max * nk * 1000000L / cnts.sum)
+  }
+
+  test("url: every row reconstructs from its parsed components") {
+    val bad = Relational.fnUrl(spark, sf)
+      .where($"url" =!= concat(lit("https://"), $"host", $"path", lit("?"), $"query") ||
+             !$"query".contains(concat(lit("ref="), $"ref")))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("dup passages: per-doc duplicated-shingle counts match a local recomputation") {
+    val rows = TextAnalysis.dupPassages(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val sh = Tables.documents(spark, sf)
+      .select($"doc_id", explode(Dedup.wordShingles($"text", 8)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val df = sh.groupBy(_._2).view.mapValues(_.size).toMap
+    val expect = sh.groupBy(_._1).map { case (doc, ss) =>
+      val nd = ss.count(p => df(p._2) >= 2).toLong
+      doc -> (ss.size.toLong, nd, nd * 1000000L / ss.size)
+    }
+    assert(rows == expect)
+    assert(rows.values.exists(_._2 > 0)) // fixture has duplicated passages
+  }
+
+  test("cms: probe estimates are invariant to how the build was partitioned") {
+    val li = Tables.lineitem(spark, sf).select($"l_suppkey")
+    def sketchOf(parts: Int): Array[Byte] = li.repartition(parts)
+      .agg(expr("count_min_sketch(l_suppkey, CAST(0.001 AS DOUBLE), CAST(0.999 AS DOUBLE), 42)"))
+      .head().getAs[Array[Byte]](0)
+    def est(b: Array[Byte], k: Long) =
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(b)).estimateCount(k)
+    val keys = li.distinct().collect().map(_.getLong(0))
+    val (s1, s7) = (sketchOf(1), sketchOf(7))
+    assert(keys.nonEmpty)
+    for (k <- keys) assert(est(s1, k) == est(s7, k))
+    // and the single-partition sketch (= plain sequential CMS) never undercounts
+    val exact = li.groupBy($"l_suppkey").agg(count(lit(1)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- keys) assert(est(s1, k) >= exact(k))
+  }
+
   test("triangles: fixture graph agrees with the id-ordered join formulation") {
     val pairs = Dedup.minhashLshShared(spark, sf).select($"doc_a", $"doc_b")
     val got = Dedup.trianglesOf(pairs)
