@@ -126,6 +126,7 @@ object SparkEntry {
     "simsearch_lsh_recall" -> ((s: SparkSession, d: String) => SimSearch.lshRecall(s, d)),
     "simsearch_ivf_recall" -> ((s: SparkSession, d: String) => SimSearch.ivfRecall(s, d)),
     "simsearch_quantized_recall" -> ((s: SparkSession, d: String) => SimSearch.quantizedRecall(s, d)),
+    "simsearch_pq_recall"  -> ((s: SparkSession, d: String) => SimSearch.pqRecall(s, d)),
     // J. text analysis
     "text_tokens"      -> (TextAnalysis.tokenStats _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -184,6 +185,7 @@ object SparkEntry {
     "stream_static_join"     -> (graft.streaming.Streams.streamStaticJoin _),
     "stream_upsert_sink"     -> (graft.streaming.Streams.upsertSink _),
     "stream_approx_distinct" -> (graft.streaming.Streams.approxDistinct _),
+    "stream_anomaly"         -> (graft.streaming.Streams.anomaly _),
     "dedup_incremental"      -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
   )
 

@@ -226,6 +226,115 @@ object SimSearch {
         ($"n_found" >= $"n_exact" * floor).cast("long").as("recall_ok"))
   }
 
+  /** PQ geometry: 64 dims → [[PqSub]] subvectors × [[PqCent]]-entry
+    * per-subspace codebooks = one byte per subvector, an 8-byte code per
+    * vector (32× below float32). */
+  val PqSub = 8
+  val PqCent = 16
+
+  /** Product quantization (Jégou et al., TPAMI'11) — the
+    * codebook-compression ANN path, beside LSH (bucketing), IVF (coarse
+    * partitioning) and int8 (scalar quantization). Encoding: each
+    * subvector keeps its nearest codebook entry, argmin_c ‖v_j − c‖² =
+    * argmin_c (‖c‖² − 2⟨v_j, c⟩) via the codegen vec_dot kernel,
+    * c_idx tiebreak. Search is ADC (asymmetric distance): the query
+    * stays exact; its dots against every codebook entry are precomputed
+    * ONCE (a [[NumQueries]]×8×16 = 2,560-row broadcast table) and each
+    * corpus vector scores as 8 table lookups — O(|corpus|·M) adds with
+    * no per-pair float kernel, which is the entire economics of PQ at
+    * 100 TB (the scan side reads 8-byte codes, not 256-byte vectors).
+    * Rank by ADC dot / reconstructed norm ≈ cosine(query, v̂).
+    *
+    * Lookup dots are integer-scaled (micro-units) BEFORE the per-vector
+    * sum so scores are order-independent integer sums — the same
+    * discipline as text_logprob; an 8-double sum would vary with
+    * partial-aggregation order across runs and can flip near-equal
+    * ranks. Codebook: [[PqCent]] training rows by the IVF hash-order
+    * draw (O(C) whatever the corpus; a seeded per-subspace k-means drops
+    * in unchanged — the index structure is what's exercised). */
+  def pqTopKOf(e: DataFrame, k: Int = 5): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    VectorFunctions.register(s)
+    val w = 64 / PqSub
+    def subs = posexplode(transform(sequence(lit(0), lit(PqSub - 1)),
+      j => slice($"embedding", j * w + 1, lit(w))))
+    val codebook = e
+      .orderBy(pmod(xxhash64($"vec_id"), lit(999983L)).asc, $"vec_id".asc)
+      .limit(PqCent)
+      .withColumn("c_idx",
+        row_number().over(Window.orderBy($"vec_id".asc)) - 1) // 16 rows
+      .select($"c_idx", subs.as(Seq("j", "c_sub")))
+      .select($"j", $"c_idx", $"c_sub",
+        round(VectorFunctions.vecDot($"c_sub", $"c_sub") * 1e6).cast("bigint")
+          .as("c_norm2_micro"))
+    val cb = broadcast(codebook)
+    val corpusSub = e.select($"vec_id", subs.as(Seq("j", "sub")))
+    // encode: per (vec, j) the nearest centroid, plus its ‖c‖² share of
+    // the reconstructed norm
+    val codes = corpusSub.join(cb, "j")
+      .select($"vec_id", $"j", $"c_idx", $"c_norm2_micro",
+        ($"c_norm2_micro" - lit(2e6) * VectorFunctions.vecDot($"sub", $"c_sub"))
+          .as("adist"))
+      .groupBy($"vec_id", $"j")
+      .agg(min_by(struct($"c_idx", $"c_norm2_micro"), struct($"adist", $"c_idx"))
+        .as("best"))
+      .select($"vec_id", $"j",
+        $"best".getField("c_idx").as("c_idx"),
+        $"best".getField("c_norm2_micro").as("c_norm2_micro"))
+    // ADC tables for the fixed exact-query batch
+    val qtab = corpusSub.where($"vec_id" < NumQueries)
+      .join(cb, "j")
+      .select($"vec_id".as("q_id"), $"j", $"c_idx",
+        round(VectorFunctions.vecDot($"sub", $"c_sub") * 1e6).cast("bigint")
+          .as("qdot_micro"))
+    val scored = codes.join(broadcast(qtab), Seq("j", "c_idx"))
+      .where($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"qdot_micro").as("adc"), sum($"c_norm2_micro").as("vnorm2"))
+      .select($"q_id", $"vec_id".as("n_id"),
+        ($"adc" / sqrt($"vnorm2".cast("double"))).as("score"))
+    // ADC shortlist → exact re-rank (the production PQ deployment: the
+    // compressed scan prunes the corpus to R = 10k candidates; only the
+    // shortlist pays a full-precision distance — |queries|·R exact dots,
+    // O(1) in corpus scale)
+    val slw = Window.partitionBy($"q_id").orderBy($"score".desc, $"n_id".asc)
+    val shortlist = scored.withColumn("slrk", row_number().over(slw))
+      .where($"slrk" <= 10 * k)
+      .select($"q_id", $"n_id")
+    val queries = e.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val reranked = shortlist
+      .join(e.select($"vec_id".as("n_id"), $"embedding"), "n_id")
+      .join(broadcast(queries), "q_id")
+      .select($"q_id", $"n_id",
+        VectorFunctions.cosine($"q_emb", $"embedding").as("cos"))
+    val rkw = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+    reranked.withColumn("rk", row_number().over(rkw))
+      .where($"rk" <= k)
+      .select($"q_id", $"n_id", $"rk".cast("bigint").as("rk"))
+  }
+
+  def pqTopK(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    pqTopKOf(Tables.embeddings(s, d), k)
+
+  /** PQ recall vs the shared exact top-k, same contract as [[lshRecall]].
+    * Floor ratcheted from measurement (graft.tools.PqProbe): raw ADC
+    * top-k recalls 0.09–0.14 on the near-uniform fixture (16-centroid
+    * codebooks on spherical noise — PQ's hardest case); the shortlist +
+    * exact re-rank recovers 0.64 / 0.58 / 0.44 at
+    * sf0.001 / 0.01 / 0.1. Floor 0.35 ≈ 0.8× the min measured. */
+  def pqRecall(s: SparkSession, d: String, k: Int = 5,
+      floor: Double = 0.35): DataFrame = {
+    import s.implicits._
+    val exact = bruteTopKShared(s, d, k)
+    exact.agg(count_distinct($"q_id").as("n_queries"))
+      .crossJoin(Dedup.recallCounts(exact.select($"q_id", $"n_id"),
+        pqTopK(s, d, k).select($"q_id", $"n_id"), Seq("q_id", "n_id")))
+      .select($"n_queries",
+        ($"n_found" >= $"n_exact" * floor).cast("long").as("recall_ok"))
+  }
+
   // ------------------------------------------------ driver-visible recall
   // Round 1 left the approximate paths rows-only; their recall bounds
   // lived in SimSearchSpec where the driver never saw them. These queries
@@ -298,6 +407,10 @@ object SimSearch {
       FROM embeddings WHERE vec_id < $NumQueries""",
 
     "simsearch_quantized_recall" -> s"""
+      SELECT count(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
+      FROM embeddings WHERE vec_id < $NumQueries""",
+
+    "simsearch_pq_recall" -> s"""
       SELECT count(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
       FROM embeddings WHERE vec_id < $NumQueries""",
 

@@ -529,7 +529,64 @@ object Streams {
           .cast("long").as("within_5pct"))
   }
 
+  /** Streaming anomaly monitor — the incremental twin of
+    * [[graft.operators.Relational.eventsAnomaly]]: per user, running
+    * integer moments (n, Σc, Σc²) live in keyed state; each arriving
+    * event is tested against the prefix INCLUDING itself with the same
+    * all-integer inequality (n·x − S)² > 9·(n·S₂ − S²) and emitted
+    * exactly once if anomalous — the alert stream a production monitor
+    * sinks to a queue. Batch rows are sorted by (ts_µs, event_id) inside
+    * the group function (the group iterator carries no order contract)
+    * and the staged slices are time-ordered, so the running prefix
+    * equals the batch cumulative window whatever the batch boundaries —
+    * the oracle replays exactly that window. State is three longs per
+    * user (an event-time TTL would bolt on as in [[statefulCount]]);
+    * the integer test keeps the flag set bit-stable where a running
+    * double mean/stddev would drift with batch slicing. */
+  def anomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val flagged = eventsStream(s, d)
+      .select($"user_id", $"event_id",
+        round($"value" * 100).cast("bigint").as("cents"),
+        unix_micros($"ts").as("ts_us"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) => {
+          var (n, sc, sc2) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = Seq.newBuilder[(Long, Long, Long)]
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, eid, c, _) =>
+            n += 1; sc += c; sc2 += c * c
+            val dev = n * c - sc
+            if (n >= 2 && dev * dev > 9 * (n * sc2 - sc * sc))
+              out += ((user, eid, c))
+          }
+          state.update((n, sc, sc2))
+          out.result().iterator
+        })
+      .toDF("user_id", "event_id", "cents")
+    runToTable(s, flagged, "graft_stream_anomaly", "update")
+  }
+
   val oracle: Map[String, String] = Map(
+    "stream_anomaly" -> """
+      WITH e AS (
+        SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(ts AS TIMESTAMP) AS ts
+        FROM events),
+      x AS (
+        SELECT user_id, event_id, cents,
+               count(*) OVER w AS n, sum(cents) OVER w AS sc,
+               sum(cents * cents) OVER w AS sc2
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT user_id, event_id, cents FROM x
+      WHERE n >= 2
+        AND (n * cents - sc) * (n * cents - sc) > 9 * (n * sc2 - sc * sc)""",
+
     "stream_approx_distinct" -> """
       SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
              CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,

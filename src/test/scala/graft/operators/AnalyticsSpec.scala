@@ -227,6 +227,38 @@ class AnalyticsSpec extends SparkSpec {
     for (k <- keys) assert(est(s1, k) >= exact(k))
   }
 
+  test("pq: a planted near-copy of a query is shortlisted by ADC and re-ranked to top-1") {
+    val rnd = new scala.util.Random(77)
+    val base = (0 until 60).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val planted = (100L, base(0)._2.map(x => x + 0.001f))
+    val df = (base :+ planted).toDF("vec_id", "embedding")
+    val top = SimSearch.pqTopKOf(df, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(top.count(_._1 == 0L) == 5)
+    assert(top.exists(t => t._1 == 0L && t._2 == 100L && t._3 == 1L))
+  }
+
+  test("stream anomaly: incremental flags equal the batch prefix-window rule") {
+    val streamed = graft.streaming.Streams.anomaly(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val batch = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts",
+        round($"value" * 100).cast("bigint").as("c"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sc", sum($"c").over(w))
+      .withColumn("sc2", sum($"c" * $"c").over(w))
+      .where($"n" >= 2 &&
+        ($"n" * $"c" - $"sc") * ($"n" * $"c" - $"sc") >
+          lit(9L) * ($"n" * $"sc2" - $"sc" * $"sc"))
+      .select($"user_id", $"event_id", $"c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("triangles: fixture graph agrees with the id-ordered join formulation") {
     val pairs = Dedup.minhashLshShared(spark, sf).select($"doc_a", $"doc_b")
     val got = Dedup.trianglesOf(pairs)
