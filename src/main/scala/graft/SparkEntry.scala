@@ -62,6 +62,8 @@ object SparkEntry {
     "agg_mode"         -> (Relational.aggMode _),
     "ts_interpolate"   -> (Relational.tsInterpolate _),
     "events_anomaly"   -> (Relational.eventsAnomaly _),
+    "events_dips"      -> (Relational.eventsDips _),
+    "agg_hll_intersect" -> (Relational.aggHllIntersect _),
     "fn_url"           -> (Relational.fnUrl _),
     // F. window functions
     "window_rank"      -> (Relational.windowRank _),
@@ -119,6 +121,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingLshRecall(s, d)),
     "graph_pagerank"      -> (Dedup.pagerank _),
     "graph_triangles"     -> ((s: SparkSession, d: String) => Dedup.triangles(s, d)),
+    "graph_common_neighbors" -> ((s: SparkSession, d: String) => Dedup.commonNeighbors(s, d)),
     "dedup_normalized"    -> (Dedup.normalizedDedup _),
     // J. similarity search (approximate paths emit oracle-checked recall
     // bounds vs the exact in-engine top-k; raw top-k spec'd in SimSearchSpec)
@@ -144,6 +147,7 @@ object SparkEntry {
     "text_logprob"       -> (TextAnalysis.logprob _),
     "text_collocations"  -> (TextAnalysis.collocations _),
     "text_dup_passages"  -> (TextAnalysis.dupPassages _),
+    "text_bigram_lm"     -> (TextAnalysis.bigramLm _),
     // J. corpus curation (composed passes over the per-signal blocks)
     "curate_contamination" -> ((s: SparkSession, d: String) => Curation.contamination(s, d)),
     "curate_pii_scrub"     -> (Curation.piiScrub _),

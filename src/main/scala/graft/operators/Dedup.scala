@@ -404,6 +404,39 @@ object Dedup {
       .select($"doc_id", $"degree", coalesce($"n_tri", lit(0L)).as("n_tri"))
   }
 
+  /** Neighborhood overlap per near-dup pair — the classic link-prediction
+    * / community-strength signal: for each edge (a, b), the count of
+    * common neighbors and the Jaccard of the two neighborhoods in exact
+    * integer ppm, |N(a)∩N(b)|·10⁶ div (deg(a)+deg(b)−|N(a)∩N(b)|).
+    * A high-overlap pair sits inside a dense template family (merge
+    * aggressively); a zero-overlap pair is an isolated coincidence
+    * (inspect before merging). Wedge-closing joins over the (tiny) pair
+    * profile; the corpus is never touched. */
+  def commonNeighbors(s: SparkSession, d: String): DataFrame =
+    commonNeighborsOf(minhashLshShared(s, d))
+
+  /** Core over any canonical (doc_a < doc_b) pair frame. */
+  def commonNeighborsOf(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val e = pairs.select($"doc_a".as("a"), $"doc_b".as("b")).localCheckpoint()
+    val und = e.unionAll(e.select($"b".as("a"), $"a".as("b"))) // (node, neighbor)
+    val deg = und.groupBy($"a".as("v")).agg(count(lit(1)).as("deg"))
+    val common = e.as("p")
+      .join(und.as("x"), col("p.a") === col("x.a"))
+      .join(und.as("y"), col("p.b") === col("y.a") && col("x.b") === col("y.b"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("nc"))
+    e.select($"a".as("doc_a"), $"b".as("doc_b"))
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .join(deg.select($"v".as("doc_a"), $"deg".as("dega")), "doc_a")
+      .join(deg.select($"v".as("doc_b"), $"deg".as("degb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        coalesce($"nc", lit(0L)).as("n_common"),
+        expr("coalesce(nc, 0) * 1000000 div (dega + degb - coalesce(nc, 0))")
+          .as("jaccard_ppm"))
+  }
+
   /** PageRank over the near-dup similarity graph — the second iterative
     * graph op (after [[connectedComponents]]), the one a curation
     * pipeline uses to pick each near-dup cluster's most "central"
@@ -907,6 +940,26 @@ object Dedup {
       SELECT min(doc_id) AS canonical_id, count(*) AS n_docs,
              string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
       FROM n GROUP BY h HAVING count(*) >= 2""",
+    "graph_common_neighbors" -> s"""
+      WITH pairs AS MATERIALIZED (${shingleOracle(0.9, "char12")}),
+      e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs),
+      und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+      deg AS (SELECT a AS v, count(*) AS deg FROM und GROUP BY 1),
+      common AS (
+        SELECT p.a AS doc_a, p.b AS doc_b, count(*) AS nc
+        FROM e p
+        JOIN und x ON p.a = x.a
+        JOIN und y ON p.b = y.a AND x.b = y.b
+        GROUP BY 1, 2)
+      SELECT e.a AS doc_a, e.b AS doc_b,
+             CAST(coalesce(nc, 0) AS BIGINT) AS n_common,
+             CAST(coalesce(nc, 0) * 1000000
+                  // (da.deg + db.deg - coalesce(nc, 0)) AS BIGINT) AS jaccard_ppm
+      FROM e
+      LEFT JOIN common ON e.a = common.doc_a AND e.b = common.doc_b
+      JOIN deg da ON e.a = da.v
+      JOIN deg db ON e.b = db.v""",
+
     "graph_triangles" -> s"""
       WITH pairs AS MATERIALIZED (${shingleOracle(0.9, "char12")}),
       e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs),

@@ -1048,6 +1048,54 @@ object Relational {
         expr("parse_url(url, 'QUERY', 'ref')").as("ref"))
   }
 
+  /** Sequence-pattern detection (MATCH_RECOGNIZE-lite): per user, local
+    * minima in the value series — positions where the previous and next
+    * values both exceed the current one (a "dip", the down-up shape a
+    * monitoring rule keys on). lag/lead over ONE (ts, event_id)-ordered
+    * user window, then a per-user aggregate of dip count and the deepest
+    * dip (all integer cents). The same two-window skeleton extends to
+    * any fixed-length pattern; state is O(pattern length) per row. */
+  def eventsDips(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", round($"value" * 100).cast("bigint").as("c"))
+      .withColumn("prev", lag($"c", 1).over(w))
+      .withColumn("next", lead($"c", 1).over(w))
+      .where($"prev" > $"c" && $"next" > $"c")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_dips"),
+           max(least($"prev", $"next") - $"c").as("max_dip_cents"))
+  }
+
+  /** Sketch set algebra: estimate an INTERSECTION from mergeable HLL
+    * sketches by inclusion–exclusion, |A∩B| ≈ est(A) + est(B) − est(A∪B)
+    * — the audience-overlap question (users who click AND purchase)
+    * answered without ever co-shuffling the two sets. Each side is one
+    * mergeable sketch aggregate; the union is sketch-level (`hll_union`),
+    * so the whole query moves three ~KB sketches, not user ids — at
+    * 100 TB the two sides can live on different clusters and still
+    * compose. The estimate is checked against the exact distinct
+    * intersection (±10% or ±5 absolute — inclusion–exclusion stacks
+    * three estimators' errors, measured ≪ at fixture scales). */
+  def aggHllIntersect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+    val clicks = e.where($"event_type" === "click").select($"user_id")
+    val buys = e.where($"event_type" === "purchase").select($"user_id")
+    val est = clicks.agg(hll_sketch_agg($"user_id").as("ska"))
+      .crossJoin(buys.agg(hll_sketch_agg($"user_id").as("skb")))
+      .select(
+        (hll_sketch_estimate($"ska") + hll_sketch_estimate($"skb") -
+         hll_sketch_estimate(hll_union($"ska", $"skb"))).as("est_both"))
+    val exact = clicks.intersect(buys).agg(count(lit(1)).as("exact_both"))
+    est.crossJoin(exact) // two 1-row frames
+      .select($"exact_both",
+        (abs($"est_both" - $"exact_both") <=
+          greatest($"exact_both".cast("double") * 0.10, lit(5.0)))
+          .cast("long").as("intersect_ok"))
+  }
+
   /** Calendar gap-fill + LOCF (time-series resampling): per user, the
     * daily activity series over the user's own [first, last] day span
     * with missing days materialized (count 0) and the last seen day's

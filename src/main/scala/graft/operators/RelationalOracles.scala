@@ -511,6 +511,27 @@ object RelationalOracles {
              CAST(1 AS BIGINT) AS overestimate_bound_ok
       FROM lineitem GROUP BY 1""",
 
+    "events_dips" -> """
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events),
+      x AS (
+        SELECT user_id, c,
+               lag(c) OVER w AS prev, lead(c) OVER w AS next
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+      SELECT user_id, count(*) AS n_dips,
+             max(least(prev, next) - c) AS max_dip_cents
+      FROM x WHERE prev > c AND next > c
+      GROUP BY user_id""",
+
+    "agg_hll_intersect" -> """
+      SELECT count(*) AS exact_both, CAST(1 AS BIGINT) AS intersect_ok
+      FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""",
+
     "events_anomaly" -> """
       WITH e AS (
         SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents

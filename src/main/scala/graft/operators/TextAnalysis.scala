@@ -402,6 +402,39 @@ object TextAnalysis {
         expr("sum(tf * li) div sum(tf)").as("mean_neglogp_unat"))
   }
 
+  /** Bigram-LM quality score — [[logprob]]'s conditional upgrade (the
+    * KenLM-style fluency signal CCNet-class pipelines threshold on):
+    * per doc, the mean −ln p(w_i | w_{i−1}) under the corpus's own
+    * add-one-smoothed bigram model, p = (c(w_{i−1}w_i) + 1) /
+    * (c(w_{i−1}·) + V). Same determinism recipe as logprob: each
+    * per-bigram log is integer-scaled to micro-nats BEFORE summation,
+    * per-doc mean by integer division — order-independent everywhere.
+    * One corpus bigram explode feeds doc-term frequencies, corpus
+    * counts, left-marginal counts (a window on the same bigram profile)
+    * and the vocab scalar; joins carry (bigram, count) profiles, never
+    * documents. */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tk = filter(toks($"text"), t => t =!= "")
+    val big = Tables.documents(s, d)
+      .select($"doc_id", explode(Dedup.wordShinglesOf(tk, 2)).as("bg"))
+    val tfb = big.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // one corpus explode feeds every consumer below
+    val cnt = tfb.groupBy($"bg").agg(sum($"tf").as("cb"))
+      .withColumn("w1", split($"bg", " ").getItem(0))
+      .withColumn("cl", sum($"cb").over(Window.partitionBy($"w1")))
+    val vocab = Tables.documents(s, d)
+      .select(explode(filter(toks($"text"), t => t =!= "")).as("tok"))
+      .agg(count_distinct($"tok").as("v")) // 1-row scalar
+    tfb.join(cnt.select($"bg", $"cb", $"cl"), "bg")
+      .crossJoin(broadcast(vocab))
+      .withColumn("li",
+        round(-log(($"cb" + 1).cast("double") / ($"cl" + $"v")) * 1e6).cast("bigint"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_bigrams"),
+        expr("sum(tf * li) div sum(tf)").as("mean_neglogp_unat"))
+  }
+
   /** GPT-2-style BPE pre-tokenizer regex — the contraction/letter-run/
     * digit-run/punct-run split every byte-pair tokenizer applies before
     * merges. Counting these is the standard "how many tokens is this
@@ -657,6 +690,28 @@ object TextAnalysis {
                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
           FROM h)
         SELECT DISTINCT doc_id, f AS fp FROM w WHERE i <= n - 3""",
+
+      "text_bigram_lm" -> """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+          FROM documents),
+        g AS (
+          SELECT doc_id, tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS bg
+          FROM toks JOIN generate_series(1, 4096) g(i) ON i <= len(tk) - 1),
+        tfb AS (SELECT doc_id, bg, count(*) AS tf FROM g GROUP BY 1, 2),
+        cnt AS (SELECT bg, sum(tf) AS cb FROM tfb GROUP BY 1),
+        lft AS (SELECT string_split(bg, ' ')[1] AS w1, bg, cb,
+                       sum(cb) OVER (PARTITION BY string_split(bg, ' ')[1]) AS cl
+                FROM cnt),
+        voc AS (SELECT count(DISTINCT tok) AS v
+                FROM (SELECT unnest(tk) AS tok FROM toks))
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+               CAST(sum(tf * li) // sum(tf) AS BIGINT) AS mean_neglogp_unat
+        FROM (SELECT doc_id, tf,
+                     CAST(round(-ln(CAST(cb + 1 AS DOUBLE) / CAST(cl + v AS DOUBLE))
+                                * 1000000) AS BIGINT) AS li
+              FROM tfb JOIN lft USING (bg) CROSS JOIN voc)
+        GROUP BY doc_id""",
 
       "text_dup_passages" -> """
         WITH toks AS (

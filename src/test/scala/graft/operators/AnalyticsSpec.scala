@@ -259,6 +259,68 @@ class AnalyticsSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("dips: flagged local minima match a local recomputation") {
+    val got = Relational.eventsDips(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", round($"value" * 100).cast("bigint").as("c"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3)))
+    val expect = rows.groupBy(_._1).flatMap { case (u, es) =>
+      val s = es.sortBy(e => (e._2, e._3)).map(_._4)
+      val dips = (1 until s.length - 1)
+        .filter(i => s(i - 1) > s(i) && s(i + 1) > s(i))
+        .map(i => math.min(s(i - 1), s(i + 1)) - s(i))
+      if (dips.isEmpty) None else Some(u -> (dips.size.toLong, dips.max))
+    }
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("hll intersect: inclusion-exclusion estimate is within the declared bound") {
+    val r = Relational.aggHllIntersect(spark, sf).head()
+    val e = Tables.events(spark, sf)
+    val clicks = e.where($"event_type" === "click")
+      .select($"user_id").collect().map(_.getLong(0)).toSet
+    val buys = e.where($"event_type" === "purchase")
+      .select($"user_id").collect().map(_.getLong(0)).toSet
+    assert(r.getLong(0) == (clicks & buys).size.toLong)
+    assert(r.getLong(1) == 1L)
+  }
+
+  test("bigram LM: one document's mean micro-nat score matches a local recomputation") {
+    val got = TextAnalysis.bigramLm(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, sf).select($"doc_id", lower($"text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def bigramsOf(t: String) = {
+      val tk = t.split(" ", -1).filter(_.nonEmpty)
+      tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    }
+    val all = docs.flatMap(d => bigramsOf(d._2))
+    val cb = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cl = all.groupBy(_.split(" ")(0)).view.mapValues(_.size.toLong).toMap
+    val v = docs.flatMap(_._2.split(" ", -1).filter(_.nonEmpty)).distinct.size.toLong
+    for ((docId, text) <- docs.take(25); bgs = bigramsOf(text); if bgs.nonEmpty) {
+      val lis = bgs.map { bg =>
+        val li = math.round(-math.log((cb(bg) + 1).toDouble /
+          (cl(bg.split(" ")(0)) + v)) * 1e6)
+        li
+      }
+      assert(got(docId) == (bgs.size.toLong, lis.sum / bgs.size))
+    }
+  }
+
+  test("common neighbors: planted K4 yields full overlap on every edge") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val got = Dedup.commonNeighborsOf(edges)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // every K4 edge: 2 common neighbors, |N(a) U N(b)| = 3+3-2 = 4
+    for (e <- Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      assert(got(e) == (2L, 2L * 1000000L / 4L))
+    // path edges share nothing
+    assert(got((5L, 6L)) == (0L, 0L) && got((6L, 7L)) == (0L, 0L))
+  }
+
   test("triangles: fixture graph agrees with the id-ordered join formulation") {
     val pairs = Dedup.minhashLshShared(spark, sf).select($"doc_a", $"doc_b")
     val got = Dedup.trianglesOf(pairs)
