@@ -393,7 +393,11 @@ object Maintenance {
         max(when($"rk" === expr("((n_keys - 1) * 50) div 100 + 1"), $"cnt")).as("p50_cnt"),
         max(when($"rk" === expr("((n_keys - 1) * 99) div 100 + 1"), $"cnt")).as("p99_cnt"))
       .select($"n_keys", $"total_rows", $"min_cnt", $"max_cnt", $"p50_cnt", $"p99_cnt",
-        expr("max_cnt * n_keys * 1000000 div total_rows").as("max_over_mean_ppm"))
+        // DECIMAL(38,0): max_cnt·n_keys·10⁶ passes 2⁶³ exactly in the
+        // hot-key/many-keys regime this diagnostic exists to catch —
+        // BIGINT would wrap to a no-skew reading on the skewed input
+        expr("cast(max_cnt * cast(n_keys AS decimal(38,0)) * 1000000 div total_rows AS bigint)")
+          .as("max_over_mean_ppm"))
   }
 
   /** Morton interleave of (l_partkey & 0xFFFF) even bits / (l_suppkey &
@@ -419,8 +423,8 @@ object Maintenance {
                AS p50_cnt,
              (SELECT cnt FROM r, s WHERE rk = ((n_keys - 1) * 99) // 100 + 1)
                AS p99_cnt,
-             CAST(max_cnt * n_keys * 1000000 // total_rows AS BIGINT)
-               AS max_over_mean_ppm
+             CAST(CAST(max_cnt AS HUGEINT) * n_keys * 1000000 // total_rows
+               AS BIGINT) AS max_over_mean_ppm
       FROM s""",
     "maint_weighted_sample" -> s"""
       WITH pri AS (

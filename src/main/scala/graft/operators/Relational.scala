@@ -533,18 +533,19 @@ object Relational {
         .as("sk"))
       .head().getAs[Array[Byte]](0)
     val bc = s.sparkContext.broadcast(skBytes)
+    // ε·N from the sketch itself (totalCount() is N) — no second pass
+    // over the fact table just to recount what the sketch already holds
+    val epsN = math.ceil(0.001 * org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes)).totalCount()).toLong
     val exact = li.groupBy($"l_suppkey").agg(count(lit(1)).as("exact_cnt"))
-    val probed = exact.as[(Long, Long)].mapPartitions { it =>
+    exact.as[(Long, Long)].mapPartitions { it =>
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(bc.value))
       it.map { case (k, ex) => (k, ex, cms.estimateCount(k)) }
     }.toDF("l_suppkey", "exact_cnt", "est_cnt")
-    probed
-      .crossJoin(broadcast(exact.agg(sum($"exact_cnt").as("total"))))
       .select($"l_suppkey", $"exact_cnt",
         ($"est_cnt" >= $"exact_cnt").cast("long").as("no_underestimate_ok"),
-        ($"est_cnt" - $"exact_cnt" <= ceil($"total" * 0.001))
-          .cast("long").as("overestimate_bound_ok"))
+        ($"est_cnt" - $"exact_cnt" <= epsN).cast("long").as("overestimate_bound_ok"))
   }
 
   /** Ordered funnel (view → click → purchase): per user, each step's
@@ -1010,19 +1011,28 @@ object Relational {
     * partitioning and engines can't drift in a sqrt or a double sum.
     * ONE user_id window exchange carries all three moment sums; the
     * point itself stays in its own baseline (population z, the standard
-    * streaming-monitor convention). Bounds: |cents| ≤ 5·10⁶ and n ≤ 10⁹
-    * per user keep every product < 2⁶³. */
+    * streaming-monitor convention). The comparison runs in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): the squared terms reach
+    * (n·|cents|)², which blows through 2⁶³ at a few hundred large
+    * events per user — BIGINT math here would wrap silently in Spark
+    * (ANSI off) and raise in DuckDB, the worst possible divergence. The
+    * wide types cover n·|cents| < 10¹⁹, far past any real user; only
+    * the WHERE widens — output columns stay BIGINT. */
   def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id")
+    val dec = "decimal(38,0)"
     Tables.events(s, d)
       .select($"user_id", $"event_id", round($"value" * 100).cast("bigint").as("cents"))
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("sum_c", sum($"cents").over(w))
-      .withColumn("sum_c2", sum($"cents" * $"cents").over(w))
+      // the Σc² aggregate is already past 2⁶³ territory — widen BEFORE
+      // summing, not just in the comparison
+      .withColumn("sum_c2", sum($"cents".cast(dec) * $"cents").over(w))
+      .withColumn("dev", $"n".cast(dec) * $"cents" - $"sum_c")
       .where($"n" >= 2 &&
-        ($"n" * $"cents" - $"sum_c") * ($"n" * $"cents" - $"sum_c") >
-          lit(9L) * ($"n" * $"sum_c2" - $"sum_c" * $"sum_c"))
+        $"dev" * $"dev" >
+          lit(9L) * ($"n".cast(dec) * $"sum_c2" - $"sum_c".cast(dec) * $"sum_c"))
       .select($"user_id", $"event_id", $"cents")
   }
 

@@ -537,7 +537,11 @@ object RelationalOracles {
         SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents
         FROM events),
       s AS (
-        SELECT user_id, count(*) AS n, sum(cents) AS sc, sum(cents * cents) AS sc2
+        -- HUGEINT mirrors the Spark side's DECIMAL(38,0) widening: the
+        -- squared terms overflow BIGINT at a few hundred large events
+        SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(cents) AS HUGEINT) AS sc,
+               CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sc2
         FROM e GROUP BY 1)
       SELECT e.user_id, e.event_id, e.cents
       FROM e JOIN s ON e.user_id = s.user_id

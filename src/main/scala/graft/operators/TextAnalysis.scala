@@ -165,7 +165,10 @@ object TextAnalysis {
       .crossJoin(broadcast(big.agg(sum($"n").as("nn"))))
       .where($"n" >= 5)
       .select($"w1", $"w2", $"n",
-        expr("(n * nn * 1000000) div (cx * cy)").as("lift_ppm"))
+        // DECIMAL(38,0): n·N·10⁶ passes 2⁶³ at ~3·10⁷ corpus bigrams —
+        // a small corpus by this repo's standards; BIGINT would wrap
+        expr("cast((n * cast(nn AS decimal(38,0)) * 1000000) div (cx * cy) AS bigint)")
+          .as("lift_ppm"))
   }
 
   /** Repetition-based quality scoring (the Gopher/MassiveText repetition
@@ -409,10 +412,13 @@ object TextAnalysis {
     * (c(w_{i−1}·) + V). Same determinism recipe as logprob: each
     * per-bigram log is integer-scaled to micro-nats BEFORE summation,
     * per-doc mean by integer division — order-independent everywhere.
-    * One corpus bigram explode feeds doc-term frequencies, corpus
-    * counts, left-marginal counts (a window on the same bigram profile)
-    * and the vocab scalar; joins carry (bigram, count) profiles, never
-    * documents. */
+    * ONE corpus bigram explode feeds everything: doc-bigram frequencies,
+    * corpus counts, left-marginal counts (a window on the bigram
+    * profile) and the vocab scalar V — defined as the vocabulary
+    * observed in bigram contexts, i.e. distinct words of the bigram
+    * profile itself, so no second corpus pass exists anywhere (a
+    * token-level V would re-scan and re-tokenize the corpus to add only
+    * the words of single-token documents). */
   def bigramLm(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tk = filter(toks($"text"), t => t =!= "")
@@ -423,9 +429,10 @@ object TextAnalysis {
     val cnt = tfb.groupBy($"bg").agg(sum($"tf").as("cb"))
       .withColumn("w1", split($"bg", " ").getItem(0))
       .withColumn("cl", sum($"cb").over(Window.partitionBy($"w1")))
-    val vocab = Tables.documents(s, d)
-      .select(explode(filter(toks($"text"), t => t =!= "")).as("tok"))
-      .agg(count_distinct($"tok").as("v")) // 1-row scalar
+      .localCheckpoint() // profile table: feeds the join AND the vocab scalar
+    val vocab = cnt
+      .select(explode(split($"bg", " ")).as("tok"))
+      .agg(count_distinct($"tok").as("v")) // 1-row scalar, profile-sized
     tfb.join(cnt.select($"bg", $"cb", $"cl"), "bg")
       .crossJoin(broadcast(vocab))
       .withColumn("li",
@@ -704,7 +711,7 @@ object TextAnalysis {
                        sum(cb) OVER (PARTITION BY string_split(bg, ' ')[1]) AS cl
                 FROM cnt),
         voc AS (SELECT count(DISTINCT tok) AS v
-                FROM (SELECT unnest(tk) AS tok FROM toks))
+                FROM (SELECT unnest(string_split(bg, ' ')) AS tok FROM cnt))
         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
                CAST(sum(tf * li) // sum(tf) AS BIGINT) AS mean_neglogp_unat
         FROM (SELECT doc_id, tf,
@@ -742,7 +749,8 @@ object TextAnalysis {
         rgt AS (SELECT w2, sum(n) AS cy FROM big GROUP BY 1),
         tot AS (SELECT sum(n) AS nn FROM big)
         SELECT b.w1, b.w2, b.n,
-               CAST((b.n * nn * 1000000) // (cx * cy) AS BIGINT) AS lift_ppm
+               CAST((CAST(b.n AS HUGEINT) * nn * 1000000) // (CAST(cx AS HUGEINT) * cy)
+                 AS BIGINT) AS lift_ppm
         FROM big b JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
         WHERE b.n >= 5""",
 

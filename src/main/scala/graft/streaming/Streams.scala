@@ -559,8 +559,12 @@ object Streams {
           val out = Seq.newBuilder[(Long, Long, Long)]
           rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, eid, c, _) =>
             n += 1; sc += c; sc2 += c * c
-            val dev = n * c - sc
-            if (n >= 2 && dev * dev > 9 * (n * sc2 - sc * sc))
+            // BigInt mirrors the batch side's DECIMAL(38,0) widening —
+            // the squared terms wrap Long silently at a few hundred
+            // large events per user (Σc² state itself stays in range
+            // far longer: 2⁶³/|c|² events)
+            val dev = BigInt(n) * c - sc
+            if (n >= 2 && dev * dev > BigInt(9) * (BigInt(n) * sc2 - BigInt(sc) * sc))
               out += ((user, eid, c))
           }
           state.update((n, sc, sc2))
@@ -577,9 +581,11 @@ object Streams {
                CAST(ts AS TIMESTAMP) AS ts
         FROM events),
       x AS (
+        -- HUGEINT mirrors the engine's BigInt widening (see events_anomaly)
         SELECT user_id, event_id, cents,
-               count(*) OVER w AS n, sum(cents) OVER w AS sc,
-               sum(cents * cents) OVER w AS sc2
+               CAST(count(*) OVER w AS HUGEINT) AS n,
+               CAST(sum(cents) OVER w AS HUGEINT) AS sc,
+               CAST(sum(CAST(cents AS HUGEINT) * cents) OVER w AS HUGEINT) AS sc2
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))

@@ -187,11 +187,15 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("url: every row reconstructs from its parsed components") {
-    val bad = Relational.fnUrl(spark, sf)
-      .where($"url" =!= concat(lit("https://"), $"host", $"path", lit("?"), $"query") ||
-             !$"query".contains(concat(lit("ref="), $"ref")))
+    val df = Relational.fnUrl(spark, sf)
+    // NULL components would silently drop out of a =!= predicate — a
+    // parser regression returning NULL everywhere must FAIL, not pass
+    val bad = df.where(
+      $"host".isNull || $"path".isNull || $"query".isNull || $"ref".isNull ||
+      $"url" =!= concat(lit("https://"), $"host", $"path", lit("?"), $"query") ||
+      !$"query".contains(concat(lit("ref="), $"ref")))
       .count()
-    assert(bad == 0)
+    assert(bad == 0 && df.count() > 0)
   }
 
   test("dup passages: per-doc duplicated-shingle counts match a local recomputation") {
@@ -298,7 +302,8 @@ class AnalyticsSpec extends SparkSpec {
     val all = docs.flatMap(d => bigramsOf(d._2))
     val cb = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val cl = all.groupBy(_.split(" ")(0)).view.mapValues(_.size.toLong).toMap
-    val v = docs.flatMap(_._2.split(" ", -1).filter(_.nonEmpty)).distinct.size.toLong
+    // V = vocabulary observed in bigram contexts (the operator's contract)
+    val v = all.flatMap(_.split(" ")).distinct.size.toLong
     for ((docId, text) <- docs.take(25); bgs = bigramsOf(text); if bgs.nonEmpty) {
       val lis = bgs.map { bg =>
         val li = math.round(-math.log((cb(bg) + 1).toDouble /
