@@ -337,15 +337,21 @@ object Dedup {
     * set. */
   def normalizedDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = Tables.documents(s, d)
+    // ONE corpus scan: the staged variants are generated per-row from the
+    // same pass (explode of a 1- or 2-element struct array) — a
+    // base-union-variants shape reads the document table twice
+    val variant = struct(($"doc_id" + 1000000L).as("doc_id"),
+      concat(lit("  "), expr("replace(text, ' ', '   ')"), lit(" *** !!!")).as("text"))
+    val rows = Tables.documents(s, d)
       .where($"lang".isin("en", "de", "es", "fr"))
-      .select($"doc_id", $"text")
-    val variants = base.where(pmod($"doc_id", lit(10L)) === 0)
-      .select(($"doc_id" + 1000000L).as("doc_id"),
-        concat(lit("  "), expr("replace(text, ' ', '   ')"), lit(" *** !!!")).as("text"))
+      .select(explode(
+        when(pmod($"doc_id", lit(10L)) === 0,
+          array(struct($"doc_id", $"text"), variant))
+        .otherwise(array(struct($"doc_id", $"text")))).as("r"))
+      .select($"r.doc_id".as("doc_id"), $"r.text".as("text"))
     val norm = trim(regexp_replace(regexp_replace(lower($"text"),
       lit("[^a-z0-9 ]"), lit(" ")), lit(" +"), lit(" ")))
-    base.unionByName(variants)
+    rows
       .select($"doc_id", md5(norm.cast("binary")).as("h"))
       .groupBy($"h")
       .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_docs"),

@@ -881,19 +881,20 @@ object Relational {
     * joins, state per user is one row. */
   def eventsAttribution(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = Tables.events(s, d)
-    val clicks = e.where($"event_type" === "click")
-      .select($"user_id", $"ts", $"event_id", lit(0L).as("kind"),
-        get_json_object($"props", "$.k").cast("long").as("k"),
-        lit(null).cast("long").as("cents"))
-    val purchases = e.where($"event_type" === "purchase")
-      .select($"user_id", $"ts", $"event_id", lit(1L).as("kind"),
-        lit(null).cast("long").as("k"),
-        round($"value" * 100).cast("bigint").as("cents"))
+    // ONE scan: a union of two filtered branches reads the fact table
+    // twice; per-row conditionals over a single IN-filtered pass don't
+    // (plan-asserted — 2 scans of a 100 TB event log is the whole cost)
     val w = Window.partitionBy($"user_id")
       .orderBy($"ts".asc, $"kind".asc, $"event_id".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clicks.unionByName(purchases)
+    Tables.events(s, d)
+      .where($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_type" === "click", 0L).otherwise(1L).as("kind"),
+        when($"event_type" === "click",
+          get_json_object($"props", "$.k").cast("long")).as("k"),
+        when($"event_type" === "purchase",
+          round($"value" * 100).cast("bigint")).as("cents"))
       .withColumn("last_k", last($"k", ignoreNulls = true).over(w))
       .withColumn("last_click_ts",
         last(when($"kind" === 0, $"ts"), ignoreNulls = true).over(w))
@@ -976,10 +977,14 @@ object Relational {
     * LOCF-forward) over the SAME (user, day) sort share one exchange. */
   def tsInterpolate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // localCheckpoint: daily feeds BOTH the calendar derivation and the
+    // join probe — without it Catalyst duplicates the whole scan+agg
+    // subtree and the event log is scanned twice (plan-asserted)
     val daily = Tables.events(s, d)
       .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
       .agg(count(lit(1)).as("n"),
            sum(round($"value" * 100).cast("bigint")).as("cents"))
+      .localCheckpoint()
     val cal = daily.groupBy($"user_id")
       .agg(min($"day").as("d0"), max($"day").as("d1"))
       .select($"user_id",

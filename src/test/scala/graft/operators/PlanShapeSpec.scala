@@ -253,6 +253,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("events_attribution reads the event log once, on one user_id exchange") {
+    // a union-of-filtered-branches shape scans the fact table per branch;
+    // the per-row conditional shape must not (2 scans of a 100 TB log is
+    // the whole query cost); window + final small agg ⇒ ≤2 exchanges
+    val p = plan("events_attribution").split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one events scan, got $scans\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected window + final agg exchanges, got $exchanges\n$p")
+  }
+
+  test("events_anomaly and events_dips ride a single user_id exchange") {
+    for (q <- Seq("events_anomaly", "events_dips")) {
+      val p = plan(q).split("== Initial Plan ==")(0)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 1, s"$q: expected one user_id exchange, got $exchanges\n$p")
+      val scans = "FileScan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"$q: expected one events scan, got $scans\n$p")
+    }
+  }
+
+  test("agg_moments is one exchange (map-side-combinable integer sums)") {
+    val p = plan("agg_moments").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one group exchange, got $exchanges\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("ts_interpolate shares one (user, day) exchange after the checkpointed daily agg") {
+    // without the localCheckpoint, Catalyst duplicates the scan+agg
+    // subtree into both the calendar derivation and the join probe —
+    // two full scans of the event log
+    val p = plan("ts_interpolate").split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"daily agg must not be recomputed per consumer, got $scans scans\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"both window frames must share one exchange, got $exchanges\n$p")
+  }
+
+  test("dedup_normalized stages variants in the same single corpus scan") {
+    val p = plan("dedup_normalized").split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one documents scan, got $scans\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one hash-group exchange, got $exchanges\n$p")
+  }
+
   test("curate_pipeline: one scan, no joins — gate is a filter, dedup one window") {
     val df = graft.SparkEntry.queries("curate_pipeline")(spark, sf)
     df.collect()
