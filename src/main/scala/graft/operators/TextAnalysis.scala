@@ -165,9 +165,11 @@ object TextAnalysis {
       .crossJoin(broadcast(big.agg(sum($"n").as("nn"))))
       .where($"n" >= 5)
       .select($"w1", $"w2", $"n",
-        // DECIMAL(38,0): n·N·10⁶ passes 2⁶³ at ~3·10⁷ corpus bigrams —
-        // a small corpus by this repo's standards; BIGINT would wrap
-        expr("cast((n * cast(nn AS decimal(38,0)) * 1000000) div (cx * cy) AS bigint)")
+        // DECIMAL(38,0) on BOTH sides of the division: n·N·10⁶ passes
+        // 2⁶³ at ~3·10⁷ corpus bigrams, and cx·cy passes it for two
+        // frequent marginals — BIGINT would wrap either one silently
+        expr("""cast((n * cast(nn AS decimal(38,0)) * 1000000)
+                div (cx * cast(cy AS decimal(38,0))) AS bigint)""")
           .as("lift_ppm"))
   }
 

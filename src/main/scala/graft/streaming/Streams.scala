@@ -554,20 +554,23 @@ object Streams {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (user: Long, rows: Iterator[(Long, Long, Long, Long)],
-         state: GroupState[(Long, Long, Long)]) => {
-          var (n, sc, sc2) = state.getOption.getOrElse((0L, 0L, 0L))
+         state: GroupState[(Long, Long, String)]) => {
+          // Σc² lives in BigInt (serialized as a string in state): a Long
+          // accumulator wraps at ~2⁶³/|c|² events and would then flag
+          // EVERYTHING while the exact HUGEINT oracle flags nothing —
+          // the whole inequality mirrors the batch side's DECIMAL(38,0)
+          // widening (n and Σc stay Long: in range until n·|c| ~ 2⁶³,
+          // the same documented bound as the batch op)
+          var (n, sc, sc2str) = state.getOption.getOrElse((0L, 0L, "0"))
+          var sc2 = BigInt(sc2str)
           val out = Seq.newBuilder[(Long, Long, Long)]
           rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, eid, c, _) =>
-            n += 1; sc += c; sc2 += c * c
-            // BigInt mirrors the batch side's DECIMAL(38,0) widening —
-            // the squared terms wrap Long silently at a few hundred
-            // large events per user (Σc² state itself stays in range
-            // far longer: 2⁶³/|c|² events)
+            n += 1; sc += c; sc2 += BigInt(c) * c
             val dev = BigInt(n) * c - sc
             if (n >= 2 && dev * dev > BigInt(9) * (BigInt(n) * sc2 - BigInt(sc) * sc))
               out += ((user, eid, c))
           }
-          state.update((n, sc, sc2))
+          state.update((n, sc, sc2.toString))
           out.result().iterator
         })
       .toDF("user_id", "event_id", "cents")

@@ -187,15 +187,18 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("url: every row reconstructs from its parsed components") {
-    val df = Relational.fnUrl(spark, sf)
     // NULL components would silently drop out of a =!= predicate — a
-    // parser regression returning NULL everywhere must FAIL, not pass
-    val bad = df.where(
+    // parser regression returning NULL everywhere must FAIL, not pass.
+    // One aggregation pass yields both the row count and the violations.
+    val violation =
       $"host".isNull || $"path".isNull || $"query".isNull || $"ref".isNull ||
       $"url" =!= concat(lit("https://"), $"host", $"path", lit("?"), $"query") ||
-      !$"query".contains(concat(lit("ref="), $"ref")))
-      .count()
-    assert(bad == 0 && df.count() > 0)
+      !$"query".contains(concat(lit("ref="), $"ref"))
+    val r = Relational.fnUrl(spark, sf)
+      .agg(count(lit(1)).as("total"),
+           sum(when(violation, 1L).otherwise(0L)).as("bad"))
+      .head()
+    assert(r.getLong(1) == 0 && r.getLong(0) > 0)
   }
 
   test("dup passages: per-doc duplicated-shingle counts match a local recomputation") {
