@@ -41,6 +41,7 @@ object SparkEntry {
     "join_range"       -> (Relational.joinRange _),
     "join_skew_salted" -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     "join_asof"        -> (Relational.joinAsof _),
+    "join_nearest"     -> (Relational.joinNearest _),
     // E. aggregation
     "q1_agg"           -> (Relational.q1Agg _),
     "agg_stats"        -> (Relational.aggStats _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "text_collocations"  -> (TextAnalysis.collocations _),
     "text_dup_passages"  -> (TextAnalysis.dupPassages _),
     "text_bigram_lm"     -> (TextAnalysis.bigramLm _),
+    "text_entropy"       -> (TextAnalysis.entropy _),
     // J. corpus curation (composed passes over the per-signal blocks)
     "curate_contamination" -> ((s: SparkSession, d: String) => Curation.contamination(s, d)),
     "curate_pii_scrub"     -> (Curation.piiScrub _),

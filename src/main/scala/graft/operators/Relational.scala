@@ -1063,6 +1063,49 @@ object Relational {
         expr("parse_url(url, 'QUERY', 'ref')").as("ref"))
   }
 
+  /** Nearest-event join — [[joinAsof]]'s bidirectional sibling (sensor /
+    * log alignment semantics): each purchase pairs with the user's
+    * CLOSEST click by |Δt| within ±1 day, not merely the latest
+    * preceding one. Same single union-free pass: one (ts, kind,
+    * event_id)-ordered user window carries the latest prior click
+    * (last … ignoreNulls over the preceding frame) and the earliest
+    * following click (first … over the following frame); the closer
+    * side wins, exact ties prefer the earlier click, and a same-µs
+    * click sorts before the purchase (kind 0 < 1) so Δt = 0 matches
+    * deterministically. Unmatched purchases emit NULLs. All integer µs
+    * arithmetic; two frames, ONE exchange. */
+  def joinNearest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Window.partitionBy($"user_id")
+      .orderBy($"ts_us".asc, $"kind".asc, $"event_id".asc)
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dayUs = 86400000000L
+    val clickId = when($"kind" === 0, $"event_id")
+    val clickTs = when($"kind" === 0, $"ts_us")
+    Tables.events(s, d)
+      .where($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        when($"event_type" === "click", 0L).otherwise(1L).as("kind"))
+      .withColumn("prev_id", last(clickId, ignoreNulls = true).over(wPrev))
+      .withColumn("prev_ts", last(clickTs, ignoreNulls = true).over(wPrev))
+      .withColumn("next_id", first(clickId, ignoreNulls = true).over(wNext))
+      .withColumn("next_ts", first(clickTs, ignoreNulls = true).over(wNext))
+      .where($"kind" === 1)
+      .withColumn("d_prev",
+        when($"ts_us" - $"prev_ts" <= dayUs, $"ts_us" - $"prev_ts"))
+      .withColumn("d_next",
+        when($"next_ts" - $"ts_us" <= dayUs, $"next_ts" - $"ts_us"))
+      .withColumn("prev_wins",
+        $"d_prev".isNotNull && ($"d_next".isNull || $"d_prev" <= $"d_next"))
+      .select($"user_id", $"event_id".as("purchase_id"),
+        // neither side in window → both WHENs miss → NULL (unmatched)
+        when($"prev_wins", $"prev_id")
+          .when($"d_next".isNotNull, $"next_id").as("click_id"),
+        when($"prev_wins", -$"d_prev")
+          .when($"d_next".isNotNull, $"d_next").as("dt_us"))
+  }
+
   /** Sequence-pattern detection (MATCH_RECOGNIZE-lite): per user, local
     * minima in the value series — positions where the previous and next
     * values both exceed the current one (a "dip", the down-up shape a

@@ -511,6 +511,43 @@ object RelationalOracles {
              CAST(1 AS BIGINT) AS overestimate_bound_ok
       FROM lineitem GROUP BY 1""",
 
+    "join_nearest" -> """
+      WITH u AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      x AS (
+        SELECT *,
+               last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+                 OVER wp AS prev_id,
+               last_value(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS)
+                 OVER wp AS prev_ts,
+               first_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+                 OVER wn AS next_id,
+               first_value(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS)
+                 OVER wn AS next_ts
+        FROM u
+        WINDOW wp AS (PARTITION BY user_id ORDER BY ts_us ASC, kind ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY ts_us ASC, kind ASC, event_id ASC
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      y AS (
+        SELECT user_id, event_id,
+               CASE WHEN ts_us - prev_ts <= 86400000000 THEN ts_us - prev_ts END
+                 AS d_prev,
+               CASE WHEN next_ts - ts_us <= 86400000000 THEN next_ts - ts_us END
+                 AS d_next,
+               prev_id, next_id
+        FROM x WHERE kind = 1)
+      SELECT user_id, event_id AS purchase_id,
+             CASE WHEN d_prev IS NOT NULL AND (d_next IS NULL OR d_prev <= d_next)
+                    THEN prev_id
+                  WHEN d_next IS NOT NULL THEN next_id END AS click_id,
+             CASE WHEN d_prev IS NOT NULL AND (d_next IS NULL OR d_prev <= d_next)
+                    THEN -d_prev
+                  WHEN d_next IS NOT NULL THEN d_next END AS dt_us
+      FROM y""",
+
     "events_dips" -> """
       WITH e AS (
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -407,6 +407,29 @@ object TextAnalysis {
         expr("sum(tf * li) div sum(tf)").as("mean_neglogp_unat"))
   }
 
+  /** Token-entropy quality signal (the unigram diversity cousin of the
+    * [[repetition]] filters): per doc, the Shannon entropy of its own
+    * token distribution, H = Σ (tf/n)·ln(n/tf), in integer micro-nats —
+    * near-zero for degenerate one-token spam, ~ln(n) for fully diverse
+    * text. Same determinism recipe as [[logprob]]: each term is
+    * integer-scaled BEFORE the per-doc sum (term = round(tf·ln(n/tf)·10⁶),
+    * H_unat = Σterm div n), so totals are order-independent integer
+    * sums. One corpus explode, two map-side-combinable aggregates that
+    * share the doc_id hash partitioning. */
+  def entropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", explode(filter(toks($"text"), t => t =!= "")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy($"doc_id")
+    tf.withColumn("n", sum($"tf").over(w))
+      .withColumn("term",
+        round($"tf" * log($"n".cast("double") / $"tf") * 1e6).cast("bigint"))
+      .groupBy($"doc_id")
+      .agg(max($"n").as("n_toks"), count(lit(1)).as("n_distinct"),
+        expr("sum(term) div max(n)").as("entropy_unat"))
+  }
+
   /** Bigram-LM quality score — [[logprob]]'s conditional upgrade (the
     * KenLM-style fluency signal CCNet-class pipelines threshold on):
     * per doc, the mean −ln p(w_i | w_{i−1}) under the corpus's own
@@ -699,6 +722,22 @@ object TextAnalysis {
                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
           FROM h)
         SELECT DISTINCT doc_id, f AS fp FROM w WHERE i <= n - 3""",
+
+      "text_entropy" -> """
+        WITH tok AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+          WHERE tok <> ''),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        x AS (
+          SELECT doc_id, tf, sum(tf) OVER (PARTITION BY doc_id) AS n
+          FROM tf)
+        SELECT doc_id, CAST(max(n) AS BIGINT) AS n_toks,
+               count(*) AS n_distinct,
+               CAST(sum(CAST(round(tf * ln(CAST(n AS DOUBLE) / tf) * 1000000)
+                        AS BIGINT)) // max(n) AS BIGINT) AS entropy_unat
+        FROM x GROUP BY doc_id""",
 
       "text_bigram_lm" -> """
         WITH toks AS (

@@ -329,6 +329,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(got((5L, 6L)) == (0L, 0L) && got((6L, 7L)) == (0L, 0L))
   }
 
+  test("nearest join: every purchase pairs with the true abs-distance minimum click") {
+    val got = Relational.joinNearest(spark, sf)
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))
+      }.toMap
+    val ev = Tables.events(spark, sf)
+      .where($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"event_id", unix_micros($"ts"), $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val dayUs = 86400000000L
+    val byUser = ev.groupBy(_._1)
+    var matched = 0
+    for ((u, rows) <- byUser; (_, pid, pts, _) <- rows.filter(_._4 == "purchase")) {
+      val cands = rows.filter(_._4 == "click")
+        .map(c => (c._2, c._3 - pts)) // (click_id, signed dt)
+        .filter(c => math.abs(c._2) <= dayUs)
+      val best =
+        if (cands.isEmpty) None
+        // min |dt|; ties prefer the earlier click (negative dt), then the
+        // window's pick inside one side: latest before / earliest after
+        else {
+          val m = cands.map(c => math.abs(c._2)).min
+          val tied = cands.filter(c => math.abs(c._2) == m)
+          val before = tied.filter(_._2 <= 0)
+          Some(if (before.nonEmpty) before.maxBy(c => (c._2, c._1))
+               else tied.minBy(c => (c._2, c._1)))
+        }
+      assert(got((u, pid)) == best, s"user $u purchase $pid")
+      if (best.nonEmpty) matched += 1
+    }
+    assert(matched > 0)
+  }
+
+  test("entropy: per-doc micro-nat entropy matches a local recomputation and its bounds") {
+    val got = TextAnalysis.entropy(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf).select($"doc_id", lower($"text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    for ((id, text) <- docs.take(25)) {
+      val tks = text.split(" ", -1).filter(_.nonEmpty)
+      if (tks.nonEmpty) {
+        val n = tks.length.toLong
+        val tf = tks.groupBy(identity).view.mapValues(_.size.toLong)
+        val h = tf.values.map(f => math.round(f * math.log(n.toDouble / f) * 1e6)).sum / n
+        assert(got(id) == (n, tf.size.toLong, h))
+        assert(h >= 0 && h <= math.round(math.log(n.toDouble) * 1e6))
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
   test("triangles: fixture graph agrees with the id-ordered join formulation") {
     val pairs = Dedup.minhashLshShared(spark, sf).select($"doc_a", $"doc_b")
     val got = Dedup.trianglesOf(pairs)
