@@ -42,6 +42,7 @@ object SparkEntry {
     "join_skew_salted" -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     "join_asof"        -> (Relational.joinAsof _),
     "join_nearest"     -> (Relational.joinNearest _),
+    "join_interval"    -> (Relational.joinInterval _),
     // E. aggregation
     "q1_agg"           -> (Relational.q1Agg _),
     "agg_stats"        -> (Relational.aggStats _),
@@ -98,9 +99,14 @@ object SparkEntry {
     "agg_histogram"    -> (Relational.aggHistogram _),
     "agg_unpivot"      -> (Relational.aggUnpivot _),
     "ts_gapfill"       -> (Relational.tsGapfill _),
+    "ts_resample"      -> (Relational.tsResample _),
+    "fn_variant"       -> (Relational.fnVariant _),
+    "agg_listagg"      -> (Relational.aggListagg _),
+    "agg_weighted_median" -> (Relational.aggWeightedMedian _),
     // SQL entry path
     "sql_q3_shipping"  -> (Sql.q3Shipping _),
     "sql_ext_winnow"   -> (Sql.extWinnow _),
+    "sql_recursive"    -> (Sql.sqlRecursive _),
     // B. sources / sinks
     "src_csv_roundtrip"     -> (graft.sources.Sources.csvRoundtrip _),
     "src_json_roundtrip"    -> (graft.sources.Sources.jsonRoundtrip _),
@@ -110,6 +116,7 @@ object SparkEntry {
     "src_decimal_roundtrip" -> (graft.sources.Sources.decimalRoundtrip _),
     "src_orc_roundtrip"     -> (graft.sources.Sources.orcRoundtrip _),
     "src_schema_evolution"  -> (graft.sources.Sources.schemaEvolution _),
+    "src_xml_roundtrip"     -> (graft.sources.Sources.xmlRoundtrip _),
     // E. custom Aggregator
     "agg_topk_group"   -> (graft.agg.TopK.topOrdersPerBucket _),
     // J. dedup
@@ -123,10 +130,13 @@ object SparkEntry {
     "graph_pagerank"      -> (Dedup.pagerank _),
     "graph_triangles"     -> ((s: SparkSession, d: String) => Dedup.triangles(s, d)),
     "graph_common_neighbors" -> ((s: SparkSession, d: String) => Dedup.commonNeighbors(s, d)),
+    "graph_kcore"         -> (Dedup.kcore _),
     "dedup_normalized"    -> (Dedup.normalizedDedup _),
+    "dedup_containment"   -> (Dedup.containment _),
     // J. similarity search (approximate paths emit oracle-checked recall
     // bounds vs the exact in-engine top-k; raw top-k spec'd in SimSearchSpec)
     "simsearch_topk"       -> ((s: SparkSession, d: String) => SimSearch.bruteTopKShared(s, d)),
+    "simsearch_range"      -> (SimSearch.rangeSearch _),
     "simsearch_lsh_recall" -> ((s: SparkSession, d: String) => SimSearch.lshRecall(s, d)),
     "simsearch_ivf_recall" -> ((s: SparkSession, d: String) => SimSearch.ivfRecall(s, d)),
     "simsearch_quantized_recall" -> ((s: SparkSession, d: String) => SimSearch.quantizedRecall(s, d)),

@@ -443,6 +443,97 @@ object Dedup {
           .as("jaccard_ppm"))
   }
 
+  /** k-core decomposition (bounded peel): iteratively delete vertices of
+    * degree < k until only the k-core — the subgraph where every member
+    * keeps ≥ k neighbors — remains. On a near-dup graph the 2-core
+    * separates genuinely dense template families from pendant chains of
+    * pairwise-coincidental matches, which is exactly the "merge
+    * aggressively vs inspect first" triage [[commonNeighbors]] scores
+    * edge-by-edge, lifted to whole vertices. Each peel round is one
+    * degree aggregate + one semi-join on the SAME src partitioning,
+    * lineage truncated per round ([[pagerankOf]]'s discipline); work per
+    * round is O(surviving edges) and rounds are bounded by
+    * [[KcoreRounds]] — both engines run exactly that many, so the
+    * hash-check is well-defined whether or not the peel has converged,
+    * and AnalyticsSpec asserts it HAS converged on the fixtures (one
+    * extra round is a no-op). Emits each core member with its in-core
+    * degree. */
+  def kcore(s: SparkSession, d: String): DataFrame =
+    kcoreOf(minhashLshShared(s, d))
+
+  /** Peel threshold: the 2-core (drop trees/pendant chains). */
+  val KcoreK = 2
+
+  /** Peel rounds — mirrored by the oracle's unrolled CTE chain; a chain
+    * of c coincidental pairs hanging off a clique needs c rounds, and
+    * the fixtures' longest is ≪ 6 (spec-asserted fixpoint). */
+  val KcoreRounds = 6
+
+  /** Core over any canonical (doc_a < doc_b) pair frame. */
+  def kcoreOf(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    var e = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to KcoreRounds) {
+      val keep = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .where($"deg" >= KcoreK).select($"src")
+      e = e.join(keep, Seq("src"))
+        .join(keep.select($"src".as("dst")), Seq("dst"))
+        .select($"src", $"dst").localCheckpoint()
+    }
+    e.groupBy($"src").agg(count(lit(1)).as("core_deg"))
+      .select($"src".as("doc_id"), $"core_deg")
+  }
+
+  /** Containment dedup (near-SUPERSET detection, the asymmetric metric
+    * Jaccard misses): containment(A→B) = |A∩B| / |A| over word-3
+    * shingles — a quote, excerpt, or page-with-boilerplate scores high
+    * containment in its source while its Jaccard stays low, and a
+    * training-data pipeline drops the contained side, not both.
+    * Candidate generation is the shared-shingle equi-join with a
+    * DOCUMENT-FREQUENCY CAP ([[ContainDfCap]]): a shingle occurring in
+    * more than F docs is dropped from the JOIN (boilerplate n-grams
+    * would fan out F² pairs each — the classic SSJoin skew guard),
+    * while denominators still count every shingle, so scores are never
+    * inflated by the cap. Integer ppm via truncating division on
+    * non-negative operands (identical in both engines). One corpus
+    * shingling pass: df comes from a window count over the exploded
+    * shingles, not a second aggregate+join. */
+  val ContainDfCap = 50
+  val ContainTauPpm = 800000L
+
+  def containment(s: SparkSession, d: String): DataFrame =
+    containmentOf(Tables.documents(s, d))
+
+  /** Core over any (doc_id, text) frame. */
+  def containmentOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select($"doc_id", explode(wordShingles($"text", 3)).as("s"))
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val shf = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
+      .where($"df" <= ContainDfCap)
+      .select($"doc_id", $"s")
+      .localCheckpoint() // two consumers of the self-join side
+    val common = shf.as("x")
+      .join(shf.as("y"), col("x.s") === col("y.s") &&
+                         col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sz.select($"doc_id".as("a"), $"n".as("na")), "a")
+      .join(sz.select($"doc_id".as("b"), $"n".as("nb")), "b")
+      .select($"a".as("doc_a"), $"b".as("doc_b"),
+        expr("c * 1000000 div na").as("cont_ab_ppm"),
+        expr("c * 1000000 div nb").as("cont_ba_ppm"))
+      .where(greatest($"cont_ab_ppm", $"cont_ba_ppm") >= ContainTauPpm)
+  }
+
   /** PageRank over the near-dup similarity graph — the second iterative
     * graph op (after [[connectedComponents]]), the one a curation
     * pipeline uses to pick each near-dup cluster's most "central"
@@ -901,6 +992,26 @@ object Dedup {
       SELECT v AS doc_id, s AS score_ppb FROM s$PagerankIters"""
   }
 
+  /** [[kcore]]'s oracle: the same bounded peel, one materialized CTE
+    * pair (survivor set, filtered edges) per round — same unrolling
+    * rationale as [[pagerankOracle]]. */
+  private def kcoreOracle: String = {
+    val rounds = (1 to KcoreRounds).map { i =>
+      s"""k$i AS MATERIALIZED (
+        SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $KcoreK),
+      e$i AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e${i - 1} e
+        JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH pairs AS MATERIALIZED (${shingleOracle(0.9, "char12")}),
+      e0 AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      $rounds
+      SELECT src AS doc_id, count(*) AS core_deg FROM e$KcoreRounds GROUP BY src"""
+  }
+
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
     "dedup_incremental" -> s"""
@@ -985,6 +1096,29 @@ object Dedup {
         GROUP BY 1)
       SELECT d.doc_id, d.degree, CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri
       FROM deg d LEFT JOIN tn ON d.doc_id = tn.doc_id""",
+    "graph_kcore" -> kcoreOracle,
+    "dedup_containment" -> s"""
+      WITH sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS s
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) d
+        JOIN generate_series(1, 4096) g(i) ON i <= len(toks) - 2),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      shf AS (
+        SELECT doc_id, s FROM (
+          SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+        WHERE df <= $ContainDfCap),
+      common AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT a AS doc_a, b AS doc_b,
+             CAST(c * 1000000 // sa.n AS BIGINT) AS cont_ab_ppm,
+             CAST(c * 1000000 // sb.n AS BIGINT) AS cont_ba_ppm
+      FROM common
+      JOIN sz sa ON common.a = sa.doc_id
+      JOIN sz sb ON common.b = sb.doc_id
+      WHERE greatest(c * 1000000 // sa.n, c * 1000000 // sb.n) >= $ContainTauPpm""",
     "dedup_minhash" -> shingleOracle(0.9, "char12"),
     "dedup_simhash" -> s"""
       SELECT count(*) AS n_exact_pairs, CAST(1 AS BIGINT) AS recall_ok

@@ -1181,4 +1181,171 @@ object Relational {
         coalesce($"cents", lit(0L)).as("day_cents"),
         last($"cents", ignoreNulls = true).over(w).as("locf_cents"))
   }
+
+  /** OHLC downsampling (the market-data resample every monitoring and
+    * feature pipeline runs): per (user, day) bucket, the opening /
+    * highest / lowest / closing value plus count and volume — all in
+    * integer cents. Open and close are FIRST/LAST under the (ts,
+    * event_id) total order, computed as two frames over the SAME
+    * (user, day)-partitioned sort — one exchange carries the window
+    * pass AND the final aggregate (the window's partition keys are the
+    * groupBy keys, so the agg reuses the exchange). high/low/n/volume
+    * are plain map-side-combinable aggregates. At 100 TB this is the
+    * canonical "align ticks to bars" pass: state per bucket is O(1). */
+  def tsResample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val wOpen = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wClose = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select($"user_id", date_trunc("day", $"ts").as("day"), $"ts",
+        $"event_id", round($"value" * 100).cast("bigint").as("cents"))
+      .withColumn("open", first($"cents").over(wOpen))
+      .withColumn("close", last($"cents").over(wClose))
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_events"),
+        min($"open").as("open_cents"),   // constant per bucket: min = the value
+        max($"cents").as("high_cents"),
+        min($"cents").as("low_cents"),
+        min($"close").as("close_cents"),
+        sum($"cents").as("vol_cents"))
+  }
+
+  /** Interval-overlap join WITHOUT the join (SURVEY §2.3 D's hard
+    * temporal shape): per part, how many pairs of shipment transit
+    * intervals overlap, and the peak number simultaneously in transit.
+    * The naive formulation is an equi-key self-join with an overlap
+    * predicate — O(c²) rows per part, quadratic on hot keys. This is
+    * the sweep-line reshape: each interval becomes a start(+1)/end(−1)
+    * event; under the (day, typ) order with starts before ends,
+    * the running active count AT each start equals the number of
+    * intervals the starting one overlaps (inclusive ends: an interval
+    * ending the same day still counts, because its −1 sorts after the
+    * start). Σ of that count = exact overlapping-pair count; max+1 =
+    * peak concurrency — one exchange + one window, state O(1), never
+    * materializing a pair. The ORACLE runs the actual quadratic
+    * self-join, so the sweep's equivalence to the join semantics is
+    * what the hash-check proves. Intervals are first GROUPED by (part,
+    * d0, d1) with multiplicity m — the fixture has duplicate
+    * (orderkey, linenumber) rows, so no row-level column set is a
+    * usable tiebreak, while the group key is unique per part and gives
+    * both engines a true total order (dd, typ, d0, d1). A group
+    * contributes m·act cross-pairs at its start plus C(m,2) pairs
+    * among its own identical intervals; deltas are ±m. Transit
+    * duration is STAGED from persisted fields (the fixture has no
+    * receipt date): 1 + (l_suppkey mod 14) days, replayed identically
+    * by the oracle. */
+  def joinInterval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // ONE exchange end-to-end: hash-partitioning on l_partkey alone
+    // satisfies the clustered distribution of the (part, d0, d1) group
+    // agg, the part-partitioned window AND the final per-part agg —
+    // interval groups barely compress raw rows (shipdates vary), so one
+    // raw-row shuffle beats agg-exchange + window-exchange. Plan pinned
+    // in PlanShapeSpec.
+    val iv = Tables.lineitem(s, d)
+      .select($"l_partkey",
+        datediff(to_date($"l_shipdate"), to_date(lit("1970-01-01"))).as("d0"),
+        (datediff(to_date($"l_shipdate"), to_date(lit("1970-01-01")))
+          + lit(1) + pmod($"l_suppkey", lit(14))).as("d1"))
+      .repartition($"l_partkey")
+      .groupBy($"l_partkey", $"d0", $"d1").agg(count(lit(1)).as("m"))
+    val ev = iv.select($"l_partkey", $"m", $"d0", $"d1",
+      explode(array(
+        struct($"d0".as("dd"), lit(0).as("typ")),
+        struct($"d1".as("dd"), lit(1).as("typ")))).as("e"))
+      .select($"l_partkey", $"e.dd", $"e.typ", $"d0", $"d1", $"m")
+    val w = Window.partitionBy($"l_partkey")
+      .orderBy($"dd".asc, $"typ".asc, $"d0".asc, $"d1".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("act",
+        coalesce(sum(when($"typ" === 0, $"m").otherwise(-$"m")).over(w), lit(0L)))
+      .where($"typ" === 0)
+      .groupBy($"l_partkey")
+      .agg(sum($"m" * $"act" + expr("m * (m - 1) div 2")).as("n_overlap_pairs"),
+        max($"act" + $"m").as("max_concurrency"),
+        sum($"m").as("n_intervals"))
+  }
+
+  /** VARIANT-type semi-structured path access (Spark 4's native
+    * open-schema column, SPARK-45827 — the parquet-native answer to
+    * "a JSON blob per row" that every ingest pipeline carries):
+    * `parse_json` once into a binary VARIANT, then typed
+    * `variant_get` path extraction — object fields, nested objects,
+    * array indexing — and `try_variant_get` returning NULL on a
+    * missing path instead of failing the row. The JSON itself is
+    * STAGED deterministically from document fields (fn_url's pattern),
+    * so the oracle asserts ground truth by RECONSTRUCTING each
+    * extracted value from the same fields — the parser+extractor is
+    * tested against the JSON grammar, not against itself. Per-row and
+    * shuffle-free; at 100 TB VARIANT's shredded binary encoding keeps
+    * repeated path access O(field), not O(document re-parse). */
+  /** Ordered string aggregation (`listagg`, new as a first-class
+    * aggregate in Spark 4 — SPARK-42746): per nation, the
+    * comma-joined roster of high-balance customer names under an
+    * explicit WITHIN GROUP order. The ordering clause is the whole
+    * point — an unordered listagg is nondeterministic under any
+    * parallel engine and useless under a hash-compare gate (same
+    * reasoning as [[aggMode]]'s tie rule). The balance filter bounds
+    * the per-group string: rosters a pipeline materializes must be
+    * capped by a predicate or top-k, never "all rows", or a hot group
+    * OOMs the agg buffer at scale. */
+  def aggListagg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .where($"c_acctbal" > 9000)
+      .groupBy($"c_nationkey".cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_rich"),
+        expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)").as("names_csv"))
+  }
+
+  /** Exact weighted median — the robust location statistic percentile
+    * sketches approximate, computed exactly in ONE window pass: sort
+    * each group by value under a total order, accumulate weights, and
+    * the weighted median is the smallest value whose cumulative weight
+    * reaches half the group total (the lower weighted median — a pinned
+    * convention, like [[aggMode]]'s tie rule). Weights are STAGED from
+    * the order key (1 + key mod 7 — the fixture has no weight column);
+    * everything is integer cents/counts so both engines agree exactly.
+    * One exchange: the (priority) window sort also serves the final
+    * per-priority aggregate. At 100 TB this is the shape for exact
+    * medians when the group count is modest; for huge group counts the
+    * approx-percentile sketch ([[aggApproxPercentile]]) is the trade. */
+  def aggWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d).select(
+      $"o_orderpriority".as("priority"),
+      round($"o_totalprice" * 100).cast("bigint").as("cents"),
+      (lit(1L) + pmod($"o_orderkey", lit(7L))).as("w"))
+    val grp = Window.partitionBy($"priority")
+    val cum = grp.orderBy($"cents".asc, $"w".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cumw", sum($"w").over(cum))
+      .withColumn("totw", sum($"w").over(grp))
+      .where($"cumw" * 2 >= $"totw")
+      .groupBy($"priority")
+      .agg(min($"cents").as("wmedian_cents"),
+        min($"totw").as("total_weight"))
+  }
+
+  def fnVariant(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val j = concat(
+      lit("{\"id\": "), $"doc_id".cast("string"),
+      lit(", \"meta\": {\"lang\": \""), $"lang",
+      lit("\", \"n\": "), $"n_chars".cast("string"),
+      lit("}, \"tags\": [\""), $"source",
+      lit("\", \"t"), pmod($"doc_id", lit(5L)).cast("string"), lit("\"]}"))
+    Tables.documents(s, d)
+      .select($"doc_id", parse_json(j).as("v"))
+      .select($"doc_id",
+        expr("variant_get(v, '$.id', 'long')").as("id_v"),
+        expr("variant_get(v, '$.meta.lang', 'string')").as("lang_v"),
+        expr("variant_get(v, '$.meta.n', 'long')").as("n_v"),
+        expr("variant_get(v, '$.tags[0]', 'string')").as("tag0"),
+        expr("variant_get(v, '$.tags[1]', 'string')").as("tag1"),
+        expr("try_variant_get(v, '$.meta.absent', 'long')").as("missing_v"))
+  }
 }

@@ -626,6 +626,80 @@ object RelationalOracles {
                         + next_cents * datediff('day', prev_day, day))
                        // datediff('day', prev_day, next_day) END AS BIGINT)
                AS interp_cents
-      FROM x"""
+      FROM x""",
+
+    "ts_resample" -> """
+      WITH e AS (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      x AS (
+        SELECT user_id, day, cents,
+               first_value(cents) OVER wo AS open,
+               last_value(cents) OVER wc AS close
+        FROM e
+        WINDOW wo AS (PARTITION BY user_id, day ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wc AS (PARTITION BY user_id, day ORDER BY ts, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, day, count(*) AS n_events, min(open) AS open_cents,
+             max(cents) AS high_cents, min(cents) AS low_cents,
+             min(close) AS close_cents, CAST(sum(cents) AS BIGINT) AS vol_cents
+      FROM x GROUP BY user_id, day""",
+
+    // the INDEPENDENT quadratic formulation of the sweep-line operator:
+    // per interval group, sum the multiplicity of earlier-starting
+    // groups still active at its start (the exact quantity the Spark
+    // sweep's running sum carries) — so the hash-check proves the sweep
+    // equals real join semantics
+    "join_interval" -> """
+      WITH iv AS (
+        SELECT l_partkey AS part,
+               date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d0,
+               date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                 + 1 + (l_suppkey % 14) AS d1
+        FROM lineitem),
+      g AS (SELECT part, d0, d1, count(*) AS m FROM iv GROUP BY 1, 2, 3),
+      cov AS (
+        SELECT i.part, i.d0, i.d1, i.m, coalesce(sum(j.m), 0) AS act
+        FROM g i LEFT JOIN g j ON j.part = i.part
+          AND (j.d0 < i.d0 OR (j.d0 = i.d0 AND j.d1 < i.d1))
+          AND j.d1 >= i.d0
+        GROUP BY i.part, i.d0, i.d1, i.m)
+      SELECT part AS l_partkey,
+             CAST(sum(m * act + m * (m - 1) // 2) AS BIGINT) AS n_overlap_pairs,
+             CAST(max(act + m) AS BIGINT) AS max_concurrency,
+             CAST(sum(m) AS BIGINT) AS n_intervals
+      FROM cov GROUP BY part""",
+
+    "agg_listagg" -> """
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_rich,
+             string_agg(c_name, ',' ORDER BY c_name) AS names_csv
+      FROM customer WHERE c_acctbal > 9000
+      GROUP BY 1""",
+
+    "agg_weighted_median" -> """
+      WITH b AS (
+        SELECT o_orderpriority AS priority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               1 + (o_orderkey % 7) AS w
+        FROM orders),
+      x AS (
+        SELECT priority, cents, w,
+               sum(w) OVER (PARTITION BY priority ORDER BY cents, w
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+               sum(w) OVER (PARTITION BY priority) AS totw
+        FROM b)
+      SELECT priority, CAST(min(cents) AS BIGINT) AS wmedian_cents,
+             CAST(min(totw) AS BIGINT) AS total_weight
+      FROM x WHERE cumw * 2 >= totw GROUP BY priority""",
+
+    "fn_variant" -> """
+      SELECT doc_id, doc_id AS id_v, lang AS lang_v, n_chars AS n_v,
+             source AS tag0, 't' || CAST(doc_id % 5 AS VARCHAR) AS tag1,
+             CAST(NULL AS BIGINT) AS missing_v
+      FROM documents"""
   )
 }

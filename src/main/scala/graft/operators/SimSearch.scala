@@ -396,7 +396,43 @@ object SimSearch {
         ($"n_found" >= $"n_exact" * floor).cast("long").as("recall_ok"))
   }
 
+  /** Radius threshold for [[rangeSearch]] — all neighbors at cosine ≥ τ,
+    * however many there are (vs top-k's fixed count). */
+  val RangeTau = 0.35
+
+  /** Radius (range) search — the OTHER vector-retrieval contract: every
+    * corpus vector within cosine ≥ [[RangeTau]] of each fixed query,
+    * self excluded. Top-k answers "the best k whatever their quality";
+    * radius answers "everything above a quality bar, however many" —
+    * dedup-style retrieval and recall evaluation both need this form.
+    * Same scale shape as [[bruteTopK]]: broadcast the O(1) query batch,
+    * one corpus scan, no window needed at all — the threshold filters
+    * map-side, so the shuffle carries only qualifying rows (∝ result,
+    * not corpus). Scores are emitted as raw doubles from the codegen
+    * [[graft.functions.FloatVecDot]] kernel, which bit-matches DuckDB's
+    * list_cosine_similarity (the dedup_embedding discipline). */
+  def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val queries = e.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    e.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        VectorFunctions.cosine($"q_emb", $"embedding").as("cos"))
+      .where($"cos" >= RangeTau)
+  }
+
   val oracle: Map[String, String] = Map(
+    "simsearch_range" -> s"""
+      SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])) AS cos
+      FROM embeddings q JOIN embeddings e
+        ON q.vec_id < $NumQueries AND e.vec_id <> q.vec_id
+      WHERE list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[])) >= $RangeTau""",
+
     "simsearch_ivf_recall" -> s"""
       SELECT DISTINCT vec_id AS q_id, CAST(1 AS BIGINT) AS recall_ok,
              CAST(1 AS BIGINT) AS global_ok

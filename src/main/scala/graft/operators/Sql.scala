@@ -110,7 +110,47 @@ object Sql {
     winnow.crossJoin(parity) // 1-row scalar
   }
 
+  /** Recursive CTE (`WITH RECURSIVE`, new in Spark 4 — SPARK-24497): the
+    * hierarchy walk every org-chart / category-tree / BOM query needs and
+    * the one SQL shape plain self-joins can't express when depth is
+    * data-dependent. The hierarchy is STAGED from persisted fields (the
+    * staged-fixture pattern): supplier k's parent is `k div 10`, giving a
+    * forest rooted at keys 0–9 whose depth grows with log₁₀(|supplier|) —
+    * genuinely data-dependent recursion, identical in both engines
+    * (truncating vs flooring division agree on the non-negative keys).
+    * Each supplier walks to its root, aggregating ancestor count, root
+    * id, and the exact-cents account-balance rollup along the chain.
+    * Spark executes this as a UnionLoop with one anchor pass + one
+    * incremental pass per level — iteration state is the frontier, not
+    * the accumulated result, so a 100 TB hierarchy iterates in
+    * O(depth) joins each ∝ |frontier|. */
+  def sqlRecursive(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      WITH RECURSIVE chain AS (
+        SELECT s_suppkey AS id, s_suppkey AS anc FROM graft_supplier
+        UNION ALL
+        SELECT id, anc div 10 AS anc FROM chain WHERE anc >= 10
+      )
+      SELECT c.id, count(*) AS n_anc, min(c.anc) AS root,
+             sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS chain_cents
+      FROM chain c JOIN graft_supplier s ON c.anc = s.s_suppkey
+      GROUP BY c.id
+    """)
+  }
+
   val oracle: Map[String, String] = Map(
+    "sql_recursive" -> """
+      WITH RECURSIVE chain AS (
+        SELECT s_suppkey AS id, s_suppkey AS anc FROM supplier
+        UNION ALL
+        SELECT id, anc // 10 AS anc FROM chain WHERE anc >= 10
+      )
+      SELECT c.id, count(*) AS n_anc, min(c.anc) AS root,
+             CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS chain_cents
+      FROM chain c JOIN supplier s ON c.anc = s.s_suppkey
+      GROUP BY c.id""",
+
     // derived from the text_winnow oracle (single source of truth for the
     // winnowing replay) plus the SQL-route parity flag
     "sql_ext_winnow" -> s"""

@@ -169,6 +169,27 @@ object Sources {
       .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
   }
 
+  /** parquet → XML → DataFrame (Spark 4's built-in XML datasource, the
+    * spark-xml lineage merged upstream in SPARK-44265): the part table
+    * written as one `<part>` row-element per record and read back under a
+    * pinned schema (XML is typeless on the wire, like csv/json). The
+    * oracle sees only the original parquet, so encode (value escaping
+    * included) → decode is the path under hash-check. Scale note: rowTag
+    * XML is record-delimited and the reader splits on element boundaries,
+    * so files stay splittable like the other text formats. */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft_xml")
+    Tables.part(s, d).write.mode(SaveMode.Overwrite)
+      .option("rowTag", "part").format("xml").save(dir)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_name", StringType),
+      StructField("p_brand", StringType), StructField("p_type", StringType),
+      StructField("p_size", IntegerType), StructField("p_retailprice", DoubleType)))
+    s.read.schema(schema).option("rowTag", "part").format("xml").load(dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice"))
+  }
+
   /** Schema evolution (SURVEY.md §2.4 B upgrade): a 100 TB lake always
     * holds files written under several schema versions. Batch 1 writes
     * the nation table under an old 2-column schema; batch 2 appends the
@@ -213,6 +234,7 @@ object Sources {
       GROUP BY o_orderpriority""",
 
     "src_csv_roundtrip" -> "SELECT * FROM customer",
+    "src_xml_roundtrip" -> "SELECT * FROM part",
     "src_orc_roundtrip" -> "SELECT * FROM supplier",
     "src_json_roundtrip" -> "SELECT * FROM nation",
     "src_text_kv" -> """

@@ -398,4 +398,156 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(got == expected)
   }
+
+  test("interval sweep equals the quadratic overlap join, interval by interval") {
+    val got = Relational.joinInterval(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_partkey",
+        datediff(to_date($"l_shipdate"), to_date(lit("1970-01-01"))).cast("long").as("d0"),
+        (datediff(to_date($"l_shipdate"), to_date(lit("1970-01-01")))
+          + lit(1) + pmod($"l_suppkey", lit(14))).cast("long").as("d1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPart = rows.groupBy(_._1)
+    assert(got.keySet == byPart.keySet)
+    for ((p, (np, mc, ni)) <- got) {
+      val ivs = byPart(p)
+      assert(ni == ivs.size.toLong, s"part $p interval count")
+      val pairs = (for {
+        i <- ivs.indices; j <- (i + 1) until ivs.size
+        if ivs(i)._2 <= ivs(j)._3 && ivs(j)._2 <= ivs(i)._3
+      } yield 1).size.toLong
+      assert(np == pairs, s"part $p overlap pairs")
+      // peak concurrency is attained at some interval's start day
+      val peak = ivs.map(s => ivs.count(o => o._2 <= s._2 && o._3 >= s._2)).max.toLong
+      assert(mc == peak, s"part $p peak concurrency")
+    }
+  }
+
+  test("resample: OHLC bounds hold and events/volume are conserved") {
+    val bars = Relational.tsResample(spark, sf).collect()
+    assert(bars.nonEmpty)
+    for (r <- bars) {
+      val (n, o, h, l, c) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(n >= 1)
+      assert(l <= o && o <= h, s"open outside [low, high]")
+      assert(l <= c && c <= h, s"close outside [low, high]")
+      if (n == 1) assert(o == c && o == h && o == l)
+    }
+    val totals = Tables.events(spark, sf)
+      .agg(count(lit(1)), sum(round($"value" * 100).cast("bigint"))).head()
+    assert(bars.map(_.getLong(2)).sum == totals.getLong(0))
+    assert(bars.map(_.getLong(7)).sum == totals.getLong(1))
+  }
+
+  test("kcore: planted pendant chain peels away, the clique survives with in-core degrees") {
+    import spark.implicits._
+    // K4 on 1..4 plus a chain 4-10-11-12 hanging off vertex 4: the 2-core
+    // is exactly the K4 (each chain round peels one pendant vertex), and
+    // every in-core degree is 3
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 10L), (10L, 11L), (11L, 12L)).toDF("doc_a", "doc_b")
+    val core = Dedup.kcoreOf(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kcore: the fixture peel reaches a true fixpoint (every core degree ≥ k)") {
+    // if KcoreRounds were too few, some surviving vertex would still have
+    // degree < k — the fixpoint condition IS min(core_deg) ≥ k
+    val degs = Dedup.kcore(spark, sf).collect().map(_.getLong(1))
+    assert(degs.forall(_ >= Dedup.KcoreK))
+  }
+
+  test("weighted median: matches the brute-force definition in every priority group") {
+    val got = Relational.aggWeightedMedian(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Tables.orders(spark, sf)
+      .select($"o_orderpriority",
+        round($"o_totalprice" * 100).cast("bigint").as("cents"),
+        (lit(1L) + pmod($"o_orderkey", lit(7L))).as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byPrio = rows.groupBy(_._1)
+    assert(got.keySet == byPrio.keySet)
+    for ((p, (med, totw)) <- got) {
+      val vs = byPrio(p).map(t => (t._2, t._3)).sortBy(_._1)
+      val tot = vs.map(_._2).sum
+      assert(totw == tot, s"$p total weight")
+      // lower weighted median: smallest v with weight-below-or-at(v) ≥ tot/2
+      val expect = vs.find { case (v, _) =>
+        2 * vs.takeWhile(_._1 <= v).map(_._2).sum >= tot }.get._1
+      assert(med == expect, s"$p weighted median")
+    }
+  }
+
+  test("listagg: equals the sorted collect_list reconstruction per nation") {
+    val got = Relational.aggListagg(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val recon = Tables.customer(spark, sf).where($"c_acctbal" > 9000)
+      .groupBy($"c_nationkey".cast("long").as("nk"))
+      .agg(count(lit(1)).as("n"),
+        array_join(sort_array(collect_list($"c_name")), ",").as("csv"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.nonEmpty && got == recon)
+  }
+
+  test("recursive CTE: ancestor count and root replay the digit-chain arithmetic") {
+    val got = Sql.sqlRecursive(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val keys = Tables.supplier(spark, sf).select($"s_suppkey".cast("long"))
+      .collect().map(_.getLong(0))
+    assert(got.keySet == keys.toSet)
+    def anc(v: Long): Seq[Long] = if (v < 10) Seq(v) else v +: anc(v / 10)
+    for (k <- keys) {
+      assert(got(k)._1 == anc(k).size.toLong, s"supplier $k ancestor count")
+      assert(got(k)._2 == anc(k).min, s"supplier $k root")
+    }
+  }
+
+  test("containment: a planted sub-document scores full containment in its source only") {
+    import spark.implicits._
+    // doc 2 is the first six words of doc 1 (4 word-3 shingles, all ⊂ doc 1's
+    // 8); doc 3 shares nothing. Expected: one row (1, 2) with
+    // cont(1→2) = 4/8 and cont(2→1) = 4/4
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val rows = Dedup.containmentOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 2L, 500000L, 1000000L)))
+  }
+
+  test("range search: scores agree with an independent HOF cosine and clear the radius") {
+    val rows = SimSearch.rangeSearch(spark, sf)
+    val cnt = rows.count()
+    assert(cnt > 0)
+    // recompute cosine via zip_with/aggregate (independent of the codegen
+    // kernel) and require agreement to 1e-9
+    val e = Tables.embeddings(spark, sf)
+    val recheck = rows
+      .join(e.select($"vec_id".as("q_id"), $"embedding".as("qe")), "q_id")
+      .join(e.select($"vec_id".as("n_id"), $"embedding".as("ne")), "n_id")
+      .select($"cos",
+        (aggregate(zip_with($"qe", $"ne", (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x) /
+         sqrt(aggregate($"qe", lit(0.0), (a, x) => a + x.cast("double") * x.cast("double"))) /
+         sqrt(aggregate($"ne", lit(0.0), (a, x) => a + x.cast("double") * x.cast("double"))))
+          .as("cos2"))
+    val bad = recheck.where(abs($"cos" - $"cos2") > 1e-9 || $"cos" < SimSearch.RangeTau).count()
+    assert(bad == 0L)
+  }
+
+  test("variant: typed path extraction reproduces the staged fields on every row") {
+    val bad = Relational.fnVariant(spark, sf)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .where($"id_v" =!= $"doc_id" || $"lang_v" =!= $"lang" ||
+             $"n_v" =!= $"n_chars" || $"tag0" =!= $"source" ||
+             $"tag1" =!= concat(lit("t"), pmod($"doc_id", lit(5L)).cast("string")) ||
+             $"missing_v".isNotNull)
+      .count()
+    assert(bad == 0L)
+  }
 }

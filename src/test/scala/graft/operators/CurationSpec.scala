@@ -136,6 +136,12 @@ class CurationSpec extends SparkSpec {
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
   }
 
+  test("xml roundtrip preserves the part table bit-exactly") {
+    val back = graft.sources.Sources.xmlRoundtrip(spark, sf)
+    val orig = graft.core.Tables.part(spark, sf)
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
   test("bloom blocklist never misses a planted duplicate (no false negatives)") {
     import spark.implicits._
     // plant exact copies of blocklist docs under fresh ids that are NOT

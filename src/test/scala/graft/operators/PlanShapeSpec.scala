@@ -311,4 +311,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p)
     assert(p.split("Scan parquet").length - 1 === 1, s"expected one scan:\n$p")
   }
+
+  test("join_interval rides one l_partkey exchange: group agg, sweep window, final agg") {
+    // hash-partitioning on l_partkey alone must satisfy the (part,d0,d1)
+    // group agg, the window AND the per-part aggregate — a second
+    // exchange means the interval grouping stopped reusing it
+    val p = plan("join_interval").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one l_partkey exchange, got $exchanges\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one lineitem scan, got $scans\n$p")
+    assert(!p.contains("Join"), "the sweep must not plan a join\n" + p)
+  }
+
+  test("ts_resample shares one (user, day) exchange between both frames and the agg") {
+    val p = plan("ts_resample").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one (user, day) exchange, got $exchanges\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one events scan, got $scans\n$p")
+  }
+
+  test("fn_variant is a pure per-row map — zero exchanges") {
+    val p = plan("fn_variant").split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), "variant path access must not shuffle\n" + p)
+  }
+
+  test("simsearch_range broadcasts only the query batch — no shuffle, no window") {
+    val p = plan("simsearch_range").split("== Initial Plan ==")(0)
+    assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "radius search must not shuffle the corpus\n" + p)
+    assert(!p.contains("Window"), "threshold filter needs no window\n" + p)
+  }
+
+  test("agg_weighted_median rides one (priority) exchange through both windows and the agg") {
+    val p = plan("agg_weighted_median").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one priority exchange, got $exchanges\n$p")
+  }
+
+  test("dedup_containment joins candidates on the shingle equi-key only — no cartesian") {
+    val p = plan("dedup_containment").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "containment candidates must come from the shingle equi-join\n" + p)
+  }
 }
