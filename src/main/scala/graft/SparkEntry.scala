@@ -101,6 +101,8 @@ object SparkEntry {
     "ts_gapfill"       -> (Relational.tsGapfill _),
     "ts_resample"      -> (Relational.tsResample _),
     "fn_variant"       -> (Relational.fnVariant _),
+    "fn_struct"        -> (Relational.fnStruct _),
+    "ts_ewma"          -> (Relational.tsEwma _),
     "agg_listagg"      -> (Relational.aggListagg _),
     "agg_weighted_median" -> (Relational.aggWeightedMedian _),
     // SQL entry path
@@ -131,12 +133,14 @@ object SparkEntry {
     "graph_triangles"     -> ((s: SparkSession, d: String) => Dedup.triangles(s, d)),
     "graph_common_neighbors" -> ((s: SparkSession, d: String) => Dedup.commonNeighbors(s, d)),
     "graph_kcore"         -> (Dedup.kcore _),
+    "graph_shortest_paths" -> (Dedup.shortestPaths _),
     "dedup_normalized"    -> (Dedup.normalizedDedup _),
     "dedup_containment"   -> (Dedup.containment _),
     // J. similarity search (approximate paths emit oracle-checked recall
     // bounds vs the exact in-engine top-k; raw top-k spec'd in SimSearchSpec)
     "simsearch_topk"       -> ((s: SparkSession, d: String) => SimSearch.bruteTopKShared(s, d)),
     "simsearch_range"      -> (SimSearch.rangeSearch _),
+    "search_rrf"           -> (SimSearch.rrf _),
     "simsearch_lsh_recall" -> ((s: SparkSession, d: String) => SimSearch.lshRecall(s, d)),
     "simsearch_ivf_recall" -> ((s: SparkSession, d: String) => SimSearch.ivfRecall(s, d)),
     "simsearch_quantized_recall" -> ((s: SparkSession, d: String) => SimSearch.quantizedRecall(s, d)),
@@ -160,6 +164,7 @@ object SparkEntry {
     "text_dup_passages"  -> (TextAnalysis.dupPassages _),
     "text_bigram_lm"     -> (TextAnalysis.bigramLm _),
     "text_entropy"       -> (TextAnalysis.entropy _),
+    "text_bm25"          -> (TextAnalysis.bm25 _),
     // J. corpus curation (composed passes over the per-signal blocks)
     "curate_contamination" -> ((s: SparkSession, d: String) => Curation.contamination(s, d)),
     "curate_pii_scrub"     -> (Curation.piiScrub _),

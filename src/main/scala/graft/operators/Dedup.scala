@@ -487,6 +487,53 @@ object Dedup {
       .select($"src".as("doc_id"), $"core_deg")
   }
 
+  /** BFS rounds — mirrored by the oracle's unrolled CTE chain; both
+    * engines run exactly this many, so the hash-check is well-defined
+    * whether or not the walk has converged ([[KcoreRounds]]'s
+    * discipline), and AnalyticsSpec asserts it HAS converged on the
+    * fixtures (one extra round is a no-op). */
+  val BfsRounds = 8
+
+  /** Multi-source BFS hop distance over the near-dup graph (the
+    * provenance question a curation pipeline asks after clustering: how
+    * many near-dup hops separate a document from a known-bad seed?).
+    * Sources are the content-addressed landmark set doc_id ≡ 0 (mod 10)
+    * among the pair-graph vertices; output is each reachable vertex with
+    * its minimum hop count (unreached components are absent — their
+    * distance is undefined, not 0).
+    *
+    * Shape: Pregel-style synchronous relaxation — dist_{i+1}(v) =
+    * min(dist_i(v), 1 + min over in-edges) — each round ONE equi-join of
+    * the current distance table against the edge list plus one min
+    * aggregate, both on the same key, lineage-truncated per round. Work
+    * per round is O(E); rounds are bounded by [[BfsRounds]]. At 100 TB
+    * the distance table and edge list are both id-shaped (never
+    * documents), and the join key is the graph vertex — the canonical
+    * distributed-BFS layout. */
+  def shortestPaths(s: SparkSession, d: String): DataFrame =
+    shortestPathsOf(minhashLshShared(s, d))
+
+  /** Core over any canonical (doc_a < doc_b) pair frame. */
+  def shortestPathsOf(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val und = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .localCheckpoint()
+    var dist = und.select($"src".as("doc_id")).distinct()
+      .where(pmod($"doc_id", lit(10L)) === 0)
+      .select($"doc_id", lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to BfsRounds) {
+      val relaxed = dist.join(und, dist("doc_id") === und("src"))
+        .select(und("dst").as("doc_id"), (dist("dist") + 1L).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy($"doc_id").agg(min($"dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Containment dedup (near-SUPERSET detection, the asymmetric metric
     * Jaccard misses): containment(A→B) = |A∩B| / |A| over word-3
     * shingles — a quote, excerpt, or page-with-boilerplate scores high
@@ -1012,8 +1059,31 @@ object Dedup {
       SELECT src AS doc_id, count(*) AS core_deg FROM e$KcoreRounds GROUP BY src"""
   }
 
+  private def bfsOracle: String = {
+    val rounds = (1 to BfsRounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+        SELECT doc_id, min(dist) AS dist FROM (
+          SELECT doc_id, dist FROM d${i - 1}
+          UNION ALL
+          SELECT e.dst AS doc_id, d.dist + 1 AS dist
+          FROM d${i - 1} d JOIN e0 e ON d.doc_id = e.src)
+        GROUP BY doc_id)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH pairs AS MATERIALIZED (${shingleOracle(0.9, "char12")}),
+      e0 AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      d0 AS MATERIALIZED (
+        SELECT DISTINCT src AS doc_id, CAST(0 AS BIGINT) AS dist
+        FROM e0 WHERE src % 10 = 0),
+      $rounds
+      SELECT doc_id, dist FROM d$BfsRounds"""
+  }
+
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
+    "graph_shortest_paths" -> bfsOracle,
     "dedup_incremental" -> s"""
       WITH sh AS MATERIALIZED (
         -- 4096-position cap: repo-wide oracle convention (see shingleOracle /

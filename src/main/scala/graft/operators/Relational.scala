@@ -1348,4 +1348,68 @@ object Relational {
         expr("variant_get(v, '$.tags[1]', 'string')").as("tag1"),
         expr("try_variant_get(v, '$.meta.absent', 'long')").as("missing_v"))
   }
+
+  /** Nested-struct manipulation (the semi-structured record surface next
+    * to [[fnVariant]]'s VARIANT paths): build a nested record per order,
+    * then evolve it declaratively — `withField` adds a computed leaf (at
+    * the top level AND inside the nested struct), `dropFields` removes
+    * one — and read leaves back via nested field access. The output is
+    * the flattened leaves, so the hash-check verifies every struct op's
+    * effect. Catalyst's OptimizeUpdateFields/SimplifyExtractValueOps
+    * collapse the whole chain to flat column expressions — the struct
+    * algebra is free at any scale (zero exchanges, whole-stage codegen),
+    * which is exactly why schema evolution on nested parquet is done
+    * declaratively rather than by rewriting records in a UDF. */
+  def fnStruct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey",
+        struct(
+          $"o_custkey".as("cust"),
+          round($"o_totalprice" * 100).cast("bigint").as("price_c"),
+          struct($"o_orderstatus".as("st"), $"o_orderpriority".as("pri"))
+            .as("tag")).as("rec"))
+      .select($"o_orderkey",
+        $"rec".withField("bucket", pmod($"rec.cust", lit(7L)))
+          .withField("tag.urgent", $"rec.tag.pri" === "1-URGENT")
+          .dropFields("cust").as("rec2"))
+      .select($"o_orderkey",
+        $"rec2.price_c".as("price_c"),
+        $"rec2.bucket".as("bucket"),
+        $"rec2.tag.st".as("st"),
+        $"rec2.tag.urgent".as("urgent"))
+  }
+
+  /** EWMA frame length: the smoother looks back at most this many
+    * observations (7 preceding + current). */
+  val EwmaFrame = 8
+
+  /** Exponentially-weighted moving average over each user's event values
+    * (α = 1/2, truncated to the last [[EwmaFrame]] observations and
+    * renormalized) — the standard smoothing pass for metric streams.
+    * α = 1/2 is chosen deliberately: the weights 2⁰…2^(m−1) and the
+    * normalizer 2^m − 1 are exact BIGINTs, so the whole smoother is
+    * integer arithmetic end to end (num = Σ cents·2^i oldest-first, emit
+    * 1000·num div den) — no double powers (pow is not correctly rounded
+    * cross-engine), no order-dependent double sums. An UNBOUNDED
+    * exponential window would need a running double recurrence that
+    * cannot be re-normalized exactly; the truncated form loses < 2⁻⁸ of
+    * the mass and keeps the operator distributable as one window pass:
+    * a single exchange on user_id, O(frame) work per row. Window order
+    * totalizes over (ts, event_id) — fixture timestamps collide. */
+  def tsEwma(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(-(EwmaFrame - 1), Window.currentRow)
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id",
+        round($"value" * 100).cast("bigint").as("cents"))
+      .withColumn("hist", collect_list($"cents").over(w)) // oldest-first
+      .select($"user_id", $"ts", $"event_id", $"cents",
+        size($"hist").cast("bigint").as("n_frame"),
+        expr("""1000 * aggregate(zip_with(hist, sequence(0, size(hist) - 1),
+                                          (x, i) -> x * shiftleft(1L, i)),
+                                 0L, (acc, x) -> acc + x)
+                div (shiftleft(1L, size(hist)) - 1)""").as("ewma_milli"))
+  }
 }

@@ -700,6 +700,38 @@ object RelationalOracles {
       SELECT doc_id, doc_id AS id_v, lang AS lang_v, n_chars AS n_v,
              source AS tag0, 't' || CAST(doc_id % 5 AS VARCHAR) AS tag1,
              CAST(NULL AS BIGINT) AS missing_v
-      FROM documents"""
+      FROM documents""",
+
+    // fn_struct's struct algebra collapses to flat leaf expressions under
+    // Catalyst; the oracle states those leaves directly.
+    "fn_struct" -> """
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             o_custkey % 7 AS bucket,
+             o_orderstatus AS st,
+             o_orderpriority = '1-URGENT' AS urgent
+      FROM orders""",
+
+    // ts_ewma: the oracle re-derives each row's frame by a row-number
+    // band self-join (boring, version-stable SQL) instead of the engine's
+    // window+array form; weights 2^(j-st) oldest-first, normalizer
+    // 2^m - 1 — identical exact-integer arithmetic. // == div because
+    // cents are non-negative.
+    "ts_ewma" -> """
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events)
+      SELECT a.user_id, a.ts, a.event_id, a.cents,
+             CAST(count(*) AS BIGINT) AS n_frame,
+             CAST(1000 * sum(b.cents *
+                             (CAST(1 AS BIGINT) << CAST(b.rn - greatest(a.rn - 7, 1) AS INT)))
+                  // ((CAST(1 AS BIGINT) << CAST(count(*) AS INT)) - 1)
+                  AS BIGINT) AS ewma_milli
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 7 AND a.rn
+      GROUP BY a.user_id, a.ts, a.event_id, a.cents"""
   )
 }

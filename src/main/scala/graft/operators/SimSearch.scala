@@ -423,7 +423,113 @@ object SimSearch {
       .where($"cos" >= RangeTau)
   }
 
+  /** RRF rank constant (the standard 60 from Cormack & Clarke's original
+    * reciprocal-rank-fusion formulation) and per-list depth. */
+  val RrfConst = 60
+  val RrfTopK = 5
+
+  /** Hybrid retrieval via reciprocal-rank fusion — the production RAG
+    * retrieval shape: a KEYWORD ranked list (idf-weighted distinct-term
+    * overlap against each query document's own terms) and a VECTOR ranked
+    * list (the session-materialized exact top-k, [[bruteTopKShared]])
+    * are fused per (query, candidate) as Σ_lists ⌊10⁶ / (60 + rank)⌋ —
+    * integer contributions, integer sums, no doubles anywhere in the
+    * fusion, so ranking is exactly reproducible. A candidate found by
+    * only one list still scores (the other contributes 0) — RRF's whole
+    * point is that the two retrievers disagree.
+    *
+    * Scale shape: doc_id and vec_id are aligned in the fixture (one
+    * embedding per document — the usual lakehouse layout). The corpus is
+    * tokenized ONCE (the distinct-term profile feeds df, the query
+    * profiles and the match join); query-side terms with their idf are a
+    * |queries|·|query vocab| broadcast (O(1) in corpus scale); the match
+    * join is an equi-join on term carrying only (q_id, doc_id,
+    * idf_micro); both rank lists are |queries|·k rows. Nothing O(corpus)
+    * is ever broadcast or collected. */
+  def rrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vec = bruteTopKShared(s, d, RrfTopK)
+      .select($"q_id", $"n_id", $"rk".as("rk_vec"))
+    val dt = Tables.documents(s, d)
+      .select($"doc_id", explode(array_distinct(
+        filter(TextAnalysis.toks($"text"), t => t =!= ""))).as("tok"))
+      .localCheckpoint() // one corpus tokenize feeds df, queries, matches
+    val nd = dt.agg(count_distinct($"doc_id").as("n_docs")) // 1-row scalar
+    val idf = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .select($"tok",
+        round(log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)) * 1e6)
+          .cast("bigint").as("idf_micro"))
+    val qterms = dt.where($"doc_id" < NumQueries)
+      .select($"doc_id".as("q_id"), $"tok")
+      .join(idf, "tok") // |queries| x |query vocab| — O(1) in corpus scale
+    val kw = Window.partitionBy($"q_id").orderBy($"kscore".desc, $"doc_id".asc)
+    val kwTop = dt.join(broadcast(qterms), Seq("tok"))
+      .where($"doc_id" =!= $"q_id")
+      .groupBy($"q_id", $"doc_id")
+      .agg(sum($"idf_micro").as("kscore"))
+      .withColumn("rk_kw", row_number().over(kw))
+      .where($"rk_kw" <= RrfTopK)
+      .select($"q_id", $"doc_id".as("n_id"), $"rk_kw")
+    val fused = vec.join(kwTop, Seq("q_id", "n_id"), "full_outer")
+      .select($"q_id", $"n_id",
+        (coalesce(expr(s"1000000 div ($RrfConst + rk_vec)"), lit(0L)) +
+         coalesce(expr(s"1000000 div ($RrfConst + rk_kw)"), lit(0L)))
+          .as("rrf_micro"))
+    val fw = Window.partitionBy($"q_id").orderBy($"rrf_micro".desc, $"n_id".asc)
+    fused.withColumn("rk", row_number().over(fw).cast("bigint"))
+      .where($"rk" <= RrfTopK)
+  }
+
   val oracle: Map[String, String] = Map(
+    "search_rrf" -> s"""
+      WITH vec AS (
+        SELECT q_id, n_id, rk AS rk_vec FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])) DESC,
+                            e.vec_id ASC) AS rk
+          FROM embeddings q JOIN embeddings e
+            ON q.vec_id < $NumQueries AND e.vec_id <> q.vec_id
+        ) t WHERE rk <= $RrfTopK),
+      dt AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents)
+        WHERE tok <> ''),
+      nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+      idf AS (
+        SELECT tok, CAST(round(ln(1 + (n_docs - count(*) + 0.5) / (count(*) + 0.5))
+                               * 1000000) AS BIGINT) AS idf_micro
+        FROM dt CROSS JOIN nd GROUP BY tok, n_docs),
+      kw AS (
+        SELECT q_id, n_id, rk_kw FROM (
+          SELECT q.doc_id AS q_id, c.doc_id AS n_id,
+                 row_number() OVER (
+                   PARTITION BY q.doc_id
+                   ORDER BY sum(idf_micro) DESC, c.doc_id ASC) AS rk_kw
+          FROM dt q
+          JOIN dt c ON q.tok = c.tok AND c.doc_id <> q.doc_id
+          JOIN idf ON idf.tok = q.tok
+          WHERE q.doc_id < $NumQueries
+          GROUP BY q.doc_id, c.doc_id
+        ) t WHERE rk_kw <= $RrfTopK),
+      fused AS (
+        SELECT coalesce(vec.q_id, kw.q_id) AS q_id,
+               coalesce(vec.n_id, kw.n_id) AS n_id,
+               coalesce(1000000 // ($RrfConst + rk_vec), 0)
+               + coalesce(1000000 // ($RrfConst + rk_kw), 0) AS rrf_micro
+        FROM vec FULL JOIN kw
+          ON vec.q_id = kw.q_id AND vec.n_id = kw.n_id)
+      SELECT q_id, n_id, CAST(rrf_micro AS BIGINT) AS rrf_micro, rk FROM (
+        SELECT q_id, n_id, rrf_micro,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY rrf_micro DESC, n_id ASC) AS rk
+        FROM fused) t
+      WHERE rk <= $RrfTopK""",
+
     "simsearch_range" -> s"""
       SELECT q.vec_id AS q_id, e.vec_id AS n_id,
              list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

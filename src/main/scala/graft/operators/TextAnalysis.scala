@@ -563,6 +563,65 @@ object TextAnalysis {
       .select($"doc_id", $"term", $"tfidf", $"rk".cast("bigint").as("rk"))
   }
 
+  /** BM25 retrieval: query-term count and the top result-set size. */
+  val Bm25QTerms = 5
+  val Bm25TopDocs = 50
+
+  /** BM25 document ranking ([[tfidfTop3]]'s retrieval-grade upgrade —
+    * tf saturation + document-length normalization, the default keyword
+    * relevance function of every search stack): score the whole corpus
+    * against the [[Bm25QTerms]] heaviest corpus terms and keep the
+    * [[Bm25TopDocs]] best documents.
+    *
+    * Exact-integer discipline: k1 = 1.2 and b = 0.75 are exact rationals
+    * (12/10, 3/4) and avgdl = T/N stays a ratio of BIGINTs, so each
+    * term's score multiplies out to
+    * idf_micro·tf·22·T div (10·tf·T + 3·T + 9·dl·N) — one truncating
+    * division of non-negative BIGINTs per (doc, term), integer sums per
+    * doc. The only double op is one ln per TERM (the idf), integer-scaled
+    * before any summation (the [[logprob]] recipe). The `1 +` inside the
+    * idf ln keeps it strictly positive for high-df terms (the
+    * Lucene-style floor), which keeps every numerator non-negative —
+    * Spark `div` truncates while DuckDB `//` floors, so sign discipline
+    * is what makes them identical. Magnitude bound: idf_micro ≤ 1.5e7,
+    * tf ≤ dl, so the numerator stays < 2⁶³ while tf·T < 2.7e10 — petabyte
+    * corpora would move the micro scale down or the arithmetic to
+    * DECIMAL(38).
+    *
+    * Scale shape: ONE corpus explode (tf feeds dl, the stats scalar, the
+    * query-term draw AND the scorer — same one-pass derivation as
+    * [[tfidfTop3]]); the query side is a [[Bm25QTerms]]-row TakeOrdered
+    * broadcast, the per-doc profile join carries (doc, dl) pairs, and the
+    * final ranking is a [[Bm25TopDocs]]-row TakeOrdered — nothing global
+    * ever materializes. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", explode(filter(toks($"text"), t => t =!= "")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // one corpus explode feeds df, dl, qterms, scorer
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_total"))
+    val qterms = tf.groupBy($"tok")
+      .agg(sum($"tf").as("ctot"), count(lit(1)).as("df"))
+      .orderBy($"ctot".desc, $"tok".asc).limit(Bm25QTerms) // O(Q) TakeOrdered
+    val scored = tf.join(broadcast(qterms), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro",
+        round(log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)) * 1e6)
+          .cast("bigint"))
+      .withColumn("term_score", expr(
+        "idf_micro * tf * 22 * t_total div (10 * tf * t_total + 3 * t_total + 9 * dl * n_docs)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_qterms"), sum($"term_score").as("bm25_micro"))
+      .orderBy($"bm25_micro".desc, $"doc_id".asc).limit(Bm25TopDocs)
+    // rank the Bm25TopDocs-row result (single tiny partition by design)
+    scored.withColumn("rk",
+      row_number().over(Window.orderBy($"bm25_micro".desc, $"doc_id".asc))
+        .cast("bigint"))
+  }
+
   val oracle: Map[String, String] = {
     val stopList = StopwordSets.map { case (l, ws) =>
       l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -577,6 +636,30 @@ object TextAnalysis {
         SELECT tok, count(*) AS cnt FROM t2
         GROUP BY tok
         HAVING count(*) * 40 > (SELECT count(*) FROM t2)""",
+
+      "text_bm25" -> s"""
+        WITH tf AS (
+          SELECT doc_id, tok, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+          WHERE tok <> '' GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        st AS (SELECT count(*) AS n_docs, sum(dl) AS t_total FROM dl),
+        qt AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok
+               ORDER BY sum(tf) DESC, tok ASC LIMIT $Bm25QTerms),
+        sc AS (
+          SELECT tf.doc_id, count(*) AS n_qterms,
+                 sum(CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                                * 1000000) AS BIGINT)
+                     * tf * 22 * t_total
+                     // (10 * tf * t_total + 3 * t_total + 9 * dl * n_docs))
+                   AS bm25_micro
+          FROM tf JOIN qt USING (tok)
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+          GROUP BY tf.doc_id)
+        SELECT doc_id, n_qterms, CAST(bm25_micro AS BIGINT) AS bm25_micro,
+               row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS rk
+        FROM sc ORDER BY bm25_micro DESC, doc_id ASC LIMIT $Bm25TopDocs""",
 
       "text_logprob" -> """
         WITH tok AS (

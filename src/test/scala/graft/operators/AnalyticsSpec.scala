@@ -550,4 +550,103 @@ class AnalyticsSpec extends SparkSpec {
       .count()
     assert(bad == 0L)
   }
+
+  test("struct: the withField/dropFields chain reproduces the direct flat computation") {
+    val direct = Tables.orders(spark, sf).select(
+      $"o_orderkey",
+      round($"o_totalprice" * 100).cast("bigint").as("price_c"),
+      pmod($"o_custkey", lit(7L)).as("bucket"),
+      $"o_orderstatus".as("st"),
+      ($"o_orderpriority" === "1-URGENT").as("urgent"))
+    assert(Relational.fnStruct(spark, sf).exceptAll(direct).isEmpty)
+    assert(direct.exceptAll(Relational.fnStruct(spark, sf)).isEmpty)
+  }
+
+  test("ewma: every row replays the truncated dyadic smoother exactly") {
+    val got = Relational.tsEwma(spark, sf)
+      .collect().map(r => (r.getLong(2), (r.getLong(4), r.getLong(5)))).toMap
+    val rows = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id",
+        round($"value" * 100).cast("bigint").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    assert(got.size == rows.length)
+    for ((_, series) <- rows.groupBy(_._1)) {
+      val ordered = series.sortBy(t => (t._2.getTime, t._3)).map(t => (t._3, t._4))
+      for (i <- ordered.indices) {
+        val hist = ordered.slice(math.max(0, i - Relational.EwmaFrame + 1), i + 1)
+        val num = hist.zipWithIndex.map { case ((_, c), j) => c * (1L << j) }.sum
+        val den = (1L << hist.size) - 1
+        assert(got(ordered(i)._1) == (hist.size.toLong, 1000 * num / den),
+          s"event ${ordered(i)._1}")
+      }
+    }
+  }
+
+  test("bm25: ranking replays the exact-rational formula from raw tokens") {
+    val got = TextAnalysis.bm25(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq).toMap
+    val tf = docs.toSeq.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, o) => (id, t, o.size.toLong) } }
+    val dl = tf.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._3).sum }
+    val (n, t) = (dl.size.toLong, dl.values.sum)
+    val byTok = tf.groupBy(_._2)
+    val qterms = byTok.toSeq
+      .map { case (tok, xs) => (tok, xs.map(_._3).sum, xs.size.toLong) }
+      .sortBy { case (tok, ctot, _) => (-ctot, tok) }.take(TextAnalysis.Bm25QTerms)
+    val scored = qterms.flatMap { case (tok, _, df) =>
+      val idf = math.round(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6)
+      byTok(tok).map { case (id, _, f) =>
+        id -> idf * f * 22 * t / (10 * f * t + 3 * t + 9 * dl(id) * n) }
+    }.groupBy(_._1).map { case (id, xs) => (id, xs.size.toLong, xs.map(_._2).sum) }
+    val expect = scored.toSeq.sortBy { case (id, _, sc) => (-sc, id) }
+      .take(TextAnalysis.Bm25TopDocs).zipWithIndex
+      .map { case ((id, nq, sc), i) => (id, nq, sc, i + 1L) }
+    assert(got.toSeq == expect)
+  }
+
+  test("rrf: fused scores decompose into legal reciprocal-rank contributions") {
+    val legal = (1 to SimSearch.RrfTopK)
+      .map(r => 1000000L / (SimSearch.RrfConst + r)).toSet
+    val sums = (legal.map(Seq(_, 0L)) ++
+      (for (a <- legal; b <- legal) yield Seq(a, b))).map(_.sum)
+    val rows = SimSearch.rrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == SimSearch.NumQueries * SimSearch.RrfTopK)
+    assert(rows.forall { case (_, _, s, _) => sums.contains(s) })
+    // per query: ranks are exactly 1..k and scores non-increasing in rank
+    for ((_, qs) <- rows.groupBy(_._1)) {
+      val byRank = qs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to SimSearch.RrfTopK.toLong))
+      assert(byRank.sliding(2).forall(p => p.head._3 >= p.last._3))
+    }
+    // the vector list genuinely contributes: some fused row carries a
+    // vector-side reciprocal (score includes a both-lists sum or the
+    // vector-only path) — check against the materialized exact top-k
+    val vec = SimSearch.bruteTopKShared(spark, sf, SimSearch.RrfTopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.exists { case (q, nid, _, _) => vec.contains((q, nid)) })
+  }
+
+  test("shortest paths: planted two-source chain relaxes to the true BFS layers") {
+    import spark.implicits._
+    // chain 10-11-12-13-20 with sources {10, 20} (≡0 mod 10), plus a
+    // disconnected sourceless edge (5, 6) that must stay unreached
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 20L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.shortestPathsOf(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 0L, 20L -> 0L, 11L -> 1L, 13L -> 1L, 12L -> 2L))
+  }
+
+  test("shortest paths: the fixture walk converges inside the round budget") {
+    // a vertex at distance BfsRounds would imply possibly-unfinished
+    // layers beyond it; strictly smaller ⇒ the frontier exhausted early
+    // and one extra round is a no-op
+    val dists = Dedup.shortestPaths(spark, sf).collect().map(_.getLong(1))
+    assert(dists.nonEmpty && dists.max < Dedup.BfsRounds)
+  }
 }

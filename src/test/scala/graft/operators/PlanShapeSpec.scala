@@ -356,4 +356,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "containment candidates must come from the shingle equi-join\n" + p)
   }
+
+  test("fn_struct collapses to a pure per-row map — zero exchanges") {
+    val p = plan("fn_struct").split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"),
+      "struct algebra must optimize to flat projections\n" + p)
+  }
+
+  test("ts_ewma rides a single user_id exchange and one events scan") {
+    val p = plan("ts_ewma").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one user_id exchange, got $exchanges\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("text_bm25 ranks via TakeOrderedAndProject with broadcast scalars, no cartesian") {
+    val p = plan("text_bm25").split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      "final ranking must be a top-k draw, not a global sort\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("search_rrf matches terms via a broadcast hash equi-join — no cartesian") {
+    val p = plan("search_rrf").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    // the one nested-loop join allowed is the 1-row n_docs scalar
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 &&
+      p.contains("IdentityBroadcastMode"),
+      "only the scalar crossJoin may nested-loop\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "keyword match must be a broadcast term equi-join\n" + p)
+  }
 }
