@@ -103,6 +103,10 @@ object SparkEntry {
     "fn_variant"       -> (Relational.fnVariant _),
     "fn_struct"        -> (Relational.fnStruct _),
     "ts_ewma"          -> (Relational.tsEwma _),
+    "agg_bitmap"       -> (Relational.aggBitmap _),
+    "events_pattern"   -> (Relational.eventsPattern _),
+    "events_ab"        -> (Relational.eventsAb _),
+    "fn_lambda"        -> (Relational.fnLambda _),
     "agg_listagg"      -> (Relational.aggListagg _),
     "agg_weighted_median" -> (Relational.aggWeightedMedian _),
     // SQL entry path
@@ -119,6 +123,7 @@ object SparkEntry {
     "src_orc_roundtrip"     -> (graft.sources.Sources.orcRoundtrip _),
     "src_schema_evolution"  -> (graft.sources.Sources.schemaEvolution _),
     "src_xml_roundtrip"     -> (graft.sources.Sources.xmlRoundtrip _),
+    "src_binary_files"      -> (graft.sources.Sources.binaryFiles _),
     // E. custom Aggregator
     "agg_topk_group"   -> (graft.agg.TopK.topOrdersPerBucket _),
     // J. dedup

@@ -1412,4 +1412,116 @@ object Relational {
                                  0L, (acc, x) -> acc + x)
                 div (shiftleft(1L, size(hist)) - 1)""").as("ewma_milli"))
   }
+
+  /** Exact distinct counting via mergeable BITMAPS (Spark 3.5+'s
+    * bitmap_* family) — the pre-aggregation pattern that makes exact
+    * COUNT(DISTINCT) incremental at scale: each (group, bucket) holds a
+    * fixed-width bitmap of the ids it saw; bitmaps OR-merge across any
+    * sub-grouping (here: built per (priority, status), merged across
+    * status), and the final count is a SUM of per-bucket popcounts.
+    * Unlike a raw count_distinct — whose shuffle carries every distinct
+    * id per group — the merged layout shuffles |groups|·|buckets| fixed
+    * 4 KB bitmaps however many rows arrive, and a new data slice
+    * OR-merges into the stored bitmaps without touching history (the
+    * cube-materialization trick). The oracle runs the plain
+    * COUNT(DISTINCT), proving the bitmap path exact. */
+  def aggBitmap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderpriority".as("priority"), $"o_orderstatus".as("status"),
+        $"o_custkey")
+      .groupBy($"priority", $"status", expr("bitmap_bucket_number(o_custkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").as("bm"))
+      .groupBy($"priority", $"bkt")
+      .agg(expr("bitmap_or_agg(bm)").as("bm")) // merge across status
+      .groupBy($"priority")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_cust"))
+  }
+
+  /** Sequence-pattern detection over event streams (the
+    * MATCH_RECOGNIZE-class workload, expressed portably): per user,
+    * the full time-ordered event-type sequence is assembled as ONE
+    * string under the (ts, event_id) total order, and behavioral
+    * patterns are ordinary regexes over it — adjacency ("click then
+    * purchase immediately"), gapped reachability ("a view eventually
+    * converts"), and an anchor ("journey starts with signup"). One
+    * user_id exchange; the sequence string is bounded by the per-user
+    * event count (the events_paths / listagg group-size discipline:
+    * cap by predicate or sessionize first when a key can be hot). The
+    * digest ties the whole assembled sequence into the hash-check, so
+    * the oracle verifies the ordering itself, not just the three
+    * pattern bits. */
+  def eventsPattern(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+          x => x.getField("event_type"))).as("seq"))
+      .select($"user_id", $"n_events",
+        $"seq".rlike("click purchase").as("direct_buy"),
+        $"seq".rlike("view( [a-z]+)* purchase").as("view_to_buy"),
+        $"seq".rlike("^signup").as("signup_first"),
+        sha2($"seq", 256).as("seq_sha"))
+  }
+
+  /** A/B uplift report (Welch's t) — the experiment-readout aggregate:
+    * purchase values split into two arms by the content-addressed
+    * assignment user_id mod 2, per-arm COUNT/Σ/Σ² as exact integer
+    * cents (the [[aggMoments]] discipline — order-independent
+    * map-side-combinable sums), the mean lift as an integer division,
+    * and the t-statistic derived from the integer sums through ONE
+    * fixed expression tree (every double op — divide, subtract, sqrt —
+    * is IEEE-correctly-rounded on exact integer inputs, so both engines
+    * produce the identical double; contrast pow/ln which are not).
+    * One exchange on the 2-row arm key; the pivot to a single report
+    * row is a 2-row conditional aggregate. */
+  def eventsAb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val arms = Tables.events(s, d).where($"event_type" === "purchase")
+      .select(pmod($"user_id", lit(2L)).as("arm"),
+        round($"value" * 100).cast("bigint").as("c"))
+      .groupBy($"arm")
+      .agg(count(lit(1)).as("n"), sum($"c").as("sc"), sum($"c" * $"c").as("sc2"))
+    arms.agg(
+        max(when($"arm" === 0, $"n")).as("n0"),
+        max(when($"arm" === 0, $"sc")).as("s0"),
+        max(when($"arm" === 0, $"sc2")).as("s20"),
+        max(when($"arm" === 1, $"n")).as("n1"),
+        max(when($"arm" === 1, $"sc")).as("s1"),
+        max(when($"arm" === 1, $"sc2")).as("s21"))
+      .select($"n0", $"s0", $"s20", $"n1", $"s1", $"s21",
+        expr("(1000 * s1) div n1 - (1000 * s0) div n0").as("lift_millicents"),
+        expr("""(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                / sqrt((CAST(s21 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                         / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       + (CAST(s20 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                         / CAST(n0 - 1 AS DOUBLE) / CAST(n0 AS DOUBLE))""")
+          .as("t_stat"))
+  }
+
+  /** Higher-order array functions as a first-class surface (transform /
+    * filter / exists / forall / aggregate / zip_with) — the per-row
+    * array algebra every feature-engineering pass leans on. All native
+    * Catalyst expressions evaluated inline per row: zero exchanges, no
+    * UDFs, arrays synthesized from row keys so the oracle can rebuild
+    * them exactly. The zip_with case folds the array against its own
+    * reverse — an alignment join inside one row. */
+  def fnLambda(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber",
+        sequence(lit(1L), lit(1L) + pmod($"l_orderkey" + $"l_linenumber", lit(6L))).as("a"),
+        round($"l_quantity").cast("bigint").as("q"))
+      .select($"l_orderkey", $"l_linenumber",
+        size($"a").cast("bigint").as("n"),
+        expr("aggregate(a, 0L, (acc, x) -> acc + x * q)").as("wsum"),
+        expr("size(filter(a, x -> x % 2 = 0))").cast("long").as("n_even"),
+        expr("exists(a, x -> x * q > 40)").as("any_big"),
+        expr("forall(a, x -> x <= 7)").as("all_small"),
+        expr("aggregate(zip_with(a, reverse(a), (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+          .as("palindot"))
+  }
 }

@@ -732,6 +732,71 @@ object RelationalOracles {
                   AS BIGINT) AS ewma_milli
       FROM e a JOIN e b
         ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 7 AND a.rn
-      GROUP BY a.user_id, a.ts, a.event_id, a.cents"""
+      GROUP BY a.user_id, a.ts, a.event_id, a.cents""",
+
+    // the bitmap rollup is exact by construction; the oracle is the
+    // plain distinct count it must reproduce
+    "agg_bitmap" -> """
+      SELECT o_orderpriority AS priority,
+             count(DISTINCT o_custkey) AS n_distinct_cust
+      FROM orders GROUP BY o_orderpriority""",
+
+    "events_pattern" -> """
+      WITH seqs AS (
+        SELECT user_id, count(*) AS n_events,
+               string_agg(event_type, ' '
+                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+        FROM events GROUP BY user_id)
+      SELECT user_id, n_events,
+             regexp_matches(seq, 'click purchase') AS direct_buy,
+             regexp_matches(seq, 'view( [a-z]+)* purchase') AS view_to_buy,
+             regexp_matches(seq, '^signup') AS signup_first,
+             sha256(seq) AS seq_sha
+      FROM seqs""",
+
+    // identical expression tree to the Spark side: every double op is
+    // IEEE-correctly-rounded on exact integer inputs, so t_stat is
+    // bitwise-equal
+    "events_ab" -> """
+      WITH arms AS (
+        SELECT user_id % 2 AS arm, count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS sc,
+               sum(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS sc2
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      p AS (
+        SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+               max(CASE WHEN arm = 0 THEN sc END) AS s0,
+               max(CASE WHEN arm = 0 THEN sc2 END) AS s20,
+               max(CASE WHEN arm = 1 THEN n END) AS n1,
+               max(CASE WHEN arm = 1 THEN sc END) AS s1,
+               max(CASE WHEN arm = 1 THEN sc2 END) AS s21
+        FROM arms)
+      SELECT n0, s0, s20, n1, s1, s21,
+             (1000 * s1) // n1 - (1000 * s0) // n0 AS lift_millicents,
+             (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             / sqrt((CAST(s21 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                      / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    + (CAST(s20 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                      / CAST(n0 - 1 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS t_stat
+      FROM p""",
+
+    "fn_lambda" -> """
+      WITH t AS (
+        SELECT l_orderkey, l_linenumber,
+               range(1, 2 + (l_orderkey + l_linenumber) % 6) AS a,
+               CAST(round(l_quantity) AS BIGINT) AS q
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             len(a) AS n,
+             CAST(list_sum(list_transform(a, x -> x * q)) AS BIGINT) AS wsum,
+             CAST(len(list_filter(a, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+             len(list_filter(a, x -> x * q > 40)) > 0 AS any_big,
+             len(list_filter(a, x -> x > 7)) = 0 AS all_small,
+             CAST(list_sum(list_transform(range(1, len(a) + 1),
+                                          i -> a[i] * a[len(a) + 1 - i]))
+               AS BIGINT) AS palindot
+      FROM t"""
   )
 }

@@ -21,6 +21,46 @@ object Sources {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Binary-file ingest (`binaryFile` format) — the multimodal raw-bytes
+    * on-ramp: a directory of opaque per-record files (images, audio,
+    * shards from a crawler) read as (path, modificationTime, length,
+    * content: binary) rows. The fixture stages one `doc_<id>.bin` per
+    * document (UTF-8 bytes of its text, written distributedly via
+    * foreachPartition — local-mode staging; on a cluster the same code
+    * targets shared storage), memoized per (session, data dir) like the
+    * other staged sources. The query parses the record key back out of
+    * the file PATH (the layout convention every blob-store ingest relies
+    * on) and emits size + sha256 of the raw bytes, so the oracle —
+    * which sees only the original table — validates the whole
+    * bytes-round-trip. Scale note: binaryFile scans parallelize over
+    * files and prune columns (content is only read because the hash
+    * needs it); the many-small-files listing cost is the real 100 TB
+    * caveat, which is why production lakes compact blobs into the
+    * `mm_*` family's (id, binary) parquet layout — this query is the
+    * ingest step that feeds that compaction. */
+  def binaryFiles(s: SparkSession, d: String): DataFrame = {
+    val srcKey = "spark.graft.binfiles.src"
+    val dirKey = "spark.graft.binfiles.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = tmp("graft_binfiles")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"doc_${r.getLong(0)}%08d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    s.read.format("binaryFile").load(s.conf.get(dirKey))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length"),
+        sha2(col("content"), 256).as("sha"))
+  }
+
   /** parquet → csv (header, explicit schema on read) → DataFrame. */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = tmp("graft_csv")
@@ -234,6 +274,12 @@ object Sources {
       GROUP BY o_orderpriority""",
 
     "src_csv_roundtrip" -> "SELECT * FROM customer",
+    // the staged bytes are the document's UTF-8 text, so size and digest
+    // reconstruct from the table the oracle can see
+    "src_binary_files" -> """
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
+             sha256(text) AS sha
+      FROM documents""",
     "src_xml_roundtrip" -> "SELECT * FROM part",
     "src_orc_roundtrip" -> "SELECT * FROM supplier",
     "src_json_roundtrip" -> "SELECT * FROM nation",
