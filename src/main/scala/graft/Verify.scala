@@ -19,8 +19,13 @@ object Verify {
     // unset for the driver's full run. oracle_sql.json is filtered to the
     // same subset so tools/check_oracle.py checks exactly what was dumped.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_SQL_ONLY=1 — dump oracle_sql.json without executing any
+    // query (for static oracle linting, e.g. the HUGEINT scan in
+    // tools/check_oracle.py).
+    val sqlOnly = sys.env.get("SPARK_GRAFT_SQL_ONLY").contains("1")
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case _ if sqlOnly => false
+                case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

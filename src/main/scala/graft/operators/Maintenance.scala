@@ -466,7 +466,7 @@ object Maintenance {
     "maint_hash_split" -> s"""
       SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
                   ELSE 'test' END AS split,
-             count(*) AS n_docs, sum(n_chars) AS sum_chars
+             count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM (SELECT n_chars, $hexBucketSql AS b FROM documents)
       GROUP BY 1""",
     "maint_hash_split_docs" -> s"""

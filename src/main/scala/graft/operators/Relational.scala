@@ -1474,7 +1474,9 @@ object Relational {
     * and the t-statistic derived from the integer sums through ONE
     * fixed expression tree (every double op — divide, subtract, sqrt —
     * is IEEE-correctly-rounded on exact integer inputs, so both engines
-    * produce the identical double; contrast pow/ln which are not).
+    * produce the identical double; contrast pow/ln which are not) and
+    * then emitted integer-scaled to micro-units so the hash gate never
+    * depends on how a harness canonicalizes a raw double.
     * One exchange on the 2-row arm key; the pivot to a single report
     * row is a 2-row conditional aggregate. */
   def eventsAb(s: SparkSession, d: String): DataFrame = {
@@ -1493,13 +1495,13 @@ object Relational {
         max(when($"arm" === 1, $"sc2")).as("s21"))
       .select($"n0", $"s0", $"s20", $"n1", $"s1", $"s21",
         expr("(1000 * s1) div n1 - (1000 * s0) div n0").as("lift_millicents"),
-        expr("""(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        floor(expr("""(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
                  - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
                 / sqrt((CAST(s21 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
                          / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE)
                        + (CAST(s20 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-                         / CAST(n0 - 1 AS DOUBLE) / CAST(n0 AS DOUBLE))""")
-          .as("t_stat"))
+                         / CAST(n0 - 1 AS DOUBLE) / CAST(n0 AS DOUBLE))""") * lit(1e6))
+          .cast("bigint").as("t_stat_micro"))
   }
 
   /** Higher-order array functions as a first-class surface (transform /

@@ -469,7 +469,7 @@ object RelationalOracles {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       SELECT CASE WHEN last_click_ts >= ts - INTERVAL 7 DAY
                   THEN last_k ELSE -1 END AS campaign,
-             count(*) AS n_purchases, sum(cents) AS revenue_cents
+             count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS revenue_cents
       FROM a WHERE kind = 1 GROUP BY 1""",
 
     "events_paths" -> """
@@ -483,9 +483,9 @@ object RelationalOracles {
 
     "agg_moments" -> """
       SELECT l_returnflag, count(*) AS n,
-             sum(q) AS sum_q, sum(q * q) AS sum_q2,
-             sum(d) AS sum_d, sum(d * d) AS sum_d2,
-             sum(q * d) AS sum_qd
+             CAST(sum(q) AS BIGINT) AS sum_q, CAST(sum(q * q) AS BIGINT) AS sum_q2,
+             CAST(sum(d) AS BIGINT) AS sum_d, CAST(sum(d * d) AS BIGINT) AS sum_d2,
+             CAST(sum(q * d) AS BIGINT) AS sum_qd
       FROM (SELECT l_returnflag,
                    CAST(l_quantity AS BIGINT) AS q,
                    CAST(round(l_discount * 100) AS BIGINT) AS d
@@ -760,9 +760,9 @@ object RelationalOracles {
     "events_ab" -> """
       WITH arms AS (
         SELECT user_id % 2 AS arm, count(*) AS n,
-               sum(CAST(round(value * 100) AS BIGINT)) AS sc,
-               sum(CAST(round(value * 100) AS BIGINT)
-                   * CAST(round(value * 100) AS BIGINT)) AS sc2
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc2
         FROM events WHERE event_type = 'purchase' GROUP BY 1),
       p AS (
         SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
@@ -773,13 +773,13 @@ object RelationalOracles {
                max(CASE WHEN arm = 1 THEN sc2 END) AS s21
         FROM arms)
       SELECT n0, s0, s20, n1, s1, s21,
-             (1000 * s1) // n1 - (1000 * s0) // n0 AS lift_millicents,
-             (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             CAST((1000 * s1) // n1 - (1000 * s0) // n0 AS BIGINT) AS lift_millicents,
+             CAST(floor(((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
                - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
              / sqrt((CAST(s21 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
                       / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE)
                     + (CAST(s20 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-                      / CAST(n0 - 1 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS t_stat
+                      / CAST(n0 - 1 AS DOUBLE) / CAST(n0 AS DOUBLE))) * 1e6) AS BIGINT) AS t_stat_micro
       FROM p""",
 
     "fn_lambda" -> """

@@ -38,6 +38,19 @@ def main(sf_dir, out_dir):
     failed = []
     for name, sql in sorted(oracle.items()):
         try:
+            # The driver fetches oracle results through pandas, where DuckDB's
+            # HUGEINT (e.g. an uncast sum(BIGINT)) degrades to float64 and
+            # canonicalizes as "7.0" instead of "7". fetchall() hides that
+            # (HUGEINT -> Python int), so hard-fail on the TYPE before it can
+            # silently pass here and fail in the driver's gate.
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+            huge = [(c, t) for c, t, *_ in desc
+                    if "HUGEINT" in str(t).upper()]
+            if huge:
+                failed.append(name)
+                print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge} — "
+                      f"CAST the sum/agg to BIGINT in the oracle SQL")
+                continue
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()
             gcols = [d[0] for d in con.description]
