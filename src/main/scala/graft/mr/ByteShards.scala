@@ -16,19 +16,27 @@ import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
   * contract is "exactly M map tasks over byte ranges". This class closes
   * that accepted deviation for the job-spec lifecycle ([[MRSpec]]):
   *
-  *  - stat input files, sort ascending by size (mr_master.go:155-157;
-  *    ties broken by path for determinism);
+  *  - stat input files, sort ascending by size (mr_master.go:155-157).
+  *    The reference's sort.Slice is UNSTABLE, so its order among
+  *    equal-size files is nondeterministic; here ties break by path, so
+  *    packing is OUTPUT-EQUIVALENT to a valid reference packing (same
+  *    shard count, same per-shard byte totals) with a deterministic tie
+  *    order rather than byte-identical on every input. Zero-length files
+  *    are dropped rather than packed as empty ranges (they contribute no
+  *    lines either way);
   *  - shardSize = ceil(totalBytes / M) (mr_master.go:160-166);
   *  - greedy pack byte ranges: a shard may span multiple files and a file
-  *    may span multiple shards (mr_master.go:172-209). The resulting
-  *    shard count is ceil(total / shardSize) ≤ M — byte-identical to the
-  *    reference's packing for every input.
+  *    may span multiple shards (mr_master.go:172-209); resulting shard
+  *    count is ceil(total / shardSize) ≤ M.
   *
-  * Line alignment (azure_util.go:196-218, the `TextInputFormat` contract):
-  * a reader starting mid-file skips through the first '\n' (its previous
-  * neighbor finishes that line by reading PAST its own end), and every
-  * reader runs past its end boundary to complete its final line — so the
-  * merged multiset of lines is exactly the files' lines for any M.
+  * Line alignment deliberately follows the Hadoop `TextInputFormat`
+  * contract, NOT the reference's reader: a reader starting mid-file skips
+  * through the first '\n' (its previous neighbor finishes that line by
+  * reading PAST its own end), and every reader runs past its end boundary
+  * to complete its final line — so the merged multiset of lines is exactly
+  * the files' lines for any M. The reference reader (azure_util.go:196-218)
+  * instead DROPS the partial line at a range end without any neighbor
+  * completing it — a lossy boundary bug this class does not reproduce.
   *
   * Each range open/seek/read happens on the EXECUTOR via the Hadoop
   * FileSystem API, so the same code reads local disk, HDFS, or any

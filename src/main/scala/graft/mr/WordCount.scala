@@ -53,12 +53,20 @@ object WordCount {
   }
 
   /** Word count through the SCRIPT-pipe path, running the reference's own
-    * mapper.py/reducer.py unmodified (/root/reference/client/scripts) —
-    * byte-level UDF parity, hash-checked against the same SQL oracle. */
+    * mapper.py/reducer.py unmodified — byte-level UDF parity, hash-checked
+    * against the same SQL oracle. The scripts dir is configurable
+    * (`spark.graft.mr.scriptsDir`), defaulting to the reference checkout.
+    * Mapper input is coalesced (no shuffle) to M=8 shards to mirror the
+    * reference's one-process-per-shard model: the pipe forks a Python
+    * interpreter per partition, so fork startup must amortize over
+    * shard-sized inputs, not over however many file splits the scan
+    * produced — at 32 scan splits the query was paying ~40 interpreter
+    * startups for milliseconds of actual mapping. */
   def mrScript(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val scripts = "/root/reference/client/scripts"
-    val lines = Tables.documents(s, d).select("text").as[String]
+    val scripts = s.conf.getOption("spark.graft.mr.scriptsDir")
+      .getOrElse("/root/reference/client/scripts")
+    val lines = Tables.documents(s, d).select("text").as[String].coalesce(8)
     MRJob.mapScript(lines, Seq("python3", s"$scripts/mapper.py"))
       .partitionSort(8)
       .reduceScript(Seq("python3", s"$scripts/reducer.py"))

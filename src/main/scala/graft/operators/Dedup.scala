@@ -775,16 +775,17 @@ object Dedup {
   /** Core prefix-filtered pipeline over any (doc_id, text) frame;
     * losslessness vs the exhaustive all-pairs join is property-tested in
     * DedupSpec on random near-dup corpora. The prefix index is persisted
-    * (NOT unpersisted — the caller gets a lazy frame; long-lived sessions
-    * processing many corpora should clear the cache between them or use
-    * [[ngramPrefixIndex]] + an explicit written index as [[ngramJaccard]]
-    * does); it is the only cached state — shingle arrays for candidate
-    * docs are recomputed inside verification, so an eviction costs at
-    * most one extra index build, never a corpus-squared cliff. */
+    * only for the duration of the candidate materialization (both sides
+    * of the candidate self-join read it); because [[ngramVerifiedPairs]]
+    * EAGERLY checkpoints the candidate set, nothing in the returned
+    * frame's lineage references the index, so the cache is released
+    * before returning — no per-invocation cache-registry growth in
+    * long-lived sessions. */
   def ngramJaccardPairs(docsIn: DataFrame, tau: Double): DataFrame = {
     val prefixIdx = ngramPrefixIndex(docsIn, tau)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ngramVerifiedPairs(prefixIdx, docsIn, tau)
+    try ngramVerifiedPairs(prefixIdx, docsIn, tau)
+    finally prefixIdx.unpersist()
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -244,35 +244,41 @@ object Maintenance {
     * pass): per column of orders, row/null counts, min/max, and distinct
     * count — the stats substrate a cost-based optimizer's join reorder /
     * broadcast decisions and a lake's file-skipping metadata both feed
-    * on. ONE scan — never a scan per column — but NOT one aggregation
-    * pass: five count_distinct over different expressions make Catalyst
-    * plan an Expand that replicates each input row per distinct group
-    * (×5 rows into the aggregation; visible in the bench as the most
-    * expensive non-stream row of its batch). That is the honest cost of
-    * EXACT NDV; at 100 TB the same pass swaps in approx_count_distinct
-    * (mergeable HLL partials — see agg_approx's oracle-checked bound),
-    * which both kills the Expand and stops shuffling full key sets.
+    * on. Mixing four count_distinct into ONE aggregate makes Catalyst
+    * plan an Expand that replicates every input row per distinct group
+    * (×5 rows into the aggregation — measured as the most expensive
+    * non-stream row of its batch). So the pass is split instead: one
+    * distinct-free aggregate for rows/nulls/min/max, plus one
+    * SINGLE-distinct aggregate per NDV column — a lone count_distinct
+    * plans as a plain two-phase partial-distinct aggregation, no Expand,
+    * and each pass's parquet scan prunes to exactly its one column, so
+    * total scan bytes stay ~one full-scan's worth while the ×5 row
+    * blow-up disappears. The five 1-row results meet in broadcast
+    * nested-loop crossJoins (no exchange), and the independent stages
+    * schedule concurrently. At 100 TB the NDV passes swap in
+    * approx_count_distinct (mergeable HLL partials — see agg_approx's
+    * oracle-checked bound), collapsing everything back into one pass.
     * Numeric min/max on o_totalprice use integer cents (engine-exact). */
   def analyzeStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, d)
     val cents = round($"o_totalprice" * 100).cast("bigint")
-    val stats = o.agg(
+    val base = o.agg(
       count(lit(1)).as("n_rows"),
-      // o_custkey
       sum($"o_custkey".isNull.cast("long")).as("custkey_nulls"),
       min($"o_custkey").as("custkey_min"), max($"o_custkey").as("custkey_max"),
-      count_distinct($"o_custkey").as("custkey_ndv"),
-      // o_totalprice (cents)
       min(cents).as("price_min_cents"), max(cents).as("price_max_cents"),
-      count_distinct(cents).as("price_ndv"),
-      // o_orderstatus
-      count_distinct($"o_orderstatus").as("status_ndv"),
       min($"o_orderstatus").as("status_min"), max($"o_orderstatus").as("status_max"),
-      // o_orderdate
-      min($"o_orderdate").as("date_min"), max($"o_orderdate").as("date_max"),
-      count_distinct($"o_orderdate").as("date_ndv"))
-    stats
+      min($"o_orderdate").as("date_min"), max($"o_orderdate").as("date_max"))
+    base
+      .crossJoin(o.agg(count_distinct($"o_custkey").as("custkey_ndv")))
+      .crossJoin(o.agg(count_distinct(cents).as("price_ndv")))
+      .crossJoin(o.agg(count_distinct($"o_orderstatus").as("status_ndv")))
+      .crossJoin(o.agg(count_distinct($"o_orderdate").as("date_ndv")))
+      .select($"n_rows", $"custkey_nulls", $"custkey_min", $"custkey_max",
+        $"custkey_ndv", $"price_min_cents", $"price_max_cents", $"price_ndv",
+        $"status_ndv", $"status_min", $"status_max",
+        $"date_min", $"date_max", $"date_ndv")
   }
 
   /** Partition backfill/repair — dynamic partition overwrite, the lake

@@ -1021,8 +1021,15 @@ object Relational {
     * (n·|cents|)², which blows through 2⁶³ at a few hundred large
     * events per user — BIGINT math here would wrap silently in Spark
     * (ANSI off) and raise in DuckDB, the worst possible divergence. The
-    * wide types cover n·|cents| < 10¹⁹, far past any real user; only
-    * the WHERE widens — output columns stay BIGINT. */
+    * binding bound is the SQUARED terms against DECIMAL(38,0)'s 10³⁸−1
+    * ceiling (DuckDB's HUGEINT holds ~1.7·10³⁸, so in the narrow band
+    * past Spark's ceiling the engines would diverge — Spark nulls the
+    * predicate, DuckDB keeps evaluating): 9·(n·S₂−S²) ≤ 9·n²·c² and
+    * dev² ≤ 4·n²·c² both stay under 10³⁸ iff n·|cents| < ~3·10¹⁸
+    * (≈10^18.5) — still far past any real user (at |cents| ≤ 10⁹ that
+    * is 3·10⁹ events for one user). Past it, compare the unsquared
+    * |n·x−S| > 3·σ·n form in double instead. Only the WHERE widens —
+    * output columns stay BIGINT. */
   def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id")

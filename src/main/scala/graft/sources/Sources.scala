@@ -16,6 +16,14 @@ import graft.mr.KVCodec
   * Scale note: every writer here produces splittable, schema-carrying
   * files; `partitionBy` writes a Hive layout whose partition values become
   * prunable predicates on read (`PartitionFilters` in the scan).
+  *
+  * Staged-source memoization contract: several sources stage fixture data
+  * once per (session, data dir), keyed by a `spark.graft.*.src` conf value
+  * holding the data-dir path. The memo key is the PATH, not a content
+  * fingerprint — correct here because the test fixtures are immutable per
+  * directory. A deployment staging from mutable tables must add a content
+  * version to the key (e.g. max ingest timestamp or a snapshot id), or the
+  * memo serves stale stage-outs after an in-place overwrite.
   */
 object Sources {
   private def tmp(prefix: String): String =
@@ -98,9 +106,14 @@ object Sources {
 
   /** Hive-partitioned parquet write + read-back aggregation; the partition
     * column round-trips through directory names. */
-  def partitionedWrite(s: SparkSession, d: String): DataFrame = {
+  def partitionedWrite(s: SparkSession, d: String): DataFrame =
+    partitionedWriteTo(s, d, tmp("graft_part"))
+
+  /** Core over an explicit target URI — any Hadoop-SPI scheme works
+    * (`file:`, `graftfs:` in GraftFsSpec, a real object store in
+    * production); the declared query targets a local temp dir. */
+  def partitionedWriteTo(s: SparkSession, d: String, dir: String): DataFrame = {
     import s.implicits._
-    val dir = tmp("graft_part")
     Tables.orders(s, d).write.mode(SaveMode.Overwrite)
       .partitionBy("o_orderstatus").parquet(dir)
     s.read.parquet(dir)

@@ -460,6 +460,13 @@ object Streams {
     import org.apache.spark.sql.expressions.Window
     val rootPath = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
     val root = rootPath.toString
+    // Register the chain root so (a) the previous invocation's snapshot
+    // chain is reclaimed here instead of leaking one full chain per
+    // bench rep, and (b) SessionArtifacts.clear's end-of-session sweep
+    // sees the last one. Deleting the prior chain is safe: its only
+    // consumer is the DataFrame the prior invocation returned, which the
+    // caller has already acted on by the time it re-invokes the query.
+    graft.core.SessionArtifacts.resetDir(s, "spark.graft.upsert.dir", root)
     def latestPerUser(df: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("last_ts").desc, col("last_event_id").desc)

@@ -50,4 +50,22 @@ class GoldenWordCountSpec extends SparkSpec {
       assert(o === g, s"line $i differs")
     }
   }
+
+  test("script path honors spark.graft.mr.scriptsDir pointed at a copied dir") {
+    // The scripts dir must be a real deployment knob, not a baked-in
+    // path: copy mapper.py/reducer.py elsewhere, point the conf at the
+    // copy, and the script-pipe query must match the native path.
+    val dir = java.nio.file.Files.createTempDirectory("graft_scripts")
+    for (f <- Seq("mapper.py", "reducer.py"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(Scripts, f), dir.resolve(f))
+    spark.conf.set("spark.graft.mr.scriptsDir", dir.toString)
+    try {
+      val viaCopy = WordCount.mrScript(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val native = WordCount.mrNative(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaCopy.nonEmpty && viaCopy == native)
+    } finally spark.conf.unset("spark.graft.mr.scriptsDir")
+  }
 }

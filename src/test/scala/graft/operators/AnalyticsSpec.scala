@@ -649,4 +649,81 @@ class AnalyticsSpec extends SparkSpec {
     val dists = Dedup.shortestPaths(spark, sf).collect().map(_.getLong(1))
     assert(dists.nonEmpty && dists.max < Dedup.BfsRounds)
   }
+
+  test("bitmap: the merged-bitmap distinct count equals Spark's count_distinct") {
+    val bm = Relational.aggBitmap(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy($"o_orderpriority")
+      .agg(count_distinct($"o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bm.nonEmpty && bm == exact)
+  }
+
+  test("pattern: flags and digest match a driver-side sequence replay") {
+    val got = Relational.eventsPattern(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getString(5))).toMap
+    val seqs = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime, r.getLong(2), r.getString(3))))
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        u -> rows.map(_._2).sortBy(t => (t._1, t._2, t._3)).map(_._3).mkString(" ")
+      }
+    assert(seqs.nonEmpty && got.keySet == seqs.keySet)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    for ((u, seq) <- seqs) {
+      val (n, direct, viaView, signupFirst, sha) = got(u)
+      assert(n == seq.split(" ").length)
+      assert(direct == "click purchase".r.findFirstIn(seq).isDefined)
+      assert(viaView == "view( [a-z]+)* purchase".r.findFirstIn(seq).isDefined)
+      assert(signupFirst == seq.startsWith("signup"))
+      assert(sha == md.digest(seq.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }
+  }
+
+  test("ab: arm sums, lift, and micro-scaled Welch t match a driver-side replay") {
+    val r = Relational.eventsAb(spark, sf).head()
+    val purchases = Tables.events(spark, sf)
+      .where($"event_type" === "purchase")
+      .select($"user_id", round($"value" * 100).cast("bigint").as("c"))
+      .collect().map(x => (x.getLong(0) % 2, x.getLong(1)))
+    val Seq((n0, s0, s20), (n1, s1, s21)) = Seq(0L, 1L).map { arm =>
+      val cs = purchases.filter(_._1 == arm).map(_._2)
+      (cs.length.toLong, cs.sum, cs.map(c => c * c).sum)
+    }
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((n0, s0, s20)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((n1, s1, s21)))
+    assert(r.getLong(6) == 1000 * s1 / n1 - 1000 * s0 / n0)
+    val t = (s1.toDouble / n1 - s0.toDouble / n0) /
+      math.sqrt((s21 - s1.toDouble * s1 / n1) / (n1 - 1).toDouble / n1
+        + (s20 - s0.toDouble * s0 / n0) / (n0 - 1).toDouble / n0)
+    assert(r.getLong(7) == math.floor(t * 1e6).toLong)
+  }
+
+  test("lambda: every higher-order result matches its closed form over a = 1..m") {
+    // a = sequence(1, m) with m = 1 + (orderkey + linenumber) mod 6, so
+    // each HOF has an exact closed form: Σa = m(m+1)/2, Σa² = m(m+1)(2m+1)/6,
+    // palindot = Σ i·(m+1−i) = (m+1)·Σa − Σa².
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture, so the
+    // law is a multiset compare: rebuild every output column from the
+    // closed forms (no higher-order function anywhere) and exceptAll.
+    val got = Relational.fnLambda(spark, sf)
+    val expected = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_linenumber",
+        (lit(1L) + pmod($"l_orderkey" + $"l_linenumber", lit(6L))).as("m"),
+        round($"l_quantity").cast("bigint").as("q"))
+      .select($"l_orderkey", $"l_linenumber",
+        $"m".as("n"),
+        ($"q" * $"m" * ($"m" + 1) / 2).cast("long").as("wsum"),
+        ($"m" / 2).cast("long").as("n_even"),
+        ($"m" * $"q" > 40).as("any_big"), // max element is m
+        ($"m" <= 7).as("all_small"),
+        (($"m" + 1) * ($"m" * ($"m" + 1) / 2)
+          - $"m" * ($"m" + 1) * ($"m" * 2 + 1) / 6).cast("long").as("palindot"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
 }

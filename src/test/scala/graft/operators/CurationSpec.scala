@@ -142,6 +142,17 @@ class CurationSpec extends SparkSpec {
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
   }
 
+  test("binary files round-trip every document's bytes (size + sha both match)") {
+    import spark.implicits._
+    val back = graft.sources.Sources.binaryFiles(spark, sf)
+    val orig = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id",
+        length(encode($"text", "UTF-8")).cast("long").as("length"),
+        sha2(encode($"text", "UTF-8"), 256).as("sha"))
+    assert(back.count() == orig.count()) // one blob per document, all re-listed
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
   test("bloom blocklist never misses a planted duplicate (no false negatives)") {
     import spark.implicits._
     // plant exact copies of blocklist docs under fresh ids that are NOT
