@@ -107,6 +107,13 @@ object SparkEntry {
     "events_pattern"   -> (Relational.eventsPattern _),
     "events_ab"        -> (Relational.eventsAb _),
     "fn_lambda"        -> (Relational.fnLambda _),
+    "events_quant_pattern" -> (Relational.eventsQuantPattern _),
+    "ts_rolling"       -> (Relational.tsRolling _),
+    "events_rfm"       -> (Relational.eventsRfm _),
+    "events_cohort_ltv" -> (Relational.eventsCohortLtv _),
+    "events_skyline"   -> (Relational.eventsSkyline _),
+    "events_markov"    -> (Relational.eventsMarkov _),
+    "join_fuzzy_editdist" -> (Relational.joinFuzzyEditdist _),
     "agg_listagg"      -> (Relational.aggListagg _),
     "agg_weighted_median" -> (Relational.aggWeightedMedian _),
     // SQL entry path
@@ -212,6 +219,7 @@ object SparkEntry {
     "stream_upsert_sink"     -> (graft.streaming.Streams.upsertSink _),
     "stream_approx_distinct" -> (graft.streaming.Streams.approxDistinct _),
     "stream_anomaly"         -> (graft.streaming.Streams.anomaly _),
+    "stream_quant_pattern"   -> (graft.streaming.Streams.quantPattern _),
     "dedup_incremental"      -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
   )
 

@@ -1533,4 +1533,238 @@ object Relational {
         expr("aggregate(zip_with(a, reverse(a), (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
           .as("palindot"))
   }
+
+  /** Quantified sequence patterns over RUNS — the MATCH_RECOGNIZE
+    * workload (`PATTERN (A B+ C)`) expressed relationally, one level up
+    * from [[eventsPattern]]'s regex-on-strings: consecutive same-type
+    * events collapse to runs (gaps-and-islands: a type-change flag
+    * cumulatively summed under the (ts, event_id) total order), and the
+    * pattern becomes a predicate over ADJACENT runs — here
+    * signup → view+ → purchase, where the B+ quantifier is simply the
+    * view-run's length. Runs carry measures a flat regex can't
+    * (per-quantifier lengths, positions), which is exactly what
+    * MATCH_RECOGNIZE's MEASURES clause exists for. Two exchanges, both
+    * on user_id-prefixed keys: the run collapse groups by
+    * (user_id, run_id) and the adjacency scan windows by user_id —
+    * per-user state is bounded by the run count, never materializing
+    * the event sequence as one value (the events_pattern string cap
+    * concern disappears). */
+  def eventsQuantPattern(s: SparkSession, d: String): DataFrame =
+    eventsQuantPatternOf(Tables.events(s, d))
+
+  /** Core over any (user_id, ts, event_id, event_type) frame — the
+    * declared query + AnalyticsSpec's planted-sequence law drive this. */
+  def eventsQuantPatternOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val runs = events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("chg",
+        when(lag($"event_type", 1).over(w).isNull
+          || lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("run_id", sum($"chg").over(w))
+      .groupBy($"user_id", $"run_id")
+      .agg(max($"event_type").as("rtype"), count(lit(1)).as("rlen"))
+    val wr = Window.partitionBy($"user_id").orderBy($"run_id".asc)
+    runs
+      .withColumn("t1", lead($"rtype", 1).over(wr))
+      .withColumn("t2", lead($"rtype", 2).over(wr))
+      .withColumn("b_len", lead($"rlen", 1).over(wr))
+      .where($"rtype" === "signup" && $"t1" === "view" && $"t2" === "purchase")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_matches"),
+        sum($"b_len").as("total_view_len"),
+        max($"b_len").as("max_view_len"),
+        min($"run_id").as("first_match_run"))
+  }
+
+  /** Time-interval rolling aggregates (RANGE frames over event time) —
+    * the "7-day rolling spend" feature every behavioral model ingests:
+    * per purchase, the sum/count of the user's purchases in the
+    * trailing 7 days INCLUDING this one, as a RANGE BETWEEN frame over
+    * epoch micros. RANGE (not ROWS) is the semantic point: two
+    * purchases at the SAME microsecond see the same frame whichever
+    * shuffles first, so the result is deterministic without any
+    * tie-break column. One user_id exchange; frame evaluation is the
+    * running two-pointer pass inside each sorted partition — O(rows),
+    * never O(rows × frame width) (the window_frames discipline).
+    * Integer cents end to end. */
+  def tsRolling(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val MicrosPerDay = 86400000000L
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc)
+      .rangeBetween(-7L * MicrosPerDay, 0L)
+    Tables.events(s, d)
+      .where($"event_type" === "purchase")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        round($"value" * 100).cast("bigint").as("cents"))
+      .select($"user_id", $"event_id", $"ts_us", $"cents",
+        sum($"cents").over(w).as("roll7_cents"),
+        count(lit(1)).over(w).as("roll7_n"))
+  }
+
+  /** RFM scoring (recency / frequency / monetary quintiles) — the
+    * customer-segmentation aggregate behind every curation-by-behavior
+    * split: per user, days since last purchase (recency, against the
+    * corpus-wide max event day as "now" so the query is deterministic),
+    * purchase count, and integer-cents spend; each dimension then ranked
+    * into quintiles with ntile(5) under an EXPLICIT total order
+    * (metric, then user_id — ntile on a non-total order would tie-break
+    * by partition layout, the agg_mode lesson). One exchange for the
+    * per-user aggregate; the three ntile windows are single-partition
+    * rankings over |users| rows — fine at fixture scale, and at 100 TB
+    * each swaps to the percent_rank-over-distributed-sort form or
+    * approx_percentile cuts (agg_approx_percentile) without changing
+    * the contract. */
+  def eventsRfm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.events(s, d)
+      .where($"event_type" === "purchase")
+      .agg(max($"ts").as("now_ts")) // 1-row scalar, broadcast
+      .crossJoin(Tables.events(s, d).where($"event_type" === "purchase"))
+      .groupBy($"user_id")
+      .agg(datediff(max($"now_ts"), max($"ts")).cast("bigint").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(round($"value" * 100).cast("bigint")).as("monetary_cents"))
+    per.select($"user_id", $"recency_days", $"frequency", $"monetary_cents",
+      ntile(5).over(Window.orderBy($"recency_days".asc, $"user_id".asc))
+        .cast("bigint").as("r_quintile"),
+      ntile(5).over(Window.orderBy($"frequency".desc, $"user_id".asc))
+        .cast("bigint").as("f_quintile"),
+      ntile(5).over(Window.orderBy($"monetary_cents".desc, $"user_id".asc))
+        .cast("bigint").as("m_quintile"))
+  }
+
+  /** Cohort LTV curves — the revenue view of [[eventsRetention]]'s cohort
+    * grid: users cohorted by their FIRST event week (any type — the
+    * acquisition moment), purchase revenue bucketed by week offset from
+    * the cohort week, then the running cumulative (the LTV curve every
+    * growth dashboard plots) and a floor-divided per-user figure. Integer
+    * cents end to end; the cumulative window orders by week_offset, a
+    * total order because the groupBy already collapsed to one row per
+    * (cohort_week, week_offset). `div` is safe here (non-negative
+    * numerators — the graft determinism rule #6). Shuffle profile: one
+    * user_id exchange for first-week, one (cohort, offset) exchange for
+    * the grid; the cumsum window partitions by cohort_week — at 100 TB
+    * cohorts are weeks, so parallelism is |weeks|, and the heavy work
+    * stays in the two hash aggregates before it. */
+  def eventsCohortLtv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+    val cohort = e
+      .groupBy($"user_id")
+      .agg(min(date_trunc("week", $"ts")).as("cohort_week"))
+    val rev = e.where($"event_type" === "purchase")
+      .join(cohort, "user_id")
+      .select($"cohort_week",
+        expr("datediff(date_trunc('week', ts), cohort_week) div 7")
+          .cast("bigint").as("week_offset"),
+        round($"value" * 100).cast("bigint").as("cents"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(sum($"cents").as("rev_cents"))
+    val sizes = cohort.groupBy($"cohort_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    val w = Window.partitionBy($"cohort_week").orderBy($"week_offset".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(sizes, "cohort_week")
+      .select($"cohort_week", $"week_offset", $"rev_cents", $"cohort_users",
+        sum($"rev_cents").over(w).as("cum_rev_cents"))
+      .withColumn("cum_cents_per_user", expr("cum_rev_cents div cohort_users"))
+  }
+
+  /** Skyline (Pareto frontier) of users on (purchase frequency, integer-
+    * cents spend) — the classic dominance query (Börzsönyi et al., ICDE
+    * 2001): keep u iff no v has f ≥ f_u ∧ m ≥ m_u with one strict. NOT
+    * the naive O(n²) dominance self-join: collapse to one candidate row
+    * per distinct frequency (only max-spend users at each f can survive),
+    * run a running-max over frequencies in ONE window pass (rows frame,
+    * O(|distinct f|)), then broadcast the surviving frontier back onto
+    * the per-user aggregate. At 100 TB the per-user aggregate is the only
+    * big shuffle; the frontier itself is ≤ |distinct f| rows — tiny by
+    * construction — so the final join is a broadcast semi-join, and the
+    * one-partition window never sees more rows than that. Ties on BOTH
+    * dims are mutually non-dominating and all kept (standard skyline).
+    * The oracle deliberately states the SPEC instead (NOT EXISTS
+    * dominance) so the window rewrite is checked against the definition,
+    * not against itself. */
+  def eventsSkyline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.events(s, d)
+      .where($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("frequency"),
+        sum(round($"value" * 100).cast("bigint")).as("monetary_cents"))
+    val perF = per.groupBy($"frequency")
+      .agg(max($"monetary_cents").as("best_m"))
+    val wf = Window.orderBy($"frequency".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perF
+      .withColumn("best_gt", max($"best_m").over(wf))
+      .where($"best_gt".isNull || $"best_m" > $"best_gt")
+      .select($"frequency", $"best_m")
+    per.join(broadcast(frontier),
+        per("frequency") === frontier("frequency")
+          && $"monetary_cents" === $"best_m", "left_semi")
+      .select($"user_id", $"frequency", $"monetary_cents")
+  }
+
+  /** Event-type Markov transitions — the per-user behavioral bigram
+    * table: consecutive (prev → cur) event-type pairs under the
+    * (ts, event_id) total order, counted corpus-wide, with the row-
+    * conditional transition probability emitted as floor parts-per-
+    * million (integer `div` on non-negative terms — rule #6; never a
+    * raw double division the hash gate would have to trust). One
+    * user_id window exchange + one 25-row aggregate: the transition
+    * matrix is |types|² however big the corpus, so at 100 TB this is a
+    * map-side-combined aggregate into a broadcastable result. */
+  def eventsMarkov(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("from_type", lag($"event_type", 1).over(w))
+      .where($"from_type".isNotNull)
+      .groupBy($"from_type", col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("denom", sum($"n").over(Window.partitionBy($"from_type")))
+      .withColumn("ppm", expr("(n * 1000000) div denom").cast("bigint"))
+      .drop("denom")
+  }
+
+  /** Fuzzy (edit-distance) join — entity resolution under typos, the
+    * workload behind catalog/brand matching in data curation. A staged-
+    * fixture query (the [[graft.operators.Curation]] PII pattern):
+    * misspelled probes are synthesized deterministically IN-QUERY from
+    * every 37th part (drop the name's 2nd character) and the same
+    * injection is replayed verbatim in the oracle SQL, so the fixture
+    * needs no typo column. The join is NEVER all-pairs: candidates block
+    * on the name's LAST word — invariant under the head-of-string typo
+    * model, ~10 values at any SF — plus a ±2 length band inside the
+    * block, then exact `levenshtein` (codegen'd, both engines) ranks and
+    * `row_number` keeps the (distance, partkey)-minimal match per probe.
+    * At 100 TB the block key is what you'd shuffle on (co-locating
+    * probes with candidates); skewed blocks fall to the salting
+    * discipline of [[joinSkewSalted]]. */
+  def joinFuzzyEditdist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parts = Tables.part(s, d)
+    val probes = parts
+      .where($"p_partkey" % 37 === 0)
+      .select($"p_partkey".as("probe_key"),
+        concat(substring($"p_name", 1, 1), expr("substring(p_name, 3)"))
+          .as("probe_name"),
+        element_at(split($"p_name", " "), -1).as("block"))
+    val cands = parts
+      .select($"p_partkey".as("cand_key"), $"p_name".as("cand_name"),
+        element_at(split($"p_name", " "), -1).as("block"))
+    val scored = probes.join(cands, "block")
+      .where(abs(length($"probe_name") - length($"cand_name")) <= 2)
+      .select($"probe_key", $"probe_name", $"cand_key",
+        levenshtein($"probe_name", $"cand_name").cast("bigint").as("dist"))
+    val w = Window.partitionBy($"probe_key").orderBy($"dist".asc, $"cand_key".asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where($"rk" === 1)
+      .select($"probe_key", $"probe_name", $"cand_key".as("matched_key"), $"dist")
+  }
 }

@@ -797,6 +797,147 @@ object RelationalOracles {
              CAST(list_sum(list_transform(range(1, len(a) + 1),
                                           i -> a[i] * a[len(a) + 1 - i]))
                AS BIGINT) AS palindot
-      FROM t"""
+      FROM t""",
+
+    "events_quant_pattern" -> """
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      r0 AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS run_id
+        FROM e),
+      runs AS (
+        SELECT user_id, run_id, max(event_type) AS rtype, count(*) AS rlen
+        FROM r0 GROUP BY 1, 2),
+      adj AS (
+        SELECT *, lead(rtype, 1) OVER wr AS t1, lead(rtype, 2) OVER wr AS t2,
+               lead(rlen, 1) OVER wr AS b_len
+        FROM runs
+        WINDOW wr AS (PARTITION BY user_id ORDER BY run_id ASC))
+      SELECT user_id, count(*) AS n_matches,
+             CAST(sum(b_len) AS BIGINT) AS total_view_len,
+             CAST(max(b_len) AS BIGINT) AS max_view_len,
+             CAST(min(run_id) AS BIGINT) AS first_match_run
+      FROM adj
+      WHERE rtype = 'signup' AND t1 = 'view' AND t2 = 'purchase'
+      GROUP BY 1""",
+
+    "ts_rolling" -> """
+      WITH p AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase')
+      SELECT user_id, event_id, ts_us, cents,
+             CAST(sum(cents) OVER w AS BIGINT) AS roll7_cents,
+             count(*) OVER w AS roll7_n
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC
+                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""",
+
+    "events_rfm" -> """
+      WITH p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      per AS (
+        SELECT user_id,
+               CAST(datediff('day', CAST(max(ts) AS DATE),
+                             CAST((SELECT max(ts) FROM p) AS DATE)) AS BIGINT)
+                 AS recency_days,
+               count(*) AS frequency,
+               CAST(sum(cents) AS BIGINT) AS monetary_cents
+        FROM p GROUP BY 1)
+      SELECT user_id, recency_days, frequency, monetary_cents,
+             CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT)
+               AS r_quintile,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT)
+               AS f_quintile,
+             CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS BIGINT)
+               AS m_quintile
+      FROM per""",
+
+    "events_cohort_ltv" -> """
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        FROM events),
+      cohort AS (
+        SELECT user_id,
+               min(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort_week
+        FROM e GROUP BY 1),
+      rev AS (
+        SELECT c.cohort_week,
+               CAST(datediff('day', CAST(c.cohort_week AS DATE),
+                             CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                 AS BIGINT) AS week_offset,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_cents
+        FROM e JOIN cohort c USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2),
+      sizes AS (
+        SELECT cohort_week, count(*) AS cohort_users FROM cohort GROUP BY 1)
+      SELECT r.cohort_week, r.week_offset, r.rev_cents, s.cohort_users,
+             CAST(sum(r.rev_cents) OVER w AS BIGINT) AS cum_rev_cents,
+             CAST(sum(r.rev_cents) OVER w // s.cohort_users AS BIGINT)
+               AS cum_cents_per_user
+      FROM rev r JOIN sizes s USING (cohort_week)
+      WINDOW w AS (PARTITION BY r.cohort_week ORDER BY r.week_offset ASC)""",
+
+    "events_skyline" -> """
+      WITH per AS (
+        SELECT user_id, count(*) AS frequency,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS monetary_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT user_id, frequency, monetary_cents
+      FROM per u
+      WHERE NOT EXISTS (
+        SELECT 1 FROM per v
+        WHERE v.frequency >= u.frequency
+          AND v.monetary_cents >= u.monetary_cents
+          AND (v.frequency > u.frequency OR v.monetary_cents > u.monetary_cents))""",
+
+    "events_markov" -> """
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        FROM events),
+      p AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC) AS from_type,
+               event_type AS to_type
+        FROM e),
+      t AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type)
+               AS BIGINT) AS ppm
+      FROM t""",
+
+    "join_fuzzy_editdist" -> """
+      WITH probes AS (
+        SELECT p_partkey AS probe_key,
+               substr(p_name, 1, 1) || substr(p_name, 3) AS probe_name,
+               string_split(p_name, ' ')[-1] AS block
+        FROM part WHERE p_partkey % 37 = 0),
+      cands AS (
+        SELECT p_partkey AS cand_key, p_name AS cand_name,
+               string_split(p_name, ' ')[-1] AS block
+        FROM part),
+      scored AS (
+        SELECT probe_key, probe_name, cand_key,
+               CAST(levenshtein(probe_name, cand_name) AS BIGINT) AS dist
+        FROM probes JOIN cands USING (block)
+        WHERE abs(len(probe_name) - len(cand_name)) <= 2)
+      SELECT probe_key, probe_name, cand_key AS matched_key, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_key
+                                         ORDER BY dist ASC, cand_key ASC) AS rk
+            FROM scored)
+      WHERE rk = 1"""
   )
 }

@@ -584,7 +584,75 @@ object Streams {
     runToTable(s, flagged, "graft_stream_anomaly", "update")
   }
 
+  /** Streaming quantified-pattern monitor — [[graft.operators.Relational
+    * .eventsQuantPattern]]'s PATTERN (signup view+ purchase) evaluated
+    * INCREMENTALLY: per-user state carries only the last two completed
+    * runs plus the current run (type + length — O(1) state however long
+    * the history), and a match emits AT ARRIVAL of the purchase that
+    * OPENS a purchase run following a view run following a signup run.
+    * Emission is batch-boundary independent by the stream_anomaly
+    * discipline: the run automaton is a prefix computation under the
+    * (ts, event_id) total order, state carries across batches, and
+    * batch rows are sorted inside the group function (the iterator has
+    * no order contract). Each match row carries the closing purchase's
+    * event_id and the B+ quantifier length, so the oracle — a window
+    * replay over the full batch table — verifies measures AND emission
+    * points, not just match counts. */
+  def quantPattern(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val matches = eventsStream(s, d)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(String, String, Long, String, Long)]) => {
+          // (prev2 type, prev1 type, prev1 len, current type, current len);
+          // "" = no such run yet
+          var (p2, p1, p1len, cur, curLen) =
+            state.getOption.getOrElse(("", "", 0L, "", 0L))
+          val out = Seq.newBuilder[(Long, Long, Long)]
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, eid, et, _) =>
+            if (et == cur) curLen += 1
+            else {
+              if (cur.nonEmpty) { p2 = p1; p1 = cur; p1len = curLen }
+              cur = et; curLen = 1
+              if (et == "purchase" && p1 == "view" && p2 == "signup")
+                out += ((user, eid, p1len))
+            }
+          }
+          state.update((p2, p1, p1len, cur, curLen))
+          out.result().iterator
+        })
+      .toDF("user_id", "event_id", "b_len")
+    runToTable(s, matches, "graft_stream_quant_pattern", "update")
+  }
+
   val oracle: Map[String, String] = Map(
+    "stream_quant_pattern" -> """
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      r0 AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS run_id
+        FROM e),
+      runs AS (
+        SELECT user_id, run_id, max(event_type) AS rtype, count(*) AS rlen
+        FROM r0 GROUP BY 1, 2)
+      SELECT e.user_id, e.event_id, CAST(v.rlen AS BIGINT) AS b_len
+      FROM r0 e
+      JOIN runs v ON v.user_id = e.user_id AND v.run_id = e.run_id - 1
+                 AND v.rtype = 'view'
+      JOIN runs g ON g.user_id = e.user_id AND g.run_id = e.run_id - 2
+                 AND g.rtype = 'signup'
+      WHERE e.chg = 1 AND e.event_type = 'purchase'""",
+
     "stream_anomaly" -> """
       WITH e AS (
         SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,

@@ -650,6 +650,62 @@ class AnalyticsSpec extends SparkSpec {
     assert(dists.nonEmpty && dists.max < Dedup.BfsRounds)
   }
 
+  test("quant pattern: a planted signup view+ purchase sequence matches with the right measures") {
+    import java.sql.Timestamp
+    def t(i: Int) = new Timestamp(1700000000000L + i * 60000L)
+    // u1: signup [view view] purchase → 1 match, B+ len 2;
+    //     then signup [view] purchase → 2nd match, B+ len 1
+    // u2: signup purchase (no view run between) → no match
+    // u3: view purchase signup → no match
+    val events = Seq(
+      (1L, t(0), 10L, "signup"), (1L, t(1), 11L, "view"), (1L, t(2), 12L, "view"),
+      (1L, t(3), 13L, "purchase"), (1L, t(4), 14L, "signup"), (1L, t(5), 15L, "view"),
+      (1L, t(6), 16L, "purchase"),
+      (2L, t(0), 20L, "signup"), (2L, t(1), 21L, "purchase"),
+      (3L, t(0), 30L, "view"), (3L, t(1), 31L, "purchase"), (3L, t(2), 32L, "signup"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Relational.eventsQuantPatternOf(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(1L -> ((2L, 3L, 2L)))) // 2 matches, Σb_len 3, max b_len 2
+  }
+
+  test("quant pattern: fixture measures are internally consistent") {
+    val rows = Relational.eventsQuantPattern(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, total, mx) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 1 && mx >= 1 && mx <= total && total >= n && total <= n * mx)
+    }
+  }
+
+  test("rolling: every 7-day frame sum matches a driver-side two-pointer replay") {
+    val rows = Relational.tsRolling(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val week = 7L * 86400000000L
+    for ((u, rs) <- rows.groupBy(_._1); (_, _, ts, _, roll, n) <- rs) {
+      val in = rs.filter(x => x._3 >= ts - week && x._3 <= ts)
+      assert(n == in.length && roll == in.map(_._4).sum)
+    }
+  }
+
+  test("rfm: quintiles balanced to ±1 and totals conserved") {
+    val rows = Relational.eventsRfm(spark, sf).collect()
+    val purchases = Tables.events(spark, sf).where($"event_type" === "purchase")
+      .agg(count(lit(1)), sum(round($"value" * 100).cast("bigint"))).head()
+    assert(rows.map(_.getLong(2)).sum == purchases.getLong(0))
+    assert(rows.map(_.getLong(3)).sum == purchases.getLong(1))
+    val nUsers = rows.length
+    for (col <- Seq(4, 5, 6)) {
+      val byQ = rows.groupBy(_.getLong(col)).view.mapValues(_.length)
+      assert(byQ.keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+      // ntile: bucket sizes differ by at most 1
+      assert(byQ.values.max - byQ.values.min <= 1)
+      assert(byQ.values.sum == nUsers)
+    }
+  }
+
   test("bitmap: the merged-bitmap distinct count equals Spark's count_distinct") {
     val bm = Relational.aggBitmap(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -105,6 +105,22 @@ class StreamingSpec extends SparkSpec {
       .select("user_id").distinct().count())
   }
 
+  test("streaming quantified pattern equals the batch run-automaton per user") {
+    // one stream match row per (signup, view+, purchase) run triple,
+    // independent of batch boundaries — aggregating the match rows must
+    // reproduce events_quant_pattern's per-user measures exactly
+    import spark.implicits._
+    val got = Streams.quantPattern(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"b_len").as("total"), max($"b_len").as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val want = graft.operators.Relational.eventsQuantPattern(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(want.nonEmpty && got == want)
+  }
+
   test("update mode revises batch-boundary windows (more revisions than keys)") {
     // staged-fixture property: the quantile slice cuts fall INSIDE 1-day
     // windows, so at least one (window, key) is emitted in more than one
