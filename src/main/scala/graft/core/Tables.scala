@@ -28,17 +28,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet `timestamp[ns]`, which Spark's vectorized reader
-    * rejects. Read nanos as long (legacy conf) and floor-convert to the
-    * session's microsecond timestamps — identical to DuckDB's
-    * `CAST(ts_ns AS TIMESTAMP)` truncation, so oracle comparisons agree. */
+  /** events.ts normalized to session-zone TimestampType whatever the
+    * driver generated this round: `timestamp[ns]` (Spark's vectorized
+    * reader rejects it — read nanos as long via the legacy conf and
+    * floor-convert, identical to DuckDB's `CAST(ts_ns AS TIMESTAMP)`
+    * truncation), `timestamp[us]` with isAdjustedToUTC=false (inferred
+    * TIMESTAMP_NTZ — cast, a value identity under the UTC session zone
+    * both engines run in), or plain UTC `timestamp[us]` (passthrough).
+    * Downstream operators always see one type, so oracle comparisons
+    * agree across regenerations. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    // NB: integral `div`, not `/` — Column./ is double division and ns
-    // epochs exceed double's 2^53 mantissa, drifting the odd microsecond.
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      // NB: integral `div`, not `/` — Column./ is double division and ns
+      // epochs exceed double's 2^53 mantissa, drifting the odd microsecond.
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

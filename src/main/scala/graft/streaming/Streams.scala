@@ -48,9 +48,12 @@ object Streams {
   private def stagedEventsDir(s: SparkSession, d: String): String = {
     val key = s"spark.graft.stream.staged.${d.hashCode}"
     s.conf.getOption(key).getOrElse {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
-      val raw = s.read.parquet(s"$d/events.parquet")
+      // normalize through Tables.events (ns-long / NTZ / UTC parquet all
+      // collapse to one timestamp type), then stage ts as epoch-micros
+      // BIGINT — the stream schema below re-attaches the timestamp type
+      val raw = graft.core.Tables.events(s, d)
+        .withColumn("ts", unix_micros(col("ts")))
       val Array(c1, c2) = raw.stat.approxQuantile(
         "ts", Array(1.0 / Microbatches, 2.0 / Microbatches), 0.001)
       val lo = Seq(Long.MinValue, c1.toLong, c2.toLong)
@@ -81,14 +84,13 @@ object Streams {
     * file stream (streams cannot infer schema). One file per trigger →
     * [[Microbatches]] real microbatches per query. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = stagedEventsDir(s, d)
     val schema = StructType.fromDDL(
       "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
   }
 
   /** Streaming state-store count = shuffle partitions AT QUERY START;

@@ -17,19 +17,20 @@ object RocksDbProbe {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-    // stage a 2-slice copy inline (avoid touching Streams' private staging)
+    // stage a 2-slice copy inline (avoid touching Streams' private staging);
+    // normalize through Tables.events and slice on epoch-micros BIGINT
     val dir = java.nio.file.Files.createTempDirectory("graft_rocks_probe")
-    val raw = spark.read.parquet(s"$d/events.parquet")
+    val raw = graft.core.Tables.events(spark, d)
+      .withColumn("ts", unix_micros(col("ts")))
     val mid = raw.stat.approxQuantile("ts", Array(0.5), 0.001)(0).toLong
     raw.where(col("ts") < mid).coalesce(1).write.parquet(s"$dir/a")
     raw.where(col("ts") >= mid).coalesce(1).write.parquet(s"$dir/b")
     val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true").parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
     val agg = src.withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"))

@@ -782,4 +782,87 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.count() > 0)
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
+
+  test("cohort LTV: revenue conserved, cumulative replays, per-user division exact") {
+    val rows = Relational.eventsCohortLtv(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // conservation: the grid's revenue sums to the corpus purchase total
+    val total = Tables.events(spark, sf).where($"event_type" === "purchase")
+      .agg(sum(round($"value" * 100).cast("bigint"))).head().getLong(0)
+    assert(rows.map(_._3).sum == total)
+    // cohort sizes: every user lands in exactly one cohort
+    val nUsers = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(rows.groupBy(_._1).view.mapValues(_.head._4).values.sum == nUsers)
+    for ((_, grid) <- rows.groupBy(_._1)) {
+      var cum = 0L
+      for ((_, _, rev, users, cumGot, perUser) <- grid.sortBy(_._2)) {
+        cum += rev
+        assert(cumGot == cum && perUser == Math.floorDiv(cum, users))
+      }
+    }
+  }
+
+  test("skyline: exactly the non-dominated users of the per-user aggregate") {
+    val per = Tables.events(spark, sf).where($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("f"), sum(round($"value" * 100).cast("bigint")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = per.filter { case (_, f, m) =>
+      !per.exists { case (_, f2, m2) =>
+        f2 >= f && m2 >= m && (f2 > f || m2 > m) }
+    }.map(_._1).toSet
+    val got = Relational.eventsSkyline(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("markov: transitions replay driver-side and rows/ppm are exact") {
+    val events = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val bigrams = events.groupBy(_._1).values.flatMap { es =>
+      val types = es.sortBy(e => (e._2, e._3)).map(_._4)
+      types.zip(types.drop(1))
+    }.toSeq
+    val want = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val denoms = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = Relational.eventsMarkov(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, (n, ppm)) <- got) {
+      assert(n == want(k))
+      assert(ppm == Math.floorDiv(n * 1000000L, denoms(k._1)))
+    }
+    // conservation: per-user transition count is (events − 1)
+    assert(got.values.map(_._1).sum ==
+      events.length - events.map(_._1).distinct.length)
+  }
+
+  test("fuzzy join: one row per probe, the blocked minimum, never distance > 1") {
+    val parts = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val byBlock = parts.groupBy(_._2.split(" ").last)
+    val want = parts.filter(_._1 % 37 == 0).map { case (k, name) =>
+      val probe = name.take(1) + name.drop(2)
+      val cands = byBlock(name.split(" ").last)
+        .filter(c => math.abs(probe.length - c._2.length) <= 2)
+        .map(c => (lev(probe, c._2).toLong, c._1))
+      k -> cands.min
+    }.toMap
+    val got = Relational.joinFuzzyEditdist(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(2))).toMap
+    assert(got.nonEmpty && got == want)
+    // the typo model drops one char, so the true part is always within 1
+    assert(got.values.forall(_._1 <= 1))
+  }
 }
