@@ -40,14 +40,20 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
+      // LongType can only arise from the nanosAsLong conf set above on a
+      // timestamp[ns] parquet, so the longs are known-nanoseconds.
       // NB: integral `div`, not `/` — Column./ is double division and ns
       // epochs exceed double's 2^53 mantissa, drifting the odd microsecond.
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case TimestampType => raw
+      // fail fast: a plain-int64 or other regenerated ts would otherwise be
+      // silently mis-scaled and every events query would be quietly wrong
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected type $other; extend Tables.events for this fixture format")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

@@ -1,69 +1,136 @@
 package graft.streaming
 
 import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 
-/** The production state store actually executes here: a watermarked
-  * windowed aggregation run with the RocksDB provider forced must (a)
-  * report rocksdb state-store custom metrics in its progress — proof the
-  * provider engaged, not silently fell back — and (b) produce the same
-  * result as the same query on the default store. Round 2 recorded this
-  * environment as unable to run RocksDB (forked snapshot-maintenance
-  * deletes never reaped); this spec pins the round-4 finding that the
-  * limitation no longer reproduces. */
-class RocksDbSpec extends SparkSpec {
+/** The production state store actually executes here: queries run with the
+  * RocksDB provider forced must (a) report rocksdb state-store custom
+  * metrics in their progress — proof the provider engaged, not silently
+  * fell back — and (b) produce the same result as the same query on the
+  * default store. Two state shapes are pinned: a watermarked windowed
+  * aggregation (the watermark/eviction path) and a
+  * `flatMapGroupsWithState` automaton (arbitrary keyed state — the
+  * encode/decode-into-RocksDB path where provider differences actually
+  * live). Round 2 recorded this environment as unable to run RocksDB
+  * (forked snapshot-maintenance deletes never reaped); this spec pins the
+  * round-4 finding that the limitation no longer reproduces. */
+class RocksDbSpec extends SparkSpec with BeforeAndAfterAll {
 
-  test("RocksDB-backed windowed agg engages the provider and matches the default store") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val schema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+
+  /** 2-slice staged copy of the events fixture, normalized through
+    * Tables.events (ts-format drift across fixture regenerations) and
+    * sliced on epoch-micros BIGINT — approxQuantile rejects timestamp
+    * columns. Staged once for both tests. */
+  private lazy val stagedDir: java.nio.file.Path = {
     val dir = java.nio.file.Files.createTempDirectory("graft_rocks_spec")
-    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val raw = graft.core.Tables.events(spark, sf)
+      .withColumn("ts", unix_micros(col("ts")))
     val mid = raw.stat.approxQuantile("ts", Array(0.5), 0.001)(0).toLong
     raw.where(col("ts") < mid).coalesce(1).write.parquet(s"$dir/a")
     raw.where(col("ts") >= mid).coalesce(1).write.parquet(s"$dir/b")
+    dir
+  }
 
-    def run(name: String, providerConf: Option[String]): (Set[(java.sql.Timestamp, String, Long)], Int) = {
-      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      providerConf.foreach(p =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
-      try {
-        val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-          .option("recursiveFileLookup", "true").parquet(dir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        val agg = src.withWatermark("ts", "10 minutes")
-          .groupBy(window(col("ts"), "1 day"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-          .select(col("window.start").as("w"), col("event_type"), col("n"))
-        val q = agg.writeStream.outputMode("complete").format("memory")
-          .queryName(name).start()
-        q.processAllAvailable()
-        val prog = q.lastProgress
-        q.stop()
-        assert(prog.batchId >= 1, s"$name collapsed to one batch")
-        val metrics = prog.stateOperators.apply(0).customMetrics
-        val rocksKeys = metrics.keySet().toArray.map(_.toString)
-          .count(_.startsWith("rocksdb"))
-        val rows = spark.table(name).collect()
-          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
-        (rows, rocksKeys)
-      } finally {
-        prev match {
-          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        }
+  private def src(): DataFrame =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(stagedDir.toString)
+      .withColumn("ts", timestamp_micros(col("ts")))
+
+  /** Run `df` to a memory sink under the given provider (None = session
+    * default), returning the sink rows keyed by `key` plus the count of
+    * rocksdb* custom metrics in the final progress. */
+  private def runStream[K](df: DataFrame, name: String, mode: String,
+      providerConf: Option[String])(key: org.apache.spark.sql.Row => K): (Set[K], Int) = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    providerConf.foreach(p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory")
+        .queryName(name).start()
+      q.processAllAvailable()
+      val prog = q.lastProgress
+      q.stop()
+      assert(prog.batchId >= 1, s"$name collapsed to one batch")
+      val metrics = prog.stateOperators.apply(0).customMetrics
+      val rocksKeys = metrics.keySet().toArray.map(_.toString)
+        .count(_.startsWith("rocksdb"))
+      val rows = spark.table(name).collect().toSeq.map(key).toSet
+      (rows, rocksKeys)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
 
-    val (defaultRows, defaultRocks) = run("rocks_spec_default", None)
-    val (rocksRows, rocksMetrics) = run("rocks_spec_rocksdb", Some(
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+  test("RocksDB-backed windowed agg engages the provider and matches the default store") {
+    def agg: DataFrame = src().withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("event_type"), col("n"))
+
+    val (defaultRows, defaultRocks) = runStream(agg, "rocks_spec_default", "complete", None)(
+      r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val (rocksRows, rocksMetrics) = runStream(agg, "rocks_spec_rocksdb", "complete",
+      Some(RocksProvider))(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
     assert(defaultRocks === 0, "default store unexpectedly reported rocksdb metrics")
     assert(rocksMetrics > 0, "RocksDB provider did not engage (no rocksdb metrics)")
     assert(rocksRows === defaultRows, "store choice changed the result")
     assert(rocksRows.nonEmpty)
+  }
 
-    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+  test("RocksDB-backed flatMapGroupsWithState automaton engages the provider and matches the default store") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // The stream_quant_pattern run-automaton (Streams.quantPattern):
+    // arbitrary keyed state (tuple of run descriptors) is the state shape
+    // where the RocksDB encode/decode path differs most from the default
+    // in-memory store — a windowed agg alone would not exercise it.
+    def matches: DataFrame = src()
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(String, String, Long, String, Long)]) => {
+          var (p2, p1, p1len, cur, curLen) =
+            state.getOption.getOrElse(("", "", 0L, "", 0L))
+          val out = Seq.newBuilder[(Long, Long, Long)]
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, eid, et, _) =>
+            if (et == cur) curLen += 1
+            else {
+              if (cur.nonEmpty) { p2 = p1; p1 = cur; p1len = curLen }
+              cur = et; curLen = 1
+              if (et == "purchase" && p1 == "view" && p2 == "signup")
+                out += ((user, eid, p1len))
+            }
+          }
+          state.update((p2, p1, p1len, cur, curLen))
+          out.result().iterator
+        })
+      .toDF("user_id", "event_id", "b_len")
+
+    val (defaultRows, defaultRocks) = runStream(matches, "rocks_fmgws_default", "update", None)(
+      r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (rocksRows, rocksMetrics) = runStream(matches, "rocks_fmgws_rocksdb", "update",
+      Some(RocksProvider))(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(defaultRocks === 0, "default store unexpectedly reported rocksdb metrics")
+    assert(rocksMetrics > 0, "RocksDB provider did not engage (no rocksdb metrics)")
+    assert(rocksRows === defaultRows, "store choice changed the automaton result")
+    assert(rocksRows.nonEmpty)
+  }
+
+  override def afterAll(): Unit = {
+    java.nio.file.Files.walk(stagedDir).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    super.afterAll()
   }
 }
