@@ -1732,36 +1732,98 @@ object Relational {
       .drop("denom")
   }
 
+  /** Edit-distance threshold for [[joinFuzzyEditdist]] (matches within
+    * Levenshtein ≤ K are considered; the typo model sits at exactly 1). */
+  val FuzzyEditK = 1
+  /** Character q-gram width for the fuzzy join's prefix filter. */
+  val FuzzyGramQ = 2
+
+  /** Candidate generator for [[joinFuzzyEditdist]] — the ed-join prefix
+    * filter (Xiao et al., EDBT 2008; the same SSJoin discipline as
+    * [[Dedup.ngramJaccard]]'s rare-first prefix index):
+    *
+    *  - each side's name explodes into its DISTINCT character Q-grams;
+    *  - grams order by a global canonical order (candidate-corpus
+    *    document frequency ascending, gram ascending as tiebreak; grams
+    *    absent from the candidate corpus rank first at df 0) — rare
+    *    first, so hot grams fall out of almost every prefix and the
+    *    per-gram bucket blowup of a raw inverted-index join cannot
+    *    happen;
+    *  - only each string's PREFIX — its K·Q+1 rarest grams — is indexed.
+    *    One edit operation rewrites at most Q of a string's Q-grams, so
+    *    ed(a,b) ≤ K leaves ≥ max(|a|,|b|) − K·Q common grams, and the
+    *    globally-smallest common gram must sit within both K·Q+1
+    *    prefixes — every qualifying pair survives (recall 1.0, the
+    *    FuzzyJoinSpec law), while each string joins on only 3 grams.
+    *
+    * Scale: block-key cardinality GROWS with the corpus (distinct rare
+    * grams), unlike the round-5 last-word block whose ~92 buckets were
+    * constant in corpus size and went quadratic per block at 100×
+    * data. The df table is |distinct grams| rows — broadcast. The ±2
+    * length band (a necessary ed ≤ K condition at K ≤ 2) prunes inside
+    * gram buckets before the quadratic pair materialization. */
+  private[operators] def fuzzyCandidates(probes: DataFrame, cands: DataFrame): DataFrame = {
+    val s = probes.sparkSession
+    import s.implicits._
+    val prefixLen = FuzzyEditK * FuzzyGramQ + 1
+    def gramsOf(df: DataFrame, name: String): DataFrame =
+      df.withColumn("gram", explode(array_distinct(expr(
+        s"transform(sequence(1, greatest(length($name) - ${FuzzyGramQ - 1}, 1)), " +
+          s"i -> substring($name, i, $FuzzyGramQ))"))))
+    val candGrams = gramsOf(cands, "cand_name")
+    val df = candGrams.groupBy($"gram").agg(count(lit(1)).as("df"))
+    def prefixOf(grams: DataFrame, key: String): DataFrame = {
+      val w = Window.partitionBy(col(key)).orderBy($"df".asc, $"gram".asc)
+      grams.join(broadcast(df).hint("broadcast"), Seq("gram"), "left")
+        .na.fill(0L, Seq("df"))
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= prefixLen)
+        .drop("df", "rn")
+    }
+    prefixOf(gramsOf(probes, "probe_name"), "probe_key")
+      .join(prefixOf(candGrams, "cand_key"), "gram")
+      .where(abs(length($"probe_name") - length($"cand_name")) <= 2)
+      .dropDuplicates("probe_key", "cand_key")
+      .select($"probe_key", $"probe_name", $"cand_key", $"cand_name")
+  }
+
   /** Fuzzy (edit-distance) join — entity resolution under typos, the
     * workload behind catalog/brand matching in data curation. A staged-
     * fixture query (the [[graft.operators.Curation]] PII pattern):
     * misspelled probes are synthesized deterministically IN-QUERY from
     * every 37th part (drop the name's 2nd character) and the same
     * injection is replayed verbatim in the oracle SQL, so the fixture
-    * needs no typo column. The join is NEVER all-pairs: candidates block
-    * on the name's LAST word — invariant under the head-of-string typo
-    * model, ~10 values at any SF — plus a ±2 length band inside the
-    * block, then exact `levenshtein` (codegen'd, both engines) ranks and
-    * `row_number` keeps the (distance, partkey)-minimal match per probe.
-    * At 100 TB the block key is what you'd shuffle on (co-locating
-    * probes with candidates); skewed blocks fall to the salting
-    * discipline of [[joinSkewSalted]]. */
-  def joinFuzzyEditdist(s: SparkSession, d: String): DataFrame = {
+    * needs no typo column. Semantics are the SPEC, not the blocking:
+    * the (distance, partkey)-minimal candidate within Levenshtein ≤
+    * [[FuzzyEditK]] per probe — so the oracle deliberately states the
+    * brute-force all-pairs definition and the prefix-filtered plan is
+    * checked against it (the [[eventsSkyline]] oracle philosophy).
+    * Candidates come from [[fuzzyCandidates]]' lossless ed-join prefix
+    * filter (recall 1.0 — FuzzyJoinSpec), then exact `levenshtein`
+    * (codegen'd, both engines) scores pairs and `row_number` keeps the
+    * minimum per probe. */
+  /** The fuzzy join's (probes, candidates) frames — exposed for the
+    * FuzzyJoinSpec recall law and the PlanShapeSpec candidate-plan pin. */
+  private[operators] def fuzzyFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val parts = Tables.part(s, d)
     val probes = parts
       .where($"p_partkey" % 37 === 0)
       .select($"p_partkey".as("probe_key"),
         concat(substring($"p_name", 1, 1), expr("substring(p_name, 3)"))
-          .as("probe_name"),
-        element_at(split($"p_name", " "), -1).as("block"))
+          .as("probe_name"))
     val cands = parts
-      .select($"p_partkey".as("cand_key"), $"p_name".as("cand_name"),
-        element_at(split($"p_name", " "), -1).as("block"))
-    val scored = probes.join(cands, "block")
-      .where(abs(length($"probe_name") - length($"cand_name")) <= 2)
+      .select($"p_partkey".as("cand_key"), $"p_name".as("cand_name"))
+    (probes, cands)
+  }
+
+  def joinFuzzyEditdist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (probes, cands) = fuzzyFrames(s, d)
+    val scored = fuzzyCandidates(probes, cands)
       .select($"probe_key", $"probe_name", $"cand_key",
         levenshtein($"probe_name", $"cand_name").cast("bigint").as("dist"))
+      .where($"dist" <= FuzzyEditK)
     val w = Window.partitionBy($"probe_key").orderBy($"dist".asc, $"cand_key".asc)
     scored.withColumn("rk", row_number().over(w))
       .where($"rk" === 1)

@@ -919,25 +919,25 @@ object RelationalOracles {
                AS BIGINT) AS ppm
       FROM t""",
 
+    // deliberately the brute-force SPEC (all pairs, ±2 length band,
+    // dist ≤ 1, per-probe minimum) so the engine's prefix-filtered
+    // candidate generation is checked against the definition, not
+    // against a replay of its own blocking
     "join_fuzzy_editdist" -> """
       WITH probes AS (
         SELECT p_partkey AS probe_key,
-               substr(p_name, 1, 1) || substr(p_name, 3) AS probe_name,
-               string_split(p_name, ' ')[-1] AS block
+               substr(p_name, 1, 1) || substr(p_name, 3) AS probe_name
         FROM part WHERE p_partkey % 37 = 0),
-      cands AS (
-        SELECT p_partkey AS cand_key, p_name AS cand_name,
-               string_split(p_name, ' ')[-1] AS block
-        FROM part),
       scored AS (
-        SELECT probe_key, probe_name, cand_key,
-               CAST(levenshtein(probe_name, cand_name) AS BIGINT) AS dist
-        FROM probes JOIN cands USING (block)
-        WHERE abs(len(probe_name) - len(cand_name)) <= 2)
+        SELECT probe_key, probe_name, p_partkey AS cand_key,
+               CAST(levenshtein(probe_name, p_name) AS BIGINT) AS dist
+        FROM probes CROSS JOIN part
+        WHERE abs(len(probe_name) - len(p_name)) <= 2)
       SELECT probe_key, probe_name, cand_key AS matched_key, dist
       FROM (SELECT *, row_number() OVER (PARTITION BY probe_key
                                          ORDER BY dist ASC, cand_key ASC) AS rk
-            FROM scored)
+            FROM scored
+            WHERE dist <= 1)
       WHERE rk = 1"""
   )
 }

@@ -852,7 +852,7 @@ class AnalyticsSpec extends SparkSpec {
       events.length - events.map(_._1).distinct.length)
   }
 
-  test("fuzzy join: one row per probe, the blocked minimum, never distance > 1") {
+  test("fuzzy join: one row per probe, the brute-force spec minimum") {
     val parts = Tables.part(spark, sf)
       .select($"p_partkey", $"p_name").collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -864,12 +864,15 @@ class AnalyticsSpec extends SparkSpec {
           d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
       d(a.length)(b.length)
     }
-    val byBlock = parts.groupBy(_._2.split(" ").last)
+    // the SPEC: minimum over ALL parts within dist ≤ K — no blocking in
+    // the expectation, so the prefix filter is checked against the
+    // definition (same philosophy as the operator's oracle SQL)
     val want = parts.filter(_._1 % 37 == 0).map { case (k, name) =>
       val probe = name.take(1) + name.drop(2)
-      val cands = byBlock(name.split(" ").last)
+      val cands = parts
         .filter(c => math.abs(probe.length - c._2.length) <= 2)
         .map(c => (lev(probe, c._2).toLong, c._1))
+        .filter(_._1 <= Relational.FuzzyEditK)
       k -> cands.min
     }.toMap
     val got = Relational.joinFuzzyEditdist(spark, sf).collect()
@@ -877,5 +880,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
     // the typo model drops one char, so the true part is always within 1
     assert(got.values.forall(_._1 <= 1))
+  }
+
+  test("fuzzy join candidates: recall 1.0 under the typo model") {
+    // every probe's TRUE part (edit distance exactly 1 — the dropped
+    // character) must survive the ed-join prefix filter; a lossy block
+    // key fails here before it can corrupt the join result
+    val (probes, cands) = Relational.fuzzyFrames(spark, sf)
+    val got = Relational.fuzzyCandidates(probes, cands)
+      .select($"probe_key", $"cand_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probeKeys = probes.select($"probe_key").collect().map(_.getLong(0))
+    assert(probeKeys.nonEmpty)
+    val missing = probeKeys.filterNot(k => got.contains((k, k)))
+    assert(missing.isEmpty, s"true pairs lost by the prefix filter: ${missing.take(5).mkString(",")}")
   }
 }
