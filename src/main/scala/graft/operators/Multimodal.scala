@@ -6,55 +6,134 @@ import graft.core.Tables
 
 /** Multimodal-column plumbing (SURVEY.md §2.3 J / builder north star):
   * media payloads ride as opaque `binary` columns with typed metadata
-  * alongside. The container has no image/audio codecs, so the decode
-  * kernel is a clearly-marked deterministic STUB — but everything Spark
-  * cares about is real: schema, batch shape, partition-parallel execution,
-  * and the metadata extraction path.
+  * alongside, and the decode/resize/meta kernels run a REAL image codec —
+  * the JDK's built-in `javax.imageio` PNG reader/writer (zero external
+  * dependencies). The fixture carries no media files, so the image is
+  * synthesized IN-QUERY (the fuzzy-join typo-injection pattern): payload
+  * bytes become the raster of an 8-bit grayscale PNG, width [[ImageW]],
+  * row-major, zero-padded tail row. Grayscale PNG is lossless, so decoded
+  * pixels equal payload bytes — a genuine DEFLATE encoder and decoder run
+  * in the executor hot path while the DuckDB oracle replays the pixel
+  * math analytically from the same bytes. (Round ≤5 shipped deterministic
+  * stub kernels here; the codec round-trip retires that caveat. JPEG/
+  * audio/video codecs remain absent from the container — PNG is the one
+  * real codec the JDK ships.)
   *
-  * At 100 TB: binary payloads stay columnar in parquet (no base64 blowup),
-  * decode runs `mapPartitions`-batched per executor core exactly like a
-  * vectorized Python `mapInPandas` stage would, and metadata predicates
-  * (size, type) push down without touching payload bytes.
+  * At 100 TB: binary payloads stay columnar in parquet (no base64
+  * blowup), decode runs `mapPartitions`-batched per executor core — ONE
+  * codec call per [[DecodeBatchSize]] rows, the arrow-batch shape a
+  * vectorized decoder wants — and metadata predicates (size, type) push
+  * down without touching payload bytes.
   */
 object Multimodal {
 
-  /** Byte length of a batch the stub "decoder" processes at once —
-    * mirrors a real vectorized decode (e.g. arrow batches into a codec). */
+  /** Rows per codec call: each partition's rows are grouped into batches
+    * of this size and every batch round-trips through the PNG codec as a
+    * single concatenated image (mirrors vectorized arrow-batch decode). */
   val DecodeBatchSize = 64
 
+  /** Fixed raster width of the synthesized grayscale image. */
+  val ImageW = 64
+
+  /** Bytes per "video frame" in the [[sampleFrames]] layout. */
+  val FrameBytes = 32
+
+  /** Encode payload bytes as an 8-bit grayscale PNG (width [[ImageW]],
+    * row-major, zero-padded tail) via the JDK's ImageIO PNG writer. */
+  def encodePng(bytes: Array[Byte]): Array[Byte] = {
+    val w = ImageW
+    val h = math.max(1, (bytes.length + w - 1) / w)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h,
+      java.util.Arrays.copyOf(bytes, w * h))
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", out),
+      "JDK PNG writer unavailable")
+    out.toByteArray
+  }
+
+  /** Decode a PNG via ImageIO and return its raster bytes (row-major). */
+  def decodePng(png: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    require(img != null, "JDK PNG reader unavailable")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val pixels = new Array[Byte](w * h)
+    img.getRaster.getDataElements(0, 0, w, h, pixels)
+    pixels
+  }
+
+  /** Parse (width, height) from a PNG's IHDR chunk — real container-header
+    * metadata extraction (bytes 16..23 after the 8-byte signature and the
+    * IHDR length/tag, big-endian), the path a media pipeline uses to get
+    * dimensions WITHOUT decoding pixels. */
+  def parseIhdr(png: Array[Byte]): (Long, Long) = {
+    require(png.length >= 24 &&
+      (png(12) & 0xff) == 'I' && (png(13) & 0xff) == 'H', "not a PNG/IHDR")
+    def be(i: Int): Long =
+      ((png(i) & 0xffL) << 24) | ((png(i + 1) & 0xffL) << 16) |
+        ((png(i + 2) & 0xffL) << 8) | (png(i + 3) & 0xffL)
+    (be(16), be(20))
+  }
+
+  /** ONE codec call per batch: concatenate the batch's payloads, encode →
+    * decode through the PNG codec, slice each row's pixels back out by
+    * offset. Lossless grayscale ⇒ slice i equals payload i. */
+  private def batchRoundTrip(payloads: Seq[Array[Byte]]): Seq[Array[Byte]] = {
+    val total = payloads.iterator.map(_.length).sum
+    val all = new Array[Byte](total)
+    var off = 0
+    payloads.foreach { p => System.arraycopy(p, 0, all, off, p.length); off = off + p.length }
+    val pixels = decodePng(encodePng(all))
+    off = 0
+    payloads.map { p =>
+      val slice = java.util.Arrays.copyOfRange(pixels, off, off + p.length)
+      off += p.length
+      slice
+    }
+  }
+
   /** Metadata extraction over an opaque binary media column: byte length,
-    * content digest, and deterministic fake dimensions (in a real pipeline
-    * these come from the container header — same plumbing, real decode).
-    * The fixture's `text` column stands in as the payload bytes. */
+    * content digest (SHA-256 of the raw payload), and REAL container
+    * dimensions — each payload is laid out as its grayscale PNG and
+    * width/height come from parsing the encoded container's IHDR header,
+    * never from the payload length arithmetic the oracle uses (that
+    * independence is the check). n_frames is the [[FrameBytes]]-frame
+    * count of the video-layout view. */
   def mediaMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", $"text".cast("binary").as("media"))
-      .select(
-        $"doc_id",
-        octet_length($"media").cast("bigint").as("n_bytes"),
-        sha2($"media", 256).as("digest"),
-        ((octet_length($"media") % 64) * 16 + 16).cast("bigint").as("fake_width"),
-        ((floor(octet_length($"media") / 64) % 64) * 16 + 16).cast("bigint").as("fake_height"),
-        (octet_length($"media") % 30 + 1).cast("bigint").as("fake_frames"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { r =>
+          val (w, h) = parseIhdr(encodePng(r.media))
+          val digest = sha.digest(r.media).map("%02x".format(_)).mkString
+          sha.reset()
+          MetaRow(r.doc_id, r.media.length.toLong, digest, w, h,
+            (r.media.length.toLong + FrameBytes - 1) / FrameBytes)
+        }
+      }
+      .toDF()
   }
 
-  /** Case classes defining the decode stage's typed schema. */
+  /** Case classes defining the kernels' typed schemas. */
   final case class MediaRow(doc_id: Long, media: Array[Byte])
   final case class DecodedRow(doc_id: Long, n_bytes: Int, features: Array[Double])
+  final case class MetaRow(doc_id: Long, n_bytes: Long, digest: String,
+    width: Long, height: Long, n_frames: Long)
 
-  /** STUB decode kernel: a real implementation would hand `bytes` to a
-    * codec (JPEG/FLAC/MP4) and emit pixels/samples/frames. Here it emits
-    * an 8-dim "feature" = evenly-sampled byte values — deterministic, so
-    * the full distributed path is testable end-to-end. */
-  def stubDecode(bytes: Array[Byte]): Array[Double] = {
-    val n = bytes.length
-    Array.tabulate(8)(j => if (n == 0) 0.0 else (bytes(math.min(j * n / 8, n - 1)) & 0xff).toDouble)
+  /** 8-dim feature = evenly-sampled pixel values of the decoded raster. */
+  private def sampleFeatures(px: Array[Byte]): Array[Double] = {
+    val n = px.length
+    Array.tabulate(8)(j => if (n == 0) 0.0 else (px(math.min(j * n / 8, n - 1)) & 0xff).toDouble)
   }
 
-  /** Batched decode over partitions: groups each partition's rows into
-    * [[DecodeBatchSize]] batches (the shape a vectorized decoder wants),
-    * decodes, re-flattens. Partition-parallel, streaming, constant memory. */
+  /** Batched REAL decode over partitions: each [[DecodeBatchSize]] batch
+    * round-trips through the PNG codec once ([[batchRoundTrip]]), then
+    * per-row features sample the decoded raster. Partition-parallel,
+    * streaming, constant memory. */
   def decodeFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
@@ -62,52 +141,54 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { it =>
         it.grouped(DecodeBatchSize).flatMap { batch =>
-          // one "codec call" per batch — the real version would decode the
-          // whole batch in native code / arrow
-          batch.map(r => DecodedRow(r.doc_id, r.media.length, stubDecode(r.media)))
+          batchRoundTrip(batch.map(_.media)).lazyZip(batch).map((px, r) =>
+            DecodedRow(r.doc_id, px.length, sampleFeatures(px)))
         }
       }
       .select(Seq($"doc_id", $"n_bytes".cast("bigint").as("n_bytes")) ++
         (0 until 8).map(j => element_at($"features", j + 1).as(s"f$j")): _*)
   }
 
-  /** STUB "resize": block-mean downsample of the payload bytes to 4
-    * fixed buckets — the shape of an image resize kernel (average
-    * pooling), batched per partition like [[decodeFeatures]]. Block b of
-    * a len-byte payload covers bytes i with (i*4)/len == b. */
+  /** REAL resize: average-pool the DECODED raster down to 4 fixed blocks
+    * (block b covers pixels i with (i*4)/len == b) — the shape of an
+    * image resize kernel, run on codec output, batched like
+    * [[decodeFeatures]]. */
   def resizeBlocks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", $"text".cast("binary").as("media"))
       .as[MediaRow]
       .mapPartitions { it =>
-        it.grouped(DecodeBatchSize).flatMap(_.map { r =>
-          val n = r.media.length
-          val sums = new Array[Double](4)
-          val counts = new Array[Long](4)
-          var i = 0
-          while (i < n) {
-            val b = (i.toLong * 4 / n).toInt
-            sums(b) += (r.media(i) & 0xff)
-            counts(b) += 1
-            i += 1
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batchRoundTrip(batch.map(_.media)).lazyZip(batch).map { (px, r) =>
+            val n = px.length
+            val sums = new Array[Double](4)
+            val counts = new Array[Long](4)
+            var i = 0
+            while (i < n) {
+              val b = (i.toLong * 4 / n).toInt
+              sums(b) += (px(i) & 0xff)
+              counts(b) += 1
+              i += 1
+            }
+            DecodedRow(r.doc_id, n,
+              Array.tabulate(4)(b => if (counts(b) == 0) 0.0 else sums(b) / counts(b)))
           }
-          DecodedRow(r.doc_id, n,
-            Array.tabulate(4)(b => if (counts(b) == 0) 0.0 else sums(b) / counts(b)))
-        })
+        }
       }
       .select(Seq($"doc_id", $"n_bytes".cast("bigint").as("n_bytes")) ++
         (0 until 4).map(b => round(element_at($"features", b + 1), 4).as(s"b$b")): _*)
   }
 
-  /** STUB "frame sampling": treat the payload as fixed 32-byte frames and
-    * keep every 4th frame's first byte — the strided frame-select shape of
-    * video pipelines (one output row per kept frame: doc_id, frame_no,
-    * lead byte code). Pure per-row explode — shuffle-free. ($"text" in the
+  /** Strided "frame sampling": treat the payload as fixed 32-byte frames
+    * and keep every 4th frame's first byte — the strided frame-select
+    * shape of video pipelines (one output row per kept frame: doc_id,
+    * frame_no, lead byte code). Pure per-row explode — shuffle-free; no
+    * codec claim here, the frame layout IS the container. ($"text" in the
     * lambda is an attribute read, not a recomputed expression — cheap.) */
   def sampleFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hop = 32 * 4 // frame size 32 bytes, keep every 4th frame
+    val hop = FrameBytes * 4 // frame size 32 bytes, keep every 4th frame
     Tables.documents(s, d)
       .where(length($"text") >= 1)
       .select($"doc_id",
@@ -132,16 +213,20 @@ object Multimodal {
       FROM documents JOIN generate_series(1, 8192) g(i)
         ON i <= length(text) AND (i - 1) % 128 = 0""",
 
+    // the oracle derives width/height/frames ANALYTICALLY from the layout
+    // (fixed width, zero-padded rows); the engine parses them from the
+    // real encoded container's IHDR — agreement proves the header parse
     "mm_meta" -> """
       SELECT doc_id,
              octet_length(encode(text)) AS n_bytes,
              sha256(text) AS digest,
-             (octet_length(encode(text)) % 64) * 16 + 16 AS fake_width,
-             ((octet_length(encode(text)) // 64) % 64) * 16 + 16 AS fake_height,
-             octet_length(encode(text)) % 30 + 1 AS fake_frames
+             CAST(64 AS BIGINT) AS width,
+             CAST(greatest(1, (octet_length(encode(text)) + 63) // 64) AS BIGINT) AS height,
+             CAST((octet_length(encode(text)) + 31) // 32 AS BIGINT) AS n_frames
       FROM documents""",
-    // decode stub oracle: features are evenly-sampled byte codes (ASCII
-    // corpus: byte == char code)
+    // decode oracle: lossless grayscale PNG ⇒ decoded pixels equal payload
+    // bytes, so features are evenly-sampled byte codes (ASCII corpus:
+    // byte == char code)
     "mm_decode" -> ("""
       SELECT doc_id, length(text) AS n_bytes, """ +
       (0 until 8).map(j =>

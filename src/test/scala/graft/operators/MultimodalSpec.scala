@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Laws for the real (javax.imageio) multimodal kernels: the grayscale
+  * PNG round-trip must be lossless (that identity is what lets the
+  * DuckDB oracle replay pixel math analytically while a real codec runs
+  * in the hot path), the IHDR parse must return the encoded container's
+  * dimensions, and the batched decode must equal the per-row decode. */
+class MultimodalSpec extends SparkSpec {
+
+  test("grayscale PNG round-trip is lossless, tail zero-padded") {
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(0, 1, 63, 64, 65, 1000)) {
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      val px = Multimodal.decodePng(Multimodal.encodePng(bytes))
+      val h = math.max(1, (n + Multimodal.ImageW - 1) / Multimodal.ImageW)
+      assert(px.length == Multimodal.ImageW * h, s"n=$n raster size")
+      assert(px.take(n).sameElements(bytes), s"n=$n pixels != payload")
+      assert(px.drop(n).forall(_ == 0), s"n=$n padding not zero")
+    }
+  }
+
+  test("IHDR parse returns the encoded container's dimensions") {
+    for (n <- Seq(1, 64, 65, 4096)) {
+      val png = Multimodal.encodePng(Array.fill(n)(7.toByte))
+      val (w, h) = Multimodal.parseIhdr(png)
+      assert(w == Multimodal.ImageW)
+      assert(h == math.max(1, (n + Multimodal.ImageW - 1) / Multimodal.ImageW))
+    }
+  }
+
+  test("batched decode features equal direct byte sampling") {
+    import spark.implicits._
+    val got = Multimodal.decodeFeatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(j => r.getDouble(j + 1)).toSeq).toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    assert(docs.nonEmpty && got.size == docs.length)
+    for ((id, bytes) <- docs) {
+      val n = bytes.length
+      val want = (0 until 8).map(j =>
+        if (n == 0) 0.0 else (bytes(math.min(j * n / 8, n - 1)) & 0xff).toDouble)
+      assert(got(id) == want, s"doc $id decode features")
+    }
+  }
+}
