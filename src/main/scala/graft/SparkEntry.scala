@@ -157,6 +157,9 @@ object SparkEntry {
     "simsearch_ivf_recall" -> ((s: SparkSession, d: String) => SimSearch.ivfRecall(s, d)),
     "simsearch_quantized_recall" -> ((s: SparkSession, d: String) => SimSearch.quantizedRecall(s, d)),
     "simsearch_pq_recall"  -> ((s: SparkSession, d: String) => SimSearch.pqRecall(s, d)),
+    "simsearch_knn_graph"  -> ((s: SparkSession, d: String) => SimSearch.knnGraphShared(s, d)),
+    "simsearch_knn_graph_lsh" -> ((s: SparkSession, d: String) => SimSearch.knnGraphLsh(s, d)),
+    "udtf_order_gaps"      -> (GroupedUdtf.orderGaps _),
     // J. text analysis
     "text_tokens"      -> (TextAnalysis.tokenStats _),
     "text_langid"      -> (TextAnalysis.langId _),
@@ -230,5 +233,5 @@ object SparkEntry {
     graft.sources.Sources.oracle ++ graft.agg.TopK.oracle ++
     Dedup.oracle ++ SimSearch.oracle ++ TextAnalysis.oracle ++ Maintenance.oracle ++
     Curation.oracle ++
-    Multimodal.oracle ++ graft.streaming.Streams.oracle
+    Multimodal.oracle ++ GroupedUdtf.oracle ++ graft.streaming.Streams.oracle
 }

@@ -208,6 +208,115 @@ object SimSearch {
       .select($"q_id", $"n_id", $"rk".cast("bigint").as("rk"))
   }
 
+  /** Fixed neighbor count for the k-NN graph queries. */
+  val KnnGraphK = 3
+
+  /** Exact k-NN GRAPH: every corpus vector × its [[KnnGraphK]] nearest
+    * neighbors (self excluded) — nearest-neighbor graph construction,
+    * the backbone of graph-based near-dup clustering and graph-ANN
+    * index builds. Unlike [[bruteTopK]]'s fixed 20-probe batch, EVERY
+    * vector is a query, so neither side is broadcastable: ordered pairs
+    * come from the blocked all-pairs equi-join discipline of
+    * [[Dedup.embeddingExactPairs]] (probe side replicated to B slots,
+    * candidate side home-slotted by pmod(id, B) — every ordered pair
+    * meets exactly once on an equi-join key, never a nested-loop cross
+    * join), then one (q_id) window keeps the top k. O(n²/B) per block
+    * is inherent to the EXACT graph — this is the correctness baseline
+    * and the ground-truth builder; [[knnGraphLsh]] is the 100 TB path.
+    * Deterministic: rank output, ties by neighbor id; cosine is the
+    * bit-parity [[graft.functions.FloatVecDot]] kernel, so the oracle's
+    * full-graph window replay hash-matches. */
+  def knnGraph(s: SparkSession, d: String, k: Int = KnnGraphK,
+      blocks: Int = 8): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val probes = e.select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+      explode(sequence(lit(0L), lit(blocks - 1L))).as("bj"))
+    val cands = e.select($"vec_id".as("n_id"), $"embedding".as("n_emb"),
+      pmod($"vec_id", lit(blocks.toLong)).as("bj"))
+    val scored = probes.join(cands, Seq("bj")).where($"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id", VectorFunctions.cosine($"q_emb", $"n_emb").as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where($"rk" <= k)
+      .select($"q_id", $"n_id", $"rk".cast("bigint").as("rk"))
+  }
+
+  /** Session-materialized exact k-NN graph (the [[bruteTopKShared]]
+    * artifact pattern): ground truth is computed once and versioned —
+    * consumed by the declared query and [[knnGraphLsh]]'s recall gate. */
+  def knnGraphShared(s: SparkSession, d: String, k: Int = KnnGraphK): DataFrame = {
+    val srcKey = "spark.graft.knngraph.src"
+    val dirKey = "spark.graft.knngraph.dir"
+    if (!s.conf.getOption(srcKey).contains(s"$d#$k")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_knn_graph").toString
+      knnGraph(s, d, k).write.mode("overwrite").parquet(dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, s"$d#$k")
+    }
+    s.read.parquet(s.conf.get(dirKey))
+  }
+
+  /** LSH-bucketed approximate k-NN graph — the scale path for
+    * [[knnGraph]]: candidate pairs are SAME-BUCKET pairs per hash table
+    * (bucket-local quadratic, never corpus-quadratic — at 100 TB the
+    * per-bucket population is what you size via [[Dedup.LshBits]], and
+    * the bucket equi-join shuffles both sides by (table, bucket) with
+    * cardinality that GROWS with the corpus), deduped across tables,
+    * scored exactly with the codegen kernel, per-vector top-k. Recall
+    * < 1 by construction, so the emitted row is the BOUND itself (the
+    * dedup_embedding_lsh contract): (n_vectors, recall_ok) where
+    * recall_ok asserts edge recall vs the exact graph ≥ floor — an
+    * approximation-quality regression fails CORRECTNESS. Floor
+    * ratcheted to ~0.8× measured (graft.tools.RecallProbe round 6,
+    * 8×8-bit tables + hamming-1 multiprobe: edge recall 0.675 / 0.619 /
+    * 0.684 at sf0.001 / 0.01 / 0.1 on the near-uniform fixture — ANN's
+    * hardest case; same-bucket probing alone measured 0.12–0.18, which
+    * is why the multiprobe fan-out is on by default).
+    *
+    * The approximate edge set is [[knnGraphLshEdges]] (exposed for the
+    * RecallProbe measurement and the SimSearchSpec floor law). */
+  private[graft] def knnGraphLshEdges(s: SparkSession, d: String,
+      k: Int = KnnGraphK): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    // materialize the bucket index once before the self-join (the
+    // embeddingLshPairs discipline) — both join sides read it, and the
+    // 64 hyperplane dot products per vector are the expensive part
+    val b = Dedup.lshBuckets(Tables.embeddings(s, d), dim = 64, seed = 11L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // multiprobe on the PROBE side only ([[lshTopK]] discipline): each
+    // vector-as-query probes its own bucket plus the 8 hamming-1 buckets
+    // per table — ×(1+bits) fan-out on probe rows, index size unchanged,
+    // candidates still bucket-local
+    val masks = array((0L +: (0 until Dedup.LshBits).map(j => 1L << j)).map(lit(_)): _*)
+    val x = b.select($"table_id",
+      explode(transform(masks, m => $"bucket".bitwiseXOR(m))).as("bucket"),
+      $"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val y = b.select($"table_id", $"bucket", $"vec_id".as("n_id"), $"embedding".as("n_emb"))
+    val cands = x.join(y, Seq("table_id", "bucket")).where($"q_id" =!= $"n_id")
+      .dropDuplicates("q_id", "n_id")
+    val scored = cands.select($"q_id", $"n_id",
+      VectorFunctions.cosine($"q_emb", $"n_emb").as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where($"rk" <= k)
+      .select($"q_id", $"n_id")
+  }
+
+  def knnGraphLsh(s: SparkSession, d: String, k: Int = KnnGraphK,
+      floor: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val approx = knnGraphLshEdges(s, d, k)
+    val exact = knnGraphShared(s, d, k)
+    exact.agg(count_distinct($"q_id").as("n_vectors"))
+      .crossJoin(Dedup.recallCounts(exact.select($"q_id", $"n_id"), approx,
+        Seq("q_id", "n_id")))
+      .select($"n_vectors",
+        ($"n_found" >= $"n_exact" * floor).cast("long").as("recall_ok"))
+  }
+
   /** Quantization-quality bound, same contract as [[lshRecall]]: top-k
     * over int8 codes vs the exact float top-k ([[bruteTopKShared]]).
     * Unlike LSH/IVF there is no candidate pruning here — the recall loss
@@ -565,6 +674,23 @@ object SimSearch {
                                                  CAST(e.embedding AS DOUBLE[])) DESC,
                           e.vec_id ASC) AS rk
         FROM embeddings q JOIN embeddings e ON q.vec_id < $NumQueries AND e.vec_id <> q.vec_id
-      ) t WHERE rk <= 5"""
+      ) t WHERE rk <= 5""",
+
+    // full-graph window replay: every vector is a query (the blocked
+    // equi-join on the engine side is checked against the definition)
+    "simsearch_knn_graph" -> s"""
+      SELECT q_id, n_id, rk FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(e.embedding AS DOUBLE[])) DESC,
+                          e.vec_id ASC) AS rk
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      ) t WHERE rk <= $KnnGraphK""",
+
+    "simsearch_knn_graph_lsh" -> """
+      SELECT count(*) AS n_vectors, CAST(1 AS BIGINT) AS recall_ok
+      FROM embeddings"""
   )
 }

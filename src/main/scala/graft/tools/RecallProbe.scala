@@ -37,6 +37,12 @@ object RecallProbe {
       val perQ = exact.groupBy(_._1).map { case (q, s) => q -> s.count(ivf.contains) }
       println(s"simsearch_ivf: minHits=${perQ.values.min} " +
         s"histo=${perQ.values.groupBy(identity).view.mapValues(_.size).toMap.toSeq.sortBy(_._1)}")
+      // kNN graph: LSH-bucketed edges vs the exact graph
+      val exactG = SimSearch.knnGraphShared(spark, d).select($"q_id", $"n_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lshG = SimSearch.knnGraphLshEdges(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"simsearch_knn_graph_lsh: ${(exactG & lshG).size}/${exactG.size} = ${(exactG & lshG).size.toDouble / exactG.size}%.3f")
       // dedup simhash vs minhash exact pairs
       val sim = Dedup.recallCounts(
         Dedup.minhashLshShared(spark, d).select($"doc_a", $"doc_b"),

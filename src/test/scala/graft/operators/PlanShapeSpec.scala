@@ -246,6 +246,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Join"), p)
   }
 
+  test("exact kNN graph pairs meet on the slot equi-join — no cartesian") {
+    // every-vector-vs-every-vector must ride the blocked slot key, never
+    // a nested-loop pairing (the broadcast-cross shape caps at one task)
+    val df = SimSearch.knnGraph(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("maint_purge anti-joins via broadcast — the fact side never shuffles") {
     val df = Maintenance.purge(spark, sf)
     df.collect()

@@ -51,4 +51,39 @@ class SimSearchSpec extends SparkSpec {
     val approx = pairs(SimSearch.ivfTopK(spark, sf))
     assert(approx.forall { case (q, n) => ids(q) && ids(n) && q != n })
   }
+
+  test("exact kNN graph equals a driver-side brute-force replay") {
+    val emb = graft.core.Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = emb.keys.flatMap { q =>
+      emb.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(emb(q), emb(n))))
+        .sortBy { case (n, c) => (-c, n) }
+        .take(SimSearch.KnnGraphK)
+        .zipWithIndex
+        .map { case ((n, _), i) => (q, n, (i + 1).toLong) }
+    }.toSet
+    val got = SimSearch.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("LSH kNN graph edges are true edges and recall clears the declared floor") {
+    val exactGraph = pairs(SimSearch.knnGraphShared(spark, sf))
+    val row = SimSearch.knnGraphLsh(spark, sf).head()
+    assert(row.getLong(0) == graft.core.Tables.embeddings(spark, sf).count())
+    assert(row.getLong(1) == 1L, "kNN-graph LSH recall fell below the declared floor")
+    assert(exactGraph.nonEmpty)
+  }
 }
