@@ -1735,54 +1735,45 @@ object Relational {
   /** Edit-distance threshold for [[joinFuzzyEditdist]] (matches within
     * Levenshtein ≤ K are considered; the typo model sits at exactly 1). */
   val FuzzyEditK = 1
-  /** Character q-gram width for the fuzzy join's prefix filter. */
-  val FuzzyGramQ = 2
 
-  /** Candidate generator for [[joinFuzzyEditdist]] — the ed-join prefix
-    * filter (Xiao et al., EDBT 2008; the same SSJoin discipline as
-    * [[Dedup.ngramJaccard]]'s rare-first prefix index):
+  /** Candidate generator for [[joinFuzzyEditdist]] — DELETION-
+    * NEIGHBORHOOD blocking (the SymDelete / FastSS family): for K = 1,
+    * ed(a, b) ≤ 1 ⟺ D(a) ∩ D(b) ≠ ∅ where D(s) = {s} ∪ {s with one
+    * character deleted} (a deletion makes b ∈ D(a) ∩ D(b); a
+    * substitution at i makes both i-deletions equal; an insertion is
+    * the deletion case mirrored). Each side explodes into its |s|+1
+    * variants keyed by xxhash64 (8-byte shuffle keys; a 2⁻⁶⁴ hash
+    * collision can only ADD a candidate and the exact levenshtein
+    * re-rank removes it), candidates are the variant-hash equi-join.
     *
-    *  - each side's name explodes into its DISTINCT character Q-grams;
-    *  - grams order by a global canonical order (candidate-corpus
-    *    document frequency ascending, gram ascending as tiebreak; grams
-    *    absent from the candidate corpus rank first at df 0) — rare
-    *    first, so hot grams fall out of almost every prefix and the
-    *    per-gram bucket blowup of a raw inverted-index join cannot
-    *    happen;
-    *  - only each string's PREFIX — its K·Q+1 rarest grams — is indexed.
-    *    One edit operation rewrites at most Q of a string's Q-grams, so
-    *    ed(a,b) ≤ K leaves ≥ max(|a|,|b|) − K·Q common grams, and the
-    *    globally-smallest common gram must sit within both K·Q+1
-    *    prefixes — every qualifying pair survives (recall 1.0, the
-    *    FuzzyJoinSpec law), while each string joins on only 3 grams.
+    * Why not the q-gram prefix filter (SSJoin, the
+    * [[Dedup.ngramJaccard]] discipline): measured at sf0.1 — TPC-H
+    * names draw a ~92-word vocabulary, so even each name's RAREST
+    * grams occur in hundreds of others and the K·Q+1-prefix join
+    * admitted 1.21 M pairs for 541 probes (gram+length keys: 0.97 M);
+    * variant blocking admits ~1.7 k, because the key is full-string
+    * granular — variants collide only for genuine near-matches.
     *
-    * Scale: block-key cardinality GROWS with the corpus (distinct rare
-    * grams), unlike the round-5 last-word block whose ~92 buckets were
-    * constant in corpus size and went quadratic per block at 100×
-    * data. The df table is |distinct grams| rows — broadcast. The ±2
-    * length band (a necessary ed ≤ K condition at K ≤ 2) prunes inside
-    * gram buckets before the quadratic pair materialization. */
-  private[operators] def fuzzyCandidates(probes: DataFrame, cands: DataFrame): DataFrame = {
+    * Scale: the variant index is O(corpus × avg_len) rows of (hash,
+    * id) — linear in corpus bytes, same class as a shingle index —
+    * block-key cardinality grows with the corpus, and per-key
+    * populations are the true near-match multiplicities (no fixed-
+    * vocabulary hot keys). For general K the neighborhood is
+    * O(lenᴷ) and the q-gram prefix filter becomes the path; at the
+    * declared K = 1 the neighborhood is linear and strictly sharper. */
+  private[graft] def fuzzyCandidates(probes: DataFrame, cands: DataFrame): DataFrame = {
     val s = probes.sparkSession
     import s.implicits._
-    val prefixLen = FuzzyEditK * FuzzyGramQ + 1
-    def gramsOf(df: DataFrame, name: String): DataFrame =
-      df.withColumn("gram", explode(array_distinct(expr(
-        s"transform(sequence(1, greatest(length($name) - ${FuzzyGramQ - 1}, 1)), " +
-          s"i -> substring($name, i, $FuzzyGramQ))"))))
-    val candGrams = gramsOf(cands, "cand_name")
-    val df = candGrams.groupBy($"gram").agg(count(lit(1)).as("df"))
-    def prefixOf(grams: DataFrame, key: String): DataFrame = {
-      val w = Window.partitionBy(col(key)).orderBy($"df".asc, $"gram".asc)
-      grams.join(broadcast(df).hint("broadcast"), Seq("gram"), "left")
-        .na.fill(0L, Seq("df"))
-        .withColumn("rn", row_number().over(w))
-        .where($"rn" <= prefixLen)
-        .drop("df", "rn")
-    }
-    prefixOf(gramsOf(probes, "probe_name"), "probe_key")
-      .join(prefixOf(candGrams, "cand_key"), "gram")
-      .where(abs(length($"probe_name") - length($"cand_name")) <= 2)
+    require(FuzzyEditK == 1,
+      "deletion-neighborhood blocking is implemented for K = 1; use a q-gram prefix filter for K >= 2")
+    def withVariantHash(df: DataFrame, name: String): DataFrame =
+      df.withColumn("vh", explode(expr(
+        s"transform(array_union(array($name), " +
+          s"transform(sequence(1, length($name)), " +
+          s"i -> concat(substring($name, 1, i-1), substring($name, i+1)))), " +
+          "v -> xxhash64(v))")))
+    withVariantHash(probes, "probe_name")
+      .join(withVariantHash(cands, "cand_name"), "vh")
       .dropDuplicates("probe_key", "cand_key")
       .select($"probe_key", $"probe_name", $"cand_key", $"cand_name")
   }
@@ -1798,13 +1789,13 @@ object Relational {
     * [[FuzzyEditK]] per probe — so the oracle deliberately states the
     * brute-force all-pairs definition and the prefix-filtered plan is
     * checked against it (the [[eventsSkyline]] oracle philosophy).
-    * Candidates come from [[fuzzyCandidates]]' lossless ed-join prefix
-    * filter (recall 1.0 — FuzzyJoinSpec), then exact `levenshtein`
+    * Candidates come from [[fuzzyCandidates]]' lossless deletion-
+    * neighborhood blocking (recall 1.0 law), then exact `levenshtein`
     * (codegen'd, both engines) scores pairs and `row_number` keeps the
     * minimum per probe. */
   /** The fuzzy join's (probes, candidates) frames — exposed for the
     * FuzzyJoinSpec recall law and the PlanShapeSpec candidate-plan pin. */
-  private[operators] def fuzzyFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def fuzzyFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val parts = Tables.part(s, d)
     val probes = parts

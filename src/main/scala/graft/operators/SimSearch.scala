@@ -305,10 +305,26 @@ object SimSearch {
       .select($"q_id", $"n_id")
   }
 
+  /** Session-materialized LSH edge set (the ngram-candidates precedent:
+    * a similarity index over an immutable corpus is a maintained
+    * artifact, not per-query work — built once per (session, dir, k),
+    * re-read by every later call). */
+  private def knnGraphLshEdgesShared(s: SparkSession, d: String, k: Int): DataFrame = {
+    val srcKey = "spark.graft.knnlsh.src"
+    val dirKey = "spark.graft.knnlsh.dir"
+    if (!s.conf.getOption(srcKey).contains(s"$d#$k")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_knn_lsh").toString
+      knnGraphLshEdges(s, d, k).write.mode("overwrite").parquet(dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, s"$d#$k")
+    }
+    s.read.parquet(s.conf.get(dirKey))
+  }
+
   def knnGraphLsh(s: SparkSession, d: String, k: Int = KnnGraphK,
       floor: Double = 0.5): DataFrame = {
     import s.implicits._
-    val approx = knnGraphLshEdges(s, d, k)
+    val approx = knnGraphLshEdgesShared(s, d, k)
     val exact = knnGraphShared(s, d, k)
     exact.agg(count_distinct($"q_id").as("n_vectors"))
       .crossJoin(Dedup.recallCounts(exact.select($"q_id", $"n_id"), approx,

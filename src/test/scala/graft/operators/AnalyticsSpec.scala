@@ -884,8 +884,8 @@ class AnalyticsSpec extends SparkSpec {
 
   test("fuzzy join candidates: recall 1.0 under the typo model") {
     // every probe's TRUE part (edit distance exactly 1 — the dropped
-    // character) must survive the ed-join prefix filter; a lossy block
-    // key fails here before it can corrupt the join result
+    // character) must survive the deletion-neighborhood blocking; a
+    // lossy block key fails here before it can corrupt the join result
     val (probes, cands) = Relational.fuzzyFrames(spark, sf)
     val got = Relational.fuzzyCandidates(probes, cands)
       .select($"probe_key", $"cand_key").collect()

@@ -232,11 +232,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Join"), p)
   }
 
-  test("fuzzy join candidate generation equi-joins on prefix grams — no cartesian") {
+  test("fuzzy join candidate generation equi-joins on deletion variants — no cartesian") {
     // the round-5 shape blocked on a constant-cardinality key (~92 last
     // words); this pins the rework: candidates come from an equi-join on
-    // q-grams with the (tiny) df table broadcast, never a cartesian or
-    // nested-loop pairing of probes × parts
+    // deletion-variant hashes (full-string granularity), never a
+    // cartesian or nested-loop pairing of probes × parts
     val (probes, cands) = Relational.fuzzyFrames(spark, sf)
     val c = Relational.fuzzyCandidates(probes, cands)
     c.collect()
