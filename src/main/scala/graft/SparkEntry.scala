@@ -160,6 +160,7 @@ object SparkEntry {
     "simsearch_knn_graph"  -> ((s: SparkSession, d: String) => SimSearch.knnGraphShared(s, d)),
     "simsearch_knn_graph_lsh" -> ((s: SparkSession, d: String) => SimSearch.knnGraphLsh(s, d)),
     "udtf_order_gaps"      -> (GroupedUdtf.orderGaps _),
+    "udtf_cogroup_reconcile" -> (GroupedUdtf.cogroupReconcile _),
     // J. text analysis
     "text_tokens"      -> (TextAnalysis.tokenStats _),
     "text_langid"      -> (TextAnalysis.langId _),

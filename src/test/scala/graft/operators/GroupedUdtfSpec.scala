@@ -31,4 +31,24 @@ class GroupedUdtfSpec extends SparkSpec {
     // gaps are non-negative under the (date, orderkey) total order
     assert(got.forall(_._4 >= 0L))
   }
+
+  test("cogroup reconcile equals the join+aggregate replay, one row per order") {
+    val o = graft.core.Tables.orders(spark, sf)
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val want = o.select($"o_orderkey".as("okey"),
+        round($"o_totalprice" * 100).cast("long").as("total_cents"))
+      .join(li.select($"l_orderkey".as("okey"),
+          ((round($"l_extendedprice" * 100).cast("long")
+            * (lit(100L) - round($"l_discount" * 100).cast("long"))
+            * (lit(100L) + round($"l_tax" * 100).cast("long"))) / lit(10000L))
+            .cast("long").as("term")),
+        Seq("okey"), "left")
+      .groupBy($"okey", $"total_cents")
+      .agg(count($"term").as("n"), coalesce(sum($"term"), lit(0L)).as("c"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = GroupedUdtf.cogroupReconcile(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty && got == want)
+    assert(got.size.toLong == o.count(), "exactly one row per order")
+  }
 }
