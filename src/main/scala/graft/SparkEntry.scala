@@ -215,6 +215,7 @@ object SparkEntry {
     "stream_session"  -> (graft.streaming.Streams.sessionize _),
     "stream_dedup"    -> (graft.streaming.Streams.dedupKeys _),
     "stream_stateful_count"  -> (graft.streaming.Streams.statefulCount _),
+    "stream_transform_state" -> (graft.streaming.Streams.transformState _),
     "stream_dedup_watermark" -> (graft.streaming.Streams.dedupWatermarked _),
     "stream_stream_join"     -> (graft.streaming.Streams.streamStreamJoin _),
     "stream_stream_left_join" -> (graft.streaming.Streams.streamStreamLeftJoin _),

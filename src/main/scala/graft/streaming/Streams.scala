@@ -330,6 +330,62 @@ object Streams {
       .agg(max($"n").as("n"), max_by($"total", $"n").as("total"))
   }
 
+  /** Spark-4 arbitrary-state API — `transformWithState` with a
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]]: the successor
+    * to flatMapGroupsWithState with NAMED state variables (value/list/
+    * map), per-variable TTL, and timers. Here the per-user state is a
+    * MapState keyed by event type holding (n, Σcents) — composite keyed
+    * state that flatMapGroupsWithState could only fake by packing the
+    * whole map into one blob and rewriting it wholesale each batch;
+    * MapState reads/writes only the TOUCHED keys, and that per-entry
+    * I/O granularity is the point of the new API at production state
+    * sizes. Counts and cent-sums are commutative, so emission (the
+    * updated rows per input batch) is batch-boundary independent; last
+    * revision per (user, type) = the batch aggregate — the
+    * [[statefulCount]] update-mode contract, collapsed by max_by below.
+    * The OSS implementation is provider-gated to RocksDB, so the
+    * provider is forced for this query and restored after — the
+    * production state backend, CI-proven by RocksDbSpec. */
+  def transformState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+    class TypeTotals extends StatefulProcessor[Long, (Long, String, Long), (Long, String, Long, Long)] {
+      @transient private var totals: MapState[String, (Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        totals = getHandle.getMapState("typeTotals", Encoders.STRING,
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+      override def handleInputRows(user: Long, rows: Iterator[(Long, String, Long)],
+          tv: TimerValues): Iterator[(Long, String, Long, Long)] = {
+        val touched = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+        rows.foreach { case (_, et, cents) =>
+          val (n0, c0) = touched.getOrElse(et,
+            if (totals.containsKey(et)) totals.getValue(et) else (0L, 0L))
+          touched(et) = (n0 + 1, c0 + cents)
+        }
+        touched.foreach { case (et, v) => totals.updateValue(et, v) }
+        touched.iterator.map { case (et, (n, c)) => (user, et, n, c) }
+      }
+    }
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updated = eventsStream(s, d)
+        .select($"user_id", $"event_type", round($"value" * 100).cast("bigint").as("cents"))
+        .as[(Long, String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new TypeTotals, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_type", "n", "cents")
+      val updates = runToTable(s, updated, "graft_stream_transform_state", "update")
+      updates.groupBy($"user_id", $"event_type")
+        .agg(max($"n").as("n"), max_by($"cents", $"n").as("cents"))
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   /** Stateful dedup with bounded state: dropDuplicatesWithinWatermark
     * keeps a key's state only until the watermark passes it — the
     * unbounded-stream-safe variant of stream_dedup (whose state grows
@@ -725,6 +781,11 @@ object Streams {
       FROM c, wm
       WHERE c.click_id NOT IN (SELECT click_id FROM m)
         AND c.c_ts + INTERVAL 1 HOUR < wm.w""",
+
+    "stream_transform_state" -> """
+      SELECT user_id, event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2""",
 
     "stream_stateful_count" -> """
       SELECT user_id, count(*) AS n,

@@ -246,6 +246,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Join"), p)
   }
 
+  test("grouped UDTF rides exactly one group-key exchange") {
+    // flatMapGroups must have a keyed aggregate's shuffle profile: one
+    // hash exchange on the group key, then group-local compute — a
+    // second exchange (or a broadcast) means the typed path re-shuffled
+    val p = plan("udtf_order_gaps").split("== Initial Plan ==")(0)
+    assert(!p.contains("Broadcast"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one group-key exchange, got $exchanges\n$p")
+  }
+
+  test("cogroup UDTF co-partitions both inputs — two exchanges, no join blowup") {
+    // cogroup's contract: each side shuffles ONCE to the shared key
+    // partitioning; no broadcast, no join operator materializing the
+    // pair blowup before the function sees the groups
+    val p = plan("udtf_cogroup_reconcile").split("== Initial Plan ==")(0)
+    assert(!p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected one exchange per cogrouped side, got $exchanges\n$p")
+  }
+
   test("exact kNN graph pairs meet on the slot equi-join — no cartesian") {
     // every-vector-vs-every-vector must ride the blocked slot key, never
     // a nested-loop pairing (the broadcast-cross shape caps at one task)
