@@ -180,6 +180,79 @@ object Multimodal {
         (0 until 4).map(b => round(element_at($"features", b + 1), 4).as(s"b$b")): _*)
   }
 
+  /** Sample rate of the synthesized PCM audio container. */
+  val AudioRateHz = 8000
+
+  /** Encode payload bytes as an 8-bit unsigned mono PCM WAV via the
+    * JDK's javax.sound.sampled WAV writer (the second real codec the
+    * JDK ships beside ImageIO's PNG). PCM-in-WAV is lossless: the data
+    * chunk IS the sample bytes, so decoded samples equal the payload —
+    * the same identity that lets the oracle replay feature math
+    * analytically while a real container encoder runs in the hot path. */
+  def encodeWav(bytes: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioRateHz.toFloat, 8, 1, false, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode a WAV via the JDK's parser: returns (header sample rate,
+    * samples). The rate comes from the REAL parsed container header —
+    * the metadata path — never assumed from the writer's constant. */
+  def decodeWav(wav: Array[Byte]): (Long, Array[Byte]) = {
+    import javax.sound.sampled._
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+    try {
+      val rate = ais.getFormat.getSampleRate.toLong
+      (rate, ais.readAllBytes())
+    } finally ais.close()
+  }
+
+  final case class AudioRow(doc_id: Long, n_samples: Long, sample_rate: Long,
+    sum_sq: Long, max_amp: Long)
+
+  /** REAL audio kernel over the synthesized WAV container — one codec
+    * round-trip per [[DecodeBatchSize]] batch (payloads concatenated
+    * into one WAV, decoded once, sliced by offset — the
+    * [[decodeFeatures]] batching), then integer signal features off the
+    * decoded samples: energy Σ(128−s)² and peak amplitude max|128−s|
+    * around the unsigned-PCM midline, both pure BIGINT so the oracle
+    * replays them exactly; the sample rate is parsed from the real WAV
+    * header (one parse per batch — the rate is a container property). */
+  def audioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"text".cast("binary").as("media"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          val total = batch.iterator.map(_.media.length).sum
+          val all = new Array[Byte](total)
+          var off = 0
+          batch.foreach { r => System.arraycopy(r.media, 0, all, off, r.media.length); off += r.media.length }
+          val (rate, samples) = decodeWav(encodeWav(all))
+          off = 0
+          batch.map { r =>
+            val n = r.media.length
+            var sumSq = 0L; var maxAmp = 0L
+            var i = off
+            while (i < off + n) {
+              val a = 128L - (samples(i) & 0xff)
+              sumSq += a * a
+              if (math.abs(a) > maxAmp) maxAmp = math.abs(a)
+              i += 1
+            }
+            off += n
+            AudioRow(r.doc_id, n.toLong, rate, sumSq, maxAmp)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Strided "frame sampling": treat the payload as fixed 32-byte frames
     * and keep every 4th frame's first byte — the strided frame-select
     * shape of video pipelines (one output row per kept frame: doc_id,
@@ -199,6 +272,18 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    // lossless PCM-in-WAV ⇒ decoded samples equal payload bytes; the
+    // engine's sample_rate comes from the parsed header, the oracle's
+    // from the layout constant — agreement proves the parse
+    "mm_audio" -> s"""
+      SELECT doc_id, length(text) AS n_samples,
+             CAST($AudioRateHz AS BIGINT) AS sample_rate,
+             CAST(sum((128 - ascii(substr(text, CAST(i AS INT), 1)))
+                    * (128 - ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS sum_sq,
+             CAST(max(abs(128 - ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS max_amp
+      FROM documents JOIN generate_series(1, 8192) g(i) ON i <= length(text)
+      GROUP BY doc_id, length(text)""",
+
     "mm_resize" -> ("""
       SELECT doc_id, length(text) AS n_bytes, """ +
       (0 until 4).map(b =>

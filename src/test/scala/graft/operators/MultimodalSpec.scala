@@ -30,6 +30,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV round-trip is lossless and the header carries the encoded rate") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 100, 4096)) {
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      val (rate, samples) = Multimodal.decodeWav(Multimodal.encodeWav(bytes))
+      assert(rate == Multimodal.AudioRateHz)
+      assert(samples.sameElements(bytes), s"n=$n samples != payload")
+    }
+  }
+
+  test("batched audio features equal a direct byte replay") {
+    import spark.implicits._
+    val got = Multimodal.audioFeatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    assert(docs.nonEmpty && got.size == docs.length)
+    for ((id, b) <- docs) {
+      val amps = b.map(x => 128L - (x & 0xff))
+      val want = (b.length.toLong, Multimodal.AudioRateHz.toLong,
+        amps.map(a => a * a).sum, if (amps.isEmpty) 0L else amps.map(math.abs).max)
+      assert(got(id) == want, s"doc $id audio features")
+    }
+  }
+
   test("batched decode features equal direct byte sampling") {
     import spark.implicits._
     val got = Multimodal.decodeFeatures(spark, sf).collect()
