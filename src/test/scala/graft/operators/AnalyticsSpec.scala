@@ -882,6 +882,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.forall(_._1 <= 1))
   }
 
+  test("deletion-neighborhood blocking: recall 1.0 for ANY single edit (property)") {
+    // the kernel's claim is ed(a,b) ≤ 1 ⟹ D(a) ∩ D(b) ≠ ∅ for every
+    // edit kind, not just the fixture's drop-2nd-char model — checked
+    // driver-side against the same variant construction the operator
+    // uses (string-level; the xxhash64 keying can only merge variants)
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import org.scalatest.prop.Configuration
+    def variants(s: String): Set[String] =
+      Set(s) ++ (0 until s.length).map(i => s.substring(0, i) + s.substring(i + 1))
+    val alpha = Gen.alphaLowerChar
+    val word = Gen.chooseNum(1, 12).flatMap(n => Gen.stringOfN(n, alpha))
+    val edited = for {
+      s <- word
+      kind <- Gen.oneOf("del", "ins", "sub")
+      i <- Gen.chooseNum(0, math.max(0, s.length - 1))
+      c <- alpha
+    } yield (s, kind match {
+      case "del" => s.substring(0, i) + s.substring(i + 1)
+      case "ins" => s.substring(0, i) + c + s.substring(i)
+      case "sub" => s.substring(0, i) + c + s.substring(i + 1)
+    })
+    val prop: Prop = forAll(edited) { case (a, b) =>
+      variants(a).intersect(variants(b)).nonEmpty
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("fuzzy join candidates: recall 1.0 under the typo model") {
     // every probe's TRUE part (edit distance exactly 1 — the dropped
     // character) must survive the deletion-neighborhood blocking; a

@@ -267,6 +267,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 2, s"expected one exchange per cogrouped side, got $exchanges\n$p")
   }
 
+  test("LSH kNN-graph edge builder equi-joins on (table, bucket) — no cartesian") {
+    // the artifact-backed declared query would hide the build plan; pin
+    // the builder itself: multiprobe pairs must ride the bucket
+    // equi-join, never a nested-loop pairing of the corpus with itself
+    val c = SimSearch.knnGraphLshEdges(spark, sf)
+    c.collect()
+    val p = c.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("exact kNN graph pairs meet on the slot equi-join — no cartesian") {
     // every-vector-vs-every-vector must ride the blocked slot key, never
     // a nested-loop pairing (the broadcast-cross shape caps at one task)
