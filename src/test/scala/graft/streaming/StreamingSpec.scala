@@ -131,4 +131,86 @@ class StreamingSpec extends SparkSpec {
       "no (window, key) was revised across microbatches — slice cuts " +
       "appear to align with window boundaries")
   }
+
+  test("transformWithState event-time timers fire on watermark advance and evict state") {
+    // the timer half of the Spark-4 state API (stream_transform_state
+    // exercises the state-variable half): a processor counts per-key
+    // rows, arms an event-time timer at lastTs + 20 min (re-arming on
+    // each batch), and on expiry emits a close marker and clears state.
+    // MemoryStream + explicit watermark control makes firing
+    // deterministic: the timer must fire exactly when the watermark
+    // passes it, and the close marker must carry the full count.
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 20L * 60 * 1000
+    class CloseOnIdle extends StatefulProcessor[Long, (Long, Timestamp), (Long, String, Long)] {
+      @transient private var n: ValueState[Long] = _
+      @transient private var armed: ValueState[Long] = _
+      override def init(om: OutputMode, tm: TimeMode): Unit = {
+        n = getHandle.getValueState("n", Encoders.scalaLong, TTLConfig.NONE)
+        armed = getHandle.getValueState("armed", Encoders.scalaLong, TTLConfig.NONE)
+      }
+      override def handleInputRows(k: Long, rows: Iterator[(Long, Timestamp)],
+          tv: TimerValues): Iterator[(Long, String, Long)] = {
+        var cnt = if (n.exists()) n.get else 0L
+        var lastMs = 0L
+        rows.foreach { case (_, t) => cnt += 1; lastMs = math.max(lastMs, t.getTime) }
+        n.update(cnt)
+        if (armed.exists()) getHandle.deleteTimer(armed.get)
+        getHandle.registerTimer(lastMs + gapMs)
+        armed.update(lastMs + gapMs)
+        Iterator((k, "open", cnt))
+      }
+      override def handleExpiredTimer(k: Long, tv: TimerValues,
+          info: ExpiredTimerInfo): Iterator[(Long, String, Long)] = {
+        val cnt = if (n.exists()) n.get else 0L
+        n.clear(); armed.clear()
+        Iterator((k, "closed", cnt))
+      }
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Timestamp)]
+      val out = in.toDS()
+        .withColumnRenamed("_1", "user").withColumnRenamed("_2", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(new CloseOnIdle, TimeMode.EventTime(), OutputMode.Update())
+        .toDF("user", "kind", "n")
+      val q = out.writeStream.outputMode("update")
+        .format("memory").queryName("graft_timer_test").start()
+      try {
+        // batch 1: two rows for user 1 — timer armed at 00:02 + 20 min
+        in.addData((1L, ts("2024-01-01 00:01:00")), (1L, ts("2024-01-01 00:02:00")))
+        q.processAllAvailable()
+        // batch 2: user 2 appears at 00:10 — watermark (00:10) is still
+        // before user 1's 00:22 timer, so no close yet
+        in.addData((2L, ts("2024-01-01 00:10:00")))
+        q.processAllAvailable()
+        val mid = spark.table("graft_timer_test")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        assert(!mid.exists(_._2 == "closed"), s"timer fired early: ${mid.mkString(",")}")
+        // batch 3: advance the watermark to 00:25 — BETWEEN user 1's
+        // 00:22 timer (fires, with the full count, and evicts) and
+        // user 2's 00:30 timer (stays armed)
+        in.addData((3L, ts("2024-01-01 00:25:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("graft_timer_test")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains((1L, "closed", 2L)),
+        s"expected user 1 closed with n=2: $rows")
+      assert(!rows.exists(r => r._1 == 2L && r._2 == "closed"),
+        s"user 2's timer must still be armed: $rows")
+      assert(rows.contains((1L, "open", 2L)) && rows.contains((2L, "open", 1L)))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
