@@ -61,6 +61,7 @@ object SparkEntry {
     "events_attribution" -> (Relational.eventsAttribution _),
     "events_paths"     -> (Relational.eventsPaths _),
     "agg_moments"      -> (Relational.aggMoments _),
+    "agg_bool"         -> (Relational.aggBool _),
     "agg_mode"         -> (Relational.aggMode _),
     "ts_interpolate"   -> (Relational.tsInterpolate _),
     "events_anomaly"   -> (Relational.eventsAnomaly _),

@@ -925,6 +925,25 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Boolean / conditional aggregates per group — `bool_and`,
+    * `bool_or`, and `count_if` (ANSI EVERY / SOME / FILTER class), all
+    * codegen'd predicate folds with map-side partials: AND/OR are
+    * associative-commutative, so at 100 TB these collapse map-side like
+    * any sum. Predicate literals are cast to DOUBLE in the oracle (a
+    * bare 0.05 is DECIMAL in DuckDB — the cross-engine comparison
+    * gotcha) so both engines compare the same doubles. */
+  def aggBool(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        bool_and($"l_quantity" > 0.0).as("all_pos"),
+        bool_or($"l_discount" > 0.05).as("some_deep_disc"),
+        bool_and($"l_tax" <= 0.08).as("all_tax_capped"),
+        count_if($"l_tax" === 0.0).as("n_tax_free"),
+        count_if($"l_quantity" >= 25.0).as("n_heavy"))
+  }
+
   /** Exact statistical moments per group — the integer sums (n, Σx, Σx²,
     * Σy, Σy², Σxy) from which variance, covariance and correlation
     * derive in closed form. This is the mergeable-statistics pattern for

@@ -481,6 +481,15 @@ object RelationalOracles {
       SELECT event_type AS src_type, next_type AS dst_type, count(*) AS n
       FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2""",
 
+    "agg_bool" -> """
+      SELECT l_returnflag,
+             bool_and(l_quantity > CAST(0 AS DOUBLE)) AS all_pos,
+             bool_or(l_discount > CAST(0.05 AS DOUBLE)) AS some_deep_disc,
+             bool_and(l_tax <= CAST(0.08 AS DOUBLE)) AS all_tax_capped,
+             count(*) FILTER (WHERE l_tax = CAST(0 AS DOUBLE)) AS n_tax_free,
+             count(*) FILTER (WHERE l_quantity >= CAST(25 AS DOUBLE)) AS n_heavy
+      FROM lineitem GROUP BY 1""",
+
     "agg_moments" -> """
       SELECT l_returnflag, count(*) AS n,
              CAST(sum(q) AS BIGINT) AS sum_q, CAST(sum(q * q) AS BIGINT) AS sum_q2,

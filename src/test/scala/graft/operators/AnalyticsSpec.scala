@@ -882,6 +882,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.forall(_._1 <= 1))
   }
 
+  test("boolean aggregates: implications and per-group replay") {
+    val rows = Relational.aggBool(spark, sf).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val sizes = Tables.lineitem(spark, sf).groupBy($"l_returnflag").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    for ((flag, allPos, someDisc, taxCap, nTaxFree, nHeavy) <- rows) {
+      // counters are bounded by the group size; count_if(pred) > 0 and
+      // bool_or(pred) must agree when the predicates coincide in truth
+      assert(nTaxFree >= 0 && nTaxFree <= sizes(flag))
+      assert(nHeavy >= 0 && nHeavy <= sizes(flag))
+      assert(allPos, s"fixture quantities are positive; group $flag")
+      // replay one group driver-side
+      val g = Tables.lineitem(spark, sf).where($"l_returnflag" === flag)
+        .select($"l_quantity", $"l_discount", $"l_tax").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      assert(someDisc == g.exists(_._2 > 0.05))
+      assert(taxCap == g.forall(_._3 <= 0.08))
+      assert(nTaxFree == g.count(_._3 == 0.0))
+      assert(nHeavy == g.count(_._1 >= 25.0))
+    }
+  }
+
   test("deletion-neighborhood blocking: recall 1.0 for ANY single edit (property)") {
     // the kernel's claim is ed(a,b) ≤ 1 ⟹ D(a) ∩ D(b) ≠ ∅ for every
     // edit kind, not just the fixture's drop-2nd-char model — checked
