@@ -33,10 +33,24 @@ import org.apache.spark.sql.SparkSession
   *  - each query runs SPARK_GRAFT_REPS times (default 3) and reports the
   *    MEDIAN — robust to one GC/compilation hiccup without hiding a real
   *    slowdown;
+  *  - round-7 hardening: the MIN rep is reported alongside, and EVERY rep
+  *    time lands in bench_out.json. Machine contention only ever inflates
+  *    a rep, so min-rep is the contention-robust signal
+  *    (`tools/BenchDelta` gates on it); three rounds of driver-side bench
+  *    runs were contention-poisoned and each false-flagged 4–30 queries
+  *    by median while their fastest reps were at baseline;
   *  - a query that throws on ANY rep is recorded as "err" in an `errors`
   *    map, reported as -1 (never a partial median), excluded from the
   *    total, AND makes the process exit nonzero — a broken or flaky query
   *    can never masquerade as a fast one.
+  *
+  * Artifact shape (round-7 hardening): bench_out.json is MULTI-LINE —
+  * one `"query":{...}` line per query, sorted, with per-rep times — so a
+  * tail-truncated capture still yields complete, independently-parseable
+  * per-query lines (round 6's driver capture kept only the tail of the
+  * one giant line and lost every median). The stdout contract line stays
+  * ONE JSON line, ordered so the small fixed fields and the `min` map
+  * (the gating signal) come before the larger maps.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -67,8 +81,9 @@ object Bench {
     catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // (name, median, max-min spread) — spread lands in the JSON so recorded
-    // baselines carry run-to-run variance, not just a point estimate
+    // (name, all rep times sorted asc) — median/min/spread derive from it,
+    // and the full vector lands in bench_out.json so a contended run is
+    // diagnosable from the artifact alone (per-rep spread vs median)
     val results = selected.map { case (name, fn) =>
       // per-query untimed warmup rep: absorbs one-time setup (table/index
       // writes, cache population, codegen) so the median is steady-state
@@ -85,30 +100,52 @@ object Bench {
       }
       // any errored rep disqualifies the query from the aggregate: a query
       // both timed and errored would silently inflate-or-deflate the total
-      if (times.isEmpty || errors.contains(name)) (name, -1.0, 0.0)
-      else (name, times.sorted.apply(times.size / 2), times.max - times.min)
+      if (times.isEmpty || errors.contains(name)) (name, Seq.empty[Double])
+      else (name, times.sorted)
     }
     // escape backslash/quote and blank ALL control chars (<0x20) — an
     // exception message embedding raw bytes must not break the one JSON
     // line the driver parses
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .map(c => if (c < ' ') ' ' else c) + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val sp = results.map { case (k, _, r) => jstr(k) + ":" + f"$r%.3f" }
+    def med(ts: Seq[Double]) = if (ts.isEmpty) -1.0 else ts(ts.size / 2)
+    def mn(ts: Seq[Double]) = if (ts.isEmpty) -1.0 else ts.head
+    def sp(ts: Seq[Double]) = if (ts.isEmpty) 0.0 else ts.last - ts.head
+    def jmap(f: Seq[Double] => Double) = results
+      .map { case (k, ts) => jstr(k) + ":" + f"${f(ts)}%.3f" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$sp,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
+    val total = results.collect { case (_, ts) if ts.nonEmpty => med(ts) }.sum
+    val totalMin = results.collect { case (_, ts) if ts.nonEmpty => mn(ts) }.sum
+    // stdout contract: ONE JSON line. Round 6's driver capture kept only
+    // the TAIL of this line (the front half, with every median, was lost),
+    // so the maps are ordered queries → spread → min → totals: whatever
+    // suffix survives carries the min map (the contention-robust gating
+    // signal) and the totals.
+    val line = f"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","errors":$errJson,"queries":${jmap(med)},"spread":${jmap(sp)},"min":${jmap(mn)},"value_min":$totalMin%.3f,"value":$total%.3f}"""
     println(line)
-    // untruncated record (the driver's tail capture clips long stdout lines).
-    // Subset runs (SPARK_GRAFT_ONLY) land in a separate file so an
-    // iterate-on-two-queries run can never clobber the committed full-table
-    // artifact with a partial one.
+    // untruncated record (the driver's tail capture clips long stdout
+    // lines): MULTI-LINE JSON, one self-contained line per query carrying
+    // median/min/spread AND every rep — a truncated tail of this file still
+    // parses line-by-line. Subset runs (SPARK_GRAFT_ONLY) land in a
+    // separate file so an iterate-on-two-queries run can never clobber the
+    // committed full-table artifact with a partial one.
+    val perQuery = results.map { case (k, ts) =>
+      val repsArr = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      f"""${jstr(k)}:{"median":${med(ts)}%.3f,"min":${mn(ts)}%.3f,"spread":${sp(ts)}%.3f,"reps":$repsArr}"""
+    }.mkString(",\n")
+    val fileJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"reps":$reps,"sf":"$sfDir","errors":$errJson,
+"per_query":{
+$perQuery
+},
+"min":${jmap(mn)},
+"queries":${jmap(med)},
+"spread":${jmap(sp)}}"""
     val outFile = if (only.isDefined) "bench_out_partial.json" else "bench_out.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes("UTF-8"))
+      (fileJson + "\n").getBytes("UTF-8"))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

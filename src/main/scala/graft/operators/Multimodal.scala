@@ -271,6 +271,17 @@ object Multimodal {
       .select($"doc_id", $"frame_no".cast("bigint").as("frame_no"), $"lead_byte")
   }
 
+  /** Oracle fixture invariants (documents.parquet, driver-generated):
+    * the payload replays below assume (a) ASCII text — byte == char code,
+    * so DuckDB's `ascii(substr(...))` equals the engine's byte read — and
+    * (b) `1 <= length(text) <= 8192`, matching the `generate_series(1,
+    * 8192)` bound (and its inner join, which drops zero-length docs the
+    * engine also filters). A regenerated fixture with longer / empty /
+    * non-ASCII docs would flag the ENGINE as wrong when it's the oracle's
+    * replay bound that broke — if that happens, re-derive the series
+    * bound from max(length(text)) and revisit the byte==char assumption,
+    * not the codec kernels. Both invariants hold for all shipped SFs
+    * (verified sf0.001/0.01/0.1, round 6). */
   val oracle: Map[String, String] = Map(
     // lossless PCM-in-WAV ⇒ decoded samples equal payload bytes; the
     // engine's sample_rate comes from the parsed header, the oracle's

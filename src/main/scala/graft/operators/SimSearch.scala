@@ -276,9 +276,13 @@ object SimSearch {
     * is why the multiprobe fan-out is on by default).
     *
     * The approximate edge set is [[knnGraphLshEdges]] (exposed for the
-    * RecallProbe measurement and the SimSearchSpec floor law). */
-  private[graft] def knnGraphLshEdges(s: SparkSession, d: String,
-      k: Int = KnnGraphK): DataFrame = {
+    * RecallProbe measurement and the SimSearchSpec floor law). The
+    * persisted bucket index is returned alongside so callers that
+    * materialize the edges can unpersist it — without that, every direct
+    * call (probes, plan specs) would pin another cached copy for the
+    * session's lifetime. */
+  private[graft] def knnGraphLshEdgesWithIndex(s: SparkSession, d: String,
+      k: Int = KnnGraphK): (DataFrame, DataFrame) = {
     import s.implicits._
     VectorFunctions.register(s)
     // materialize the bucket index once before the self-join (the
@@ -300,21 +304,28 @@ object SimSearch {
     val scored = cands.select($"q_id", $"n_id",
       VectorFunctions.cosine($"q_emb", $"n_emb").as("cos"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
-    scored.withColumn("rk", row_number().over(w))
+    val edges = scored.withColumn("rk", row_number().over(w))
       .where($"rk" <= k)
       .select($"q_id", $"n_id")
+    (edges, b)
   }
+
+  private[graft] def knnGraphLshEdges(s: SparkSession, d: String,
+      k: Int = KnnGraphK): DataFrame = knnGraphLshEdgesWithIndex(s, d, k)._1
 
   /** Session-materialized LSH edge set (the ngram-candidates precedent:
     * a similarity index over an immutable corpus is a maintained
     * artifact, not per-query work — built once per (session, dir, k),
-    * re-read by every later call). */
+    * re-read by every later call). The bucket index is unpersisted once
+    * the edges are on disk — the artifact supersedes the cache. */
   private def knnGraphLshEdgesShared(s: SparkSession, d: String, k: Int): DataFrame = {
     val srcKey = "spark.graft.knnlsh.src"
     val dirKey = "spark.graft.knnlsh.dir"
     if (!s.conf.getOption(srcKey).contains(s"$d#$k")) {
       val dir = java.nio.file.Files.createTempDirectory("graft_knn_lsh").toString
-      knnGraphLshEdges(s, d, k).write.mode("overwrite").parquet(dir)
+      val (edges, bucketIndex) = knnGraphLshEdgesWithIndex(s, d, k)
+      try edges.write.mode("overwrite").parquet(dir)
+      finally bucketIndex.unpersist()
       graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
       s.conf.set(srcKey, s"$d#$k")
     }
@@ -326,7 +337,10 @@ object SimSearch {
     import s.implicits._
     val approx = knnGraphLshEdgesShared(s, d, k)
     val exact = knnGraphShared(s, d, k)
-    exact.agg(count_distinct($"q_id").as("n_vectors"))
+    // n_vectors counts the CORPUS (matching the oracle's count over
+    // embeddings), not distinct q_id in the exact graph — the two diverge
+    // on a degenerate <2-vector corpus where no vector has any neighbor
+    Tables.embeddings(s, d).agg(count(lit(1)).as("n_vectors"))
       .crossJoin(Dedup.recallCounts(exact.select($"q_id", $"n_id"), approx,
         Seq("q_id", "n_id")))
       .select($"n_vectors",

@@ -40,8 +40,10 @@ object RecallProbe {
       // kNN graph: LSH-bucketed edges vs the exact graph
       val exactG = SimSearch.knnGraphShared(spark, d).select($"q_id", $"n_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val lshG = SimSearch.knnGraphLshEdges(spark, d).collect()
+      val (lshEdges, lshIdx) = SimSearch.knnGraphLshEdgesWithIndex(spark, d)
+      val lshG = try lshEdges.collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally lshIdx.unpersist()
       println(f"simsearch_knn_graph_lsh: ${(exactG & lshG).size}/${exactG.size} = ${(exactG & lshG).size.toDouble / exactG.size}%.3f")
       // dedup simhash vs minhash exact pairs
       val sim = Dedup.recallCounts(

@@ -271,8 +271,8 @@ class PlanShapeSpec extends SparkSpec {
     // the artifact-backed declared query would hide the build plan; pin
     // the builder itself: multiprobe pairs must ride the bucket
     // equi-join, never a nested-loop pairing of the corpus with itself
-    val c = SimSearch.knnGraphLshEdges(spark, sf)
-    c.collect()
+    val (c, bucketIdx) = SimSearch.knnGraphLshEdgesWithIndex(spark, sf)
+    try c.collect() finally bucketIdx.unpersist()
     val p = c.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

@@ -28,6 +28,12 @@ class RocksDbSpec extends SparkSpec with BeforeAndAfterAll {
     * Tables.events (ts-format drift across fixture regenerations) and
     * sliced on epoch-micros BIGINT — approxQuantile rejects timestamp
     * columns. Staged once for both tests. */
+  // @volatile not needed: ScalaTest runs tests and afterAll on one thread.
+  // Tracked separately from the lazy val so afterAll only deletes a
+  // directory that was actually staged — dereferencing the lazy val there
+  // would BUILD the whole 2-slice fixture just to delete it when every
+  // test was skipped/aborted before staging.
+  private var stagedDirOpt: Option[java.nio.file.Path] = None
   private lazy val stagedDir: java.nio.file.Path = {
     val dir = java.nio.file.Files.createTempDirectory("graft_rocks_spec")
     val raw = graft.core.Tables.events(spark, sf)
@@ -35,6 +41,7 @@ class RocksDbSpec extends SparkSpec with BeforeAndAfterAll {
     val mid = raw.stat.approxQuantile("ts", Array(0.5), 0.001)(0).toLong
     raw.where(col("ts") < mid).coalesce(1).write.parquet(s"$dir/a")
     raw.where(col("ts") >= mid).coalesce(1).write.parquet(s"$dir/b")
+    stagedDirOpt = Some(dir)
     dir
   }
 
@@ -129,8 +136,10 @@ class RocksDbSpec extends SparkSpec with BeforeAndAfterAll {
   }
 
   override def afterAll(): Unit = {
-    java.nio.file.Files.walk(stagedDir).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    stagedDirOpt.foreach { dir =>
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     super.afterAll()
   }
 }
