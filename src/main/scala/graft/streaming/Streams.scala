@@ -45,7 +45,7 @@ object Streams {
     * event-time watermark (computed from batch N's max) can never drop
     * batch N+1 rows — batch results stay equal to the batch oracle while
     * state is built, queried, and evicted incrementally for real. */
-  private def stagedEventsDir(s: SparkSession, d: String): String = {
+  private[graft] def stagedEventsDir(s: SparkSession, d: String): String = {
     val key = s"spark.graft.stream.staged.${d.hashCode}"
     s.conf.getOption(key).getOrElse {
       val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
@@ -345,28 +345,12 @@ object Streams {
     * [[statefulCount]] update-mode contract, collapsed by max_by below.
     * The OSS implementation is provider-gated to RocksDB, so the
     * provider is forced for this query and restored after — the
-    * production state backend, CI-proven by RocksDbSpec. */
+    * production state backend, CI-proven by RocksDbSpec. The processor
+    * itself is [[TypeTotals]], object-level so StreamChaosSpec can run
+    * the EXACT production processor through a kill-and-restart. */
   def transformState(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.Encoders
-    import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
-    class TypeTotals extends StatefulProcessor[Long, (Long, String, Long), (Long, String, Long, Long)] {
-      @transient private var totals: MapState[String, (Long, Long)] = _
-      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-        totals = getHandle.getMapState("typeTotals", Encoders.STRING,
-          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
-      override def handleInputRows(user: Long, rows: Iterator[(Long, String, Long)],
-          tv: TimerValues): Iterator[(Long, String, Long, Long)] = {
-        val touched = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
-        rows.foreach { case (_, et, cents) =>
-          val (n0, c0) = touched.getOrElse(et,
-            if (totals.containsKey(et)) totals.getValue(et) else (0L, 0L))
-          touched(et) = (n0 + 1, c0 + cents)
-        }
-        touched.foreach { case (et, v) => totals.updateValue(et, v) }
-        touched.iterator.map { case (et, (n, c)) => (user, et, n, c) }
-      }
-    }
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -383,6 +367,31 @@ object Streams {
     } finally prev match {
       case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  /** The transformWithState processor behind [[transformState]]: per-user
+    * MapState keyed by event type holding (n, Σcents). Object-level (no
+    * outer capture → serializable standalone) so StreamChaosSpec restarts
+    * the exact production processor from a checkpoint. */
+  private[graft] class TypeTotals
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, String, Long), (Long, String, Long, Long)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TTLConfig, TimeMode, TimerValues}
+    @transient private var totals: MapState[String, (Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getMapState("typeTotals", Encoders.STRING,
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String, Long)],
+        tv: TimerValues): Iterator[(Long, String, Long, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+      rows.foreach { case (_, et, cents) =>
+        val (n0, c0) = touched.getOrElse(et,
+          if (totals.containsKey(et)) totals.getValue(et) else (0L, 0L))
+        touched(et) = (n0 + 1, c0 + cents)
+      }
+      touched.foreach { case (et, v) => totals.updateValue(et, v) }
+      touched.iterator.map { case (et, (n, c)) => (user, et, n, c) }
     }
   }
 
@@ -513,9 +522,45 @@ object Streams {
     * independent of batch boundaries AND batch order. At scale: one
     * user_id shuffle per batch (batch ≪ snapshot); bucket both sides on
     * user_id (src_bucketed_join) to make the merge zero-exchange. */
+  /** Complete (= _SUCCESS-marked) snapshot versions under an upsert chain
+    * root. Object-level so StreamChaosSpec inspects the same chain the
+    * production merge maintains. */
+  private[graft] def upsertCompleteVersions(rootPath: java.nio.file.Path): Seq[Long] = {
+    val listing = java.nio.file.Files.list(rootPath)
+    try listing.toArray.map(_.toString).toSeq
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")))
+      .flatMap(p => p.split('/').last.stripPrefix("v").toLongOption)
+    finally listing.close()
+  }
+
+  /** One CDC merge step of [[upsertSink]] — the foreachBatch body,
+    * object-level so StreamChaosSpec can kill-and-restart the EXACT
+    * production merge (not a copy) around a checkpoint. Idempotent per
+    * batchId: a re-delivered batch whose version already completed is
+    * skipped; a crashed half-write (no _SUCCESS) is redone. */
+  private[graft] def upsertMerge(s: SparkSession, rootPath: java.nio.file.Path)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val root = rootPath.toString
+    def latestPerUser(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("last_ts").desc, col("last_event_id").desc)
+      df.withColumn("rk", row_number().over(w)).where(col("rk") === 1).drop("rk")
+    }
+    val versions = upsertCompleteVersions(rootPath)
+    if (!versions.contains(batchId)) { // replayed-and-committed: skip
+      val delta = latestPerUser(batch)
+      val merged = versions.filter(_ < batchId).maxOption match {
+        case None       => delta
+        case Some(prev) => latestPerUser(delta.unionByName(s.read.parquet(s"$root/v$prev")))
+      }
+      merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/v$batchId")
+    }
+  }
+
   def upsertSink(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val rootPath = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
     val root = rootPath.toString
     // Register the chain root so (a) the previous invocation's snapshot
@@ -525,19 +570,6 @@ object Streams {
     // consumer is the DataFrame the prior invocation returned, which the
     // caller has already acted on by the time it re-invokes the query.
     graft.core.SessionArtifacts.resetDir(s, "spark.graft.upsert.dir", root)
-    def latestPerUser(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("last_ts").desc, col("last_event_id").desc)
-      df.withColumn("rk", row_number().over(w)).where(col("rk") === 1).drop("rk")
-    }
-    // complete (= _SUCCESS-marked) snapshot versions currently on disk
-    def completeVersions(): Seq[Long] = {
-      val listing = java.nio.file.Files.list(rootPath)
-      try listing.toArray.map(_.toString).toSeq
-        .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")))
-        .flatMap(p => p.split('/').last.stripPrefix("v").toLongOption)
-      finally listing.close()
-    }
     val stream = eventsStream(s, d).select($"user_id", $"ts".as("last_ts"),
       $"event_id".as("last_event_id"), $"event_type".as("last_type"),
       $"value".as("last_value"))
@@ -545,16 +577,7 @@ object Streams {
       useRocksDb(s)
       val q = stream.writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          val versions = completeVersions()
-          if (!versions.contains(batchId)) { // replayed-and-committed: skip
-            val delta = latestPerUser(batch.toDF())
-            val merged = versions.filter(_ < batchId).maxOption match {
-              case None       => delta
-              case Some(prev) => latestPerUser(delta.unionByName(s.read.parquet(s"$root/v$prev")))
-            }
-            merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-              .parquet(s"$root/v$batchId")
-          }
+          upsertMerge(s, rootPath)(batch.toDF(), batchId)
         }
         .start()
       try {
@@ -563,7 +586,7 @@ object Streams {
           s"stream_upsert_sink ran too few batches")
       } finally q.stop()
     }
-    s.read.parquet(s"$root/v${completeVersions().max}").drop("last_event_id")
+    s.read.parquet(s"$root/v${upsertCompleteVersions(rootPath).max}").drop("last_event_id")
   }
 
   /** Windowed approximate distinct users per day — the streaming
