@@ -119,6 +119,8 @@ object SparkEntry {
     "agg_weighted_median" -> (Relational.aggWeightedMedian _),
     // SQL entry path
     "sql_q3_shipping"  -> (Sql.q3Shipping _),
+    "sql_q5_local"     -> (Sql.q5Local _),
+    "sql_q9_profit"    -> (Sql.q9Profit _),
     "sql_ext_winnow"   -> (Sql.extWinnow _),
     "sql_recursive"    -> (Sql.sqlRecursive _),
     // B. sources / sinks

@@ -52,6 +52,62 @@ object Sql {
     """)
   }
 
+  /** TPC-H Q5 shape (local-supplier volume): the 6-table join a real
+    * analytics user runs on day one — region → nation → supplier pruned
+    * down one branch, customer → orders → lineitem up the other, with the
+    * non-tree c_nationkey = s_nationkey condition that forces the
+    * customer and supplier branches to meet on nation. Catalyst handles
+    * what a hand-planner would: the three dimension tables broadcast
+    * (region 5 / nation 25 / supplier rows ≪ the fact side), the
+    * orderdate range pushes into the orders scan, and the lineitem ⋈
+    * orders equi-join stays eligible for an injected bloom runtime
+    * filter — all pinned in PlanShapeSpec. At 100 TB the only shuffle
+    * this plan needs is the single fact-fact orderkey exchange. */
+  def q5Local(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT n.n_name AS nation,
+             sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS revenue
+      FROM graft_customer c
+      JOIN graft_orders o   ON c.c_custkey = o.o_custkey
+      JOIN graft_lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN graft_supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+      JOIN graft_nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN graft_region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY n.n_name
+    """)
+  }
+
+  /** TPC-H Q9 shape (product-type profit): like-filter on part (no
+    * sargable prefix — a genuine mid-string LIKE the optimizer cannot
+    * push as a range), then the 5-way star part → lineitem ← supplier →
+    * nation, lineitem → orders, aggregated per (nation, order year).
+    * The fixture has no partsupp table, so profit is the discounted
+    * revenue (the join/agg SHAPE is what Q9 exercises; supplycost would
+    * be one more broadcast dim). part after the LIKE filter and the two
+    * dims broadcast; lineitem shuffles once on orderkey against orders. */
+  def q9Profit(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS profit
+      FROM graft_part p
+      JOIN graft_lineitem l ON p.p_partkey = l.l_partkey
+      JOIN graft_supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN graft_nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN graft_orders o   ON l.l_orderkey = o.o_orderkey
+      WHERE p.p_name LIKE '%red%'
+      GROUP BY n.n_name, year(o.o_orderdate)
+    """)
+  }
+
   /** One extensions-configured session per SparkContext (the memo twin of
     * a cluster's spark.sql.extensions static conf, which is read once at
     * first-session creation): reuses the JVM's context, restores the
@@ -156,6 +212,35 @@ object Sql {
     "sql_ext_winnow" -> s"""
       SELECT doc_id, fp, CAST(1 AS BIGINT) AS simhash_sql_eq
       FROM (${TextAnalysis.oracle("text_winnow")}) t""",
+
+    "sql_q5_local" -> """
+      SELECT n.n_name AS nation,
+             sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+               / 100.0 AS revenue
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                    AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY n.n_name""",
+
+    "sql_q9_profit" -> """
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+               / 100.0 AS profit
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      WHERE p.p_name LIKE '%red%'
+      GROUP BY n.n_name, year(o.o_orderdate)""",
 
     "sql_q3_shipping" -> """
       SELECT l.l_orderkey AS orderkey,

@@ -155,6 +155,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected one gram exchange, got $exchanges\n$p")
   }
 
+  test("sql_q5_local broadcasts the dims and pushes the orderdate range to the scan") {
+    val p = plan("sql_q5_local")
+    // region/nation/supplier (and at test SF customer) ride broadcast
+    // hash joins; the only shuffle a 100 TB run needs is the fact-fact
+    // orderkey exchange
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "dimension chain must broadcast\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "orderdate range must reach the orders scan as a pushed filter\n" + p)
+  }
+
+  test("sql_q9_profit broadcasts the filtered part side and the dims") {
+    val p = plan("sql_q9_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "part (post-LIKE), supplier, nation must broadcast\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Contains(p_name"),
+      "the mid-string LIKE must evaluate as a Contains filter above the part scan\n" + p)
+  }
+
+  test("sql_q5_local's join shapes stay eligible for injected runtime bloom filters") {
+    // at 100 TB the dims stop broadcasting; the plan must then remain
+    // ELIGIBLE for InjectRuntimeFilter so the selective region/orderdate
+    // predicates still prune the fact scans before the shuffle. Disable
+    // broadcast to surface that regime (thresholds lowered as in the
+    // dim-filter pin above).
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = Sql.q5Local(spark, "/root/testdata/sf0.01")
+      df.collect()
+      val lp = df.queryExecution.optimizedPlan.toString
+      assert(lp.contains("might_contain") && lp.contains("bloom_filter_agg"),
+        "no runtime bloom filter injected into the 6-table join\n" + lp)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("Catalyst injects a runtime bloom filter from a selective dim filter") {
     // the 100 TB scan-pruning path: a selective predicate on the orders
     // side should inject bloom_filter_might_contain onto the lineitem
