@@ -181,6 +181,7 @@ object SparkEntry {
     "text_logprob"       -> (TextAnalysis.logprob _),
     "text_collocations"  -> (TextAnalysis.collocations _),
     "text_dup_passages"  -> (TextAnalysis.dupPassages _),
+    "text_dedup_spans"   -> ((s: SparkSession, d: String) => TextAnalysis.dedupSpans(s, d)),
     "text_bigram_lm"     -> (TextAnalysis.bigramLm _),
     "text_entropy"       -> (TextAnalysis.entropy _),
     "text_bm25"          -> (TextAnalysis.bm25 _),

@@ -137,6 +137,69 @@ object TextAnalysis {
         expr("n_dup * 1000000 div n_shingles").as("dup_ppm"))
   }
 
+  /** Span-level dedup DELIVERABLE (the cleaned-corpus producer
+    * [[dupPassages]] only profiles): overlapping duplicated word-8-gram
+    * runs are merged into token spans and excised, keeping the first
+    * occurrence corpus-wide. Semantics: a gram is duplicated if it
+    * occurs in ≥2 distinct documents (cross-doc boilerplate — the same
+    * df ≥ 2 discipline as dupPassages; within-doc repetition is the
+    * repetition filter's job); its OWNER is the minimum doc_id containing
+    * it, which keeps every occurrence; every occurrence in a later doc is
+    * removed material. Per doc the removed positions' [i, i+8) windows
+    * union into character-contiguous token spans (overlapping grams of
+    * one duplicated passage collapse to one span), and the cleaned text
+    * is the uncovered tokens rejoined.
+    *
+    * Shape (the dupPassages gram-shuffle discipline): positional gram
+    * occurrences shuffle ONCE by gram (df + owner as window functions
+    * over that exchange — no second corpus scan for the profile), then
+    * removed positions aggregate per doc_id, and all span merging is
+    * doc-bounded array arithmetic (sort + one indexed filter) — no
+    * per-span rows ever shuffle. At 100 TB, hash the gram strings first
+    * (ShingleHashes) so the exchange carries 8-byte keys. */
+  def dedupSpans(s: SparkSession, d: String): DataFrame =
+    dedupSpansOf(s, Tables.documents(s, d))
+
+  /** Corpus-shaped core of [[dedupSpans]] (spec hook: planted-duplication
+    * law runs it on a constructed corpus). Input: (doc_id, text). */
+  private[graft] def dedupSpansOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val N = 8
+    val toksDf = docs.select($"doc_id", toks($"text").as("tk"))
+    val occ = toksDf.select($"doc_id",
+      posexplode(when(size($"tk") >= N,
+          transform(sequence(lit(0), size($"tk") - N),
+            i => array_join(slice($"tk", i + 1, lit(N)), " ")))
+        .otherwise(array().cast("array<string>"))).as(Seq("pos", "g")))
+    val wg = Window.partitionBy($"g")
+    val removed = occ
+      .withColumn("df", size(collect_set($"doc_id").over(wg)))
+      .withColumn("owner", min($"doc_id").over(wg))
+      .where($"df" >= 2 && $"doc_id" =!= $"owner")
+      .select($"doc_id", $"pos")
+    // per-doc span algebra: covered = sorted distinct union of the removed
+    // grams' token windows; a span starts wherever the previous covered
+    // index is not adjacent (element_at is 1-based, so at 0-based index i
+    // it reads the PREVIOUS element)
+    val perDoc = removed.groupBy($"doc_id").agg(collect_set($"pos").as("ps"))
+      .select($"doc_id",
+        array_sort(array_distinct(flatten(transform($"ps",
+          p => sequence(p, p + N - 1))))).as("cov"))
+    val emptyCov = array().cast("array<int>")
+    toksDf.join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        size($"tk").cast("bigint").as("n_tokens"),
+        // greatest(i, 1): ANSI element_at rejects index 0; at i = 0 the
+        // left disjunct already decides, the probe just must not throw
+        size(filter(coalesce($"cov", emptyCov),
+          (x, i) => (i === 0) || (x =!= element_at($"cov", greatest(i, lit(1))) + 1)))
+          .cast("bigint").as("n_spans"),
+        coalesce(size($"cov"), lit(0)).cast("bigint").as("removed_tokens"),
+        array_join(filter($"tk",
+          (_, i) => !array_contains(coalesce($"cov", emptyCov), i)), " ")
+          .as("cleaned"))
+  }
+
   /** Collocation mining: directional bigram "lift" — how much more often
     * word w2 follows w1 than independence predicts — in exact integer
     * parts-per-million: lift = (c₁₂·N·10⁶) div (c₁·c₂), with c₁ = w1's
@@ -856,6 +919,43 @@ object TextAnalysis {
                                 * 1000000) AS BIGINT) AS li
               FROM tfb JOIN lft USING (bg) CROSS JOIN voc)
         GROUP BY doc_id""",
+
+      "text_dedup_spans" -> """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        occ AS (
+          SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                 array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS g
+          FROM toks JOIN generate_series(1, 8192) s(i) ON i <= len(tk) - 7),
+        prof AS (
+          SELECT g, min(doc_id) AS owner FROM occ
+          GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        removed AS (
+          SELECT o.doc_id, o.pos FROM occ o JOIN prof p USING (g)
+          WHERE o.doc_id <> p.owner),
+        cov AS (
+          SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS idx
+          FROM removed, generate_series(0, 7) r(j)),
+        spans AS (
+          SELECT doc_id, count(*) AS removed_tokens,
+                 CAST(sum(new_span) AS BIGINT) AS n_spans
+          FROM (SELECT doc_id, idx,
+                  CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) = idx - 1
+                       THEN 0 ELSE 1 END AS new_span FROM cov) x
+          GROUP BY doc_id),
+        cleaned AS (
+          SELECT t.doc_id, string_agg(t.tk[CAST(i AS INT)], ' ' ORDER BY i) AS cleaned
+          FROM toks t JOIN generate_series(1, 8192) s(i) ON i <= len(t.tk)
+          LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = i - 1
+          WHERE c.idx IS NULL
+          GROUP BY t.doc_id)
+        SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+               coalesce(sp.n_spans, 0) AS n_spans,
+               CAST(coalesce(sp.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+               coalesce(cl.cleaned, '') AS cleaned
+        FROM toks t
+        LEFT JOIN spans sp USING (doc_id)
+        LEFT JOIN cleaned cl USING (doc_id)""",
 
       "text_dup_passages" -> """
         WITH toks AS (

@@ -11,6 +11,39 @@ import org.apache.spark.sql.functions._
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dedup_spans: planted duplication is excised from later docs only, overlaps merge, disjoint passages stay separate spans") {
+    // P1 (8 tokens) planted in docs 1, 2, 6; P2 (10 tokens — three
+    // overlapping dup grams that must merge to ONE span) in docs 4, 5, 6.
+    val p1 = "c d e f g h i j"
+    val p2 = "m n o p q r s t u v"
+    val docs = Seq(
+      (1L, s"a b $p1 k l"),           // owner of P1: untouched
+      (2L, s"x y $p1 z w"),           // one P1 span excised
+      (3L, "p q r s t u v w"),        // no duplication
+      (4L, s"aa bb $p2 cc"),          // owner of P2: untouched
+      (5L, s"dd $p2 ee ff"),          // one merged 10-token span
+      (6L, s"q1 $p1 q2 $p2 q3")       // BOTH passages, separated: 2 spans
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSpansOf(spark, docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // owners and the clean doc are byte-identical to their (lowercased) text
+    assert(out(1L) === ((12L, 0L, 0L, s"a b $p1 k l")))
+    assert(out(3L) === ((8L, 0L, 0L, "p q r s t u v w")))
+    assert(out(4L) === ((13L, 0L, 0L, s"aa bb $p2 cc")))
+    // single planted passage → one span of exactly the passage's tokens
+    assert(out(2L) === ((12L, 1L, 8L, "x y z w")))
+    // 10-token passage = 3 overlapping dup grams → merged into ONE span
+    assert(out(5L) === ((13L, 1L, 10L, "dd ee ff")))
+    // two disjoint passages → two spans, both excised
+    assert(out(6L) === ((21L, 2L, 18L, "q1 q2 q3")))
+    // conservation on every doc: kept + removed = total
+    out.values.foreach { case (n, _, removed, cleaned) =>
+      val kept = if (cleaned.isEmpty) 0 else cleaned.split(" ").length
+      assert(kept + removed === n)
+    }
+  }
+
   test("retention: the offset-0 cell is exactly the cohort size, and caps every later cell") {
     val ret = Relational.eventsRetention(spark, sf)
       .collect().map(r => ((r.getTimestamp(0), r.getLong(1)), r.getLong(2))).toMap
