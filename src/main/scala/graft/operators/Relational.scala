@@ -204,7 +204,10 @@ object Relational {
     * skew-join split can't apply (e.g. the join feeds a stateful op that
     * pins partitioning). Join output is salt-invariant, so the oracle is
     * the plain join — correctness of the technique, not just the plumbing,
-    * is what's hash-checked. */
+    * is what's hash-checked. The complementary automatic path — AQE's
+    * OptimizeSkewedJoin splitting an EMERGENT fat partition — is pinned
+    * in PlanShapeSpec on a planted-skew fixture (skew=true join + >1
+    * PartialReducerPartitionSpec reads in the adaptive final plan). */
   def joinSkewSalted(s: SparkSession, d: String, salts: Int = 8): DataFrame = {
     import s.implicits._
     val fact = Tables.lineitem(s, d)

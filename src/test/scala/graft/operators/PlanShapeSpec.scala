@@ -155,6 +155,70 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected one gram exchange, got $exchanges\n$p")
   }
 
+  test("AQE OptimizeSkewedJoin engages: a planted skewed partition is split > 1 ways") {
+    // join_skew_salted handles the KNOWN hot key by salting; the docs
+    // defer unknown/emergent skew to AQE. This pins that the engine's
+    // join shapes actually let OptimizeSkewedJoin fire: a shuffle join
+    // whose one partition dwarfs the median must come out of adaptive
+    // replanning as SortMergeJoin(skew=true) with the fat partition
+    // split into >1 PartialReducerPartitionSpec reads. Thresholds are
+    // production-sized (factor 5 / 256 MB); lowered here to surface the
+    // behavior on a test-sized fixture — what's pinned is ELIGIBILITY of
+    // the plan shape, same discipline as the bloom-filter pin.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      // 30k of 40k rows share key 0 with a ~200-byte payload: the key-0
+      // partition is ~6 MB vs a tiny median — unambiguous planted skew
+      val big = spark.range(0, 40000)
+        .select(when($"id" < 30000, 0L).otherwise($"id").as("k"),
+                concat(lit("p"), lpad($"id".cast("string"), 200, "x")).as("payload"))
+      val dim = spark.range(0, 40000).select($"id".as("k"), ($"id" * 2).as("v"))
+      // the payload must survive column pruning into the shuffle (sum of
+      // its length) or the skewed partition shrinks to bare join keys
+      val j = big.join(dim, "k").groupBy(lit(1).as("one"))
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+             sum(length($"payload")).as("sp"))
+      j.collect()
+      val p = j.queryExecution.executedPlan
+      assert(p.toString.contains("skew=true"),
+        "OptimizeSkewedJoin did not mark the join\n" + p)
+      val finalPlan = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      // plain collect stops at QueryStageExec boundaries (stages expose
+      // their subtree as `plan`, not as children) — descend explicitly
+      def reads(n: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec] = {
+        val self = n match {
+          case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => Seq(r)
+          case _ => Seq.empty
+        }
+        val kids = n match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case _ => n.children
+        }
+        self ++ kids.flatMap(reads)
+      }
+      val splits = reads(finalPlan).map(_.partitionSpecs.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.PartialReducerPartitionSpec])).sum
+      assert(splits > 1, s"skewed partition was split $splits ways; expected > 1\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("sql_q5_local broadcasts the dims and pushes the orderdate range to the scan") {
     val p = plan("sql_q5_local")
     // region/nation/supplier (and at test SF customer) ride broadcast
