@@ -554,24 +554,34 @@ object Dedup {
   def containment(s: SparkSession, d: String): DataFrame =
     containmentOf(Tables.documents(s, d))
 
-  /** Core over any (doc_id, text) frame. */
-  def containmentOf(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
+  /** Candidate stage of [[containmentOf]] over an exploded (doc_id, s)
+    * shingle frame: df-capped shared-shingle self-join collapsed to one
+    * (a, b, common-count) row per pair. Exposed (ScaleSpec) so candidate
+    * cardinality — the quantity that must grow sub-quadratically for the
+    * SSJoin to survive 100 TB — is measurable without running the
+    * verification tail. */
+  private[graft] def containmentCommonOf(sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docs
-      .select($"doc_id", explode(wordShingles($"text", 3)).as("s"))
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val shf = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
-      .where($"df" <= ContainDfCap)
-      .select($"doc_id", $"s")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .where(col("df") <= ContainDfCap)
+      .select(col("doc_id"), col("s"))
       .localCheckpoint() // two consumers of the self-join side
-    val common = shf.as("x")
+    shf.as("x")
       .join(shf.as("y"), col("x.s") === col("y.s") &&
                          col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** Core over any (doc_id, text) frame. */
+  def containmentOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sh = docs
+      .select($"doc_id", explode(wordShingles($"text", 3)).as("s"))
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val common = containmentCommonOf(sh)
     common
       .join(sz.select($"doc_id".as("a"), $"n".as("na")), "a")
       .join(sz.select($"doc_id".as("b"), $"n".as("nb")), "b")
@@ -720,13 +730,15 @@ object Dedup {
       .select($"a".as("doc_a"), $"b".as("doc_b"), $"jac")
   }
 
-  /** Prefix index (doc_id, s, n): each doc's first |d| − ⌈τ·|d|⌉ + 1
-    * shingles in global rare-first order, plus its shingle count. ONE
-    * corpus shingling pass: df and per-doc size are window aggregates
-    * over the exploded shingles (shuffle by s, then by doc_id) — the
-    * round-2 groupBy+double-join shape shingled the corpus twice unless a
-    * full corpus-array persist survived, which under memory pressure it
-    * did not. */
+  /** Prefix index (doc_id, s, n, pos): each doc's first
+    * |d| − ⌈τ·|d|⌉ + 1 shingles in global rare-first order, plus its
+    * shingle count and the shingle's canonical position (pos powers the
+    * PPJoin positional filter in [[ngramCandidates]]). ONE corpus
+    * shingling pass: df and per-doc size are window aggregates over the
+    * exploded shingles (shuffle by s, then by doc_id) — the round-2
+    * groupBy+double-join shape shingled the corpus twice unless a full
+    * corpus-array persist survived, which under memory pressure it did
+    * not. */
   def ngramPrefixIndex(docsIn: DataFrame, tau: Double): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
@@ -737,7 +749,7 @@ object Dedup {
       .withColumn("pos", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"df".asc, $"s".asc)))
       .where($"pos" <= $"n" - ceil($"n" * tau) + 1)
-      .select($"doc_id", $"s", $"n")
+      .select($"doc_id", $"s", $"n", $"pos")
   }
 
   /** Candidate generation + exact verification over a prefix index and
@@ -750,11 +762,29 @@ object Dedup {
   /** Candidate pairs from the prefix index self-join (exposed separately
     * so PlanShapeSpec can assert the join shape of THIS frame — the
     * eager checkpoint in [[ngramVerifiedPairs]] would otherwise hide the
-    * candidate join from the verified query's executed plan). */
-  private[operators] def ngramCandidates(prefixIdx: DataFrame, tau: Double): DataFrame =
+    * candidate join from the verified query's executed plan).
+    *
+    * Three lossless filters compose (losslessness property-tested against
+    * the exhaustive join in DedupSpec):
+    *  - length-ratio: J ≤ min(n)/max(n), so J ≥ τ forces n-ratio ≥ τ;
+    *  - PPJoin positional (Xiao et al., WWW'08): if J(x,y) ≥ τ the
+    *    canonical-minimum common shingle m sits in BOTH prefixes, every
+    *    common shingle ranks ≥ m in each doc's canonical order, so
+    *    overlap ≤ 1 + min(nx − pos_x(m), ny − pos_y(m)); J ≥ τ ⟺
+    *    overlap ≥ τ(nx+ny)/(1+τ), so the m-row of a true pair always
+    *    passes and rows violating the bound can be dropped. Round-7
+    *    measurement: this cut sf0.1 candidates 43,543 → a small multiple
+    *    of the 256 true pairs (ScaleSpec's overhead law) — prefix overlap
+    *    alone admits template-sharing docs whose Jaccard is mid-range.
+    *    The 1e-7 slack keeps an exactly-integer bound from rounding UP in
+    *    floating point (which would drop boundary pairs and break
+    *    losslessness). */
+  private[graft] def ngramCandidates(prefixIdx: DataFrame, tau: Double): DataFrame =
     prefixIdx.as("x").join(prefixIdx.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
-        col("x.n") >= col("y.n") * tau && col("y.n") >= col("x.n") * tau)
+        col("x.n") >= col("y.n") * tau && col("y.n") >= col("x.n") * tau &&
+        lit(1) + least(col("x.n") - col("x.pos"), col("y.n") - col("y.pos")) >=
+          ceil((col("x.n") + col("y.n")) * tau / (1 + tau) - 1e-7))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
 
@@ -920,17 +950,26 @@ object Dedup {
   val LshBits = 8
 
   /** (vec_id, embedding, table_id, bucket) — one row per table. */
-  def lshBuckets(e: DataFrame, dim: Int, seed: Long): DataFrame = {
+  def lshBuckets(e: DataFrame, dim: Int, seed: Long): DataFrame =
+    lshBucketsWith(e, dim, seed, LshTables, LshBits)
+
+  /** Parametrized bucket builder: `bits` is THE 100 TB sizing knob —
+    * expected bucket population is n/2^bits per table, so same-bucket
+    * candidate pairs scale as n²/2^bits and growing bits with log₂(n)
+    * keeps per-bucket work flat (ScaleSpec demonstrates the knob:
+    * +2 bits ⇒ ~¼ the candidates on the same corpus). */
+  def lshBucketsWith(e: DataFrame, dim: Int, seed: Long,
+      tables: Int, bits: Int): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     VectorFunctions.register(s)
-    val planes = hyperplanes(LshTables * LshBits, dim, seed)
-    val tableBuckets = (0 until LshTables).map { t =>
-      val bits = (0 until LshBits).map { j =>
-        when(VectorFunctions.vecDot($"embedding", lit(planes(t * LshBits + j))) > 0,
+    val planes = hyperplanes(tables * bits, dim, seed)
+    val tableBuckets = (0 until tables).map { t =>
+      val b = (0 until bits).map { j =>
+        when(VectorFunctions.vecDot($"embedding", lit(planes(t * bits + j))) > 0,
           lit(1L << j)).otherwise(lit(0L))
       }.reduce((a, b) => a.bitwiseOR(b))
-      struct(lit(t).as("table_id"), bits.as("bucket"))
+      struct(lit(t).as("table_id"), b.as("bucket"))
     }
     e.select($"vec_id", $"embedding", explode(array(tableBuckets: _*)).as("tb"))
       .select($"vec_id", $"embedding", $"tb.table_id", $"tb.bucket")

@@ -281,6 +281,27 @@ object SimSearch {
     * materialize the edges can unpersist it — without that, every direct
     * call (probes, plan specs) would pin another cached copy for the
     * session's lifetime. */
+  /** Candidate stage of the LSH kNN graph over a [[Dedup.lshBuckets]]
+    * index: multiprobe on the PROBE side only ([[lshTopK]] discipline —
+    * each vector-as-query probes its own bucket plus the hamming-1
+    * buckets per table; ×(1+bits) fan-out on probe rows, index size
+    * unchanged, candidates still bucket-local), same-bucket equi-join,
+    * deduped across tables. Exposed (ScaleSpec) so candidate cardinality
+    * — the sub-quadratic-growth obligation of the bucket join — is
+    * measurable without the scoring/top-k tail. */
+  private[graft] def knnLshCandidatePairs(b: DataFrame,
+      bits: Int = Dedup.LshBits): DataFrame = {
+    val s = b.sparkSession
+    import s.implicits._
+    val masks = array((0L +: (0 until bits).map(j => 1L << j)).map(lit(_)): _*)
+    val x = b.select($"table_id",
+      explode(transform(masks, m => $"bucket".bitwiseXOR(m))).as("bucket"),
+      $"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val y = b.select($"table_id", $"bucket", $"vec_id".as("n_id"), $"embedding".as("n_emb"))
+    x.join(y, Seq("table_id", "bucket")).where($"q_id" =!= $"n_id")
+      .dropDuplicates("q_id", "n_id")
+  }
+
   private[graft] def knnGraphLshEdgesWithIndex(s: SparkSession, d: String,
       k: Int = KnnGraphK): (DataFrame, DataFrame) = {
     import s.implicits._
@@ -290,18 +311,7 @@ object SimSearch {
     // 64 hyperplane dot products per vector are the expensive part
     val b = Dedup.lshBuckets(Tables.embeddings(s, d), dim = 64, seed = 11L)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // multiprobe on the PROBE side only ([[lshTopK]] discipline): each
-    // vector-as-query probes its own bucket plus the 8 hamming-1 buckets
-    // per table — ×(1+bits) fan-out on probe rows, index size unchanged,
-    // candidates still bucket-local
-    val masks = array((0L +: (0 until Dedup.LshBits).map(j => 1L << j)).map(lit(_)): _*)
-    val x = b.select($"table_id",
-      explode(transform(masks, m => $"bucket".bitwiseXOR(m))).as("bucket"),
-      $"vec_id".as("q_id"), $"embedding".as("q_emb"))
-    val y = b.select($"table_id", $"bucket", $"vec_id".as("n_id"), $"embedding".as("n_emb"))
-    val cands = x.join(y, Seq("table_id", "bucket")).where($"q_id" =!= $"n_id")
-      .dropDuplicates("q_id", "n_id")
-    val scored = cands.select($"q_id", $"n_id",
+    val scored = knnLshCandidatePairs(b).select($"q_id", $"n_id",
       VectorFunctions.cosine($"q_emb", $"n_emb").as("cos"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
     val edges = scored.withColumn("rk", row_number().over(w))
