@@ -253,22 +253,94 @@ object Multimodal {
       .toDF()
   }
 
-  /** Strided "frame sampling": treat the payload as fixed 32-byte frames
-    * and keep every 4th frame's first byte — the strided frame-select
-    * shape of video pipelines (one output row per kept frame: doc_id,
-    * frame_no, lead byte code). Pure per-row explode — shuffle-free; no
-    * codec claim here, the frame layout IS the container. ($"text" in the
-    * lambda is an attribute read, not a recomputed expression — cheap.) */
+  /** Identity 256-gray palette: pixel byte == palette index == gray
+    * value. TYPE_BYTE_INDEXED with this palette keeps the GIF round-trip
+    * byte-exact — TYPE_BYTE_GRAY would route through a linear-gray →
+    * sRGB color conversion (gamma) inside the writer and corrupt the
+    * values. */
+  private lazy val GrayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Frame raster geometry: [[FrameBytes]] = 32 bytes per frame as 8×4. */
+  private val GifFrameW = 8
+  private val GifFrameH = FrameBytes / GifFrameW
+
+  /** Encode payload bytes as a REAL multi-frame (animated) GIF via the
+    * JDK's ImageIO sequence writer — one 8×4 indexed-gray frame per
+    * [[FrameBytes]] chunk, zero-padded tail. The one genuinely
+    * frame-indexed container codec the JDK ships. */
+  def encodeGif(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "JDK GIF writer unavailable")
+    val writer = writers.next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      bytes.grouped(FrameBytes).foreach { chunk =>
+        val img = new java.awt.image.BufferedImage(GifFrameW, GifFrameH,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, GrayPalette)
+        img.getRaster.setDataElements(0, 0, GifFrameW, GifFrameH,
+          java.util.Arrays.copyOf(chunk, FrameBytes))
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Read every `stride`-th frame of a GIF container via the JDK reader
+    * and return (gifFrameIndex, lead pixel byte). The reader is asked for
+    * the FRAME COUNT from the container (getNumImages) and decodes ONLY
+    * the sampled frames — the seek-and-decode-keyframes shape of a video
+    * sampling stage; skipped frames' pixel data is never decoded. */
+  def sampleGif(gif: Array[Byte], stride: Int): Seq[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "JDK GIF reader unavailable")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n by stride).map { i =>
+        val img = reader.read(i)
+        (i, img.getRaster.getSample(0, 0, 0))
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  final case class FrameRow(doc_id: Long, frame_no: Long, lead_byte: Long)
+
+  /** REAL frame sampling over a REAL container (round-7 graduation of
+    * the last synthetic-stride kernel): each payload is encoded as a
+    * multi-frame animated GIF ([[FrameBytes]]-byte frames) and every 4th
+    * frame is decoded back through the JDK GIF reader, emitting the
+    * frame's lead pixel — one encode + ceil(frames/4) frame decodes per
+    * doc, per-asset containers being the natural video shape (one codec
+    * container per media row, unlike the PNG kernels' concatenated
+    * batches). Identity-palette indexed GIF is lossless, so the lead
+    * pixel equals the payload byte at frame_no·128 and the analytic
+    * oracle is unchanged. Shuffle-free; frame decode cost is bounded by
+    * the payload, not the corpus. */
   def sampleFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hop = FrameBytes * 4 // frame size 32 bytes, keep every 4th frame
     Tables.documents(s, d)
       .where(length($"text") >= 1)
-      .select($"doc_id",
-        posexplode(transform(
-          sequence(lit(0), floor((length($"text") - 1) / hop).cast("int")),
-          f => ascii($"text".substr(f * hop + 1, lit(1))).cast("bigint"))).as(Seq("frame_no", "lead_byte")))
-      .select($"doc_id", $"frame_no".cast("bigint").as("frame_no"), $"lead_byte")
+      .select($"doc_id", $"text".cast("binary").as("media"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val gif = encodeGif(r.media)
+          sampleGif(gif, 4).map { case (fi, px) =>
+            FrameRow(r.doc_id, (fi / 4).toLong, px.toLong)
+          }
+        }
+      }
+      .toDF()
   }
 
   /** Oracle fixture invariants (documents.parquet, driver-generated):

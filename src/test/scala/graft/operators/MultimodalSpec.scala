@@ -21,6 +21,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("animated GIF container: frame count, stride sampling, and lead pixels equal a direct byte replay") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 31, 32, 33, 128, 129, 1000)) {
+      // arbitrary BYTES, not just ASCII — the identity-palette round-trip
+      // must be lossless over the full 0..255 range
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      val gif = Multimodal.encodeGif(bytes)
+      // it is a real GIF container (magic) with one frame per 32B chunk
+      assert(gif.take(6).map(_.toChar).mkString.startsWith("GIF8"), s"n=$n not a GIF")
+      val all = Multimodal.sampleGif(gif, 1)
+      val expectFrames = (n + Multimodal.FrameBytes - 1) / Multimodal.FrameBytes
+      assert(all.size == expectFrames, s"n=$n frame count")
+      // every frame's lead pixel is the chunk's first payload byte
+      all.foreach { case (fi, px) =>
+        assert(px == (bytes(fi * Multimodal.FrameBytes) & 0xff), s"n=$n frame $fi lead")
+      }
+      // stride-4 sampling keeps exactly frames 0, 4, 8, ...
+      val sampled = Multimodal.sampleGif(gif, 4)
+      assert(sampled.map(_._1) == (0 until expectFrames by 4), s"n=$n stride")
+    }
+  }
+
   test("IHDR parse returns the encoded container's dimensions") {
     for (n <- Seq(1, 64, 65, 4096)) {
       val png = Multimodal.encodePng(Array.fill(n)(7.toByte))
