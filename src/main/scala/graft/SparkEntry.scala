@@ -230,6 +230,8 @@ object SparkEntry {
     "stream_approx_distinct" -> (graft.streaming.Streams.approxDistinct _),
     "stream_anomaly"         -> (graft.streaming.Streams.anomaly _),
     "stream_quant_pattern"   -> (graft.streaming.Streams.quantPattern _),
+    "stream_heavy_hitters"   -> (graft.streaming.Streams.heavyHitters _),
+    "stream_approx_percentile" -> (graft.streaming.Streams.approxPercentile _),
     "dedup_incremental"      -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
   )
 

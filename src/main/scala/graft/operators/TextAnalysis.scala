@@ -375,8 +375,18 @@ object TextAnalysis {
     * decrement-all step (every counter −1, zeros evicted). Guarantee:
     * any item with true frequency > n/(c+1) in the stream survives.
     * O(c) memory; decrement cost amortizes to O(1) per element. */
-  private[operators] def misraGries(it: Iterator[String], c: Int): Seq[String] = {
-    val m = scala.collection.mutable.HashMap.empty[String, Long]
+  private[operators] def misraGries(it: Iterator[String], c: Int): Seq[String] =
+    misraGriesFrom(it, c, Map.empty).keys.toSeq
+
+  /** The seeded form: resume the summary from a prior state — MG is a
+    * one-pass stream algorithm, so folding batch N+1 into batch N's
+    * summary IS running it over the concatenated stream; this is what
+    * lets [[graft.streaming.Streams.heavyHitters]] keep the summary as
+    * incremental keyed state with the same survival guarantee over the
+    * whole stream. */
+  private[graft] def misraGriesFrom(it: Iterator[String], c: Int,
+      init: Map[String, Long]): Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long] ++= init
     it.foreach { t =>
       m.get(t) match {
         case Some(v) => m(t) = v + 1
@@ -388,7 +398,7 @@ object TextAnalysis {
           }
       }
     }
-    m.keys.toSeq
+    m.toMap
   }
 
   /** Inverted index build (term → posting list) over word bigrams — the

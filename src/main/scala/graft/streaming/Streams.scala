@@ -710,7 +710,114 @@ object Streams {
     runToTable(s, matches, "graft_stream_quant_pattern", "update")
   }
 
+  /** Support threshold for [[heavyHitters]]: items with frequency
+    * > N/HhK are heavy. */
+  val HhK = 500
+  /** State shards for the streaming Misra-Gries summary. */
+  val HhShards = 8
+
+  /** STREAMING heavy hitters — frequent campaign-impression items
+    * (event_type × campaign k) over the event stream with BOUNDED state,
+    * the top-K dashboard staple where exact per-item counting would hold
+    * every key ever seen. The [[graft.operators.TextAnalysis
+    * .heavyHitters]] two-pass discipline, run incrementally:
+    *
+    *  - pass 1 (streaming): items shard by hash (an item's occurrences
+    *    all land in one shard), each shard keeps a Misra-Gries summary of
+    *    capacity 2·HhK/HhShards as flatMapGroupsWithState state — MG is a
+    *    one-pass algorithm, so seeding batch N+1 from batch N's summary
+    *    IS running it over the concatenated stream, and any item with
+    *    global frequency > N/HhK survives in the FINAL state (its shard
+    *    sees frequency > N_shard/(capacity+1) for any shard the hash
+    *    balance plausibly produces). Each batch emits the tracked item
+    *    set, so the sink's union across batches is a SUPERSET of the
+    *    final summary — candidate recall is preserved;
+    *  - pass 2 (batch confirm): exact counts over candidate items only
+    *    (everything else collapses into one Other bucket — the confirm
+    *    aggregation state is O(candidates), not O(domain)), keep
+    *    cnt·HhK > N. Exact counts ⇒ the oracle replays the threshold
+    *    as a plain GROUP BY ... HAVING with no approximation caveat.
+    *
+    * State: HhShards × capacity ≈ 2·HhK counters total, independent of
+    * the item domain; at 100 TB raise HhShards for write parallelism —
+    * the guarantee degrades gracefully as capacity/shard falls. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val cap = 2 * HhK / HhShards
+    val itemCol = concat($"event_type", lit("_"), get_json_object($"props", "$.k"))
+    val tracked = eventsStream(s, d)
+      .select(itemCol.as("item"))
+      .as[String]
+      .groupByKey(it => math.floorMod(it.hashCode, HhShards))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (shard: Int, rows: Iterator[String], state: GroupState[Map[String, Long]]) => {
+          val m = graft.operators.TextAnalysis.misraGriesFrom(
+            rows, cap, state.getOption.getOrElse(Map.empty))
+          state.update(m)
+          m.keysIterator.map(item => (shard, item))
+        })
+      .toDF("shard", "item")
+    val sunk = runToTable(s, tracked, "graft_stream_hh", "update")
+    // bounded collect: ≤ shards × capacity × batches candidate strings
+    val candidates = sunk.select($"item").distinct().as[String].collect().toSeq
+    val Other = " other" // items contain no space: concat of type and digits
+    val counted = Tables.events(s, d)
+      .groupBy(when(itemCol.isInCollection(candidates), itemCol)
+        .otherwise(Other).as("item"))
+      .agg(count(lit(1)).as("cnt"))
+    counted.crossJoin(broadcast(counted.agg(sum($"cnt").as("n_total"))))
+      .where($"item" =!= Other && $"cnt" * HhK > $"n_total")
+      .select($"item", $"cnt")
+  }
+
+  /** STREAMING approximate percentiles — per-event-type p50/p90 of the
+    * value stream via `percentile_approx`, the sketch that makes
+    * percentiles possible on an unbounded stream at all: its state is a
+    * bounded MERGEABLE quantile summary per group (map-side partials +
+    * cross-batch accumulation in the state store), where the exact
+    * interpolated percentile would need every value retained and
+    * re-sorted per trigger. Complete mode over the ≥3 time-ordered
+    * microbatches. The declared output is the [[graft.operators
+    * .Relational.aggApproxPercentile]] accuracy contract: the sketch
+    * values stay OUT of the hash-compared columns; each group emits its
+    * exact batch count plus flags that the streaming sketch landed
+    * inside the exact ±5-percentile-point value band, which the oracle
+    * replays as constant-true. */
+  def approxPercentile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, d)
+      .groupBy($"event_type")
+      .agg(percentile_approx($"value", lit(0.5), lit(10000)).as("ap50"),
+           percentile_approx($"value", lit(0.9), lit(10000)).as("ap90"))
+    val streamed = runToTable(s, agg, "graft_stream_approx_pct", "complete")
+    val exact = Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           percentile($"value", lit(0.45)).as("lo50"),
+           percentile($"value", lit(0.55)).as("hi50"),
+           percentile($"value", lit(0.85)).as("lo90"),
+           percentile($"value", lit(0.95)).as("hi90"))
+    streamed.join(exact, "event_type")
+      .select($"event_type", $"n",
+        ($"ap50" >= $"lo50" && $"ap50" <= $"hi50").cast("long").as("p50_ok"),
+        ($"ap90" >= $"lo90" && $"ap90" <= $"hi90").cast("long").as("p90_ok"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "stream_heavy_hitters" -> """
+      WITH t AS (
+        SELECT event_type || '_' || json_extract_string(props, '$.k') AS item
+        FROM events)
+      SELECT item, count(*) AS cnt FROM t
+      GROUP BY item
+      HAVING count(*) * 500 > (SELECT count(*) FROM t)""",
+
+    "stream_approx_percentile" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok
+      FROM events GROUP BY event_type""",
+
     "stream_quant_pattern" -> """
       WITH e AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,

@@ -49,6 +49,26 @@ class HeavyHitterSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(a.nonEmpty)
   }
 
+  test("Misra-Gries fold law: seeding from a prefix summary equals one pass over the whole stream") {
+    // the streaming contract (Streams.heavyHitters): carrying the MG map
+    // as keyed state across microbatches must be EXACTLY equivalent to
+    // running MG over the concatenated stream — per-element transitions
+    // depend only on the current map, so any split point is invisible
+    val rnd = new Random(11)
+    for (trial <- 1 to 25) {
+      val n = 200 + rnd.nextInt(800)
+      val c = 2 + rnd.nextInt(12)
+      val stream = Vector.fill(n)(s"w${rnd.nextInt(30)}")
+      val whole = TextAnalysis.misraGriesFrom(stream.iterator, c, Map.empty)
+      val cuts = Seq.fill(2 + rnd.nextInt(3))(rnd.nextInt(n + 1)).sorted
+      val pieces = (0 +: cuts :+ n).sliding(2).map { case Seq(a, b) => stream.slice(a, b) }
+      val folded = pieces.foldLeft(Map.empty[String, Long]) {
+        (st, piece) => TextAnalysis.misraGriesFrom(piece.iterator, c, st)
+      }
+      assert(folded === whole, s"trial $trial: split at $cuts diverged")
+    }
+  }
+
   test("Misra-Gries retention law: every item with freq > n/(c+1) survives the summary") {
     val rnd = new Random(3)
     for (trial <- 1 to 200) {
