@@ -121,6 +121,8 @@ object SparkEntry {
     "sql_q3_shipping"  -> (Sql.q3Shipping _),
     "sql_q5_local"     -> (Sql.q5Local _),
     "sql_q9_profit"    -> (Sql.q9Profit _),
+    "sql_q7_volume"    -> (Sql.q7Volume _),
+    "sql_q18_large_orders" -> (Sql.q18LargeOrders _),
     "sql_ext_winnow"   -> (Sql.extWinnow _),
     "sql_recursive"    -> (Sql.sqlRecursive _),
     // B. sources / sinks

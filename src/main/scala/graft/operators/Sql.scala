@@ -108,6 +108,53 @@ object Sql {
     """)
   }
 
+  /** TPC-H Q7 shape (volume shipping between two nations): the SAME
+    * dimension table joined TWICE under different aliases (supplier's
+    * nation and customer's nation) with a disjunctive pair predicate —
+    * the self-aliased-dimension shape that breaks engines whose view
+    * registration conflates aliases. Both nation copies broadcast; the
+    * OR pair condition evaluates above the joins (it references both
+    * aliases, so it cannot push into either). */
+  def q7Volume(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS revenue
+      FROM graft_supplier s
+      JOIN graft_lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN graft_orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN graft_customer c ON c.c_custkey = o.o_custkey
+      JOIN graft_nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN graft_nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2')
+      GROUP BY n1.n_name, n2.n_name, year(o.o_orderdate)
+    """)
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): an IN-subquery over a
+    * grouped HAVING aggregate — the aggregate-then-semi-join plan
+    * Catalyst rewrites to a LeftSemi against the HAVING output, with the
+    * outer join tree re-aggregating the same fact table. Quantities are
+    * integer-valued; BIGINT casts keep both engines' sums exact. */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT c.c_name, o.o_orderkey AS orderkey, o.o_totalprice AS totalprice,
+             sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+      FROM graft_customer c
+      JOIN graft_orders o   ON c.c_custkey = o.o_custkey
+      JOIN graft_lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM graft_lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 280)
+      GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    """)
+  }
+
   /** One extensions-configured session per SparkContext (the memo twin of
     * a cluster's spark.sql.extensions static conf, which is read once at
     * first-session creation): reuses the JVM's context, restores the
@@ -212,6 +259,33 @@ object Sql {
     "sql_ext_winnow" -> s"""
       SELECT doc_id, fp, CAST(1 AS BIGINT) AS simhash_sql_eq
       FROM (${TextAnalysis.oracle("text_winnow")}) t""",
+
+    "sql_q7_volume" -> """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))
+               / 100.0 AS revenue
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2')
+      GROUP BY n1.n_name, n2.n_name, year(o.o_orderdate)""",
+
+    "sql_q18_large_orders" -> """
+      SELECT c.c_name, o.o_orderkey AS orderkey, o.o_totalprice AS totalprice,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 280)
+      GROUP BY c.c_name, o.o_orderkey, o.o_totalprice""",
 
     "sql_q5_local" -> """
       SELECT n.n_name AS nation,

@@ -240,6 +240,21 @@ class PlanShapeSpec extends SparkSpec {
       "the mid-string LIKE must evaluate as a Contains filter above the part scan\n" + p)
   }
 
+  test("sql_q7_volume joins the aliased nation dim twice as broadcasts — no cartesian") {
+    val p = plan("sql_q7_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both nation aliases must broadcast\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sql_q18_large_orders plans the IN-subquery as a semi join on the HAVING aggregate") {
+    val p = plan("sql_q18_large_orders")
+    assert(p.contains("LeftSemi"),
+      "IN (SELECT ... HAVING) must become a semi join, not inner+distinct\n" + p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sql_q5_local's join shapes stay eligible for injected runtime bloom filters") {
     // at 100 TB the dims stop broadcasting; the plan must then remain
     // ELIGIBLE for InjectRuntimeFilter so the selective region/orderdate
