@@ -156,6 +156,7 @@ object SparkEntry {
     // J. similarity search (approximate paths emit oracle-checked recall
     // bounds vs the exact in-engine top-k; raw top-k spec'd in SimSearchSpec)
     "simsearch_topk"       -> ((s: SparkSession, d: String) => SimSearch.bruteTopKShared(s, d)),
+    "simsearch_filtered_topk" -> ((s: SparkSession, d: String) => SimSearch.filteredTopK(s, d)),
     "simsearch_range"      -> (SimSearch.rangeSearch _),
     "search_rrf"           -> (SimSearch.rrf _),
     "simsearch_lsh_recall" -> ((s: SparkSession, d: String) => SimSearch.lshRecall(s, d)),

@@ -60,6 +60,33 @@ object SimSearch {
       .select($"q_id", $"n_id", $"rk".cast("bigint").as("rk"))
   }
 
+  /** FILTERED vector search — the modern vector-DB workload brute search
+    * misses: top-k cosine neighbors AMONG rows satisfying a metadata
+    * constraint (here: the query's own label — the per-tenant /
+    * per-language / per-split shape). The filter is an EQUI-condition,
+    * so Catalyst plans the query×corpus pairing as a BroadcastHashJoin
+    * keyed on label (plan-pinned) instead of the all-pairs
+    * nested-loop `simsearch_topk` needs — the scored candidate set is
+    * the label partition, not the corpus, which is exactly the
+    * "pre-filter then search" economics a filtered ANN index buys at
+    * 100 TB (an IVF/LSH index per label value drops in behind the same
+    * contract). Deterministic rank output, ties by neighbor id. */
+  def filteredTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val queries = e.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"label".as("q_label"))
+    val scored = e.join(broadcast(queries),
+        $"label" === $"q_label" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        VectorFunctions.cosine($"q_emb", $"embedding").as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where($"rk" <= k)
+      .select($"q_id", $"n_id", $"rk".cast("bigint").as("rk"))
+  }
+
   /** Session-scoped MATERIALIZED exact-top-k artifact (the
     * [[graft.operators.Dedup.minhashLshShared]] pattern): every consumer
     * that needs the exact answer as an INPUT — the declared `simsearch_topk`
@@ -704,6 +731,19 @@ object SimSearch {
     "simsearch_pq_recall" -> s"""
       SELECT count(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
       FROM embeddings WHERE vec_id < $NumQueries""",
+
+    "simsearch_filtered_topk" -> s"""
+      SELECT q_id, n_id, rk FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(e.embedding AS DOUBLE[])) DESC,
+                          e.vec_id ASC) AS rk
+        FROM embeddings q JOIN embeddings e
+          ON q.vec_id < $NumQueries AND e.vec_id <> q.vec_id
+         AND e.label = q.label
+      ) t WHERE rk <= 5""",
 
     "simsearch_topk" -> s"""
       SELECT q_id, n_id, rk FROM (

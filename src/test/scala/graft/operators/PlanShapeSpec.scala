@@ -404,6 +404,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Join"), p)
   }
 
+  test("simsearch_filtered_topk rides the label equi-key as a broadcast hash join") {
+    // the filter is what makes this plan BETTER than brute force: the
+    // metadata equi-condition must become the join key (hash join on
+    // label), never degrade to the all-pairs nested loop brute uses
+    val p = plan("simsearch_filtered_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("exact kNN graph pairs meet on the slot equi-join — no cartesian") {
     // every-vector-vs-every-vector must ride the blocked slot key, never
     // a nested-loop pairing (the broadcast-cross shape caps at one task)
