@@ -27,6 +27,7 @@ object SparkEntry {
     "mr_native_wordcount" -> (graft.mr.WordCount.mrNative _),
     "mr_script_wordcount" -> (graft.mr.WordCount.mrScript _),
     "mr_combine_wordcount" -> (graft.mr.WordCount.mrCombine _),
+    "mr_secondary_sort"   -> (graft.mr.SecondarySort.onEvents _),
     // C. projection / selection
     "proj_select"      -> (Relational.projSelect _),
     "filter_pred"      -> (Relational.filterPred _),
@@ -242,6 +243,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalOracles.sql ++ Sql.oracle ++ graft.mr.WordCount.oracle ++
+    graft.mr.SecondarySort.oracle ++
     graft.sources.Sources.oracle ++ graft.agg.TopK.oracle ++
     Dedup.oracle ++ SimSearch.oracle ++ TextAnalysis.oracle ++ Maintenance.oracle ++
     Curation.oracle ++
