@@ -137,6 +137,7 @@ object SparkEntry {
     "src_schema_evolution"  -> (graft.sources.Sources.schemaEvolution _),
     "src_xml_roundtrip"     -> (graft.sources.Sources.xmlRoundtrip _),
     "src_binary_files"      -> (graft.sources.Sources.binaryFiles _),
+    "src_file_metadata"     -> (graft.sources.Sources.fileMetadata _),
     // E. custom Aggregator
     "agg_topk_group"   -> (graft.agg.TopK.topOrdersPerBucket _),
     // J. dedup
@@ -153,6 +154,7 @@ object SparkEntry {
     "graph_kcore"         -> (Dedup.kcore _),
     "graph_shortest_paths" -> (Dedup.shortestPaths _),
     "dedup_normalized"    -> (Dedup.normalizedDedup _),
+    "dedup_url_canonical" -> (Dedup.urlCanonical _),
     "dedup_containment"   -> (Dedup.containment _),
     // J. similarity search (approximate paths emit oracle-checked recall
     // bounds vs the exact in-engine top-k; raw top-k spec'd in SimSearchSpec)

@@ -1121,7 +1121,58 @@ object Dedup {
       SELECT doc_id, dist FROM d$BfsRounds"""
   }
 
+  /** URL canonicalization dedup — the crawl-frontier dedup every web
+    * corpus runs before content dedup: the same resource hides behind
+    * scheme/host case, default ports, query-parameter order, tracking
+    * params, trailing slashes, and fragments. Messy URLs are STAGED
+    * in-query from order keys (the PII/typo staging pattern: residues of
+    * o_orderkey pick one variation per axis, so every canonical target
+    * has many distinct surface forms), then canonicalized with REAL
+    * string surgery — `parse_url` component extraction (PROTOCOL / HOST
+    * strips the port, QUERY strips the fragment), lowercasing, trailing
+    * slash strip, utm_* filter + lexicographic parameter re-sort via
+    * array HOFs — and grouped. The oracle derives each canonical form
+    * ANALYTICALLY from the staging arithmetic (the mm_meta
+    * independence: engine parses, oracle computes), so a canonicalizer
+    * bug cannot cancel out. Per-row codegen'd expressions + one
+    * canonical-key exchange — the exact-dedup shuffle profile. */
+  def urlCanonical(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = $"o_orderkey"
+    val url = concat(
+      when(k % 3 === 0, "http").when(k % 3 === 1, "HTTP").otherwise("Http"),
+      lit("://"),
+      when(k % 2 === 0, "shop.example.com").otherwise("Shop.Example.COM"),
+      when(k % 5 === 0, ":80").otherwise(""),
+      lit("/cat/"), (k % 500).cast("string"), lit("/item"),
+      when(k % 6 === 0, "/").otherwise(""),
+      lit("?"),
+      when(k % 2 === 0, "a=1&b=2").otherwise("b=2&a=1"),
+      when(k % 7 === 0, "&utm_source=mail").otherwise(""),
+      when(k % 4 === 0, "#top").otherwise(""))
+    val staged = Tables.orders(s, d).select(url.as("url"))
+    val proto = lower(parse_url($"url", lit("PROTOCOL")))
+    val host = lower(parse_url($"url", lit("HOST"))) // HOST excludes the port
+    val path0 = parse_url($"url", lit("PATH"))
+    val path = when(path0.endsWith("/") && length(path0) > 1,
+      path0.substr(lit(1), length(path0) - 1)).otherwise(path0)
+    val params = array_sort(filter(split(parse_url($"url", lit("QUERY")), "&"),
+      p => !p.startsWith("utm_") && p =!= ""))
+    val canon = concat(proto, lit("://"), host, path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+    staged.select(canon.as("canonical_url"))
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_urls"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "dedup_url_canonical" -> """
+      SELECT 'http://shop.example.com/cat/' || CAST(o_orderkey % 500 AS VARCHAR)
+               || '/item?a=1&b=2' AS canonical_url,
+             count(*) AS n_urls
+      FROM orders GROUP BY 1""",
+
     "graph_pagerank" -> pagerankOracle,
     "graph_shortest_paths" -> bfsOracle,
     "dedup_incremental" -> s"""

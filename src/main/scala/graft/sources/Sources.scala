@@ -265,7 +265,43 @@ object Sources {
       .select($"n_nationkey", $"n_name", $"n_regionkey")
   }
 
+  /** Hidden `_metadata` file columns (SPARK-37273) — the file-source API
+    * a lakehouse maintenance pass reads instead of listing the
+    * filesystem itself: per-row file path / name / size surfaced as
+    * struct fields on an ordinary scan. Staged: orders written
+    * partitioned by status to a temp dir, read back with `_metadata`,
+    * validated per partition value: row counts equal the source table
+    * (the oracle's half), and three flags assert the metadata columns
+    * carry real file facts — every row's file_path embeds ITS OWN
+    * partition directory (`o_orderstatus=<status>`), file_size is
+    * positive, and file_name is a `part-*.parquet` leaf. File COUNTS
+    * stay out of the hashed columns: how many part files a partition
+    * gets is a parallelism artifact, not a semantic one. */
+  def fileMetadata(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = tmp("graft_meta")
+    Tables.orders(s, d).write.mode(SaveMode.Overwrite)
+      .partitionBy("o_orderstatus").parquet(dir)
+    s.read.parquet(dir)
+      .select($"o_orderstatus".as("status"),
+        col("_metadata.file_path").as("fp"),
+        col("_metadata.file_name").as("fn"),
+        col("_metadata.file_size").as("fs"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"fp".contains(concat(lit("o_orderstatus="), $"status"))
+          .cast("long")).as("path_ok"),
+        min(($"fs" > 0).cast("long")).as("size_ok"),
+        min($"fn".rlike("^part-.*\\.parquet$").cast("long")).as("name_ok"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "src_file_metadata" -> """
+      SELECT o_orderstatus AS status, count(*) AS n_rows,
+             CAST(1 AS BIGINT) AS path_ok, CAST(1 AS BIGINT) AS size_ok,
+             CAST(1 AS BIGINT) AS name_ok
+      FROM orders GROUP BY o_orderstatus""",
+
     "src_schema_evolution" -> """
       SELECT n_nationkey, n_name,
              CASE WHEN n_nationkey < 12 THEN NULL ELSE n_regionkey END AS n_regionkey
