@@ -69,6 +69,7 @@ object SparkEntry {
     "events_dips"      -> (Relational.eventsDips _),
     "agg_hll_intersect" -> (Relational.aggHllIntersect _),
     "fn_url"           -> (Relational.fnUrl _),
+    "fn_collation"     -> (Relational.fnCollation _),
     // F. window functions
     "window_rank"      -> (Relational.windowRank _),
     "window_lag_lead"  -> (Relational.windowLagLead _),
@@ -153,6 +154,7 @@ object SparkEntry {
     "graph_common_neighbors" -> ((s: SparkSession, d: String) => Dedup.commonNeighbors(s, d)),
     "graph_kcore"         -> (Dedup.kcore _),
     "graph_shortest_paths" -> (Dedup.shortestPaths _),
+    "graph_bipartite_projection" -> (Dedup.bipartiteProjection _),
     "dedup_normalized"    -> (Dedup.normalizedDedup _),
     "dedup_url_canonical" -> (Dedup.urlCanonical _),
     "dedup_containment"   -> (Dedup.containment _),
@@ -238,6 +240,7 @@ object SparkEntry {
     "stream_quant_pattern"   -> (graft.streaming.Streams.quantPattern _),
     "stream_heavy_hitters"   -> (graft.streaming.Streams.heavyHitters _),
     "stream_approx_percentile" -> (graft.streaming.Streams.approxPercentile _),
+    "stream_dead_letter"     -> (graft.streaming.Streams.deadLetter _),
     "dedup_incremental"      -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
   )
 

@@ -1121,6 +1121,41 @@ object Dedup {
       SELECT doc_id, dist FROM d$BfsRounds"""
   }
 
+  /** Per-user distinct-item cap for [[bipartiteProjection]]: a user with
+    * more distinct items is dropped before the pair explosion (the
+    * bot/crawler guard — their O(d²) pairs would dominate the output
+    * while carrying no preference signal). */
+  val BipartiteMaxItems = 256
+
+  /** Bipartite co-occurrence projection — the recommender / co-view
+    * building block: project the user→item bipartite graph (items =
+    * campaign keys from the event props) onto items, weighting each
+    * item pair by the number of users interacting with both. Shape: ONE
+    * distinct pass collapses events to (user, item) — the shuffle
+    * carries the bipartite edge set, not events — then a user-keyed
+    * self-join explodes each user's item set into ordered pairs and a
+    * pair-keyed aggregate counts supporters. The per-user pair count is
+    * O(d²) in the user's distinct-item degree, which is why the degree
+    * cap above is load-bearing at 100 TB: pair volume is Σ min(d,cap)²,
+    * linear in users, not in the heaviest user's square. */
+  def bipartiteProjection(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ui = Tables.events(s, d)
+      .select($"user_id",
+        get_json_object($"props", "$.k").cast("bigint").as("item"))
+      .where($"item".isNotNull)
+      .distinct()
+    val kept = ui
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy($"user_id")))
+      .where($"deg" <= BipartiteMaxItems)
+      .select($"user_id", $"item")
+    kept.as("x").join(kept.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("co_users"))
+  }
+
   /** URL canonicalization dedup — the crawl-frontier dedup every web
     * corpus runs before content dedup: the same resource hides behind
     * scheme/host case, default ports, query-parameter order, tracking
@@ -1167,6 +1202,21 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "graph_bipartite_projection" -> s"""
+      WITH ui AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        FROM events
+        WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+      deg AS (SELECT user_id, count(*) AS d FROM ui GROUP BY 1),
+      kept AS (
+        SELECT ui.user_id, ui.item FROM ui JOIN deg USING (user_id)
+        WHERE d <= $BipartiteMaxItems)
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS co_users
+      FROM kept a JOIN kept b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2""",
+
     "dedup_url_canonical" -> """
       SELECT 'http://shop.example.com/cat/' || CAST(o_orderkey % 500 AS VARCHAR)
                || '/item?a=1&b=2' AS canonical_url,

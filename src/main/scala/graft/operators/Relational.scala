@@ -1070,6 +1070,37 @@ object Relational {
       .select($"user_id", $"event_id", $"cents")
   }
 
+  /** Collated string semantics (Spark 4, SPARK-46830): grouping,
+    * equality, and substring matching under the UTF8_LCASE collation —
+    * the engine-level case-insensitivity a multi-source text corpus
+    * needs without wrapping every expression in lower(). Mixed-case
+    * surface forms are STAGED from custkey residues (lower / original /
+    * first-upper-rest-lower), then grouped by the COLLATED column: the
+    * three binary forms collapse to one case-insensitive group while
+    * count_distinct on the raw column still sees all three. The group
+    * representative Spark returns is whichever form a partition met
+    * first — nondeterministic by contract — so the emitted key is
+    * normalized through lower(); ci_eq_ok pins collated equality
+    * (variant = lowercase under LCASE) and has_build pins collated
+    * contains(). Oracle replays every column via lower() arithmetic. */
+  def fnCollation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = $"c_custkey"
+    val seg = $"c_mktsegment"
+    val variant = when(k % 3 === 0, lower(seg))
+      .when(k % 3 === 1, seg)
+      .otherwise(concat(upper(seg.substr(lit(1), lit(1))),
+        lower(seg.substr(lit(2), length(seg)))))
+    Tables.customer(s, d)
+      .select(variant.as("w"))
+      .groupBy(collate($"w", "UTF8_LCASE").as("wc"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct($"w").as("n_forms"),
+        min((collate($"w", "UTF8_LCASE") === lower($"w")).cast("long")).as("ci_eq_ok"),
+        max(collate($"w", "UTF8_LCASE").contains(lit("BuIlD")).cast("long")).as("has_build"))
+      .select(lower($"wc").as("segment"), $"n", $"n_forms", $"ci_eq_ok", $"has_build")
+  }
+
   /** URL parsing family (`parse_url`: HOST / PATH / QUERY / keyed query
     * param) — the per-row extraction every web-corpus pipeline runs
     * before host-level dedup or robots filtering. URLs are synthesized

@@ -594,6 +594,19 @@ object RelationalOracles {
       WHERE n >= 2
         AND (n * cents - sc) * (n * cents - sc) > 9 * (n * sc2 - sc * sc)""",
 
+    "fn_collation" -> """
+      WITH v AS (
+        SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                    WHEN c_custkey % 3 = 1 THEN c_mktsegment
+                    ELSE upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+               END AS w
+        FROM customer)
+      SELECT lower(w) AS segment, count(*) AS n,
+             count(DISTINCT w) AS n_forms,
+             CAST(1 AS BIGINT) AS ci_eq_ok,
+             CAST(max(CASE WHEN contains(lower(w), 'build') THEN 1 ELSE 0 END) AS BIGINT) AS has_build
+      FROM v GROUP BY lower(w)""",
+
     "fn_url" -> """
       SELECT doc_id,
              'https://' || source || '.example.com/' || lang || '/doc-'

@@ -710,6 +710,54 @@ object Streams {
     runToTable(s, matches, "graft_stream_quant_pattern", "update")
   }
 
+  /** Dead-letter routing (the side-output pattern): every production
+    * ingest splits each microbatch into parseable rows → the main sink
+    * and malformed rows → a dead-letter queue for replay/inspection —
+    * dropping them silently loses data, failing the query on one bad
+    * row loses the pipeline. Corruption is STAGED in-stream
+    * deterministically (event_id % 11 mangles the props JSON), parse =
+    * get_json_object returning null, and foreachBatch routes the two
+    * splits to per-batchId subdirectories (overwrite per batch dir =
+    * replay-idempotent, the upsertSink discipline). The query returns
+    * the read-back of BOTH sinks aggregated per (sink, event_type), so
+    * the oracle replays the routing rule over the batch table and
+    * validates the full stream → split → storage round-trip including
+    * conservation (good + dlq = everything). */
+  def deadLetter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_dlq").toString
+    graft.core.SessionArtifacts.resetDir(s, "spark.graft.dlq.dir", root)
+    val src = eventsStream(s, d)
+      .withColumn("raw",
+        when($"event_id" % 11 === 0, concat(lit("corrupt:"), $"props"))
+          .otherwise($"props"))
+      .withColumn("k", get_json_object($"raw", "$.k"))
+      .select($"event_id", $"event_type", $"k")
+    withStatePartitions(s, 8) {
+      useRocksDb(s)
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val b = batch.toDF().localCheckpoint() // two consumers, one compute
+          b.where(col("k").isNotNull).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$root/good/b$batchId")
+          b.where(col("k").isNull).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$root/dlq/b$batchId")
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        require(q.lastProgress != null && q.lastProgress.batchId >= Microbatches - 1,
+          s"stream_dead_letter ran too few batches")
+      } finally q.stop()
+    }
+    def readSink(name: String) =
+      s.read.option("recursiveFileLookup", "true").parquet(s"$root/$name")
+        .select(lit(name).as("sink"), $"event_type")
+    readSink("good").unionByName(readSink("dlq"))
+      .groupBy($"sink", $"event_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Support threshold for [[heavyHitters]]: items with frequency
     * > N/HhK are heavy. */
   val HhK = 500
@@ -805,6 +853,11 @@ object Streams {
   }
 
   val oracle: Map[String, String] = Map(
+    "stream_dead_letter" -> """
+      SELECT CASE WHEN event_id % 11 = 0 THEN 'dlq' ELSE 'good' END AS sink,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2""",
+
     "stream_heavy_hitters" -> """
       WITH t AS (
         SELECT event_type || '_' || json_extract_string(props, '$.k') AS item
