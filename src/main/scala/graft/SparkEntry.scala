@@ -219,6 +219,8 @@ object SparkEntry {
     "maint_analyze"     -> (Maintenance.analyzeStats _),
     "maint_backfill"    -> (Maintenance.backfill _),
     "maint_skew_report" -> (Maintenance.skewReport _),
+    "maint_snapshot_diff" -> (Maintenance.snapshotDiff _),
+    "text_html_strip"   -> (TextAnalysis.htmlStrip _),
     "sample_stratified" -> (Maintenance.stratifiedSample _),
     // S. streaming
     "stream_tumbling" -> (graft.streaming.Streams.tumbling _),

@@ -92,6 +92,42 @@ object Maintenance {
         (coalesce($"u.cents", $"b.cents") / 100.0).as("o_totalprice"))
   }
 
+  /** Snapshot diff (change-data-feed shape): given two versions of a
+    * keyed table, classify every key as inserted / deleted / updated /
+    * unchanged and report per-class counts plus the exact money delta —
+    * what a lakehouse's CDF emits between commits, computed here from
+    * first principles with ONE full-outer join on the key and a
+    * row-fingerprint compare (sha2 over the concatenated non-key
+    * columns, so the diff shuffles 32-byte hashes + keys, not rows —
+    * the dedup_exact economics). The "new version" is STAGED from the
+    * base by deterministic rules (the upsert staging pattern: %10=3
+    * repriced, %97=0 deleted, %50=0 cloned to a fresh key), so the
+    * oracle replays every class analytically. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d).select($"o_orderkey", $"o_orderstatus",
+      round($"o_totalprice" * 100).cast("bigint").as("cents"))
+    val next = base
+      .where($"o_orderkey" % 97 =!= 0) // deletes
+      .select($"o_orderkey", $"o_orderstatus",
+        when($"o_orderkey" % 10 === 3, $"cents" + 250).otherwise($"cents").as("cents"))
+      .unionByName(base.where($"o_orderkey" % 50 === 0) // inserts (cloned keys)
+        .select(($"o_orderkey" + 20000000L).as("o_orderkey"),
+          $"o_orderstatus", $"cents"))
+    def fp(df: org.apache.spark.sql.DataFrame) = df.select($"o_orderkey",
+      sha2(concat_ws("|", $"o_orderstatus", $"cents"), 256).as("fp"), $"cents")
+    fp(base).as("b").join(fp(next).as("n"), Seq("o_orderkey"), "full_outer")
+      .select(
+        when(col("b.fp").isNull, "insert")
+          .when(col("n.fp").isNull, "delete")
+          .when(col("b.fp") =!= col("n.fp"), "update")
+          .otherwise("unchanged").as("change"),
+        coalesce(col("n.cents"), lit(0L)) - coalesce(col("b.cents"), lit(0L)))
+      .toDF("change", "delta")
+      .groupBy($"change")
+      .agg(count(lit(1)).as("n"), sum($"delta").as("cents_delta"))
+  }
+
   /** Deterministic hash-based dataset split (train/val/test): bucket =
     * first 32 bits of md5(doc_id) mod 100 → 90/5/5. Content-addressed
     * splits are how a training pipeline keeps membership stable as the
@@ -416,6 +452,23 @@ object Maintenance {
     }.mkString("(", "\n             + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "maint_snapshot_diff" -> """
+      WITH b AS (SELECT o_orderkey AS k,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders)
+      SELECT 'delete' AS change, count(*) AS n,
+             CAST(-sum(cents) AS BIGINT) AS cents_delta
+      FROM b WHERE k % 97 = 0 HAVING count(*) > 0
+      UNION ALL
+      SELECT 'update', count(*), CAST(250 * count(*) AS BIGINT)
+      FROM b WHERE k % 97 <> 0 AND k % 10 = 3 HAVING count(*) > 0
+      UNION ALL
+      SELECT 'insert', count(*), CAST(sum(cents) AS BIGINT)
+      FROM b WHERE k % 50 = 0 HAVING count(*) > 0
+      UNION ALL
+      SELECT 'unchanged', count(*), CAST(0 AS BIGINT)
+      FROM b WHERE k % 97 <> 0 AND k % 10 <> 3 HAVING count(*) > 0""",
+
     "maint_compact" -> "SELECT doc_id, text FROM documents",
     "maint_skew_report" -> """
       WITH cnt AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),

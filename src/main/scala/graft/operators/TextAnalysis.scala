@@ -137,6 +137,33 @@ object TextAnalysis {
         expr("n_dup * 1000000 div n_shingles").as("dup_ppm"))
   }
 
+  /** HTML boilerplate strip — the first transform of every web-crawl
+    * pipeline: markup in, visible text out. Markup is STAGED
+    * deterministically around each document (title/head/body/paragraph
+    * template with the doc id in the title), then stripped with REAL
+    * regex surgery — tag removal (`<[^>]+>` → space), whitespace
+    * re-normalization, trim — all codegen'd `regexp_replace`, zero
+    * shuffle. The oracle derives the expected clean text ANALYTICALLY
+    * from the template (the mm_meta independence): a stripper bug can't
+    * cancel against itself. n_tags counts the markup actually present
+    * (regexp_count), recovered_ok flags that stripping recovered exactly
+    * the title text + original document. */
+  def htmlStrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val html = concat(
+      lit("<html><head><title>doc"), $"doc_id", lit("</title></head><body><p class=\"main\">"),
+      $"text", lit("</p><br/></body></html>"))
+    Tables.documents(s, d)
+      .select($"doc_id", $"text", html.as("html"))
+      .select($"doc_id", $"text",
+        trim(regexp_replace(regexp_replace($"html", "<[^>]+>", " "), "\\s+", " ")).as("clean"),
+        regexp_count($"html", lit("<[^>]+>")).as("n_tags"))
+      .select($"doc_id", length($"clean").cast("bigint").as("clean_len"),
+        $"n_tags".cast("bigint").as("n_tags"),
+        ($"clean" === concat(lit("doc"), $"doc_id", lit(" "), trim($"text")))
+          .cast("long").as("recovered_ok"))
+  }
+
   /** Span-level dedup DELIVERABLE (the cleaned-corpus producer
     * [[dupPassages]] only profiles): overlapping duplicated word-8-gram
     * runs are merged into token spans and excised, keeping the first
@@ -929,6 +956,14 @@ object TextAnalysis {
                                 * 1000000) AS BIGINT) AS li
               FROM tfb JOIN lft USING (bg) CROSS JOIN voc)
         GROUP BY doc_id""",
+
+      "text_html_strip" -> """
+        SELECT doc_id,
+               CAST(length('doc' || CAST(doc_id AS VARCHAR)) + 1
+                    + length(trim(text)) AS BIGINT) AS clean_len,
+               CAST(11 AS BIGINT) AS n_tags,
+               CAST(1 AS BIGINT) AS recovered_ok
+        FROM documents""",
 
       "text_dedup_spans" -> """
         WITH toks AS (
