@@ -152,6 +152,7 @@ object SparkEntry {
     "graph_pagerank"      -> (Dedup.pagerank _),
     "graph_triangles"     -> ((s: SparkSession, d: String) => Dedup.triangles(s, d)),
     "graph_common_neighbors" -> ((s: SparkSession, d: String) => Dedup.commonNeighbors(s, d)),
+    "graph_clustering_coeff" -> ((s: SparkSession, d: String) => Dedup.clusteringCoeff(s, d)),
     "graph_kcore"         -> (Dedup.kcore _),
     "graph_shortest_paths" -> (Dedup.shortestPaths _),
     "graph_bipartite_projection" -> (Dedup.bipartiteProjection _),
@@ -219,6 +220,7 @@ object SparkEntry {
     "maint_analyze"     -> (Maintenance.analyzeStats _),
     "maint_backfill"    -> (Maintenance.backfill _),
     "maint_skew_report" -> (Maintenance.skewReport _),
+    "maint_expectations" -> (Maintenance.expectations _),
     "maint_snapshot_diff" -> (Maintenance.snapshotDiff _),
     "text_html_strip"   -> (TextAnalysis.htmlStrip _),
     "sample_stratified" -> (Maintenance.stratifiedSample _),

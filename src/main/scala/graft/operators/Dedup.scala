@@ -410,6 +410,30 @@ object Dedup {
       .select($"doc_id", $"degree", coalesce($"n_tri", lit(0L)).as("n_tri"))
   }
 
+  /** Local clustering coefficient per vertex of the near-dup graph —
+    * how template-like a document's neighborhood is: lcc(v) =
+    * 2·tri(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2, in exact integer ppm
+    * (`div`, no doubles — floor division matches DuckDB `//` on
+    * non-negative operands). A coefficient near 10⁶ marks a clique of
+    * mutual near-dups (one boilerplate family — keep one exemplar); a
+    * low coefficient on a high-degree vertex marks a hub stitching
+    * unrelated families (inspect before transitive merging). Pure
+    * projection over [[trianglesOf]] — the wedge-closing joins run on
+    * the (tiny) pair profile, never the corpus, and the one extra
+    * column adds zero exchanges. */
+  def clusteringCoeff(s: SparkSession, d: String): DataFrame =
+    clusteringCoeffOf(minhashLshShared(s, d))
+
+  /** Core over any canonical (doc_a < doc_b) pair frame. */
+  def clusteringCoeffOf(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    trianglesOf(pairs).select($"doc_id", $"degree", $"n_tri",
+      when($"degree" >= 2,
+        expr("(n_tri * 2000000) div (degree * (degree - 1))"))
+        .otherwise(lit(0L)).as("lcc_ppm"))
+  }
+
   /** Neighborhood overlap per near-dup pair — the classic link-prediction
     * / community-strength signal: for each edge (a, b), the count of
     * common neighbors and the Jaccard of the two neighborhoods in exact
@@ -1307,6 +1331,33 @@ object Dedup {
         GROUP BY 1)
       SELECT d.doc_id, d.degree, CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri
       FROM deg d LEFT JOIN tn ON d.doc_id = tn.doc_id""",
+    "graph_clustering_coeff" -> s"""
+      WITH pairs AS MATERIALIZED (${shingleOracle(0.9, "char12")}),
+      e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs),
+      tri AS (
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      deg AS (
+        SELECT doc_id, count(*) AS degree FROM (
+          SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e) nodes
+        GROUP BY 1),
+      tn AS (
+        SELECT doc_id, count(*) AS n_tri FROM (
+          SELECT a AS doc_id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri) tnodes
+        GROUP BY 1),
+      j AS (
+        SELECT d.doc_id, d.degree,
+               CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri
+        FROM deg d LEFT JOIN tn ON d.doc_id = tn.doc_id)
+      SELECT doc_id, degree, n_tri,
+             CASE WHEN degree >= 2
+                  THEN CAST((n_tri * 2000000) // (degree * (degree - 1))
+                            AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS lcc_ppm
+      FROM j""",
     "graph_kcore" -> kcoreOracle,
     "dedup_containment" -> s"""
       WITH sh AS MATERIALIZED (

@@ -442,6 +442,78 @@ object Maintenance {
           .as("max_over_mean_ppm"))
   }
 
+  /** Declarative data-quality expectation suite (the Deequ/dbt-test
+    * shape): each expectation is one row (check, n_rows, n_violations,
+    * passed) over the live tables — completeness (NOT NULL), uniqueness
+    * (key duplication), domain (value range / allowed set), and
+    * referential integrity (FK orphans via LEFT ANTI join). This is the
+    * gate a 100 TB ingest runs BEFORE publishing a snapshot: per-table
+    * column checks fold into ONE conditional-aggregate scan per table
+    * (adding a check adds a column, not a scan; all map-side
+    * combinable), and each RI check is a single anti-join whose build
+    * side is the referenced key set (broadcast when small, shuffled
+    * otherwise — Spark picks by size). Violation COUNTS, not violating
+    * rows, travel to the result — the report is O(checks), never
+    * O(rows). */
+  def expectations(s: SparkSession, d: String): DataFrame =
+    expectationsOf(Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.documents(s, d), Tables.customer(s, d))
+
+  /** Core over any four conforming frames — the declared query and
+    * MaintenanceSpec's planted-violation law both drive this path. */
+  def expectationsOf(orders: DataFrame, lineitem: DataFrame,
+      documents: DataFrame, customer: DataFrame): DataFrame = {
+    val s = orders.sparkSession
+    import s.implicits._
+    val o = orders
+    // one scan, four checks: conditional counts + distinct-key count
+    val orderChecks = o.agg(
+      count(lit(1)).as("n_rows"),
+      count(when($"o_custkey".isNull, 1)).as("v_null"),
+      (count(lit(1)) - count_distinct($"o_orderkey")).as("v_dup"),
+      count(when($"o_totalprice" <= 0, 1)).as("v_price"),
+      count(when(!$"o_orderstatus".isin("O", "F", "P"), 1)).as("v_status"))
+      .selectExpr("""stack(4,
+        'orders.o_custkey.not_null',   n_rows, v_null,
+        'orders.o_orderkey.unique',    n_rows, v_dup,
+        'orders.o_totalprice.positive', n_rows, v_price,
+        'orders.o_orderstatus.in_set', n_rows, v_status)
+        AS (check_name, n_rows, n_violations)""")
+    val l = lineitem
+    val lineChecks = l.agg(
+      count(lit(1)).as("n_rows"),
+      count(when($"l_quantity" < 1 || $"l_quantity" > 50, 1)).as("v_qty"),
+      count(when($"l_shipdate".isNull, 1)).as("v_ship"))
+      .selectExpr("""stack(2,
+        'lineitem.l_quantity.range_1_50', n_rows, v_qty,
+        'lineitem.l_shipdate.not_null',   n_rows, v_ship)
+        AS (check_name, n_rows, n_violations)""")
+    val docs = documents
+    val docChecks = docs.agg(
+      count(lit(1)).as("n_rows"),
+      count(when($"text".isNull || length($"text") === 0, 1)).as("v_empty"))
+      .selectExpr("""stack(1,
+        'documents.text.nonempty', n_rows, v_empty)
+        AS (check_name, n_rows, n_violations)""")
+    // RI: orphan counts via LEFT ANTI against the referenced key column
+    def ri(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val orphans = child.select(col(key))
+        .join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      child.agg(count(lit(1)).as("n_rows")).crossJoin(orphans)
+        .select(lit(name).as("check_name"), $"n_rows", $"n_violations")
+    }
+    val riOrders = ri("orders.o_custkey.ref_customer",
+      o, "o_custkey", customer, "c_custkey")
+    val riLine = ri("lineitem.l_orderkey.ref_orders",
+      l, "l_orderkey", o, "o_orderkey")
+    orderChecks.unionByName(lineChecks).unionByName(docChecks)
+      .unionByName(riOrders).unionByName(riLine)
+      .select($"check_name", $"n_rows", $"n_violations",
+        ($"n_violations" === 0).cast("bigint").as("passed"))
+  }
+
   /** Morton interleave of (l_partkey & 0xFFFF) even bits / (l_suppkey &
     * 0xFFFF) odd bits as portable SQL — same shift/mask arithmetic as
     * [[zorderLayoutOf]], fully parenthesized against precedence drift. */
@@ -452,6 +524,49 @@ object Maintenance {
     }.mkString("(", "\n             + ", ")")
 
   val oracle: Map[String, String] = Map(
+    // RI checks use NOT EXISTS (not NOT IN): a NULL child key must count
+    // as an orphan, matching the engine's LEFT ANTI equality semantics —
+    // NOT IN would return UNKNOWN and silently uncount it.
+    "maint_expectations" -> """
+      WITH checks AS (
+        SELECT 'orders.o_custkey.not_null' AS check_name,
+               count(*) AS n_rows,
+               count(*) FILTER (WHERE o_custkey IS NULL) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_orderkey.unique', count(*),
+               count(*) - count(DISTINCT o_orderkey) FROM orders
+        UNION ALL
+        SELECT 'orders.o_totalprice.positive', count(*),
+               count(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+        UNION ALL
+        SELECT 'orders.o_orderstatus.in_set', count(*),
+               count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_quantity.range_1_50', count(*),
+               count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_shipdate.not_null', count(*),
+               count(*) FILTER (WHERE l_shipdate IS NULL) FROM lineitem
+        UNION ALL
+        SELECT 'documents.text.nonempty', count(*),
+               count(*) FILTER (WHERE text IS NULL OR length(text) = 0)
+        FROM documents
+        UNION ALL
+        SELECT 'orders.o_custkey.ref_customer', count(*),
+               count(*) FILTER (WHERE NOT EXISTS (
+                 SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        FROM orders o
+        UNION ALL
+        SELECT 'lineitem.l_orderkey.ref_orders', count(*),
+               count(*) FILTER (WHERE NOT EXISTS (
+                 SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        FROM lineitem l)
+      SELECT check_name, n_rows, n_violations,
+             CAST(n_violations = 0 AS BIGINT) AS passed
+      FROM checks""",
     "maint_snapshot_diff" -> """
       WITH b AS (SELECT o_orderkey AS k,
                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents

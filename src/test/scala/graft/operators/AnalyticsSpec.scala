@@ -185,6 +185,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 3L * tris.size)
   }
 
+  test("clustering coefficient: closed forms on clique, path, star vertices") {
+    // K4 on {1..4} + path 5-6-7 + pendant 8 off vertex 1 (same planted
+    // graph as the triangles law). Closed forms: an interior K4 vertex
+    // {2,3,4} has lcc = 2·3/(3·2) = 1 exactly (10^6 ppm); vertex 1 has
+    // degree 4 (K4 + pendant) and 3 triangles → 2·3·10^6 div (4·3) =
+    // 500000; path interior 6 has deg 2, 0 triangles → 0; pendants
+    // (deg 1) are defined 0.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (1L, 8L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusteringCoeffOf(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(2L) == 1000000L && got(3L) == 1000000L && got(4L) == 1000000L)
+    assert(got(1L) == 500000L)
+    assert(got(6L) == 0L && got(5L) == 0L && got(7L) == 0L && got(8L) == 0L)
+  }
+
   test("anomaly: integer flag set matches the double-precision 3-sigma rule") {
     val flagged = Relational.eventsAnomaly(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -22,6 +22,44 @@ class MaintenanceSpec extends SparkSpec {
            s2.collect().map(_.getLong(0)).sorted.toSeq, "same seed must resample identically")
   }
 
+  test("expectations: planted violations are counted exactly, clean tables all pass") {
+    import spark.implicits._
+    import java.sql.Date
+    // orders: 1 null custkey, 1 duplicated orderkey, 1 non-positive price,
+    // 1 status outside {O,F,P}, and custkey 99 absent from customer
+    val orders = Seq(
+      (1L, Option(10L), "O", 5.0),
+      (2L, None, "F", 6.0),        // null custkey (also an RI orphan)
+      (3L, Option(10L), "F", -1.0), // non-positive price
+      (3L, Option(11L), "P", 7.0),  // duplicate orderkey
+      (4L, Option(99L), "X", 8.0))  // bad status + FK orphan
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val lineitem = Seq(
+      (1L, 5.0, Option(Date.valueOf("1995-01-01"))),
+      (1L, 99.0, Option(Date.valueOf("1995-01-02"))), // qty out of range
+      (7L, 3.0, None))       // null shipdate + orderkey 7 not in orders
+      .toDF("l_orderkey", "l_quantity", "l_shipdate")
+    val documents = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+    val customer = Seq(10L, 11L).toDF("c_custkey")
+    val got = Maintenance.expectationsOf(orders, lineitem, documents, customer)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("orders.o_custkey.not_null") == ((5L, 1L, 0L)))
+    assert(got("orders.o_orderkey.unique") == ((5L, 1L, 0L)))
+    assert(got("orders.o_totalprice.positive") == ((5L, 1L, 0L)))
+    assert(got("orders.o_orderstatus.in_set") == ((5L, 1L, 0L)))
+    // null custkey AND unknown key 99 both orphan under anti-join semantics
+    assert(got("orders.o_custkey.ref_customer") == ((5L, 2L, 0L)))
+    assert(got("lineitem.l_quantity.range_1_50") == ((3L, 1L, 0L)))
+    assert(got("lineitem.l_shipdate.not_null") == ((3L, 1L, 0L)))
+    assert(got("lineitem.l_orderkey.ref_orders") == ((3L, 1L, 0L)))
+    assert(got("documents.text.nonempty") == ((2L, 1L, 0L)))
+    // the live fixture is clean: every expectation passes
+    val live = Maintenance.expectations(spark, sf).collect()
+    assert(live.length == 9)
+    assert(live.forall(_.getLong(3) == 1L),
+      live.filter(_.getLong(3) == 0L).mkString(", "))
+  }
+
   test("compaction reduces file count to the target without changing content") {
     val out = Maintenance.compact(spark, sf, targetFiles = 3)
     val files = out.inputFiles
