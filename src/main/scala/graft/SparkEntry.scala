@@ -129,6 +129,7 @@ object SparkEntry {
     "sql_recursive"    -> (Sql.sqlRecursive _),
     // B. sources / sinks
     "src_csv_roundtrip"     -> (graft.sources.Sources.csvRoundtrip _),
+    "src_csv_malformed"     -> (graft.sources.Sources.csvMalformed _),
     "src_json_roundtrip"    -> (graft.sources.Sources.jsonRoundtrip _),
     "src_text_kv"           -> (graft.sources.Sources.textKvRoundtrip _),
     "src_partitioned_write" -> (graft.sources.Sources.partitionedWrite _),
@@ -177,6 +178,7 @@ object SparkEntry {
     "text_tokens"      -> (TextAnalysis.tokenStats _),
     "text_langid"      -> (TextAnalysis.langId _),
     "text_quality"     -> (TextAnalysis.quality _),
+    "text_readability" -> (TextAnalysis.readability _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_bpe"         -> (TextAnalysis.bpeTokens _),
     "text_winnow"      -> (TextAnalysis.winnowFingerprint _),

@@ -94,6 +94,42 @@ object TextAnalysis {
         round(stop.cast("double") / nToks, 6) >= 0.05).as("keep"))
   }
 
+  /** Readability scoring — the Flesch reading-ease shape in exact
+    * integer milli-units (206.835 − 1.015·words/sentence −
+    * 84.6·syllables/word, ×1000), with the syllable count replaced by
+    * the standard vowel-group proxy (runs of [aeiouy] per word — the
+    * deterministic heuristic every syllable counter bottoms out in).
+    * All three counts come from `regexp_extract_all` lengths, which
+    * DuckDB replays with the identical RE2-class patterns, and the
+    * score uses floor division (`div` / `//` agree on non-negative
+    * operands) — bit-exact across engines, no doubles. Sentence count
+    * floors at 1 (a fragment is one sentence); word count floors at 1
+    * in the divisor only. Per-row, zero shuffles — at 100 TB this is a
+    * pure map stage that fuses into whatever scan feeds it, the same
+    * economics as `text_quality`'s gates. */
+  def readability(s: SparkSession, d: String): DataFrame =
+    readabilityOf(Tables.documents(s, d))
+
+  /** Core over any (doc_id, text) frame — the declared query and
+    * AnalyticsSpec's closed-form law both drive this path. */
+  def readabilityOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = size(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))).cast("bigint")
+    val sents = greatest(
+      size(regexp_extract_all($"text", lit("[.!?]+"), lit(0))).cast("bigint"), lit(1L))
+    val vg = size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0))).cast("bigint")
+    docs
+      .select($"doc_id", words.as("n_words"), sents.as("n_sents"),
+        vg.as("n_vgroups"))
+      .select($"doc_id", $"n_words", $"n_sents", $"n_vgroups",
+        (lit(206835L) - expr("(1015 * n_words) div n_sents")
+          - expr("(84600 * n_vgroups) div greatest(n_words, 1)"))
+          .as("score_milli"))
+      .select($"doc_id", $"n_words", $"n_sents", $"n_vgroups", $"score_milli",
+        ($"score_milli" >= 60000L).cast("bigint").as("readable"))
+  }
+
   /** Corpus bigram mining with a stopword filter: tokens minus English
     * stopwords → word 2-grams → global top-20 by count (unique tiebreak
     * on the bigram). Shuffle carries (bigram, partial count); the top-20
@@ -893,6 +929,21 @@ object TextAnalysis {
                  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS punct,
                  len(list_filter(string_split(lower(text), ' '),
                      t -> list_contains(${stopList("en")}, t))) AS stop
+          FROM documents) t""",
+
+      "text_readability" -> """
+        SELECT doc_id, n_words, n_sents, n_vgroups,
+               206835 - (1015 * n_words) // n_sents
+                      - (84600 * n_vgroups) // greatest(n_words, 1)
+                 AS score_milli,
+               CAST((206835 - (1015 * n_words) // n_sents
+                      - (84600 * n_vgroups) // greatest(n_words, 1))
+                    >= 60000 AS BIGINT) AS readable
+        FROM (
+          SELECT doc_id,
+                 len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+                 len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_vgroups
           FROM documents) t""",
 
       "text_bpe" -> s"""

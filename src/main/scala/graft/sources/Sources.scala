@@ -295,7 +295,71 @@ object Sources {
         min($"fn".rlike("^part-.*\\.parquet$").cast("long")).as("name_ok"))
   }
 
+  /** Malformed-record handling — the ingest reality every 100 TB crawl
+    * pipeline faces: a CSV batch where some rows won't type. The fixture
+    * stages (doc_id, source, n_chars) lines with every doc_id % 7 == 0
+    * row corrupted deterministically (n_chars prefixed with 'x', so the
+    * LONG column fails to parse); the read then exercises BOTH recovery
+    * modes Spark offers:
+    *
+    *  - PERMISSIVE + `columnNameOfCorruptRecord`: bad rows survive with
+    *    typed columns nulled and the raw line routed to the corrupt
+    *    column — the dead-letter pattern (count + quarantine, never
+    *    silently drop);
+    *  - DROPMALFORMED: bad rows vanish — the quick-and-lossy mode; the
+    *    result pins that its row count equals PERMISSIVE's good count,
+    *    i.e. the two modes agree on what "malformed" means.
+    *
+    * The aggregate (good/corrupt counts + checksums over the good rows)
+    * is what the oracle replays from the clean table. Per-row parsing,
+    * one scan per mode, no shuffles beyond the final 1-row aggregate. */
+  def csvMalformed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = tmp("graft_csvbad")
+    Tables.documents(s, d).select(
+      concat_ws(",", $"doc_id",
+        $"source",
+        when($"doc_id" % 7 === 0, concat(lit("x"), $"n_chars"))
+          .otherwise($"n_chars".cast("string"))).as("value"))
+      .write.mode(SaveMode.Overwrite).text(dir)
+    val base = Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_chars", LongType))
+    val permissive = s.read.schema(StructType(base :+ StructField("_corrupt", StringType)))
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir)
+      .agg(
+        count(when($"_corrupt".isNull, 1)).as("n_good"),
+        count($"_corrupt").as("n_corrupt"),
+        sum(when($"_corrupt".isNull, $"n_chars")).as("sum_chars_good"),
+        sum(when($"_corrupt".isNull, $"doc_id")).as("sum_ids_good"))
+    // The drop-mode aggregate must REFERENCE the typed column: CSV
+    // column pruning parses only referenced columns, so a bare count(*)
+    // never attempts the n_chars conversion and drops nothing — the
+    // checksum makes the malformed column un-prunable (and is the
+    // stronger cross-mode check anyway).
+    val dropped = s.read.schema(StructType(base))
+      .option("mode", "DROPMALFORMED").csv(dir)
+      .agg(count(lit(1)).as("n_dropmalformed"),
+        sum($"n_chars").as("sum_chars_drop"))
+    permissive.crossJoin(dropped)
+      .select($"n_good", $"n_corrupt", $"sum_chars_good", $"sum_ids_good",
+        ($"n_dropmalformed" === $"n_good" &&
+          $"sum_chars_drop" === $"sum_chars_good")
+          .cast("bigint").as("modes_agree"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "src_csv_malformed" -> """
+      SELECT count(*) FILTER (WHERE doc_id % 7 <> 0) AS n_good,
+             count(*) FILTER (WHERE doc_id % 7 = 0) AS n_corrupt,
+             CAST(sum(n_chars) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT)
+               AS sum_chars_good,
+             CAST(sum(doc_id) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT)
+               AS sum_ids_good,
+             CAST(1 AS BIGINT) AS modes_agree
+      FROM documents""",
+
     "src_file_metadata" -> """
       SELECT o_orderstatus AS status, count(*) AS n_rows,
              CAST(1 AS BIGINT) AS path_ok, CAST(1 AS BIGINT) AS size_ok,

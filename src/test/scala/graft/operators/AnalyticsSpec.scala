@@ -185,6 +185,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 3L * tris.size)
   }
 
+  test("readability: closed-form scores on planted prose, fragment, and word-less docs") {
+    // doc 1: 9 words, 3 sentences, 9 vowel groups →
+    //   206835 − (1015·9)÷3 − (84600·9)÷9 = 206835 − 3045 − 84600 = 119190
+    // doc 2: fragment, no [.!?] → sentence floor 1; "xyzzy" = 1 word,
+    //   2 vowel groups (y, y) → 206835 − 1015 − 169200 = 36620
+    // doc 3: word-less → divisor floors to 1, score = 206835
+    val docs = Seq(
+      (1L, "The cat sat. It ran off! Did it nap?"),
+      (2L, "Xyzzy"),
+      (3L, "1234 !!")).toDF("doc_id", "text")
+    val got = TextAnalysis.readabilityOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) == ((9L, 3L, 9L, 119190L, 1L)))
+    assert(got(2L) == ((1L, 1L, 2L, 36620L, 0L)))
+    assert(got(3L) == ((0L, 1L, 0L, 206835L, 1L)))
+  }
+
   test("clustering coefficient: closed forms on clique, path, star vertices") {
     // K4 on {1..4} + path 5-6-7 + pendant 8 off vertex 1 (same planted
     // graph as the triangles law). Closed forms: an interior K4 vertex
