@@ -155,6 +155,63 @@ object Sql {
     """)
   }
 
+  /** TPC-H Q20 shape (the nested-subquery gauntlet): a doubly-nested
+    * IN — suppliers whose shipped quantity of 'blue%' parts is above
+    * the all-supplier average for those parts — with the threshold
+    * itself a nested scalar subquery. The fixture has no partsupp, so
+    * the Q20 `availqty > 0.5 × shipped` correlation becomes
+    * above-average shipping, kept EXACT-INTEGER (sum·n_suppliers >
+    * total — no avg() double at the comparison boundary) and
+    * scale-invariant (~half the suppliers qualify at every SF).
+    * What it exercises on the optimizer: IN → left-semi unnesting at
+    * two levels, scalar-subquery reuse (the same filtered-lineitem
+    * aggregate appears twice and should evaluate once per branch via
+    * subquery/exchange reuse), and the part-filter pushed into the
+    * innermost semi-join's build side. At 100 TB: part('blue%') and
+    * the two scalars broadcast; one shuffle of filtered lineitem on
+    * suppkey is the whole cost. */
+  def q20Nested(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT s.s_name, n.n_name AS nation
+      FROM graft_supplier s
+      JOIN graft_nation n ON s.s_nationkey = n.n_nationkey
+      WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM graft_lineitem l
+        WHERE l.l_partkey IN (
+          SELECT p_partkey FROM graft_part WHERE p_name LIKE 'blue%')
+        GROUP BY l.l_suppkey
+        HAVING sum(CAST(l.l_quantity AS BIGINT)) *
+               (SELECT count(DISTINCT l_suppkey) FROM graft_lineitem
+                WHERE l_partkey IN (
+                  SELECT p_partkey FROM graft_part WHERE p_name LIKE 'blue%')) >
+               (SELECT sum(CAST(l_quantity AS BIGINT)) FROM graft_lineitem
+                WHERE l_partkey IN (
+                  SELECT p_partkey FROM graft_part WHERE p_name LIKE 'blue%')))
+    """)
+  }
+
+  /** SQL pipe syntax (Spark 4's `|>` operators — SPIP in Spark 4.0,
+    * the composable FROM-first form): the same filter → derive →
+    * aggregate pipeline a DataFrame user writes, expressed in pure SQL
+    * through the `spark.sql` entry path. Semantically identical to the
+    * ANSI form (the parser desugars each `|>` stage onto the same
+    * logical plan — same pushdown, same codegen), so the DuckDB oracle
+    * is just the desugared query; the value is API-surface parity for
+    * SQL-first users. Exact-cents revenue; per-flag aggregate. */
+  def pipeSyntax(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      FROM graft_lineitem
+      |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |> EXTEND CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+           AS disc_cents
+      |> AGGREGATE count(*) AS n_items, sum(disc_cents) AS revenue_cents
+           GROUP BY l_returnflag
+      |> SELECT l_returnflag, n_items, revenue_cents
+    """)
+  }
+
   /** One extensions-configured session per SparkContext (the memo twin of
     * a cluster's spark.sql.extensions static conf, which is read once at
     * first-session creation): reuses the JVM's context, restores the
@@ -259,6 +316,31 @@ object Sql {
     "sql_ext_winnow" -> s"""
       SELECT doc_id, fp, CAST(1 AS BIGINT) AS simhash_sql_eq
       FROM (${TextAnalysis.oracle("text_winnow")}) t""",
+
+    "sql_q20_nested" -> """
+      SELECT s.s_name, n.n_name AS nation
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+        GROUP BY l.l_suppkey
+        HAVING sum(CAST(l.l_quantity AS BIGINT)) *
+               (SELECT count(DISTINCT l_suppkey) FROM lineitem
+                WHERE l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')) >
+               (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem
+                WHERE l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')))""",
+
+    "sql_pipe" -> """
+      SELECT l_returnflag, count(*) AS n_items,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      GROUP BY l_returnflag""",
 
     "sql_q7_volume" -> """
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -255,6 +255,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sql_q20_nested unnests both IN levels to semi joins with no cartesian product") {
+    val p = plan("sql_q20_nested")
+    // two IN levels → two semi joins (supplier ⋉ having-agg, lineitem ⋉
+    // blue-parts); the scalar thresholds must arrive as subqueries, not
+    // join-product blowups
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      "both nested INs must unnest to semi joins\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      "the exact-integer threshold must stay a scalar subquery\n" + p)
+  }
+
+  test("sql_pipe desugars onto the same aggregate plan shape as the ANSI form") {
+    val p = plan("sql_pipe")
+    assert(p.contains("HashAggregate"), p)
+    // the pipe WHERE stage must still push to the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
   test("sql_q5_local's join shapes stay eligible for injected runtime bloom filters") {
     // at 100 TB the dims stop broadcasting; the plan must then remain
     // ELIGIBLE for InjectRuntimeFilter so the selective region/orderdate
