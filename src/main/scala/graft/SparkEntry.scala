@@ -58,6 +58,7 @@ object SparkEntry {
     "fn_na"            -> (Relational.fnNa _),
     "events_funnel"    -> (Relational.eventsFunnel _),
     "events_sessionize" -> (Relational.eventsSessionize _),
+    "events_streaks"    -> (Relational.eventsStreaks _),
     "events_retention" -> (Relational.eventsRetention _),
     "events_attribution" -> (Relational.eventsAttribution _),
     "events_paths"     -> (Relational.eventsPaths _),

@@ -607,6 +607,35 @@ object Relational {
         unix_micros($"sess_end") - unix_micros($"sess_start"))
   }
 
+  /** Gaps-and-islands (activity streaks): per user, the longest run of
+    * CONSECUTIVE calendar days with ≥1 event — the retention metric
+    * sessionization can't express (sessions measure time gaps; streaks
+    * measure calendar continuity). The classic trick: day −
+    * row_number(day) is constant exactly within a consecutive run, so
+    * one distinct + one window + two aggregates does it — no self-join,
+    * no iteration. Scale: everything after the (user, day) distinct is
+    * proportional to active-days (≪ events); the window and both
+    * groupBys share the user_id partitioning, so AQE coalesces to ONE
+    * exchange chain end-to-end. */
+  def eventsStreaks(s: SparkSession, d: String): DataFrame =
+    eventsStreaksOf(Tables.events(s, d))
+
+  /** Core over any (user_id, ts) frame — the declared query and
+    * AnalyticsSpec's planted-streak law both drive this path. */
+  def eventsStreaksOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byDay = Window.partitionBy($"user_id").orderBy($"day".asc)
+    events.select($"user_id", to_date($"ts").as("day")).distinct()
+      .withColumn("island", date_sub($"day", row_number().over(byDay)))
+      .groupBy($"user_id", $"island").agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(sum($"len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max($"len").as("longest_streak"))
+  }
+
   // ---------------------------------------------------------------- G. sort / limit / top-k
 
   /** Global multi-key sort (no limit): Catalyst samples for a

@@ -128,6 +128,22 @@ object RelationalOracles {
       FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
               LEFT JOIN s3 ON s1.user_id = s3.user_id""",
 
+    "events_streaks" -> """
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      isl AS (
+        SELECT user_id,
+               day - CAST(row_number() OVER (PARTITION BY user_id
+                                             ORDER BY day ASC) AS INTEGER)
+                 AS island
+        FROM days),
+      runs AS (
+        SELECT user_id, island, count(*) AS len
+        FROM isl GROUP BY user_id, island)
+      SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+             count(*) AS n_streaks, max(len) AS longest_streak
+      FROM runs GROUP BY user_id""",
+
     "events_sessionize" -> """
       WITH e AS (
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

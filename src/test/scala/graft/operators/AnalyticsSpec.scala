@@ -185,6 +185,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 3L * tris.size)
   }
 
+  test("streaks: planted consecutive-day runs recover exactly, duplicate-day events collapse") {
+    import java.sql.Timestamp
+    def t(day: String, h: Int) = Timestamp.valueOf(s"2024-01-$day $h:00:00")
+    // user 1: days 01,02,03 (streak 3), 05 (streak 1), 10,11 (streak 2);
+    //   day 02 has two events — must collapse to one active day
+    // user 2: a single day
+    val ev = Seq(
+      (1L, t("01", 9)), (1L, t("02", 9)), (1L, t("02", 18)), (1L, t("03", 9)),
+      (1L, t("05", 9)), (1L, t("10", 9)), (1L, t("11", 9)),
+      (2L, t("20", 12))).toDF("user_id", "ts")
+    val got = Relational.eventsStreaksOf(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((6L, 3L, 3L)))
+    assert(got(2L) == ((1L, 1L, 1L)))
+  }
+
   test("readability: closed-form scores on planted prose, fragment, and word-less docs") {
     // doc 1: 9 words, 3 sentences, 9 vowel groups →
     //   206835 − (1015·9)÷3 − (84600·9)÷9 = 206835 − 3045 − 84600 = 119190
