@@ -1281,6 +1281,36 @@ object Relational {
     * groupBy keys, so the agg reuses the exchange). high/low/n/volume
     * are plain map-side-combinable aggregates. At 100 TB this is the
     * canonical "align ticks to bars" pass: state per bucket is O(1). */
+  /** Day-of-week seasonality profile — the first decomposition every
+    * ops dashboard wants: per ISO weekday, active-day count, event
+    * count, exact total cents, cents-per-active-day (integer floor
+    * div), and a peak flag (argmax over the 7-row profile, computed
+    * with an unpartitioned window that is trivially safe because the
+    * input IS 7 rows). Spark's `weekday()` (0=Mon) + 1 equals DuckDB's
+    * `isodow` (1=Mon), so the bucketing replays bit-exactly — the
+    * engines' default `dayofweek` functions DISAGREE on the week
+    * origin (Sunday=1 vs Sunday=0), the classic cross-engine seasonal
+    * bug this operator's oracle would catch. One scan, one 7-group
+    * aggregate, all map-side combinable; the distinct-day count rides
+    * the same aggregate as count_distinct. */
+  def tsSeasonalDow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val profile = Tables.events(s, d)
+      .select((weekday($"ts") + 1).cast("bigint").as("iso_dow"),
+        to_date($"ts").as("day"),
+        round($"value" * 100).cast("bigint").as("cents"))
+      .groupBy($"iso_dow")
+      .agg(count_distinct($"day").as("n_days"),
+        count(lit(1)).as("n_events"),
+        sum($"cents").as("total_cents"))
+      .select($"iso_dow", $"n_days", $"n_events", $"total_cents",
+        expr("total_cents div n_days").as("cents_per_day"))
+    profile.withColumn("is_peak",
+      ($"cents_per_day" ===
+        max($"cents_per_day").over(Window.partitionBy()))
+        .cast("bigint"))
+  }
+
   def tsResample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ord = Window.partitionBy($"user_id", $"day")

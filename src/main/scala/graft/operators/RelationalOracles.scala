@@ -128,6 +128,21 @@ object RelationalOracles {
       FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
               LEFT JOIN s3 ON s1.user_id = s3.user_id""",
 
+    "ts_seasonal_dow" -> """
+      WITH e AS (
+        SELECT isodow(CAST(ts AS TIMESTAMP)) AS iso_dow, CAST(ts AS DATE) AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      p AS (
+        SELECT iso_dow, count(DISTINCT day) AS n_days, count(*) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM e GROUP BY iso_dow)
+      SELECT CAST(iso_dow AS BIGINT) AS iso_dow, n_days, n_events, total_cents,
+             total_cents // n_days AS cents_per_day,
+             CAST(total_cents // n_days =
+                  max(total_cents // n_days) OVER () AS BIGINT) AS is_peak
+      FROM p""",
+
     "events_streaks" -> """
       WITH days AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
