@@ -213,6 +213,7 @@ object SparkEntry {
     "mm_decode" -> (Multimodal.decodeFeatures _),
     "mm_resize" -> (Multimodal.resizeBlocks _),
     "mm_frames" -> (Multimodal.sampleFrames _),
+    "mm_scene_cuts" -> (Multimodal.sceneCuts _),
     "mm_audio"  -> (Multimodal.audioFeatures _),
     // J. pipeline maintenance
     "maint_compact"     -> ((s: SparkSession, d: String) => Maintenance.compact(s, d)),

@@ -343,6 +343,39 @@ object Multimodal {
       .toDF()
   }
 
+  final case class SceneRow(doc_id: Long, n_frames: Long, n_cuts: Long,
+      first_cut: Long)
+
+  /** Scene-cut detection over the REAL GIF container: every frame is
+    * decoded through the JDK reader (the full-decode pass a real
+    * shot-boundary detector pays, unlike [[sampleFrames]]' stride
+    * seek), and a cut is flagged where the lead-pixel jump vs the
+    * previous frame exceeds 64 gray levels — the standard
+    * frame-difference detector reduced to the one pixel the analytic
+    * oracle can replay (identity-palette GIF is lossless, so lead
+    * pixel == payload byte at frame_no·[[FrameBytes]]). Emits per doc:
+    * frame count from the container index, cut count, first cut frame
+    * (−1 when none). Per-row codec work bounded by the payload;
+    * shuffle-free. */
+  def sceneCuts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .where(length($"text") >= 1)
+      .select($"doc_id", $"text".cast("binary").as("media"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val gif = encodeGif(r.media)
+          val px = sampleGif(gif, 1).map(_._2)
+          val cuts = (1 until px.size)
+            .filter(i => math.abs(px(i) - px(i - 1)) > 64)
+          SceneRow(r.doc_id, px.size.toLong, cuts.size.toLong,
+            cuts.headOption.map(_.toLong).getOrElse(-1L))
+        }
+      }
+      .toDF()
+  }
+
   /** Oracle fixture invariants (documents.parquet, driver-generated):
     * the payload replays below assume (a) ASCII text — byte == char code,
     * so DuckDB's `ascii(substr(...))` equals the engine's byte read — and
@@ -380,6 +413,26 @@ object Multimodal {
              ascii(substr(text, CAST(i AS INT), 1)) AS lead_byte
       FROM documents JOIN generate_series(1, 8192) g(i)
         ON i <= length(text) AND (i - 1) % 128 = 0""",
+
+    // lossless container ⇒ every frame's lead pixel is the payload byte
+    // at frame_no·32; the oracle replays the frame-difference detector
+    // on those bytes
+    "mm_scene_cuts" -> """
+      WITH f AS (
+        SELECT doc_id, (i - 1) // 32 AS frame_no,
+               ascii(substr(text, CAST(i AS INT), 1)) AS px
+        FROM documents JOIN generate_series(1, 8192) g(i)
+          ON i <= length(text) AND (i - 1) % 32 = 0),
+      d AS (
+        SELECT doc_id, frame_no,
+               px - lag(px) OVER (PARTITION BY doc_id ORDER BY frame_no)
+                 AS diff
+        FROM f)
+      SELECT doc_id, count(*) AS n_frames,
+             count(*) FILTER (WHERE abs(diff) > 64) AS n_cuts,
+             CAST(coalesce(min(frame_no) FILTER (WHERE abs(diff) > 64), -1)
+                  AS BIGINT) AS first_cut
+      FROM d GROUP BY doc_id""",
 
     // the oracle derives width/height/frames ANALYTICALLY from the layout
     // (fixed width, zero-padded rows); the engine parses them from the

@@ -43,6 +43,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("scene cuts: planted lead-pixel jumps are detected at the right frames") {
+    // 4 frames with lead bytes 10, 10, 120, 115: diffs 0, 110, −5 →
+    // exactly one cut, at frame 2 (threshold |diff| > 64)
+    val bytes = new Array[Byte](4 * Multimodal.FrameBytes)
+    bytes(0) = 10; bytes(Multimodal.FrameBytes) = 10
+    bytes(2 * Multimodal.FrameBytes) = 120.toByte
+    bytes(3 * Multimodal.FrameBytes) = 115.toByte
+    val gif = Multimodal.encodeGif(bytes)
+    val px = Multimodal.sampleGif(gif, 1).map(_._2)
+    assert(px == Seq(10, 10, 120, 115))
+    val cuts = (1 until px.size).filter(i => math.abs(px(i) - px(i - 1)) > 64)
+    assert(cuts == Seq(2))
+  }
+
   test("IHDR parse returns the encoded container's dimensions") {
     for (n <- Seq(1, 64, 65, 4096)) {
       val png = Multimodal.encodePng(Array.fill(n)(7.toByte))
