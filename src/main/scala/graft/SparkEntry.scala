@@ -206,6 +206,7 @@ object SparkEntry {
     "curate_mix_plan"      -> ((s: SparkSession, d: String) => Curation.mixPlan(s, d)),
     "curate_filter_funnel" -> (Curation.filterFunnel _),
     "curate_blocklist_bloom" -> (Curation.blocklistBloom _),
+    "curate_ip_blocklist" -> (Curation.ipBlocklist _),
     "curate_quality_prune"  -> ((s: SparkSession, d: String) => Curation.qualityPrune(s, d)),
     "curate_pipeline"       -> (Curation.pipelineReport _),
     // J. multimodal plumbing

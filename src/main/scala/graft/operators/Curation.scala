@@ -308,6 +308,68 @@ object Curation {
       .select($"doc_id", $"score")
   }
 
+  /** CIDR blocklist, parsed once: (prefixLen, shifted network int).
+    * The single source of truth for BOTH the engine predicate and the
+    * generated oracle SQL literals. */
+  private[operators] val CidrBlocklist: Seq[(Int, Long)] =
+    Seq("17.0.0.0/8", "50.0.0.0/8", "99.112.0.0/12",
+        "120.42.0.0/16", "23.160.0.0/16").map { c =>
+      val Array(net, p) = c.split("/")
+      val o = net.split("\\.").map(_.toLong)
+      val ip = (o(0) << 24) | (o(1) << 16) | (o(2) << 8) | o(3)
+      (p.toInt, ip >> (32 - p.toInt))
+    }
+
+  /** Deterministic per-user synthetic client IP (the fixture carries no
+    * network column): octets derived from user_id by coprime multipliers
+    * — engine and oracle replay the identical arithmetic. */
+  private def ipCol: Column =
+    (col("user_id") % 223 + 1) * 16777216L +
+      (col("user_id") * 7 % 256) * 65536L +
+      (col("user_id") * 13 % 256) * 256L +
+      (col("user_id") * 29 % 256)
+
+  /** IP/CIDR blocklist filtering — the crawl-hygiene gate every
+    * training-data ingest runs (datacenter ranges, known-abuse
+    * networks). The matcher is the per-prefix-length compiled form of a
+    * longest-prefix trie: the CIDR list is grouped by prefix length and
+    * each group becomes ONE integer set-membership test on the
+    * correspondingly right-shifted address — per row, zero joins, the
+    * blocklist travels as broadcast literals (at a million-entry real
+    * blocklist, the same grouping becomes one broadcast hash semi-join
+    * per distinct prefix length — typically ≤ 25 — with identical
+    * semantics). Shifts are floor division on non-negative ints, so
+    * DuckDB replays them with `//` bit-exactly. */
+  def ipBlocklist(s: SparkSession, d: String): DataFrame =
+    ipBlocklistOf(Tables.events(s, d))
+
+  /** Core over any (event_type, user_id) frame — the declared query and
+    * CurationSpec's planted-CIDR law both drive this path. */
+  def ipBlocklistOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    ipFlagsOf(events)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"blocked").as("n_blocked"),
+        count_distinct(when($"blocked" === 1, $"user_id")).as("n_users_blocked"),
+        (count(lit(1)) - sum($"blocked")).as("n_kept"))
+  }
+
+  /** Per-row flag frame: (event_type, user_id, ip, blocked). */
+  private[operators] def ipFlagsOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val blockedPred = CidrBlocklist.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (p, nets) =>
+        shiftright($"ip", 32 - p).isin(nets.map(_._2): _*)
+      }
+      .reduce(_ || _)
+    events.select($"event_type", $"user_id")
+      .withColumn("ip", ipCol.cast("bigint"))
+      .withColumn("blocked", blockedPred.cast("bigint"))
+  }
+
   // ----------------------------------------------------------------- oracles
 
   private lazy val oracleBase: Map[String, String] = {
@@ -317,7 +379,29 @@ object Curation {
       val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
       s"len(list_filter(tk, t -> list_contains($lst, t))) AS c_$l"
     }.mkString(",\n                 ")
+    // IP + CIDR predicate generated from CidrBlocklist — one source of
+    // truth with the engine; shifts replayed as floor division
+    val ipSql = "(((user_id % 223) + 1) * 16777216 + ((user_id * 7) % 256) * 65536" +
+      " + ((user_id * 13) % 256) * 256 + ((user_id * 29) % 256))"
+    val blockedSql = CidrBlocklist.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (p, nets) =>
+        s"(ip // ${1L << (32 - p)}) IN (${nets.map(_._2).mkString(", ")})"
+      }.mkString(" OR ")
     Map(
+      "curate_ip_blocklist" -> s"""
+        WITH f AS (
+          SELECT event_type, user_id, $ipSql AS ip FROM events),
+        b AS (
+          SELECT event_type, user_id,
+                 CASE WHEN $blockedSql THEN 1 ELSE 0 END AS blocked
+          FROM f)
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(blocked) AS BIGINT) AS n_blocked,
+               count(DISTINCT CASE WHEN blocked = 1 THEN user_id END)
+                 AS n_users_blocked,
+               CAST(count(*) - sum(blocked) AS BIGINT) AS n_kept
+        FROM b GROUP BY event_type""",
+
       "curate_contamination" -> s"""
         WITH base AS (
           SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),

@@ -8,6 +8,26 @@ import org.apache.spark.sql.functions._
   * fixture can't reach). */
 class CurationSpec extends SparkSpec {
 
+  test("ip blocklist: planted user ids land in each CIDR class, clean ids pass") {
+    import spark.implicits._
+    // derived from the octet arithmetic (o1 = uid%223+1, o2 = 7·uid%256):
+    //   16 → 17.x.x.x    (17.0.0.0/8)
+    //   49 → 50.x.x.x    (50.0.0.0/8)
+    //   1882 → 99.118.x.x  (99.112.0.0/12: top-12 bits 99·16+7)
+    //   18182 → 120.42.x.x (120.42.0.0/16)
+    //   5 → 6.35.x.x     (no match — clean)
+    val ev = Seq(16L, 49L, 1882L, 18182L, 5L)
+      .map(u => ("click", u)).toDF("event_type", "user_id")
+    val flags = Curation.ipFlagsOf(ev).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(flags == Map(16L -> 1L, 49L -> 1L, 1882L -> 1L,
+      18182L -> 1L, 5L -> 0L), flags.toString)
+    // aggregate view: 5 events, 4 blocked, 4 distinct users blocked
+    val agg = Curation.ipBlocklistOf(ev).collect().head
+    assert((agg.getLong(1), agg.getLong(2), agg.getLong(3), agg.getLong(4))
+      == ((5L, 4L, 4L, 1L)))
+  }
+
   test("repetition: single-token and fully-repeated docs hit the bounds") {
     import spark.implicits._
     val docs = Seq(
