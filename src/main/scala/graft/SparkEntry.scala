@@ -128,6 +128,7 @@ object SparkEntry {
     "sql_q7_volume"    -> (Sql.q7Volume _),
     "sql_q18_large_orders" -> (Sql.q18LargeOrders _),
     "sql_q20_nested"   -> (Sql.q20Nested _),
+    "sql_lateral"      -> (Sql.lateralTopPerGroup _),
     "sql_pipe"         -> (Sql.pipeSyntax _),
     "sql_ext_winnow"   -> (Sql.extWinnow _),
     "sql_recursive"    -> (Sql.sqlRecursive _),

@@ -212,6 +212,35 @@ object Sql {
     """)
   }
 
+  /** Correlated LATERAL subquery (the SQL:1999 form of "top-N per
+    * group"): for each nation row, the lateral derived table re-ranks
+    * that nation's suppliers and keeps two — the correlated
+    * row_number + LIMIT shape Catalyst must DECORRELATE into a
+    * partitioned window + filter (DecorrelateInnerQuery; running it
+    * row-at-a-time would be O(|nation|·|supplier|)). Deterministic
+    * tiebreak on (acctbal DESC, suppkey ASC) in exact cents. The same
+    * query a DataFrame user writes as row_number().over(partitionBy)
+    * ≤ 2 — this is the SQL-entry parity check that the lateral route
+    * lands on the same plan family. */
+  def lateralTopPerGroup(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT n.n_name AS nation, t.s_name,
+             CAST(t.rk AS BIGINT) AS rk, t.bal_cents
+      FROM graft_nation n
+      JOIN LATERAL (
+        SELECT s.s_name,
+               row_number() OVER (ORDER BY s.s_acctbal DESC, s.s_suppkey ASC)
+                 AS rk,
+               CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM graft_supplier s
+        WHERE s.s_nationkey = n.n_nationkey
+        ORDER BY s.s_acctbal DESC, s.s_suppkey ASC
+        LIMIT 2
+      ) t
+    """)
+  }
+
   /** One extensions-configured session per SparkContext (the memo twin of
     * a cluster's spark.sql.extensions static conf, which is read once at
     * first-session creation): reuses the JVM's context, restores the
@@ -316,6 +345,21 @@ object Sql {
     "sql_ext_winnow" -> s"""
       SELECT doc_id, fp, CAST(1 AS BIGINT) AS simhash_sql_eq
       FROM (${TextAnalysis.oracle("text_winnow")}) t""",
+
+    "sql_lateral" -> """
+      SELECT n.n_name AS nation, t.s_name,
+             CAST(t.rk AS BIGINT) AS rk, t.bal_cents
+      FROM nation n
+      JOIN LATERAL (
+        SELECT s.s_name,
+               row_number() OVER (ORDER BY s.s_acctbal DESC, s.s_suppkey ASC)
+                 AS rk,
+               CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM supplier s
+        WHERE s.s_nationkey = n.n_nationkey
+        ORDER BY s.s_acctbal DESC, s.s_suppkey ASC
+        LIMIT 2
+      ) t ON true""",
 
     "sql_q20_nested" -> """
       SELECT s.s_name, n.n_name AS nation

@@ -275,6 +275,13 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("GreaterThanOrEqual(l_shipdate"), p)
   }
 
+  test("sql_lateral decorrelates the windowed LIMIT subquery — no cartesian, set-based window") {
+    val p = plan("sql_lateral")
+    assert(p.contains("Window"),
+      "correlated row_number must decorrelate to a set-based Window\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sql_q5_local's join shapes stay eligible for injected runtime bloom filters") {
     // at 100 TB the dims stop broadcasting; the plan must then remain
     // ELIGIBLE for InjectRuntimeFilter so the selective region/orderdate
