@@ -48,6 +48,7 @@ object SparkEntry {
     "q1_agg"           -> (Relational.q1Agg _),
     "agg_stats"        -> (Relational.aggStats _),
     "agg_approx"       -> (Relational.aggApprox _),
+    "agg_approx_topk"  -> (Relational.aggApproxTopK _),
     "agg_collect"      -> (Relational.aggCollect _),
     "agg_minmax_by"    -> (Relational.aggMinMaxBy _),
     "agg_rollup"       -> (Relational.aggRollup _),

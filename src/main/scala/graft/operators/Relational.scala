@@ -265,6 +265,39 @@ object Relational {
           .cast("long").as("approx_ok"))
   }
 
+  /** Spark 4's built-in frequent-items sketch (`approx_top_k`,
+    * Catalyst's ApproxTopK aggregate) with the family's exact-confirm
+    * discipline: the sketch runs over the exploded token stream, and
+    * the EMITTED rows are the exact top-10 (exact counts, deterministic
+    * tiebreak) carrying two oracle-checked flags — the token appears in
+    * the sketch output, and the sketch's count matches within the
+    * frequent-items error bound n/maxItemsTracked (capacity 65536 ≫
+    * vocabulary, so the sketch is operating in its exact regime and
+    * both flags must hold deterministically; a sketch regression fails
+    * CORRECTNESS, the agg_cms/agg_approx pattern). At 100 TB the same
+    * shape holds — the sketch is one map-side-combinable aggregate and
+    * only the k-row profile leaves the executors; the exact-confirm
+    * side is the test harness, not the production path. */
+  def aggApproxTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(split(lower($"text"), " ")).as("tok"))
+      .where($"tok" =!= "")
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
+    val w = Window.orderBy($"exact_n".desc, $"tok".asc)
+    val top10 = exact.withColumn("rk", row_number().over(w)).where($"rk" <= 10)
+    val total = toks.agg(count(lit(1)).as("n_tokens"))
+    val approx = toks.agg(expr("approx_top_k(tok, 31, 65536)").as("sk"))
+      .select(explode($"sk").as("e"))
+      .select($"e.item".as("tok"), $"e.count".cast("bigint").as("approx_n"))
+    top10.join(approx, Seq("tok"), "left")
+      .crossJoin(broadcast(total)) // 1-row scalar
+      .select($"tok", $"rk".cast("bigint").as("rk"), $"exact_n",
+        $"approx_n".isNotNull.cast("bigint").as("in_sketch"),
+        (abs(coalesce($"approx_n", lit(0L)) - $"exact_n") <=
+          expr("n_tokens div 65536") + 1L).cast("bigint").as("count_ok"))
+  }
+
   /** collect_set canonicalized to a sorted joined string (deterministic). */
   def aggCollect(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

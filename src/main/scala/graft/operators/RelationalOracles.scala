@@ -128,6 +128,18 @@ object RelationalOracles {
       FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
               LEFT JOIN s3 ON s1.user_id = s3.user_id""",
 
+    "agg_approx_topk" -> """
+      WITH t AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      f AS (SELECT tok FROM t WHERE tok <> ''),
+      e AS (SELECT tok, count(*) AS exact_n FROM f GROUP BY tok),
+      r AS (SELECT tok, exact_n,
+                   row_number() OVER (ORDER BY exact_n DESC, tok ASC) AS rk
+            FROM e)
+      SELECT tok, rk, exact_n,
+             CAST(1 AS BIGINT) AS in_sketch, CAST(1 AS BIGINT) AS count_ok
+      FROM r WHERE rk <= 10""",
+
     "ts_seasonal_dow" -> """
       WITH e AS (
         SELECT isodow(CAST(ts AS TIMESTAMP)) AS iso_dow, CAST(ts AS DATE) AS day,
