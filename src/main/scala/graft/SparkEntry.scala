@@ -60,6 +60,7 @@ object SparkEntry {
     "events_funnel"    -> (Relational.eventsFunnel _),
     "events_sessionize" -> (Relational.eventsSessionize _),
     "events_streaks"    -> (Relational.eventsStreaks _),
+    "events_time_to_convert" -> (Relational.eventsTimeToConvert _),
     "ts_seasonal_dow"   -> (Relational.tsSeasonalDow _),
     "events_retention" -> (Relational.eventsRetention _),
     "events_attribution" -> (Relational.eventsAttribution _),

@@ -640,6 +640,43 @@ object Relational {
         unix_micros($"sess_end") - unix_micros($"sess_start"))
   }
 
+  /** Funnel latency distribution — the metric behind every conversion
+    * dashboard: per user, time from first 'view' to the first
+    * 'purchase' AFTER it (the events_funnel anchor rule), summarized
+    * as one row of exact integers — anchored/converted counts, min and
+    * max latency in µs, and DISCRETE p50/p90 with the explicit
+    * skew-report rank rule (rank = (n−1)·p div 100 + 1 over ascending
+    * latency, user_id tiebreak) — a real data value, not an
+    * interpolated double, and the same convention DuckDB replays
+    * exactly. One user_id window pass + a rank over the converted
+    * profile (≪ events); the percentile picks ride a broadcast 1-row
+    * scalar, the skew_report shape. */
+  def eventsTimeToConvert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+    val lat = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+      .withColumn("t1", min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("t2",
+        min(when($"event_type" === "purchase" && $"ts" > $"t1", $"ts")).over(w))
+      .where($"t1".isNotNull)
+      .groupBy($"user_id")
+      .agg((unix_micros(max($"t2")) - unix_micros(max($"t1"))).as("lat_us"))
+    val ranked = lat.where($"lat_us".isNotNull).withColumn("rk",
+      row_number().over(Window.orderBy($"lat_us".asc, $"user_id".asc)))
+    val stats = lat.agg(count(lit(1)).as("n_anchored"),
+      count($"lat_us").as("n_converted"),
+      min($"lat_us").as("min_us"), max($"lat_us").as("max_us"))
+    ranked.crossJoin(broadcast(stats)) // 1-row scalar
+      .agg(max($"n_anchored").as("n_anchored"),
+        max($"n_converted").as("n_converted"),
+        max($"min_us").as("min_us"), max($"max_us").as("max_us"),
+        max(when($"rk" === expr("((n_converted - 1) * 50) div 100 + 1"),
+          $"lat_us")).as("p50_us"),
+        max(when($"rk" === expr("((n_converted - 1) * 90) div 100 + 1"),
+          $"lat_us")).as("p90_us"))
+  }
+
   /** Gaps-and-islands (activity streaks): per user, the longest run of
     * CONSECUTIVE calendar days with ≥1 event — the retention metric
     * sessionization can't express (sessions measure time gaps; streaks

@@ -155,6 +155,37 @@ object RelationalOracles {
                   max(total_cents // n_days) OVER () AS BIGINT) AS is_peak
       FROM p""",
 
+    "events_time_to_convert" -> """
+      WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM e GROUP BY user_id),
+      c AS (
+        SELECT u.user_id, u.t1, min(e2.ts) AS t2
+        FROM u JOIN e e2 ON e2.user_id = u.user_id
+             AND e2.event_type = 'purchase' AND e2.ts > u.t1
+        GROUP BY u.user_id, u.t1),
+      lat AS (
+        SELECT user_id, epoch_us(t2) - epoch_us(t1) AS lat_us FROM c),
+      anch AS (
+        SELECT count(*) AS n_anchored FROM u WHERE t1 IS NOT NULL),
+      r AS (
+        SELECT lat_us,
+               row_number() OVER (ORDER BY lat_us ASC, user_id ASC) AS rk
+        FROM lat),
+      s AS (
+        SELECT count(*) AS n_converted, min(lat_us) AS min_us,
+               max(lat_us) AS max_us
+        FROM lat)
+      SELECT anch.n_anchored, s.n_converted, s.min_us, s.max_us,
+             (SELECT lat_us FROM r, s
+              WHERE rk = ((n_converted - 1) * 50) // 100 + 1) AS p50_us,
+             (SELECT lat_us FROM r, s
+              WHERE rk = ((n_converted - 1) * 90) // 100 + 1) AS p90_us
+      FROM anch, s""",
+
     "events_streaks" -> """
       WITH days AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
