@@ -61,6 +61,7 @@ object SparkEntry {
     "events_sessionize" -> (Relational.eventsSessionize _),
     "events_streaks"    -> (Relational.eventsStreaks _),
     "events_time_to_convert" -> (Relational.eventsTimeToConvert _),
+    "window_running_distinct" -> (Relational.windowRunningDistinct _),
     "ts_seasonal_dow"   -> (Relational.tsSeasonalDow _),
     "events_retention" -> (Relational.eventsRetention _),
     "events_attribution" -> (Relational.eventsAttribution _),

@@ -640,6 +640,32 @@ object Relational {
         unix_micros($"sess_end") - unix_micros($"sess_start"))
   }
 
+  /** Running COUNT DISTINCT over an ordered stream — the discovery
+    * curve ("how many distinct event types has this user touched by
+    * time t") that plain window aggregates can't express (DISTINCT is
+    * unsupported in windowed aggregation in both engines). The
+    * standard decomposition: flag each row that is the FIRST
+    * occurrence of its (user, value) pair — row_number = 1 over the
+    * (user, type) partition — then a running sum of flags over the
+    * (user) time order. Two window partitionings → two exchanges; the
+    * second is the price of the finer first-occurrence key (at scale,
+    * pre-partitioning by user_id lets AQE plan the (user, type) hash
+    * as a local re-sort within user partitions only when the
+    * partitioner is compatible; both engines replay the same unique
+    * (ts, event_id) tiebreak, so the curve is deterministic). */
+  def windowRunningDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val firstPer = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val byTime = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, d).select($"user_id", $"event_id", $"event_type", $"ts")
+      .withColumn("is_new", (row_number().over(firstPer) === 1).cast("bigint"))
+      .withColumn("n_types_seen", sum($"is_new").over(byTime))
+      .select($"user_id", $"event_id", $"is_new", $"n_types_seen")
+  }
+
   /** Funnel latency distribution — the metric behind every conversion
     * dashboard: per user, time from first 'view' to the first
     * 'purchase' AFTER it (the events_funnel anchor rule), summarized

@@ -155,6 +155,23 @@ object RelationalOracles {
                   max(total_cents // n_days) OVER () AS BIGINT) AS is_peak
       FROM p""",
 
+    "window_running_distinct" -> """
+      WITH e AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events),
+      f AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN row_number() OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY ts ASC, event_id ASC) = 1
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e)
+      SELECT user_id, event_id, CAST(is_new AS BIGINT) AS is_new,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC)
+                  AS BIGINT) AS n_types_seen
+      FROM f""",
+
     "events_time_to_convert" -> """
       WITH e AS (
         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
