@@ -154,6 +154,7 @@ object SparkEntry {
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_minhash"       -> (Dedup.minhashLsh _),
     "dedup_minhash_clusters" -> (Dedup.minhashClusters _),
+    "dedup_keep_list"     -> (Dedup.keepList _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_simhash"       -> ((s: SparkSession, d: String) => Dedup.simhashRecall(s, d)),
     "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingCosineExact(s, d)),

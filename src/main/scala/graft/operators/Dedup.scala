@@ -286,6 +286,29 @@ object Dedup {
       .select($"n".as("doc_id"), $"l".as("cluster_rep"))
   }
 
+  /** The dedup VERDICT a pipeline actually publishes: per document,
+    * whether it sits in a near-dup cluster, whether it is KEPT (the
+    * cluster representative = the component's min doc_id, which is
+    * exactly the label [[connectedComponents]] converges to — so the
+    * rep check is a column compare, no extra aggregate), and its dedup
+    * group id (own id when unclustered). Downstream consumers filter
+    * `keep = 1` to materialize the cleaned corpus; `dedup_group` keys
+    * provenance. One left join of the corpus id column against the
+    * (tiny) clustered-docs frame — at 100 TB the keep-list is the
+    * versioned artifact published beside the corpus, and this query IS
+    * its builder. */
+  def keepList(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clusters = minhashClusters(s, d)
+    Tables.documents(s, d).select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id",
+        $"cluster_rep".isNotNull.cast("bigint").as("clustered"),
+        ($"cluster_rep".isNull || $"cluster_rep" === $"doc_id")
+          .cast("bigint").as("keep"),
+        coalesce($"cluster_rep", $"doc_id").as("dedup_group"))
+  }
+
   /** Incremental near-dup detection — the INGESTION-TIME dedup shape: new
     * documents (the delta) are probed against the banded signature index
     * of the EXISTING corpus (the base), never re-self-joining the whole
@@ -1396,6 +1419,23 @@ object Dedup {
         UNION
         SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.n)
       SELECT n AS doc_id, min(l) AS cluster_rep FROM reach GROUP BY n""",
+    "dedup_keep_list" -> s"""
+      WITH RECURSIVE pairs AS (${shingleOracle(0.9, "char12")}),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      nodes AS (SELECT DISTINCT a AS n FROM edges),
+      reach(n, l) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.n),
+      cl AS (SELECT n AS doc_id, min(l) AS cluster_rep FROM reach GROUP BY n)
+      SELECT d.doc_id,
+             CAST(cl.cluster_rep IS NOT NULL AS BIGINT) AS clustered,
+             CAST(cl.cluster_rep IS NULL OR cl.cluster_rep = d.doc_id
+                  AS BIGINT) AS keep,
+             coalesce(cl.cluster_rep, d.doc_id) AS dedup_group
+      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id""",
     "dedup_ngram_jaccard" -> shingleOracle(0.8, "word3"),
     "dedup_embedding" -> """
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
