@@ -90,6 +90,7 @@ object SparkEntry {
     "sort_global"      -> (Relational.sortGlobal _),
     // H. set ops
     "set_union"        -> (Relational.setUnion _),
+    "set_ops_all"      -> (Relational.setOpsAll _),
     "set_intersect"    -> (Relational.setIntersect _),
     "set_except"       -> (Relational.setExcept _),
     "set_distinct"     -> (Relational.setDistinct _),

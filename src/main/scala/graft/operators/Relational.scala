@@ -760,6 +760,29 @@ object Relational {
   // ---------------------------------------------------------------- H. set ops
 
   /** UNION ALL then aggregate (unionByName for schema safety). */
+  /** Bag-semantics set algebra (the ALL variants — multiset min /
+    * difference / sum of multiplicities), which Spark executes as
+    * count-annotated aggregates + generate rather than row-matching
+    * joins. Two overlapping lineitem slices (quantity ≤ 25 vs ≥ 20)
+    * give every key genuine duplicate multiplicity; the result is the
+    * per-key count under each ALL operator, labeled — the oracle
+    * replays INTERSECT ALL / EXCEPT ALL / UNION ALL literally. One
+    * exchange per operator on the (flag, status) key; the distinct
+    * variants are the `set_*` family above. */
+  def setOpsAll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val a = li.where($"l_quantity" <= 25).select($"l_returnflag", $"l_linestatus")
+    val b = li.where($"l_quantity" >= 20).select($"l_returnflag", $"l_linestatus")
+    def cnt(df: DataFrame, op: String) =
+      df.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit(op))
+    cnt(a.intersectAll(b), "intersect_all")
+      .unionByName(cnt(a.exceptAll(b), "except_all"))
+      .unionByName(cnt(a.unionAll(b), "union_all"))
+      .select($"op", $"l_returnflag", $"l_linestatus", $"n")
+  }
+
   def setUnion(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val c = Tables.customer(s, d).select($"c_nationkey".cast("int").as("nationkey"))

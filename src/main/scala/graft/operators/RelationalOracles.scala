@@ -452,6 +452,24 @@ object RelationalOracles {
       ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
       LIMIT 50""",
 
+    "set_ops_all" -> """
+      WITH a AS (SELECT l_returnflag, l_linestatus FROM lineitem
+                 WHERE l_quantity <= 25),
+      b AS (SELECT l_returnflag, l_linestatus FROM lineitem
+            WHERE l_quantity >= 20),
+      ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+      ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+      ua AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+      SELECT 'intersect_all' AS op, l_returnflag, l_linestatus,
+             count(*) AS n
+      FROM ia GROUP BY l_returnflag, l_linestatus
+      UNION ALL
+      SELECT 'except_all', l_returnflag, l_linestatus, count(*)
+      FROM ea GROUP BY l_returnflag, l_linestatus
+      UNION ALL
+      SELECT 'union_all', l_returnflag, l_linestatus, count(*)
+      FROM ua GROUP BY l_returnflag, l_linestatus""",
+
     "set_union" -> """
       SELECT nationkey, count(*) AS n FROM (
         SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
