@@ -44,6 +44,7 @@ object SparkEntry {
     "join_asof"        -> (Relational.joinAsof _),
     "join_nearest"     -> (Relational.joinNearest _),
     "join_interval"    -> (Relational.joinInterval _),
+    "join_scd2"        -> (Relational.joinScd2 _),
     // E. aggregation
     "q1_agg"           -> (Relational.q1Agg _),
     "agg_stats"        -> (Relational.aggStats _),

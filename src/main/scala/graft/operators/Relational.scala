@@ -703,6 +703,41 @@ object Relational {
           $"lat_us")).as("p90_us"))
   }
 
+  /** Point-in-time join against a versioned dimension — the SCD
+    * type-2 staple: each fact row must see the dimension version whose
+    * [valid_from, valid_to) interval covers the event time, not
+    * today's version (the classic back-test/training-data leakage
+    * trap). The dim is STAGED in-query from customer (every %3 == 0
+    * key gets a mid-history segment change at 2024-01-15, inside the
+    * events span; everyone else one full-range version), then the join
+    * is an EQUI join on the key with the validity range as a residual
+    * filter — the 100 TB shape: the dim (rows ≈ keys × avg versions)
+    * broadcasts or buckets by key, the fact side never re-shuffles for
+    * the range part, and exactly one version matches per fact row by
+    * construction (intervals partition time). Per segment-at-event-time
+    * counts. */
+  def joinScd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import java.sql.Timestamp
+    val lo = lit(Timestamp.valueOf("1970-01-01 00:00:00"))
+    val split = lit(Timestamp.valueOf("2024-01-15 00:00:00"))
+    val hi = lit(Timestamp.valueOf("2099-01-01 00:00:00"))
+    val cust = Tables.customer(s, d)
+    val changed = cust.where($"c_custkey" % 3 === 0)
+    val dim = changed.select($"c_custkey".as("user_id"),
+        $"c_mktsegment".as("segment"), lo.as("valid_from"), split.as("valid_to"))
+      .unionByName(changed.select($"c_custkey".as("user_id"),
+        concat(lit("UPGRADED-"), $"c_mktsegment").as("segment"),
+        split.as("valid_from"), hi.as("valid_to")))
+      .unionByName(cust.where($"c_custkey" % 3 =!= 0)
+        .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"),
+          lo.as("valid_from"), hi.as("valid_to")))
+    Tables.events(s, d).select($"user_id", $"ts")
+      .join(broadcast(dim), Seq("user_id"))
+      .where($"ts" >= $"valid_from" && $"ts" < $"valid_to")
+      .groupBy($"segment").agg(count(lit(1)).as("n_events"))
+  }
+
   /** Gaps-and-islands (activity streaks): per user, the longest run of
     * CONSECUTIVE calendar days with ≥1 event — the retention metric
     * sessionization can't express (sessions measure time gaps; streaks

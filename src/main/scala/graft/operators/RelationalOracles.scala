@@ -155,6 +155,27 @@ object RelationalOracles {
                   max(total_cents // n_days) OVER () AS BIGINT) AS is_peak
       FROM p""",
 
+    "join_scd2" -> """
+      WITH dim AS (
+        SELECT c_custkey AS user_id, c_mktsegment AS segment,
+               TIMESTAMP '1970-01-01' AS valid_from,
+               TIMESTAMP '2024-01-15' AS valid_to
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, 'UPGRADED-' || c_mktsegment,
+               TIMESTAMP '2024-01-15', TIMESTAMP '2099-01-01'
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment,
+               TIMESTAMP '1970-01-01', TIMESTAMP '2099-01-01'
+        FROM customer WHERE c_custkey % 3 <> 0)
+      SELECT dim.segment, count(*) AS n_events
+      FROM events e
+      JOIN dim ON e.user_id = dim.user_id
+           AND CAST(e.ts AS TIMESTAMP) >= dim.valid_from
+           AND CAST(e.ts AS TIMESTAMP) < dim.valid_to
+      GROUP BY dim.segment""",
+
     "window_running_distinct" -> """
       WITH e AS (
         SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
