@@ -190,6 +190,7 @@ object SparkEntry {
     "text_langid"      -> (TextAnalysis.langId _),
     "text_quality"     -> (TextAnalysis.quality _),
     "text_readability" -> (TextAnalysis.readability _),
+    "text_compression_ratio" -> (TextAnalysis.compressionRatio _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_bpe"         -> (TextAnalysis.bpeTokens _),
     "text_winnow"      -> (TextAnalysis.winnowFingerprint _),

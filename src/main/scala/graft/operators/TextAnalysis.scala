@@ -130,6 +130,56 @@ object TextAnalysis {
         ($"score_milli" >= 60000L).cast("bigint").as("readable"))
   }
 
+  final case class CompRow(doc_id: Long, n_bytes: Long, compressible: Long,
+      bound_ok: Long)
+
+  /** Compression-ratio quality signal (the Gopher/FineWeb-class filter:
+    * text that deflates to almost nothing is boilerplate/repetition;
+    * text that doesn't deflate at all is noise or binary). A REAL
+    * DEFLATE codec (java.util.zip.Deflater, level 6, one instance
+    * reused per partition — the codec-amortization discipline of the
+    * `mm_*` kernels) compresses each document; since no SQL engine can
+    * replay zlib byte counts, the EMITTED columns follow the
+    * bound-flag discipline: exact byte length, `compressible` (ratio
+    * < 0.9, asserted only for docs ≥ 200 bytes where the corpus
+    * guarantees it; −1 = not assessed below that), and `bound_ok`
+    * (deflate's worst-case expansion bound raw + raw/1000 + 64 held).
+    * The ratio itself is spec territory (planted repetition vs
+    * incompressible-bytes law in AnalyticsSpec). Per-row, zero
+    * shuffle. */
+  def compressionRatio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(6)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val comp = deflateLen(defl, raw)
+          val compressible =
+            if (raw.length < 200) -1L
+            else if (comp * 10L < raw.length * 9L) 1L else 0L
+          val boundOk =
+            if (comp <= raw.length + raw.length / 1000 + 64) 1L else 0L
+          CompRow(id, raw.length.toLong, compressible, boundOk)
+        }
+      }
+      .toDF()
+  }
+
+  /** Deflate `raw` with a reused (reset) Deflater, returning the
+    * compressed byte count. */
+  private[operators] def deflateLen(defl: java.util.zip.Deflater,
+      raw: Array[Byte]): Long = {
+    defl.reset()
+    defl.setInput(raw)
+    defl.finish()
+    val buf = new Array[Byte](raw.length + raw.length / 1000 + 128)
+    var n = 0
+    while (!defl.finished() && n < buf.length)
+      n += defl.deflate(buf, n, buf.length - n)
+    n.toLong
+  }
+
   /** Corpus bigram mining with a stopword filter: tokens minus English
     * stopwords → word 2-grams → global top-20 by count (unique tiebreak
     * on the bigram). Shuffle carries (bigram, partial count); the top-20
@@ -930,6 +980,15 @@ object TextAnalysis {
                  len(list_filter(string_split(lower(text), ' '),
                      t -> list_contains(${stopList("en")}, t))) AS stop
           FROM documents) t""",
+
+      // zlib byte counts are not SQL-replayable; the oracle asserts the
+      // deterministic flags (ASCII corpus: octet_length == length)
+      "text_compression_ratio" -> """
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN length(text) >= 200 THEN 1 ELSE -1 END
+                    AS BIGINT) AS compressible,
+               CAST(1 AS BIGINT) AS bound_ok
+        FROM documents""",
 
       "text_readability" -> """
         SELECT doc_id, n_words, n_sents, n_vgroups,

@@ -185,6 +185,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 3L * tris.size)
   }
 
+  test("compression ratio: repetition deflates hard, high-entropy bytes do not") {
+    val defl = new java.util.zip.Deflater(6)
+    val rep = ("the quick brown fox " * 100).getBytes("UTF-8") // 2000 B
+    val repC = TextAnalysis.deflateLen(defl, rep)
+    assert(repC * 20 < rep.length, s"repetition ratio ${repC}/${rep.length}") // < 5%
+    val rnd = new scala.util.Random(11)
+    val noise = Array.fill(2000)(rnd.nextInt(256).toByte)
+    val noiseC = TextAnalysis.deflateLen(defl, noise)
+    assert(noiseC * 10 > noise.length * 9, s"noise ratio ${noiseC}/${noise.length}") // ≥ 90%
+    // worst-case expansion bound holds even for incompressible input
+    assert(noiseC <= noise.length + noise.length / 1000 + 64)
+    // and the reused (reset) codec is deterministic
+    assert(TextAnalysis.deflateLen(defl, rep) == repC)
+  }
+
   test("streaks: planted consecutive-day runs recover exactly, duplicate-day events collapse") {
     import java.sql.Timestamp
     def t(day: String, h: Int) = Timestamp.valueOf(s"2024-01-$day $h:00:00")
