@@ -50,6 +50,7 @@ object SparkEntry {
     "agg_stats"        -> (Relational.aggStats _),
     "agg_approx"       -> (Relational.aggApprox _),
     "agg_approx_topk"  -> (Relational.aggApproxTopK _),
+    "agg_sketch_rollup" -> (Relational.aggSketchRollup _),
     "agg_collect"      -> (Relational.aggCollect _),
     "agg_minmax_by"    -> (Relational.aggMinMaxBy _),
     "agg_rollup"       -> (Relational.aggRollup _),

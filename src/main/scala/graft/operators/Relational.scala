@@ -298,6 +298,35 @@ object Relational {
           expr("n_tokens div 65536") + 1L).cast("bigint").as("count_ok"))
   }
 
+  /** Sketch RE-aggregation — the pre-aggregated-rollup pattern every
+    * warehouse runs: per-day HLL partials (`hll_sketch_agg`, the
+    * Datasketches binary a daily batch would persist) are MERGED up to
+    * weeks (`hll_union_agg`) without touching raw events again —
+    * count_distinct cannot do this (distinct is not reaggregatable;
+    * sketches are exactly the fix). Emitted per week: day count, the
+    * EXACT weekly distinct (computed independently from raw events for
+    * the confirm), and the bound flag |estimate − exact| ≤ 5% + 1 —
+    * deterministic because the sketch of a fixed input is
+    * deterministic. At 100 TB only the daily sketch table (days ×
+    * 1.5 KB) feeds the rollup; raw events are read once at partial
+    * build. */
+  def aggSketchRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(to_date($"ts").as("day"), $"user_id")
+    val weekCol = expr("datediff(day, date'2024-01-01') div 7")
+    val daily = ev.groupBy($"day").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val weekly = daily.withColumn("week", weekCol.cast("bigint"))
+      .groupBy($"week")
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = ev.withColumn("week", weekCol.cast("bigint"))
+      .groupBy($"week").agg(count_distinct($"user_id").as("exact_users"))
+    weekly.join(exact, Seq("week"))
+      .select($"week", $"n_days", $"exact_users",
+        (abs($"est" - $"exact_users") <= $"exact_users" * 0.05 + 1)
+          .cast("bigint").as("hll_ok"))
+  }
+
   /** collect_set canonicalized to a sorted joined string (deterministic). */
   def aggCollect(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

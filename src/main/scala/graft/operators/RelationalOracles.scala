@@ -128,6 +128,19 @@ object RelationalOracles {
       FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
               LEFT JOIN s3 ON s1.user_id = s3.user_id""",
 
+    "agg_sketch_rollup" -> """
+      WITH e AS (
+        SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+      w AS (
+        SELECT datediff('day', DATE '2024-01-01', day) // 7 AS week,
+               day, user_id
+        FROM e)
+      SELECT CAST(week AS BIGINT) AS week,
+             count(DISTINCT day) AS n_days,
+             count(DISTINCT user_id) AS exact_users,
+             CAST(1 AS BIGINT) AS hll_ok
+      FROM w GROUP BY week""",
+
     "agg_approx_topk" -> """
       WITH t AS (
         SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
