@@ -282,6 +282,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("join_scd2 broadcasts the versioned dim with the validity range as a residual filter") {
+    val p = plan("join_scd2")
+    assert(p.contains("BroadcastHashJoin"),
+      "the dim must broadcast on the equi key\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the range predicate rides the join as a residual condition, not a
+    // post-join filter of a cross product
+    assert(p.contains("valid_from") && p.contains("valid_to"), p)
+  }
+
+  test("window_running_distinct runs exactly two window exchanges, user partitioning last") {
+    val p = plan("window_running_distinct")
+    // (user, type) first-occurrence + (user) running sum = 2 hash
+    // exchanges; a third would mean a redundant re-shuffle snuck in.
+    // Count only the AQE FINAL plan — toString appends the Initial
+    // Plan section too, which would double-count every exchange.
+    val finalP = p.indexOf("== Initial Plan ==") match {
+      case -1 => p; case i => p.substring(0, i)
+    }
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalP).size
+    assert(exchanges == 2, s"expected 2 window exchanges, got $exchanges\n" + p)
+    assert("Window".r.findAllIn(finalP).size >= 2, p)
+  }
+
+  test("events_time_to_convert keeps the percentile picks on a broadcast scalar (no second events scan join)") {
+    val p = plan("events_time_to_convert")
+    assert(p.contains("BroadcastExchange"),
+      "stats row must broadcast into the rank pass\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sql_q5_local's join shapes stay eligible for injected runtime bloom filters") {
     // at 100 TB the dims stop broadcasting; the plan must then remain
     // ELIGIBLE for InjectRuntimeFilter so the selective region/orderdate
