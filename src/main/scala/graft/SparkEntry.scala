@@ -141,6 +141,7 @@ object SparkEntry {
     // B. sources / sinks
     "src_csv_roundtrip"     -> (graft.sources.Sources.csvRoundtrip _),
     "src_csv_malformed"     -> (graft.sources.Sources.csvMalformed _),
+    "src_partition_prune"   -> (graft.sources.Sources.partitionPrune _),
     "src_json_roundtrip"    -> (graft.sources.Sources.jsonRoundtrip _),
     "src_text_kv"           -> (graft.sources.Sources.textKvRoundtrip _),
     "src_partitioned_write" -> (graft.sources.Sources.partitionedWrite _),

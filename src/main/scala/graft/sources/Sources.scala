@@ -349,7 +349,44 @@ object Sources {
           .cast("bigint").as("modes_agree"))
   }
 
+  /** Partition pruning made visible — the single biggest 100 TB lever:
+    * a day-partitioned lake queried for ONE day must read one
+    * partition's files, not the table. The fixture stages events
+    * Hive-partitioned by day once per (session, dir); the query
+    * filters on the PARTITION COLUMN and aggregates exact cents.
+    * PlanShapeSpec pins the proof: the scan's `PartitionFilters`
+    * carries the day equality (directory-level pruning — no file of
+    * any other day is even listed into the scan), and the data-file
+    * read set is a single partition. The oracle replays the day's
+    * aggregate from the raw table. */
+  def partitionPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val srcKey = "spark.graft.prune.src"
+    val dirKey = "spark.graft.prune.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = tmp("graft_prune")
+      Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          round($"value" * 100).cast("bigint").as("cents"),
+          date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+        .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    s.read.parquet(s.conf.get(dirKey))
+      .where($"day" === "2024-01-11")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"),
+        count_distinct($"user_id").as("n_users"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "src_partition_prune" -> """
+      SELECT count(*) AS n_rows,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             count(DISTINCT user_id) AS n_users
+      FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-11'""",
+
     "src_csv_malformed" -> """
       SELECT count(*) FILTER (WHERE doc_id % 7 <> 0) AS n_good,
              count(*) FILTER (WHERE doc_id % 7 = 0) AS n_corrupt,

@@ -313,6 +313,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("src_partition_prune prunes the scan to one day partition at directory level") {
+    val df = graft.SparkEntry.queries("src_partition_prune")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.contains("day#") && p.contains("2024-01-11"),
+      "the day equality must be a partition filter, not a data filter\n" + p)
+    // the read set is exactly the target partition's files. NOT
+    // df.inputFiles — that lists the relation's whole FileIndex
+    // ignoring partition filters; input_file_name() reflects the
+    // files actually scanned post-pruning.
+    import org.apache.spark.sql.functions.input_file_name
+    val pruneDir = spark.conf.get("spark.graft.prune.dir")
+    val files = spark.read.parquet(pruneDir)
+      .where(org.apache.spark.sql.functions.col("day") === "2024-01-11")
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("day=2024-01-11")),
+      files.mkString(", "))
+  }
+
   test("sql_q5_local's join shapes stay eligible for injected runtime bloom filters") {
     // at 100 TB the dims stop broadcasting; the plan must then remain
     // ELIGIBLE for InjectRuntimeFilter so the selective region/orderdate
