@@ -193,6 +193,7 @@ object SparkEntry {
     "text_quality"     -> (TextAnalysis.quality _),
     "text_readability" -> (TextAnalysis.readability _),
     "text_compression_ratio" -> (TextAnalysis.compressionRatio _),
+    "text_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_bpe"         -> (TextAnalysis.bpeTokens _),
     "text_winnow"      -> (TextAnalysis.winnowFingerprint _),

@@ -130,6 +130,33 @@ object TextAnalysis {
         ($"score_milli" >= 60000L).cast("bigint").as("readable"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-budget question ("what
+    * fraction of the corpus do the top-k types cover?") asked before
+    * sizing any vocab: rank types by corpus frequency (deterministic
+    * count-desc/type-asc), cumulative-sum their counts, and report
+    * exact ppm coverage at k ∈ {1,2,4,8,16,31}. All integers — counts,
+    * running sums, floor-div ppm — so DuckDB replays bit-exactly. The
+    * heavy aggregate (type counts) is map-side combinable; the ranking
+    * and cumsum run on the |vocab| profile, and the total rides a
+    * broadcast 1-row scalar. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(explode(split(lower($"text"), " ")).as("tok"))
+      .where($"tok" =!= "")
+    val counts = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+    val ranked = counts.withColumn("rk",
+      row_number().over(Window.orderBy($"n".desc, $"tok".asc)))
+    val cum = ranked.withColumn("covered",
+      sum($"n").over(Window.orderBy($"rk".asc)))
+    val total = counts.agg(sum($"n").as("total"))
+    cum.where($"rk".isin(1, 2, 4, 8, 16, 31))
+      .crossJoin(broadcast(total)) // 1-row scalar
+      .select($"rk".cast("bigint").as("k"), $"covered", $"total",
+        expr("(covered * 1000000) div total").as("coverage_ppm"))
+  }
+
   final case class CompRow(doc_id: Long, n_bytes: Long, compressible: Long,
       bound_ok: Long)
 
@@ -980,6 +1007,22 @@ object TextAnalysis {
                  len(list_filter(string_split(lower(text), ' '),
                      t -> list_contains(${stopList("en")}, t))) AS stop
           FROM documents) t""",
+
+      "text_vocab_coverage" -> """
+        WITH t AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        f AS (SELECT tok FROM t WHERE tok <> ''),
+        c AS (SELECT tok, count(*) AS n FROM f GROUP BY tok),
+        r AS (SELECT tok, n,
+                     row_number() OVER (ORDER BY n DESC, tok ASC) AS rk
+              FROM c),
+        cum AS (SELECT rk,
+                       CAST(sum(n) OVER (ORDER BY rk) AS BIGINT) AS covered
+                FROM r),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        SELECT CAST(rk AS BIGINT) AS k, covered, total,
+               (covered * 1000000) // total AS coverage_ppm
+        FROM cum, tot WHERE rk IN (1, 2, 4, 8, 16, 31)""",
 
       // zlib byte counts are not SQL-replayable; the oracle asserts the
       // deterministic flags (ASCII corpus: octet_length == length)
