@@ -98,6 +98,7 @@ object SparkEntry {
     "set_distinct"     -> (Relational.setDistinct _),
     // I. scalar functions
     "fn_string"        -> (Relational.fnString _),
+    "fn_mask"          -> (Relational.fnMask _),
     "fn_string2"       -> (Relational.fnString2 _),
     "fn_date"          -> (Relational.fnDate _),
     "fn_date2"         -> (Relational.fnDate2 _),

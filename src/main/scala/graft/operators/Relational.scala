@@ -883,6 +883,22 @@ object Relational {
   // ---------------------------------------------------------------- I. scalar functions
 
   /** String function battery over part. */
+  /** Data-masking governance (`mask()` — Spark's built-in column
+    * redaction, the share-a-table-without-the-PII primitive): default
+    * masking (upper→X, lower→x, digit→n, other retained) and a custom
+    * character class set. Deterministic per-character rewriting, which
+    * the oracle replays as chained regexp_replace passes — the same
+    * observable contract, proving the built-in against first
+    * principles. Per-row, zero shuffle. */
+  def fnMask(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d).select(
+      $"c_custkey",
+      expr("mask(c_name)").as("masked_name"),
+      expr("mask(c_mktsegment, 'U', 'l', '#', '*')").as("masked_seg"),
+      expr("mask(c_name, 'X', 'x', '9')").as("masked_digits9"))
+  }
+
   def fnString(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.part(s, d).select(

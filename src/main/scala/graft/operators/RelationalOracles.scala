@@ -524,6 +524,20 @@ object RelationalOracles {
     "set_distinct" -> """
       SELECT DISTINCT c_nationkey, c_mktsegment FROM customer""",
 
+    "fn_mask" -> """
+      SELECT c_custkey,
+             regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+               AS masked_name,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               c_mktsegment,
+               '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '#', 'g'),
+               '[^Ul#]', '*', 'g') AS masked_seg,
+             regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', '9', 'g')
+               AS masked_digits9
+      FROM customer""",
+
     "fn_string" -> """
       SELECT p_partkey,
              lower(p_name) AS lo,
