@@ -99,6 +99,7 @@ object SparkEntry {
     // I. scalar functions
     "fn_string"        -> (Relational.fnString _),
     "fn_mask"          -> (Relational.fnMask _),
+    "fn_editdist"      -> (Relational.fnEditdist _),
     "fn_string2"       -> (Relational.fnString2 _),
     "fn_date"          -> (Relational.fnDate _),
     "fn_date2"         -> (Relational.fnDate2 _),

@@ -883,6 +883,23 @@ object Relational {
   // ---------------------------------------------------------------- I. scalar functions
 
   /** String function battery over part. */
+  /** Edit-distance scalar (`levenshtein` — implemented natively by
+    * both engines, so the oracle is a direct replay): per-row
+    * distances between catalog strings plus the bounded variant
+    * (Spark's threshold form returns −1 above the bound — replayed as
+    * a CASE over the exact distance). The scalar complement of
+    * `join_fuzzy_editdist`'s blocked join. Per-row, zero shuffle. */
+  def fnEditdist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d).select(
+      $"p_partkey",
+      levenshtein($"p_name", $"p_type").cast("bigint").as("dist_name_type"),
+      levenshtein(lower($"p_brand"), lower($"p_type")).cast("bigint")
+        .as("dist_brand_type"),
+      expr("levenshtein(p_name, p_type, 5)").cast("bigint")
+        .as("dist_capped5"))
+  }
+
   /** Data-masking governance (`mask()` — Spark's built-in column
     * redaction, the share-a-table-without-the-PII primitive): default
     * masking (upper→X, lower→x, digit→n, other retained) and a custom

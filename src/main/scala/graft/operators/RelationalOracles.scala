@@ -524,6 +524,16 @@ object RelationalOracles {
     "set_distinct" -> """
       SELECT DISTINCT c_nationkey, c_mktsegment FROM customer""",
 
+    "fn_editdist" -> """
+      SELECT p_partkey,
+             CAST(levenshtein(p_name, p_type) AS BIGINT) AS dist_name_type,
+             CAST(levenshtein(lower(p_brand), lower(p_type)) AS BIGINT)
+               AS dist_brand_type,
+             CAST(CASE WHEN levenshtein(p_name, p_type) > 5 THEN -1
+                       ELSE levenshtein(p_name, p_type) END AS BIGINT)
+               AS dist_capped5
+      FROM part""",
+
     "fn_mask" -> """
       SELECT c_custkey,
              regexp_replace(regexp_replace(regexp_replace(c_name,
