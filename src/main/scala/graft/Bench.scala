@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Bench harness (driver contract): times every declared query at the
-  * scale factor in SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  * scale factor in SPARK_GRAFT_SF_DIR, writes the full per-query record
+  * to bench_out.json, and prints ONE SHORT JSON line to stdout.
   *
   * local[32] + shuffle.partitions=32 mirrors the driver's bench rig; AQE
   * stays on (it is what re-plans skew/small partitions at cluster scale,
@@ -14,43 +15,41 @@ import org.apache.spark.sql.SparkSession
   * for ~15 per-row queries, and EliminateSorts dropped sort_global's
   * sort entirely. The noop DataSourceV2 sink consumes every output
   * column and preserves the final sort, so the measured time is the real
-  * scan+compute+format cost. The same JSON line printed to stdout is
-  * also written to bench_out.json — the driver's tail capture truncates
-  * long lines, and the file is the untruncated record.
+  * scan+compute+format cost.
   *
-  * Methodology (round-2 hardening — round 1's n=1, no-warmup numbers
-  * scattered ±3× and hid a real regression):
-  *  - one UNTIMED warmup query first, so session/JIT/codegen warmup isn't
-  *    billed to whichever query sorts first alphabetically;
-  *  - each query then gets ONE untimed warmup rep immediately before its
-  *    timed reps (round-3 hardening): one-time setup — bucketed-table and
-  *    index writes, session-scoped persisted LSH indexes, first-codegen —
-  *    lands in the warmup, so the median measures the steady state a
-  *    long-lived session actually runs at. Running the warmup adjacent to
-  *    the timed reps (rather than one warmup pass for all queries) keeps
-  *    each query's caches warm at measurement time instead of letting
-  *    later queries' memory pressure evict them first;
-  *  - each query runs SPARK_GRAFT_REPS times (default 3) and reports the
-  *    MEDIAN — robust to one GC/compilation hiccup without hiding a real
-  *    slowdown;
-  *  - round-7 hardening: the MIN rep is reported alongside, and EVERY rep
-  *    time lands in bench_out.json. Machine contention only ever inflates
-  *    a rep, so min-rep is the contention-robust signal
-  *    (`tools/BenchDelta` gates on it); three rounds of driver-side bench
-  *    runs were contention-poisoned and each false-flagged 4–30 queries
-  *    by median while their fastest reps were at baseline;
-  *  - a query that throws on ANY rep is recorded as "err" in an `errors`
+  * Methodology (round-8 structure — interleaved passes):
+  *  - one UNTIMED warmup query first (session/JIT init), then one full
+  *    UNTIMED warmup PASS over every query: one-time setup — bucketed
+  *    table and index writes, session-scoped persisted LSH indexes,
+  *    first-codegen — lands here, so the timed passes measure the steady
+  *    state a long-lived session actually runs at;
+  *  - then SPARK_GRAFT_REPS (default 3) TIMED FULL PASSES over the whole
+  *    suite, each pass visiting every query once in sorted order; a
+  *    query's reps are its time in each pass, and the reported MIN is the
+  *    min ACROSS passes. Round 7 ran the reps back-to-back per query, so
+  *    one machine-contention burst longer than ~3× a query's runtime
+  *    poisoned all three reps including the min — the driver false-flagged
+  *    15 queries that a clean re-run measured at baseline. With passes
+  *    interleaved, the same burst hits DIFFERENT queries in each pass;
+  *    to survive into a query's min, contention now has to recur at that
+  *    same query in every pass (minutes apart), which is what a real
+  *    regression looks like and what noise doesn't;
+  *  - MEDIAN across passes is reported alongside (the honest "full-run
+  *    pressure" number — caches/JIT state at each rep are whatever a full
+  *    suite run leaves, the environment the driver reproduces);
+  *  - a query that throws on ANY pass is recorded as "err" in an `errors`
   *    map, reported as -1 (never a partial median), excluded from the
   *    total, AND makes the process exit nonzero — a broken or flaky query
   *    can never masquerade as a fast one.
   *
-  * Artifact shape (round-7 hardening): bench_out.json is MULTI-LINE —
-  * one `"query":{...}` line per query, sorted, with per-rep times — so a
-  * tail-truncated capture still yields complete, independently-parseable
-  * per-query lines (round 6's driver capture kept only the tail of the
-  * one giant line and lost every median). The stdout contract line stays
-  * ONE JSON line, ordered so the small fixed fields and the `min` map
-  * (the gating signal) come before the larger maps.
+  * Artifact shape (round-8): the stdout contract line is SHORT — totals,
+  * error map, and a pointer to bench_out.json — because the driver's
+  * capture keeps only the last ~2000 chars of stdout and a >10 kB
+  * per-query line was truncated into unparseable for two straight rounds
+  * (BENCH_r06/r07 `"parsed": null`). bench_out.json is the untruncated
+  * record: MULTI-LINE JSON, one self-contained `"query":{...}` line per
+  * query with median/min/spread AND every per-pass rep, plus the flat
+  * `min`/`queries`/`spread` maps `tools/BenchDelta` reads.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -81,31 +80,32 @@ object Bench {
     catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // (name, all rep times sorted asc) — median/min/spread derive from it,
-    // and the full vector lands in bench_out.json so a contended run is
-    // diagnosable from the artifact alone (per-rep spread vs median)
-    val results = selected.map { case (name, fn) =>
-      // per-query untimed warmup rep: absorbs one-time setup (table/index
-      // writes, cache population, codegen) so the median is steady-state
-      try run(fn(spark, sfDir))
-      catch { case _: Throwable => () } // a real failure recurs timed below
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            None
-        }
+    // untimed warmup PASS: one-time setup (table/index writes, cache
+    // population, codegen) lands here; a real failure recurs timed below
+    selected.foreach { case (_, fn) =>
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
+    // reps INTERLEAVED timed passes: pass p times every query once, so a
+    // contention burst inflates at most one pass of any given query and
+    // the min across passes stays clean (see scaladoc)
+    val byQuery = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
+      selected.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    for (_ <- 1 to reps; (name, fn) <- selected if !errors.contains(name)) {
+      val t0 = System.nanoTime()
+      try { run(fn(spark, sfDir)); byQuery(name) :+= (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      // any errored rep disqualifies the query from the aggregate: a query
-      // both timed and errored would silently inflate-or-deflate the total
-      if (times.isEmpty || errors.contains(name)) (name, Seq.empty[Double])
-      else (name, times.sorted)
+    }
+    // any errored pass disqualifies the query from the aggregate: a query
+    // both timed and errored would silently inflate-or-deflate the total
+    val results: Seq[(String, Seq[Double])] = selected.map { case (name, _) =>
+      if (errors.contains(name)) (name, Seq.empty[Double])
+      else (name, byQuery(name).sorted: Seq[Double])
     }
     // escape backslash/quote and blank ALL control chars (<0x20) — an
-    // exception message embedding raw bytes must not break the one JSON
-    // line the driver parses
+    // exception message embedding raw bytes must not break the JSON line
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .map(c => if (c < ' ') ' ' else c) + "\""
     def med(ts: Seq[Double]) = if (ts.isEmpty) -1.0 else ts(ts.size / 2)
@@ -118,25 +118,24 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, ts) if ts.nonEmpty => med(ts) }.sum
     val totalMin = results.collect { case (_, ts) if ts.nonEmpty => mn(ts) }.sum
-    // stdout contract: ONE JSON line. Round 6's driver capture kept only
-    // the TAIL of this line (the front half, with every median, was lost),
-    // so the maps are ordered queries → spread → min → totals: whatever
-    // suffix survives carries the min map (the contention-robust gating
-    // signal) and the totals.
-    val line = f"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","errors":$errJson,"queries":${jmap(med)},"spread":${jmap(sp)},"min":${jmap(mn)},"value_min":$totalMin%.3f,"value":$total%.3f}"""
+    val nOk = results.count(_._2.nonEmpty)
+    // stdout contract: ONE SHORT JSON line (~250 chars) that survives the
+    // driver's 2000-char tail capture intact — totals + errors + pointer.
+    // Per-query numbers live ONLY in bench_out.json (the pointer).
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"reps":$reps,"sf":${jstr(sfDir)},"n_queries":$nOk,"n_errors":${errors.size},"errors":$errJson,"queries_file":"bench_out.json"}"""
     println(line)
-    // untruncated record (the driver's tail capture clips long stdout
-    // lines): MULTI-LINE JSON, one self-contained line per query carrying
-    // median/min/spread AND every rep — a truncated tail of this file still
-    // parses line-by-line. Subset runs (SPARK_GRAFT_ONLY) land in a
-    // separate file so an iterate-on-two-queries run can never clobber the
-    // committed full-table artifact with a partial one.
+    // untruncated record: MULTI-LINE JSON, one self-contained line per
+    // query carrying median/min/spread AND every per-pass rep — a
+    // truncated tail of this file still parses line-by-line. Subset runs
+    // (SPARK_GRAFT_ONLY) land in a separate file so an
+    // iterate-on-two-queries run can never clobber the committed
+    // full-table artifact with a partial one.
     val perQuery = results.map { case (k, ts) =>
       val repsArr = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       f"""${jstr(k)}:{"median":${med(ts)}%.3f,"min":${mn(ts)}%.3f,"spread":${sp(ts)}%.3f,"reps":$repsArr}"""
     }.mkString(",\n")
     val fileJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"reps":$reps,"sf":"$sfDir","errors":$errJson,
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"reps":$reps,"sf":${jstr(sfDir)},"interleaved_passes":true,"errors":$errJson,
 "per_query":{
 $perQuery
 },
