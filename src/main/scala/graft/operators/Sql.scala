@@ -191,6 +191,122 @@ object Sql {
     """)
   }
 
+  /** TPC-H Q4 shape (order-priority checking): the `EXISTS` half of
+    * correlated SQL — count orders per priority that have at least one
+    * late lineitem. The fixture has no commit/receipt dates, so "late"
+    * is shipped more than 60 days after the order date (the correlated
+    * predicate then references BOTH the equi key l_orderkey AND the
+    * outer o_orderdate — a strictly harder decorrelation than textbook
+    * Q4, since the non-equi leg must ride the semi join as a join
+    * condition, not a pushed filter). Catalyst must rewrite the EXISTS
+    * to a LeftSemi hash join on orderkey (pinned in PlanShapeSpec):
+    * executed row-at-a-time this is O(|orders|·|lineitem|); as a semi
+    * join it is one shuffle of each side. */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT o.o_orderpriority AS priority, count(*) AS order_count
+      FROM graft_orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        AND EXISTS (
+          SELECT 1 FROM graft_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+      GROUP BY o.o_orderpriority
+    """)
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the gauntlet —
+    * EXISTS and NOT EXISTS correlated against the SAME fact table with
+    * a `<>` disequality on the correlated key. Per finished order, a
+    * supplier is counted when they shipped late (fixture lacks
+    * commit/receipt dates → "late" = shipped in 1999+, a per-row
+    * predicate like the reference's receipt>commit), some OTHER supplier
+    * contributed a line (EXISTS → LeftSemi), and NO other supplier was
+    * also late (NOT EXISTS → LeftAnti). This is where decorrelation goes
+    * quadratic if either subquery falls back to a nested loop: both must
+    * plan as set-based semi/anti hash joins on l_orderkey with the
+    * suppkey disequality as a join residual (pinned in PlanShapeSpec).
+    * At 100 TB: three hash exchanges of lineitem on orderkey — the same
+    * partitioning, so AQE/exchange reuse can co-locate them. */
+  def q21Waiting(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT s.s_name, count(*) AS numwait
+      FROM graft_supplier s
+      JOIN graft_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN graft_orders o    ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_shipdate >= TIMESTAMP '1999-01-01'
+        AND EXISTS (
+          SELECT 1 FROM graft_lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM graft_lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate >= TIMESTAMP '1999-01-01')
+      GROUP BY s.s_name
+    """)
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): NOT EXISTS + a scalar
+    * average subquery — rich customers (balance above the positive-
+    * balance average) with no recent orders, rolled up per nation (the
+    * fixture has no phone country codes). The average threshold is the
+    * exact-integer pattern from Q20: `cents · count > total_cents`
+    * instead of a double `avg()` at the comparison boundary, so both
+    * engines agree bit-for-bit on who qualifies. The NOT EXISTS is
+    * windowed (no orders since 2000) because every fixture customer has
+    * SOME order — an unwindowed anti join would be vacuously empty and
+    * test nothing. Plan: two broadcast scalar subqueries + one LeftAnti
+    * hash join of customer against date-filtered orders (pinned). */
+  def q22GlobalSales(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT c.c_nationkey AS nationkey, count(*) AS numcust,
+             sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+      FROM graft_customer c
+      WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) *
+            (SELECT count(*) FROM graft_customer WHERE c_acctbal > 0.0) >
+            (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+             FROM graft_customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (
+          SELECT 1 FROM graft_orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY c.c_nationkey
+    """)
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT JOIN with
+    * a predicate in the ON clause, then `count(o_orderkey)` — the classic
+    * null-count trap. A customer whose every order is filtered away by
+    * the ON condition must survive the outer join with o_orderkey NULL
+    * and land in the c_count = 0 bucket (count of a column skips NULLs;
+    * count(*) would wrongly report 1). The second GROUP BY is on the
+    * computed count itself — an aggregate of an aggregate, two
+    * exchanges, the second one tiny (|distinct counts| keys). The
+    * fixture's c_count=0 row is live (one customer has only URGENT
+    * orders at sf0.01), so the trap is actually exercised, not just
+    * syntactically present. */
+  def q13CountGrouping(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT c_count, count(*) AS custdist
+      FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM graft_customer c
+        LEFT JOIN graft_orders o ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+      ) t
+      GROUP BY c_count
+    """)
+  }
+
   /** SQL pipe syntax (Spark 4's `|>` operators — SPIP in Spark 4.0,
     * the composable FROM-first form): the same filter → derive →
     * aggregate pipeline a DataFrame user writes, expressed in pure SQL
@@ -329,6 +445,61 @@ object Sql {
   }
 
   val oracle: Map[String, String] = Map(
+    "sql_q4_order_priority" -> """
+      SELECT o.o_orderpriority AS priority, count(*) AS order_count
+      FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o.o_orderpriority""",
+
+    "sql_q21_waiting" -> """
+      SELECT s.s_name, count(*) AS numwait
+      FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_shipdate >= TIMESTAMP '1999-01-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate >= TIMESTAMP '1999-01-01')
+      GROUP BY s.s_name""",
+
+    "sql_q22_global_sales" -> """
+      SELECT c.c_nationkey AS nationkey, count(*) AS numcust,
+             CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS totacctbal_cents
+      FROM customer c
+      WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) *
+            (SELECT count(*) FROM customer WHERE c_acctbal > 0.0) >
+            (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+             FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY c.c_nationkey""",
+
+    "sql_q13_count_grouping" -> """
+      SELECT c_count, count(*) AS custdist
+      FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+      ) t
+      GROUP BY c_count""",
+
     "sql_recursive" -> """
       WITH RECURSIVE chain AS (
         SELECT s_suppkey AS id, s_suppkey AS anc FROM supplier

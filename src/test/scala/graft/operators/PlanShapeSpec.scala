@@ -255,6 +255,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sql_q4_order_priority decorrelates EXISTS to a left-semi hash join") {
+    val p = plan("sql_q4_order_priority")
+    assert(p.contains("LeftSemi"),
+      "EXISTS must become a semi join, not a per-row subquery\n" + p)
+    // the non-equi leg (shipdate > orderdate + 60d) rides the semi join as
+    // a condition; a NestedLoop/Cartesian fallback here is the quadratic
+    // decorrelation failure this pin exists to catch
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sql_q21_waiting plans EXISTS as semi and NOT EXISTS as anti, both set-based") {
+    val p = plan("sql_q21_waiting")
+    assert(p.contains("LeftSemi"),
+      "EXISTS (other supplier in order) must become a semi join\n" + p)
+    assert(p.contains("LeftAnti"),
+      "NOT EXISTS (other late supplier) must become an anti join\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the suppkey <> residual must not force a nested loop\n" + p)
+  }
+
+  test("sql_q22_global_sales plans NOT EXISTS as an anti join with scalar subqueries") {
+    val p = plan("sql_q22_global_sales")
+    assert(p.contains("LeftAnti"),
+      "NOT EXISTS (recent order) must become an anti join\n" + p)
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      "the exact-integer average threshold must stay a scalar subquery\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sql_q13_count_grouping keeps the filtered outer join and double aggregate") {
+    val p = plan("sql_q13_count_grouping")
+    assert(p.contains("LeftOuter"),
+      "the ON-clause filter must not degrade LEFT JOIN to inner\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "count-then-distribution needs two aggregate levels\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sql_q20_nested unnests both IN levels to semi joins with no cartesian product") {
     val p = plan("sql_q20_nested")
     // two IN levels → two semi joins (supplier ⋉ having-agg, lineitem ⋉
