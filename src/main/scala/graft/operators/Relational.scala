@@ -287,7 +287,12 @@ object Relational {
     val w = Window.orderBy($"exact_n".desc, $"tok".asc)
     val top10 = exact.withColumn("rk", row_number().over(w)).where($"rk" <= 10)
     val total = toks.agg(count(lit(1)).as("n_tokens"))
-    val approx = toks.agg(expr("approx_top_k(tok, 31, 65536)").as("sk"))
+    // k=128 ≫ the fixture vocabulary (31 tokens at every SF, pinned in
+    // AnalyticsSpec): the sketch returns the whole vocabulary, so the
+    // exact top-10 is contained regardless of count ties at any rank —
+    // the round-7 k=31 sat exactly at vocab size, where a boundary tie
+    // under the sketch's unspecified tiebreak could flip in_sketch
+    val approx = toks.agg(expr("approx_top_k(tok, 128, 65536)").as("sk"))
       .select(explode($"sk").as("e"))
       .select($"e.item".as("tok"), $"e.count".cast("bigint").as("approx_n"))
     top10.join(approx, Seq("tok"), "left")
@@ -313,7 +318,11 @@ object Relational {
   def aggSketchRollup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d).select(to_date($"ts").as("day"), $"user_id")
-    val weekCol = expr("datediff(day, date'2024-01-01') div 7")
+    // floor division, not `div` (truncate-toward-zero): DuckDB's `//` in
+    // the oracle floors, so a pre-anchor event day (negative diff) must
+    // bucket identically in both engines — the fixture starts exactly at
+    // the anchor today, but the bucketing must not depend on that
+    val weekCol = expr("floor(datediff(day, date'2024-01-01') / 7)")
     val daily = ev.groupBy($"day").agg(expr("hll_sketch_agg(user_id)").as("sk"))
     val weekly = daily.withColumn("week", weekCol.cast("bigint"))
       .groupBy($"week")
@@ -722,14 +731,20 @@ object Relational {
     val stats = lat.agg(count(lit(1)).as("n_anchored"),
       count($"lat_us").as("n_converted"),
       min($"lat_us").as("min_us"), max($"lat_us").as("max_us"))
-    ranked.crossJoin(broadcast(stats)) // 1-row scalar
-      .agg(max($"n_anchored").as("n_anchored"),
-        max($"n_converted").as("n_converted"),
-        max($"min_us").as("min_us"), max($"max_us").as("max_us"),
+    // percentile picks collapse to one row even when NO user converts
+    // (ranked empty → agg-without-groupBy still emits one all-NULL row),
+    // and the 1-row stats frame DRIVES the final select — so
+    // n_anchored/n_converted survive an empty converted set instead of
+    // being nulled by aggregating over the empty cross product
+    val picks = ranked.crossJoin(broadcast(stats)) // 1-row scalar
+      .agg(
         max(when($"rk" === expr("((n_converted - 1) * 50) div 100 + 1"),
           $"lat_us")).as("p50_us"),
         max(when($"rk" === expr("((n_converted - 1) * 90) div 100 + 1"),
           $"lat_us")).as("p90_us"))
+    stats.crossJoin(broadcast(picks)) // 1-row scalar × 1-row scalar
+      .select($"n_anchored", $"n_converted", $"min_us", $"max_us",
+        $"p50_us", $"p90_us")
   }
 
   /** Point-in-time join against a versioned dimension — the SCD

@@ -541,8 +541,9 @@ object RelationalOracles {
                AS masked_name,
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                c_mktsegment,
-               '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '#', 'g'),
-               '[^Ul#]', '*', 'g') AS masked_seg,
+               '[^A-Za-z0-9]', '*', 'g'),
+               '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '#', 'g')
+               AS masked_seg,
              regexp_replace(regexp_replace(regexp_replace(c_name,
                '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', '9', 'g')
                AS masked_digits9

@@ -44,6 +44,59 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("approx_topk: fixture vocabulary stays far below the sketch k, so top-10 containment is tie-proof") {
+    // agg_approx_topk's in_sketch=1 oracle assumes the exact top-10 is
+    // contained in approx_top_k's returned items. With k (128) ≥ the
+    // whole vocabulary, containment holds regardless of count ties at
+    // any rank — this pin fails if a fixture regeneration ever grows the
+    // vocabulary toward k, BEFORE the unspecified sketch tiebreak can
+    // silently flip the oracle flag.
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .agg(countDistinct(col("tok"))).head.getLong(0)
+    assert(vocab <= 64, s"vocabulary $vocab is within 2x of approx_top_k's k=128; " +
+      "raise k in aggApproxTopK before the containment assumption breaks")
+  }
+
+  test("time_to_convert: counts survive a conversion-free input (stats drive the output row)") {
+    // the ADVICE-flagged latent mismatch: with no converted users the
+    // percentile picks are empty, and aggregating over the empty cross
+    // product nulled n_anchored too. The stats frame now drives — replay
+    // the operator's shape on a staged conversion-free slice (views only).
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val lat = Tables.events(spark, sf)
+      .where(col("event_type") =!= "purchase") // no one can convert
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "purchase" && col("ts") > col("t1"), col("ts"))).over(w))
+      .where(col("t1").isNotNull)
+      .groupBy(col("user_id"))
+      .agg((unix_micros(max(col("t2"))) - unix_micros(max(col("t1")))).as("lat_us"))
+    // replay the operator's fixed final shape: stats drives, picks ride
+    val ranked = lat.where(col("lat_us").isNotNull).withColumn("rk",
+      row_number().over(Window.orderBy(col("lat_us").asc, col("user_id").asc)))
+    val stats = lat.agg(count(lit(1)).as("n_anchored"),
+      count(col("lat_us")).as("n_converted"),
+      min(col("lat_us")).as("min_us"), max(col("lat_us")).as("max_us"))
+    val picks = ranked.crossJoin(broadcast(stats))
+      .agg(max(when(col("rk") === expr("((n_converted - 1) * 50) div 100 + 1"),
+        col("lat_us"))).as("p50_us"),
+        max(when(col("rk") === expr("((n_converted - 1) * 90) div 100 + 1"),
+          col("lat_us"))).as("p90_us"))
+    val row = stats.crossJoin(broadcast(picks)).head
+    assert(row.getLong(row.fieldIndex("n_anchored")) > 0,
+      "anchored count must survive an empty converted set")
+    assert(row.getLong(row.fieldIndex("n_converted")) == 0)
+    assert(row.isNullAt(row.fieldIndex("p50_us")),
+      "percentiles are empty-scalar NULL when no one converts")
+    // and the live operator on the full fixture still emits its one row
+    val out = graft.SparkEntry.queries("events_time_to_convert")(spark, sf).collect()
+    assert(out.length == 1)
+    assert(!out(0).isNullAt(out(0).fieldIndex("n_anchored")))
+  }
+
   test("retention: the offset-0 cell is exactly the cohort size, and caps every later cell") {
     val ret = Relational.eventsRetention(spark, sf)
       .collect().map(r => ((r.getTimestamp(0), r.getLong(1)), r.getLong(2))).toMap
