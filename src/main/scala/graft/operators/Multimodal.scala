@@ -377,42 +377,58 @@ object Multimodal {
   }
 
   /** Oracle fixture invariants (documents.parquet, driver-generated):
-    * the payload replays below assume (a) ASCII text — byte == char code,
-    * so DuckDB's `ascii(substr(...))` equals the engine's byte read — and
-    * (b) `1 <= length(text) <= 8192`, matching the `generate_series(1,
-    * 8192)` bound (and its inner join, which drops zero-length docs the
-    * engine also filters). A regenerated fixture with longer / empty /
-    * non-ASCII docs would flag the ENGINE as wrong when it's the oracle's
-    * replay bound that broke — if that happens, re-derive the series
-    * bound from max(length(text)) and revisit the byte==char assumption,
-    * not the codec kernels. Both invariants hold for all shipped SFs
-    * (verified sf0.001/0.01/0.1, round 6). */
+    * the payload replays below assume ASCII text — byte == char code, so
+    * DuckDB's `ascii(substr(...))` equals the engine's byte read — pinned
+    * in MultimodalSpec (max code point < 128 at test SF), so a
+    * regenerated non-ASCII fixture fails the PIN with a clear message
+    * instead of flagging the codec kernels. The per-position replays
+    * derive their position range from EACH DOC'S OWN length
+    * (`unnest(range(1, length(text)+1))` — round 8; the old
+    * `generate_series(1, 8192)` literal silently truncated docs longer
+    * than the fixture's current max), and empty docs survive via LEFT
+    * JOIN + coalesce(0) exactly as the engine's kernels emit zero
+    * features for a zero-length payload (law in MultimodalSpec). */
   val oracle: Map[String, String] = Map(
     // lossless PCM-in-WAV ⇒ decoded samples equal payload bytes; the
     // engine's sample_rate comes from the parsed header, the oracle's
     // from the layout constant — agreement proves the parse
     "mm_audio" -> s"""
-      SELECT doc_id, length(text) AS n_samples,
+      WITH px AS (
+        SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text
+        FROM documents),
+      a AS (
+        SELECT doc_id,
+               CAST(sum((128 - ascii(substr(text, CAST(i AS INT), 1)))
+                      * (128 - ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS sum_sq,
+               CAST(max(abs(128 - ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS max_amp
+        FROM px GROUP BY doc_id)
+      SELECT d.doc_id, length(d.text) AS n_samples,
              CAST($AudioRateHz AS BIGINT) AS sample_rate,
-             CAST(sum((128 - ascii(substr(text, CAST(i AS INT), 1)))
-                    * (128 - ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS sum_sq,
-             CAST(max(abs(128 - ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS max_amp
-      FROM documents JOIN generate_series(1, 8192) g(i) ON i <= length(text)
-      GROUP BY doc_id, length(text)""",
+             coalesce(a.sum_sq, 0) AS sum_sq,
+             coalesce(a.max_amp, 0) AS max_amp
+      FROM documents d LEFT JOIN a USING (doc_id)""",
 
     "mm_resize" -> ("""
-      SELECT doc_id, length(text) AS n_bytes, """ +
+      WITH px AS (
+        SELECT doc_id, length(text) AS n,
+               unnest(range(1, length(text) + 1)) AS i, text
+        FROM documents),
+      a AS (
+        SELECT doc_id, """ +
       (0 until 4).map(b =>
-        s"round(avg(CASE WHEN ((i - 1) * 4) // length(text) = $b THEN ascii(substr(text, CAST(i AS INT), 1)) END), 4) AS b$b")
+        s"round(avg(CASE WHEN ((i - 1) * 4) // n = $b THEN ascii(substr(text, CAST(i AS INT), 1)) END), 4) AS b$b")
         .mkString(", ") + """
-      FROM documents JOIN generate_series(1, 8192) g(i) ON i <= length(text)
-      GROUP BY doc_id, length(text)"""),
+        FROM px GROUP BY doc_id)
+      SELECT d.doc_id, length(d.text) AS n_bytes, """ +
+      (0 until 4).map(b => s"coalesce(a.b$b, 0.0) AS b$b").mkString(", ") + """
+      FROM documents d LEFT JOIN a USING (doc_id)"""),
 
     "mm_frames" -> """
       SELECT doc_id, (i - 1) // 128 AS frame_no,
              ascii(substr(text, CAST(i AS INT), 1)) AS lead_byte
-      FROM documents JOIN generate_series(1, 8192) g(i)
-        ON i <= length(text) AND (i - 1) % 128 = 0""",
+      FROM (SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text
+            FROM documents) px
+      WHERE (i - 1) % 128 = 0""",
 
     // lossless container ⇒ every frame's lead pixel is the payload byte
     // at frame_no·32; the oracle replays the frame-difference detector
@@ -421,8 +437,9 @@ object Multimodal {
       WITH f AS (
         SELECT doc_id, (i - 1) // 32 AS frame_no,
                ascii(substr(text, CAST(i AS INT), 1)) AS px
-        FROM documents JOIN generate_series(1, 8192) g(i)
-          ON i <= length(text) AND (i - 1) % 32 = 0),
+        FROM (SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text
+              FROM documents) s
+        WHERE (i - 1) % 32 = 0),
       d AS (
         SELECT doc_id, frame_no,
                px - lag(px) OVER (PARTITION BY doc_id ORDER BY frame_no)

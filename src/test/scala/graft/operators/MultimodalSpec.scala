@@ -107,4 +107,79 @@ class MultimodalSpec extends SparkSpec {
       assert(got(id) == want, s"doc $id decode features")
     }
   }
+
+  test("shipped fixture is ASCII — the byte==char assumption behind every mm oracle replay") {
+    // the DuckDB oracles read positions with ascii(substr(...)) (code
+    // points) while the engine reads UTF-8 BYTES; they agree iff the
+    // corpus is ASCII. Pinning it here means a regenerated non-ASCII
+    // fixture fails with this message instead of flagging the codecs.
+    import spark.implicits._
+    val nonAscii = graft.core.Tables.documents(spark, sf)
+      .select($"text").as[String].flatMap(_.toCharArray.map(_.toInt))
+      .filter(_ >= 128).count()
+    assert(nonAscii == 0,
+      "documents fixture contains non-ASCII chars; the mm oracles' " +
+        "ascii(substr(...)) replay no longer equals the engine's byte reads")
+  }
+
+  test("mm oracles are regeneration-proof: empty, boundary, and beyond-8192 docs agree with a byte replay") {
+    // round-8 law for the derived replay bound: the oracles' position
+    // range now comes from each doc's own length (unnest(range(...)))
+    // and empty docs survive via LEFT JOIN + coalesce(0). This replays
+    // the same math engine-side on a staged fixture the shipped corpus
+    // never exercises — a zero-length doc, a doc at the OLD 8192 series
+    // literal, and one beyond it — so a fixture regeneration with longer
+    // or empty docs can never silently diverge engine from oracle.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mm_law").toString
+    val rnd = new scala.util.Random(11)
+    val longDoc = Array.fill(10000)((32 + rnd.nextInt(95)).toChar).mkString
+    val docs = Seq((1L, ""), (2L, "a"), (3L, "q" * 8192), (4L, longDoc))
+    docs.toDF("doc_id", "text").repartition(2)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // audio: energy/peak equal the per-byte replay; empty doc emits zeros
+    val audio = Multimodal.audioFeatures(spark, tmp).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r).toMap
+    assert(audio.keySet == docs.map(_._1).toSet, "every doc incl. the empty one emits a row")
+    for ((id, text) <- docs) {
+      val bytes = text.getBytes("US-ASCII")
+      val sumSq = bytes.map { b => val v = 128L - (b & 0xff); v * v }.sum
+      val maxAmp = if (bytes.isEmpty) 0L else bytes.map(b => math.abs(128 - (b & 0xff)).toLong).max
+      val r = audio(id)
+      assert(r.getLong(r.fieldIndex("n_samples")) == bytes.length, s"doc $id n_samples")
+      assert(r.getLong(r.fieldIndex("sum_sq")) == sumSq, s"doc $id sum_sq")
+      assert(r.getLong(r.fieldIndex("max_amp")) == maxAmp, s"doc $id max_amp")
+    }
+
+    // resize: 4-block average pool equals the replay; empty doc = zero blocks
+    val resize = Multimodal.resizeBlocks(spark, tmp).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r).toMap
+    for ((id, text) <- docs) {
+      val bytes = text.getBytes("US-ASCII")
+      val want = (0 until 4).map { b =>
+        val in = bytes.zipWithIndex.collect {
+          case (v, i) if (i.toLong * 4 / math.max(1, bytes.length)).toInt == b && bytes.nonEmpty => (v & 0xff).toDouble
+        }
+        if (in.isEmpty) 0.0
+        else BigDecimal(in.sum / in.length).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val r = resize(id)
+      val got = (0 until 4).map(b => r.getDouble(r.fieldIndex(s"b$b")))
+      assert(got == want, s"doc $id resize blocks: got $got want $want")
+    }
+
+    // frames: stride sampling covers the whole long doc (no 8192 truncation)
+    val frames = Multimodal.sampleFrames(spark, tmp).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(frames.getOrElse(1L, 0) == 0, "empty doc has no frames")
+    assert(frames(3L) == (8192 + 127) / 128, "8192-char doc frame count")
+    assert(frames(4L) == (10000 + 127) / 128, "10000-char doc samples past the old 8192 bound")
+
+    // scene cuts: frame counts span the full long doc
+    val cuts = Multimodal.sceneCuts(spark, tmp).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getLong(r.fieldIndex("n_frames"))).toMap
+    assert(!cuts.contains(1L), "empty doc filtered from scene cuts")
+    assert(cuts(4L) == (10000 + 31) / 32, "scene-cut frames span past the old bound")
+  }
 }
