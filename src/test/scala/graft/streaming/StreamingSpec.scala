@@ -86,6 +86,22 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("AvailableNow restart catches up incrementally and equals the batch answer") {
+    // the two-run restart law: run 1 drains the staged history and
+    // self-terminates; a slice lands; run 2 restarts from the same
+    // checkpoint. The operator require's run 2 read EXACTLY the delta
+    // (a history reprocess throws), and the re-emitted complete state
+    // must equal the batch aggregate over everything.
+    val got = Streams.availableNow(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    import spark.implicits._
+    val want = graft.core.Tables.events(spark, sf)
+      .groupBy(date_trunc("day", $"ts").as("w_start"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("incremental CDC snapshot equals the batch latest-per-user answer") {
     // the foreachBatch merge runs >=3 versioned merges (require inside
     // upsertSink); the final snapshot must be exactly the batch
