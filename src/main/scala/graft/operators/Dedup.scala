@@ -1062,6 +1062,35 @@ object Dedup {
         ($"n_found" >= $"n_exact" * floor).cast("long").as("recall_ok"))
   }
 
+  /** Semantic dedup end-to-end (the SemDedup shape — Abbas et al. 2023,
+    * arXiv:2303.09540): embedding-similarity candidate pairs → connected
+    * components → a published per-vector keep verdict, the same
+    * three-stage composition as the MinHash pipeline but over the
+    * embedding space, where near-dups share MEANING rather than n-grams.
+    * The candidate stage here is the EXACT blocked all-pairs join
+    * ([[embeddingExactPairs]] — B²-tiled, never a full-relation
+    * broadcast) so the verdict is oracle-replayable bit-for-bit; at
+    * 100 TB the candidate generator swaps for [[lshBuckets]] (or the IVF
+    * cells SemDedup itself clusters with) and everything downstream —
+    * CC, keep-list, provenance — is unchanged, with the approximate
+    * path's recall bound carried by `dedup_embedding_lsh`. Output
+    * mirrors [[keepList]]: keep = 1 rows materialize the semantically
+    * deduplicated corpus, dedup_group keys provenance. */
+  def semanticDedup(s: SparkSession, d: String, tau: Double = 0.45): DataFrame = {
+    import s.implicits._
+    val edges = embeddingCosineExact(s, d, tau)
+      .select($"vec_a".as("a"), $"vec_b".as("b"))
+    val clusters = connectedComponents(edges)
+      .select($"n".as("vec_id"), $"l".as("cluster_rep"))
+    Tables.embeddings(s, d).select($"vec_id")
+      .join(clusters, Seq("vec_id"), "left")
+      .select($"vec_id",
+        $"cluster_rep".isNotNull.cast("bigint").as("clustered"),
+        ($"cluster_rep".isNull || $"cluster_rep" === $"vec_id")
+          .cast("bigint").as("keep"),
+        coalesce($"cluster_rep", $"vec_id").as("dedup_group"))
+  }
+
   /** Deterministic seeded hyperplanes (Gaussian-ish via Random(seed)). */
   def hyperplanes(k: Int, dim: Int, seed: Long = 7L): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
@@ -1449,6 +1478,28 @@ object Dedup {
       SELECT count(*) AS n_exact_pairs, CAST(1 AS BIGINT) AS recall_ok
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])) >= 0.45"""
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+
+    "dedup_semantic" -> """
+      WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45),
+      edges AS (
+        SELECT va AS a, vb AS b FROM pairs
+        UNION SELECT vb, va FROM pairs),
+      nodes AS (SELECT DISTINCT a AS n FROM edges),
+      reach(n, l) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.n),
+      cl AS (SELECT n AS vec_id, min(l) AS cluster_rep FROM reach GROUP BY n)
+      SELECT em.vec_id,
+             CAST(cl.cluster_rep IS NOT NULL AS BIGINT) AS clustered,
+             CAST(cl.cluster_rep IS NULL OR cl.cluster_rep = em.vec_id
+                  AS BIGINT) AS keep,
+             coalesce(cl.cluster_rep, em.vec_id) AS dedup_group
+      FROM embeddings em LEFT JOIN cl ON cl.vec_id = em.vec_id"""
   )
 }

@@ -307,6 +307,34 @@ object Sql {
     """)
   }
 
+  /** Ordered-set aggregates (`WITHIN GROUP`, SQL:2003): grouped
+    * `percentile_disc` — the smallest value whose cumulative
+    * distribution reaches p, an ACTUAL data value both engines pick
+    * identically — plus one `percentile_cont` midpoint. Exact-cents
+    * discipline: disc percentiles are BIGINT cents end-to-end; the cont
+    * interpolation runs on integer-valued doubles, whose midpoints are
+    * exactly representable, so the double compare is still bitwise. The
+    * plan is one partial/final hash aggregate pair per group — unlike
+    * the rank-window `agg_percentile` formulation, no global sort and no
+    * per-group row_number pass; at 100 TB this is the cheaper shape
+    * whenever only the quantile values (not the ranked rows) are needed. */
+  def percentileDisc(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT l_returnflag,
+             CAST(percentile_disc(0.25) WITHIN GROUP
+               (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS p25_cents,
+             CAST(percentile_disc(0.5) WITHIN GROUP
+               (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS p50_cents,
+             CAST(percentile_disc(0.9) WITHIN GROUP
+               (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS p90_cents,
+             percentile_cont(0.5) WITHIN GROUP
+               (ORDER BY CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)) AS p50_cont
+      FROM graft_lineitem
+      GROUP BY l_returnflag
+    """)
+  }
+
   /** SQL pipe syntax (Spark 4's `|>` operators — SPIP in Spark 4.0,
     * the composable FROM-first form): the same filter → derive →
     * aggregate pipeline a DataFrame user writes, expressed in pure SQL
@@ -445,6 +473,19 @@ object Sql {
   }
 
   val oracle: Map[String, String] = Map(
+    "sql_percentile_disc" -> """
+      SELECT l_returnflag,
+             CAST(percentile_disc(0.25) WITHIN GROUP
+               (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS p25_cents,
+             CAST(percentile_disc(0.5) WITHIN GROUP
+               (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS p50_cents,
+             CAST(percentile_disc(0.9) WITHIN GROUP
+               (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS p90_cents,
+             percentile_cont(0.5) WITHIN GROUP
+               (ORDER BY CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)) AS p50_cont
+      FROM lineitem
+      GROUP BY l_returnflag""",
+
     "sql_q4_order_priority" -> """
       SELECT o.o_orderpriority AS priority, count(*) AS order_count
       FROM orders o
