@@ -12,6 +12,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // optional pressure knobs (spill-gate runs — see SCALE.md "measured
+      // spill"): SPARK_GRAFT_MEMFRAC shrinks the unified region,
+      // SPARK_GRAFT_PAGESIZE shrinks task pages so irreducible initial
+      // allocations fit a tiny per-task budget; unset = Spark defaults
+      .config(sys.env.get("SPARK_GRAFT_MEMFRAC")
+        .map(f => Map("spark.memory.fraction" -> f)).getOrElse(Map.empty[String, String]))
+      .config(sys.env.get("SPARK_GRAFT_PAGESIZE")
+        .map(p => Map("spark.buffer.pageSize" -> p)).getOrElse(Map.empty[String, String]))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

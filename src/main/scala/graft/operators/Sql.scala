@@ -281,6 +281,34 @@ object Sql {
     """)
   }
 
+  /** TPC-H Q16 shape (supplier diversity per part line): `NOT IN` with a
+    * subquery — the THIRD anti-join decorrelation path, distinct from
+    * NOT EXISTS (Q21/Q22): NOT IN is null-aware, so Catalyst must plan a
+    * null-aware anti join (the `key = k OR isnull(key = k)` disjunct —
+    * one NULL in the subquery legally empties the whole result, which a
+    * plain LeftAnti gets wrong). Pinned in PlanShapeSpec: LeftAnti WITH
+    * the isnull disjunct, build side broadcast (the excluded-supplier
+    * list is dimension-sized at any scale — NAAJ requires a broadcast
+    * build, which is why an accidentally fact-sized NOT IN subquery is a
+    * 100 TB incident; the fixture's is ~a fifth of the suppliers at
+    * every SF — non-empty even at sf0.001, so AQE's empty-relation
+    * propagation can't elide the join the pin asserts). Also exercises
+    * count(DISTINCT) per group — the Expand-based two-phase distinct
+    * aggregate. */
+  def q16SupplierCnt(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT p.p_brand AS brand, p.p_type AS type,
+             count(DISTINCT l.l_suppkey) AS supplier_cnt
+      FROM graft_part p
+      JOIN graft_lineitem l ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand <> 'Brand#1'
+        AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM graft_supplier WHERE s_acctbal < 1500)
+      GROUP BY p.p_brand, p.p_type
+    """)
+  }
+
   /** TPC-H Q13 shape (customer order-count distribution): LEFT JOIN with
     * a predicate in the ON clause, then `count(o_orderkey)` — the classic
     * null-count trap. A customer whose every order is filtered away by
@@ -529,6 +557,16 @@ object Sql {
           WHERE o.o_custkey = c.c_custkey
             AND o.o_orderdate >= TIMESTAMP '2000-01-01')
       GROUP BY c.c_nationkey""",
+
+    "sql_q16_supplier_cnt" -> """
+      SELECT p.p_brand AS brand, p.p_type AS type,
+             count(DISTINCT l.l_suppkey) AS supplier_cnt
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand <> 'Brand#1'
+        AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500)
+      GROUP BY p.p_brand, p.p_type""",
 
     "sql_q13_count_grouping" -> """
       SELECT c_count, count(*) AS custdist

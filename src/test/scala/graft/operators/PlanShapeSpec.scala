@@ -284,6 +284,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sql_q16_supplier_cnt plans NOT IN as a null-aware anti join on a broadcast build") {
+    val p = plan("sql_q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), "NOT IN must become an anti join\n" + p)
+    // the null-awareness is the point: the single-column NOT IN plans as
+    // BroadcastHashJoin(..., LeftAnti, BuildRight, isNullAwareAntiJoin =
+    // true) — the trailing flag is how Spark prints NAAJ; a plain
+    // NOT-EXISTS-style anti join (flag false) gets NULL semantics wrong
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      "NOT IN anti join must be null-aware (isNullAwareAntiJoin=true)\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the excluded-key list must broadcast (NAAJ requires a broadcast build)\n" + p)
+    assert(p.contains("Expand") || p.contains("distinct"),
+      "count(DISTINCT) should plan the two-phase distinct aggregate\n" + p)
+  }
+
   test("sql_q13_count_grouping keeps the filtered outer join and double aggregate") {
     val p = plan("sql_q13_count_grouping")
     assert(p.contains("LeftOuter"),
