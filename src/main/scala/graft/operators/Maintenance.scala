@@ -459,6 +459,45 @@ object Maintenance {
     expectationsOf(Tables.orders(s, d), Tables.lineitem(s, d),
       Tables.documents(s, d), Tables.customer(s, d))
 
+  /** In-flight pipeline instrumentation via `Dataset.observe` — the
+    * production answer to "how many rows / how much value flowed through
+    * this job" WITHOUT a second scan: named aggregate metrics ride the
+    * pass as a `CollectMetrics` node (an AggregatingAccumulator the
+    * executors update while the real pipeline runs), unlike
+    * [[expectations]]' dedicated audit scan. The declared query runs a
+    * real downstream aggregate (revenue per return flag), harvests the
+    * observation AFTER that single action, and emits the per-flag rows
+    * with the observed global metrics attached — row-conservation
+    * (Σ per-flag n == observed n_rows) is then oracle-checkable, the
+    * invariant a silent filter/join bug breaks first. At 100 TB the
+    * metrics cost is one accumulator merge per task on a pass you were
+    * already paying for; the observed values feed job-level expectations
+    * without rereading anything. */
+  def observeMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val out = Tables.lineitem(s, d)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(round($"l_extendedprice" * 100).cast("bigint")).as("price_cents"),
+        count(when($"l_discount" > 0.05, 1)).as("n_discounted"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"l_extendedprice" * 100).cast("bigint")).as("flag_cents"))
+    // ONE action drives both the pipeline and the metrics accumulator;
+    // the observed scalars (a bounded 3-value map, never rows) come back
+    // on the driver and ride the result as constants
+    val rows = out.collect().toSeq // 3 flags — bounded
+    val m = obs.get
+    val base = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      out.schema)
+    base.withColumn("obs_rows", lit(m("n_rows").asInstanceOf[Long]))
+      .withColumn("obs_price_cents", lit(m("price_cents").asInstanceOf[Long]))
+      .withColumn("obs_discounted", lit(m("n_discounted").asInstanceOf[Long]))
+  }
+
   /** Core over any four conforming frames — the declared query and
     * MaintenanceSpec's planted-violation law both drive this path. */
   def expectationsOf(orders: DataFrame, lineitem: DataFrame,
@@ -524,6 +563,20 @@ object Maintenance {
     }.mkString("(", "\n             + ", ")")
 
   val oracle: Map[String, String] = Map(
+    // the observed globals are replayed as scalar subqueries; the
+    // conservation invariant (sum of per-flag n == obs_rows) is implied
+    // by the shared source and checked by the hash compare
+    "maint_observe_metrics" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS flag_cents,
+             (SELECT count(*) FROM lineitem) AS obs_rows,
+             (SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+              FROM lineitem) AS obs_price_cents,
+             (SELECT count(*) FROM lineitem WHERE l_discount > 0.05)
+               AS obs_discounted
+      FROM lineitem GROUP BY l_returnflag""",
+
     // RI checks use NOT EXISTS (not NOT IN): a NULL child key must count
     // as an orphan, matching the engine's LEFT ANTI equality semantics —
     // NOT IN would return UNKNOWN and silently uncount it.
