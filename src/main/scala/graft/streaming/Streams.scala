@@ -289,6 +289,36 @@ object Streams {
     caught
   }
 
+  /** CHAINED stateful aggregations in ONE streaming query — the
+    * hierarchical rollup (6-hour partials re-aggregated to days) that
+    * needed two jobs + an intermediate topic before Spark 3.4 allowed
+    * multiple stateful operators per query. The second groupBy keys on
+    * `window(window_time(window), "1 day")`: window_time is the
+    * event-time column of the FIRST aggregation's output (window end − 1
+    * unit, so a 6 h window belongs to the day containing its end-exclusive
+    * boundary = its own day for aligned windows), which is what lets the
+    * watermark propagate through the first stateful operator into the
+    * second. Append mode end-to-end: a daily row emits exactly once,
+    * when the watermark passes the DAY end — so the sink holds the
+    * day-1..29 finalized windows and the oracle replays windows whose
+    * end ≤ max ts − 10 min, the tumblingAppend rule one level up. At
+    * 100 TB the win is the 6 h pre-aggregation: the day-level state and
+    * shuffle see |keys × 4| partial rows per day, not raw events, and
+    * both operators shard state by the same aggregation shuffle. */
+  def chainedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("n6"),
+           sum(round($"value" * 100).cast("bigint")).as("cents6"))
+    val daily = hourly
+      .groupBy(window(window_time($"window"), "1 day"), $"event_type")
+      .agg(sum($"n6").as("n"), (sum($"cents6") / 100.0).as("total"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"total")
+    runToTable(s, daily, "graft_stream_chained_agg", "append")
+  }
+
   /** Sliding windows (6h window, 3h slide): every event lands in exactly
     * two epoch-aligned windows. */
   def sliding(s: SparkSession, d: String): DataFrame = {
@@ -1057,6 +1087,17 @@ object Streams {
     // append mode: only windows the final watermark closed, i.e. window
     // end ≤ max event time − the 10-minute delay
     "stream_tumbling_append" -> """
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+             event_type, count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+      FROM events
+      WHERE CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) + INTERVAL 1 DAY
+            <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 10 MINUTE
+      GROUP BY 1, 2""",
+
+    // daily rollup of 6h partials, append mode at the DAY level: only
+    // days whose end the final watermark passed are finalized
+    "stream_chained_agg" -> """
       SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
              event_type, count(*) AS n,
              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
