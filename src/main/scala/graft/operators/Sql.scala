@@ -413,6 +413,81 @@ object Sql {
     """)
   }
 
+  /** Join-strategy hints — the knob a user reaches for when stats
+    * mislead the planner at 100 TB (a filtered-but-unanalyzed build side
+    * the optimizer sizes wrong, a skewed key set where broadcast beats
+    * shuffle). The SAME orders ⋈ lineitem aggregate runs under BROADCAST,
+    * MERGE, and SHUFFLE_HASH hints; the three strategy rows must carry
+    * IDENTICAL numbers (join strategy is an execution choice, never a
+    * semantics choice — THE invariant this query hash-checks), and
+    * PlanShapeSpec pins that the three hints really produced three
+    * different physical join operators rather than being ignored. */
+  def joinHints(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    def branch(hint: String, label: String) = s"""
+      SELECT '$label' AS strategy, count(*) AS n,
+             sum(disc_cents) AS revenue_cents
+      FROM (SELECT /*+ $hint(o) */
+              CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)
+                AS disc_cents
+            FROM graft_orders o JOIN graft_lineitem l
+              ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderpriority = '1-URGENT') t"""
+    s.sql(Seq(branch("BROADCAST", "broadcast"),
+              branch("MERGE", "merge"),
+              branch("SHUFFLE_HASH", "shuffle_hash")).mkString("\nUNION ALL\n"))
+  }
+
+  /** SQL-defined scalar functions (`CREATE FUNCTION ... RETURN expr`,
+    * new in Spark 4 — SQL UDFs): the portable way to package the
+    * exact-cents discipline as a named function instead of repeating the
+    * cast chain in every query. Definition is session-scoped DDL through
+    * the same `spark.sql` entry; the body INLINES into the calling plan
+    * (it is resolved at analysis time, so codegen/pushdown see the raw
+    * expression — zero call overhead, unlike an external UDF), which
+    * PlanShapeSpec pins by asserting the plan contains no UDF eval node.
+    * The oracle replays the body inline — identical by construction. */
+  def sqlUdf(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_cents(p DOUBLE, d DOUBLE)
+      RETURNS BIGINT
+      RETURN CAST(round(p * (1.0 - d) * 100) AS BIGINT)""")
+    s.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION graft_band(q DOUBLE)
+      RETURNS STRING
+      RETURN CASE WHEN q < 10 THEN 'small' WHEN q < 30 THEN 'mid' ELSE 'large' END""")
+    s.sql("""
+      SELECT l_returnflag, graft_band(l_quantity) AS band,
+             count(*) AS n,
+             sum(graft_disc_cents(l_extendedprice, l_discount)) AS revenue_cents
+      FROM graft_lineitem
+      GROUP BY l_returnflag, graft_band(l_quantity)
+    """)
+  }
+
+  /** Parameterized SQL (named parameter markers, Spark 3.4+): the
+    * injection-safe templating surface every SQL-first service layer
+    * needs — `:name` markers bound through the `spark.sql(text, args)`
+    * API, never string-spliced. Binding happens at parse time, so the
+    * bound literal constant-folds and pushes into the scan exactly like
+    * a hand-written literal (date range reaches PushedFilters — the plan
+    * is indistinguishable from the literal form). */
+  def sqlParameterized(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(
+      """
+      SELECT l_returnflag, count(*) AS n,
+             sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+               AS revenue_cents
+      FROM graft_lineitem
+      WHERE l_shipdate >= :lo AND l_shipdate < :hi AND l_quantity >= :minq
+      GROUP BY l_returnflag""",
+      Map("lo" -> java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+          "hi" -> java.sql.Timestamp.valueOf("1998-01-01 00:00:00"),
+          "minq" -> Int.box(5)))
+  }
+
   /** One extensions-configured session per SparkContext (the memo twin of
     * a cluster's spark.sql.extensions static conf, which is read once at
     * first-session creation): reuses the JVM's context, restores the
@@ -501,6 +576,38 @@ object Sql {
   }
 
   val oracle: Map[String, String] = Map(
+    // the three strategy rows must be IDENTICAL numbers — join strategy
+    // is an execution choice; the oracle replays the join once per label
+    "sql_join_hints" -> """
+      WITH j AS (
+        SELECT CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)
+                 AS disc_cents
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderpriority = '1-URGENT')
+      SELECT s.strategy, (SELECT count(*) FROM j) AS n,
+             (SELECT CAST(sum(disc_cents) AS BIGINT) FROM j) AS revenue_cents
+      FROM (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) s(strategy)""",
+
+    "sql_udf" -> """
+      SELECT l_returnflag,
+             CASE WHEN l_quantity < 10 THEN 'small'
+                  WHEN l_quantity < 30 THEN 'mid' ELSE 'large' END AS band,
+             count(*) AS n,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM lineitem
+      GROUP BY 1, 2""",
+
+    "sql_parameterized" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+        AND l_quantity >= 5
+      GROUP BY l_returnflag""",
+
     "sql_percentile_disc" -> """
       SELECT l_returnflag,
              CAST(percentile_disc(0.25) WITHIN GROUP

@@ -299,6 +299,27 @@ class PlanShapeSpec extends SparkSpec {
       "count(DISTINCT) should plan the two-phase distinct aggregate\n" + p)
   }
 
+  test("sql_join_hints: the three hints produce three different physical join operators") {
+    val p = plan("sql_join_hints")
+    assert(p.contains("BroadcastHashJoin"), "BROADCAST hint ignored\n" + p)
+    assert(p.contains("SortMergeJoin"), "MERGE hint ignored\n" + p)
+    assert(p.contains("ShuffledHashJoin"), "SHUFFLE_HASH hint ignored\n" + p)
+  }
+
+  test("sql_udf: the SQL-defined function inlines — no UDF eval node, codegen intact") {
+    val p = plan("sql_udf")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "SQL UDF must inline at analysis, not evaluate as an external UDF\n" + p)
+    assert(p.contains("HashAggregate") && p.contains("*("),
+      "inlined body must stay inside whole-stage codegen\n" + p)
+  }
+
+  test("sql_parameterized: bound parameters push into the scan like literals") {
+    val p = plan("sql_parameterized")
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThanOrEqual(l_shipdate"),
+      "the bound :lo date must reach the parquet scan as a pushed filter\n" + p)
+  }
+
   test("sql_q13_count_grouping keeps the filtered outer join and double aggregate") {
     val p = plan("sql_q13_count_grouping")
     assert(p.contains("LeftOuter"),
