@@ -587,6 +587,84 @@ object Relational {
           .cast("long").as("union_ok"))
   }
 
+  /** Theta sketches (Datasketches, Spark 4.1 built-ins): the SET-ALGEBRA
+    * sketch — unlike HLL (union only; [[aggHllIntersect]] fakes
+    * intersection by inclusion–exclusion and cannot do difference at
+    * all), theta sketches close under union, intersection AND
+    * difference, which is what retention/churn set arithmetic actually
+    * needs: purchasers on day 1 who did / did not return on day 2. At
+    * every shipped SF the distinct counts sit far below the sketch's
+    * 2¹² nominal entries, so the sketches operate in their EXACT regime
+    * and every estimate is the true cardinality — emitted as hash-checked
+    * BIGINTs, no band flags needed (the same fixture-pinned-exactness
+    * discipline as agg_approx_topk's k; at 100 TB the identical query
+    * returns ~1.6%-accurate estimates from ~32 KB of state per set).
+    * Scale shape: two map-side-combinable sketch aggregates, one 1-row
+    * cross join of ~KB sketch blobs, set algebra on the driver row. */
+  def aggThetaDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val buys = Tables.events(s, d).where($"event_type" === "purchase")
+      .select($"user_id", $"ts")
+    val day1 = buys.where($"ts" < lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .agg(expr("theta_sketch_agg(user_id)").as("ska"))
+    val day2 = buys.where($"ts" >= lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")) &&
+                          $"ts" < lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+      .agg(expr("theta_sketch_agg(user_id)").as("skb"))
+    day1.crossJoin(day2) // 1-row × 1-row sketch blobs
+      .select(
+        round(expr("theta_sketch_estimate(ska)")).cast("bigint").as("n_day1"),
+        round(expr("theta_sketch_estimate(skb)")).cast("bigint").as("n_day2"),
+        round(expr("theta_sketch_estimate(theta_difference(ska, skb))"))
+          .cast("bigint").as("churned"),
+        round(expr("theta_sketch_estimate(theta_intersection(ska, skb))"))
+          .cast("bigint").as("retained"))
+  }
+
+  /** KLL quantile sketch (Karnin–Lang–Liberty, Spark 4.1 built-ins):
+    * the MERGEABLE quantile state a 100 TB percentile dashboard keeps —
+    * per-group sketches built map-side (`kll_sketch_agg_bigint`), merged
+    * without revisiting rows (`kll_merge_agg_bigint`), then queried BOTH
+    * directions: value at a rank (`..get_quantile..`) and rank of a
+    * value (`..get_rank..`) — the inverse query `percentile_approx`
+    * cannot answer. Output follows the agg_approx discipline: exact
+    * integers (count + the exact discrete p50 in cents) plus two flags
+    * the oracle pins constant-true — the sketch's p50 must sit within
+    * ±3 rank points of 0.5 by EXACT rank (3× the k=200 sketch's ~1%
+    * rank error), and the sketch's rank of the exact p50 must sit in
+    * the same band; a sketch regression hash-fails CORRECTNESS while
+    * bit-level sketch drift cannot. */
+  def aggKllQuantile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = Tables.events(s, d)
+      .select($"event_type", round($"value" * 100).cast("bigint").as("cents"))
+    cents.createOrReplaceTempView("graft_kll_cents")
+    // the rank-probe value must be FOLDABLE (the kll getters take
+    // constants), so the exact p50 comes back as one bounded driver
+    // scalar first — the skew_report/CC-fingerprint class of collect —
+    // and folds into the sketch query as a literal
+    val p50Exact = s.sql("""
+      SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+      FROM graft_kll_cents""").head().getLong(0)
+    s.sql(s"""
+      WITH per_type AS (
+        SELECT event_type, kll_sketch_agg_bigint(cents) AS sk
+        FROM graft_kll_cents GROUP BY event_type),
+      merged AS (
+        SELECT kll_merge_agg_bigint(sk) AS sk FROM per_type),
+      probes AS (
+        SELECT kll_sketch_get_quantile_bigint(m.sk, 0.5) AS sk_p50,
+               kll_sketch_get_rank_bigint(m.sk, ${p50Exact}L) AS sk_rank_of_p50
+        FROM merged m)
+      SELECT (SELECT count(*) FROM graft_kll_cents) AS n,
+             ${p50Exact}L AS p50_exact_cents,
+             CAST(abs((SELECT CAST(count(*) AS DOUBLE) FROM graft_kll_cents
+                       WHERE cents <= p.sk_p50)
+                      / (SELECT count(*) FROM graft_kll_cents) - 0.5) <= 0.03
+                  AS BIGINT) AS quantile_ok,
+             CAST(abs(p.sk_rank_of_p50 - 0.5) <= 0.03 AS BIGINT) AS rank_ok
+      FROM probes p""")
+  }
+
   /** Mergeable frequency sketch (Count–Min, Cormode & Muthukrishnan):
     * build ONE distributed CMS over the join key (`count_min_sketch` is
     * an associative partial aggregate — partitions sketch locally and

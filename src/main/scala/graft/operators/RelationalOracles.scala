@@ -406,6 +406,30 @@ object RelationalOracles {
              CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok
       FROM orders GROUP BY o_orderstatus""",
 
+    // theta sketches run in their exact regime at fixture cardinalities
+    // (pinned in AnalyticsSpec), so the set algebra replays exactly
+    "agg_theta_diff" -> """
+      WITH a AS (SELECT DISTINCT user_id FROM events
+                 WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-02'),
+      b AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase'
+              AND ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03')
+      SELECT (SELECT count(*) FROM a) AS n_day1,
+             (SELECT count(*) FROM b) AS n_day2,
+             (SELECT count(*) FROM a
+              WHERE user_id NOT IN (SELECT user_id FROM b)) AS churned,
+             (SELECT count(*) FROM a
+              WHERE user_id IN (SELECT user_id FROM b)) AS retained""",
+
+    "agg_kll_quantile" -> """
+      WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      SELECT count(*) AS n,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+               AS p50_exact_cents,
+             CAST(1 AS BIGINT) AS quantile_ok,
+             CAST(1 AS BIGINT) AS rank_ok
+      FROM c""",
+
     "agg_sketch_union" -> """
       SELECT count(DISTINCT c_nationkey) AS n_nations,
              count(DISTINCT c_custkey) AS exact_total,

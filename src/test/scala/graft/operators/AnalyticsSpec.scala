@@ -97,6 +97,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(!out(0).isNullAt(out(0).fieldIndex("n_anchored")))
   }
 
+  test("theta sketches stay in their exact regime: fixture user cardinality far below nominal entries") {
+    // agg_theta_diff emits estimates as hash-checked BIGINTs, which is
+    // only sound while the sketches never downsample — exact mode holds
+    // up to 2^12 nominal entries; pin the margin so a fixture
+    // regeneration toward that edge fails HERE, not as a flaky estimate
+    val users = Tables.events(spark, sf)
+      .agg(countDistinct(col("user_id"))).head.getLong(0)
+    assert(users <= 2048, s"$users distinct users is within 2x of the theta " +
+      "sketch's 4096 nominal entries; agg_theta_diff's exact-BIGINT contract erodes")
+  }
+
   test("retention: the offset-0 cell is exactly the cohort size, and caps every later cell") {
     val ret = Relational.eventsRetention(spark, sf)
       .collect().map(r => ((r.getTimestamp(0), r.getLong(1)), r.getLong(2))).toMap
