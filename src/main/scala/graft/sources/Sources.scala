@@ -222,6 +222,41 @@ object Sources {
       .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
   }
 
+  /** Parquet compression-codec matrix — the storage knob that moves
+    * real money at 100 TB (zstd typically ~30% smaller than snappy at
+    * similar scan speed; gzip smaller still but CPU-heavy on write):
+    * the same lineitem slice written under snappy, zstd, and gzip, read
+    * back, and verified BYTE-IDENTICAL in content — codec choice must
+    * never change data (the invariant under hash-check: one row per
+    * codec with identical row counts and exact-cents sums, plus a
+    * nonzero on-disk size so the compressed artifacts are real files,
+    * not empty dirs). Per-codec sizes stay OUT of the hash-compared
+    * columns (they are codec-version-dependent); SourcesSpec asserts
+    * the expected ordering (zstd < snappy) where it is stable. */
+  def compressionCodecs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val slice = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_returnflag")
+    val codecs = Seq("snappy", "zstd", "gzip")
+    val frames = codecs.map { c =>
+      val dir = tmp(s"graft_codec_$c")
+      slice.write.mode(SaveMode.Overwrite).option("compression", c).parquet(dir)
+      val size = {
+        val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try l.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size).sum
+        finally l.close()
+      }
+      s.read.parquet(dir)
+        .agg(count(lit(1)).as("n"),
+          sum(round($"l_extendedprice" * 100).cast("bigint")).as("price_cents"))
+        .select(lit(c).as("codec"), $"n", $"price_cents",
+          (lit(size) > 0L).cast("bigint").as("nonempty"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
   /** parquet → XML → DataFrame (Spark 4's built-in XML datasource, the
     * spark-xml lineage merged upstream in SPARK-44265): the part table
     * written as one `<part>` row-element per record and read back under a
@@ -432,6 +467,14 @@ object Sources {
       FROM documents""",
     "src_xml_roundtrip" -> "SELECT * FROM part",
     "src_orc_roundtrip" -> "SELECT * FROM supplier",
+    "src_compression_codecs" -> """
+      SELECT c.codec, t.n, t.price_cents, CAST(1 AS BIGINT) AS nonempty
+      FROM (VALUES ('snappy'), ('zstd'), ('gzip')) c(codec)
+      CROSS JOIN (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS price_cents
+        FROM lineitem) t""",
     "src_json_roundtrip" -> "SELECT * FROM nation",
     "src_text_kv" -> """
       SELECT CAST(o_orderkey AS VARCHAR) AS k, o_orderstatus AS v FROM orders""",

@@ -349,6 +349,35 @@ object Streams {
     runToTable(s, agg, "graft_stream_session", "complete")
   }
 
+  /** DYNAMIC-gap session windows (`session_window(ts, gapExpr)`): the
+    * gap is a per-EVENT expression — a purchase keeps the session alive
+    * 6 hours, anything else 1 hour — the engagement-modeling shape a
+    * fixed gap cannot express (a checkout pause shouldn't end the
+    * session a browse pause would). Each event spans [ts, ts+gap(event))
+    * and overlapping spans merge, so a session's END is the max over its
+    * events' individual ends — emitted alongside the start precisely
+    * because that max-merge is the semantics under test. The oracle
+    * replays it with the cumulative-max-end rule (new session iff
+    * ts ≥ max(prev ts+gap)); the fixed-gap lag-rule of stream_session
+    * is NOT equivalent here (a long-gap event can bridge over a
+    * short-gap successor). Complete mode over the time-ordered slices →
+    * batch-equivalent; state is (user, open-session) as ever, merged
+    * incrementally per microbatch. */
+  def sessionizeDynamic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gap = when($"event_type" === "purchase", lit("6 hours"))
+      .otherwise(lit("1 hour"))
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", gap), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+           sum(round($"value" * 100).cast("bigint")).as("cents"))
+      .select($"session_window.start".as("sess_start"),
+        $"session_window.end".as("sess_end"),
+        $"user_id", $"n_events", $"cents")
+    runToTable(s, agg, "graft_stream_session_dynamic", "complete")
+  }
+
   /** Stream-STATIC enrichment join — the most common production join
     * shape (a fact stream decorated with a dimension table) and a
     * different machine than the stream-stream joins below: the static
@@ -1164,6 +1193,28 @@ object Streams {
       FROM g GROUP BY user_id, sess""",
 
     "stream_dedup" -> """
-      SELECT DISTINCT user_id, event_type FROM events"""
+      SELECT DISTINCT user_id, event_type FROM events""",
+
+    // dynamic-gap sessions: cumulative-max-end rule (a long-gap event can
+    // bridge over a short-gap successor, so the lag rule is wrong here)
+    "stream_session_dynamic" -> """
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'purchase' THEN INTERVAL 6 HOUR
+                    ELSE INTERVAL 1 HOUR END AS gap,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      w AS (
+        SELECT *, max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM e),
+      g AS (
+        SELECT *, sum(CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess
+        FROM w)
+      SELECT min(ts) AS sess_start, max(ts + gap) AS sess_end, user_id,
+             count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS cents
+      FROM g GROUP BY user_id, sess"""
   )
 }
