@@ -43,7 +43,7 @@ import org.apache.spark.sql.SparkSession
   *    can never masquerade as a fast one.
   *
   * Artifact shape (round-8): the stdout contract line is SHORT — totals,
-  * error map, and a pointer to bench_out.json — because the driver's
+  * error count + keys, and a pointer to the artifact file — because the driver's
   * capture keeps only the last ~2000 chars of stdout and a >10 kB
   * per-query line was truncated into unparseable for two straight rounds
   * (BENCH_r06/r07 `"parsed": null`). bench_out.json is the untruncated
@@ -119,17 +119,24 @@ object Bench {
     val total = results.collect { case (_, ts) if ts.nonEmpty => med(ts) }.sum
     val totalMin = results.collect { case (_, ts) if ts.nonEmpty => mn(ts) }.sum
     val nOk = results.count(_._2.nonEmpty)
-    // stdout contract: ONE SHORT JSON line (~250 chars) that survives the
-    // driver's 2000-char tail capture intact — totals + errors + pointer.
-    // Per-query numbers live ONLY in bench_out.json (the pointer).
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"reps":$reps,"sf":${jstr(sfDir)},"n_queries":$nOk,"n_errors":${errors.size},"errors":$errJson,"queries_file":"bench_out.json"}"""
+    // subset runs (SPARK_GRAFT_ONLY) land in a separate file so an
+    // iterate-on-two-queries run can never clobber the committed
+    // full-table artifact with a partial one — and the stdout pointer
+    // must name the file THIS run actually wrote
+    val outFile = if (only.isDefined) "bench_out_partial.json" else "bench_out.json"
+    // stdout contract: ONE SHORT JSON line that survives the driver's
+    // 2000-char tail capture intact — totals + error COUNT + pointer.
+    // The full error map (up to 200 chars of message per failed query)
+    // lives only in the artifact file: a 10-query regression would emit
+    // >2 KB of error text and re-create the very truncation this short
+    // line exists to prevent. Stdout carries at most 5 error KEYS.
+    val errKeys = errors.keys.take(5).map(jstr).mkString("[", ",", "]")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"reps":$reps,"sf":${jstr(sfDir)},"n_queries":$nOk,"n_errors":${errors.size},"error_keys":$errKeys,"queries_file":${jstr(outFile)}}"""
     println(line)
     // untruncated record: MULTI-LINE JSON, one self-contained line per
     // query carrying median/min/spread AND every per-pass rep — a
-    // truncated tail of this file still parses line-by-line. Subset runs
-    // (SPARK_GRAFT_ONLY) land in a separate file so an
-    // iterate-on-two-queries run can never clobber the committed
-    // full-table artifact with a partial one.
+    // truncated tail of this file still parses line-by-line. This file
+    // (not stdout) carries the full error map with messages.
     val perQuery = results.map { case (k, ts) =>
       val repsArr = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       f"""${jstr(k)}:{"median":${med(ts)}%.3f,"min":${mn(ts)}%.3f,"spread":${sp(ts)}%.3f,"reps":$repsArr}"""
@@ -142,9 +149,14 @@ $perQuery
 "min":${jmap(mn)},
 "queries":${jmap(med)},
 "spread":${jmap(sp)}}"""
-    val outFile = if (only.isDefined) "bench_out_partial.json" else "bench_out.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fileJson + "\n").getBytes("UTF-8"))
+    // sweep session-scoped artifact dirs/caches before exit: the
+    // in-session memo bounding caps live copies at one per call-site,
+    // and this drops that last copy so a finished run leaves no temp
+    // residue behind (best-effort — a kill-9 leaves the final set)
+    try graft.core.SessionArtifacts.clear(spark)
+    catch { case _: Throwable => () }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

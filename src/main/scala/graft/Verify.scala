@@ -57,6 +57,12 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sweep session-scoped artifact dirs/caches before exit: the
+    // in-session memo bounding caps live copies at one per call-site,
+    // and this drops that last copy so a finished run leaves no temp
+    // residue behind (best-effort — a kill-9 leaves the final set)
+    try graft.core.SessionArtifacts.clear(spark)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

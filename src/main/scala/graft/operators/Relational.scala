@@ -605,10 +605,10 @@ object Relational {
     import s.implicits._
     val buys = Tables.events(s, d).where($"event_type" === "purchase")
       .select($"user_id", $"ts")
-    val day1 = buys.where($"ts" < lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+    val day1 = buys.where($"ts" < lit(graft.core.Utc.ts("2024-01-02 00:00:00")))
       .agg(expr("theta_sketch_agg(user_id)").as("ska"))
-    val day2 = buys.where($"ts" >= lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")) &&
-                          $"ts" < lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+    val day2 = buys.where($"ts" >= lit(graft.core.Utc.ts("2024-01-02 00:00:00")) &&
+                          $"ts" < lit(graft.core.Utc.ts("2024-01-03 00:00:00")))
       .agg(expr("theta_sketch_agg(user_id)").as("skb"))
     day1.crossJoin(day2) // 1-row × 1-row sketch blobs
       .select(
@@ -840,10 +840,9 @@ object Relational {
     * counts. */
   def joinScd2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import java.sql.Timestamp
-    val lo = lit(Timestamp.valueOf("1970-01-01 00:00:00"))
-    val split = lit(Timestamp.valueOf("2024-01-15 00:00:00"))
-    val hi = lit(Timestamp.valueOf("2099-01-01 00:00:00"))
+    val lo = lit(graft.core.Utc.ts("1970-01-01 00:00:00"))
+    val split = lit(graft.core.Utc.ts("2024-01-15 00:00:00"))
+    val hi = lit(graft.core.Utc.ts("2099-01-01 00:00:00"))
     val cust = Tables.customer(s, d)
     val changed = cust.where($"c_custkey" % 3 === 0)
     val dim = changed.select($"c_custkey".as("user_id"),

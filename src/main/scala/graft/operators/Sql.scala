@@ -483,8 +483,8 @@ object Sql {
       FROM graft_lineitem
       WHERE l_shipdate >= :lo AND l_shipdate < :hi AND l_quantity >= :minq
       GROUP BY l_returnflag""",
-      Map("lo" -> java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
-          "hi" -> java.sql.Timestamp.valueOf("1998-01-01 00:00:00"),
+      Map("lo" -> graft.core.Utc.ts("1996-01-01 00:00:00"),
+          "hi" -> graft.core.Utc.ts("1998-01-01 00:00:00"),
           "minq" -> Int.box(5)))
   }
 

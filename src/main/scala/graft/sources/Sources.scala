@@ -29,6 +29,22 @@ object Sources {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Fresh per-invocation staging dir, REGISTERED under a per-call-site
+    * `spark.graft.dir.*` conf key: registering deletes the previous
+    * invocation's dir for the same prefix (resetDir), so repeated
+    * invocations — a bench run visits every query 4× — hold at most ONE
+    * live copy per call-site instead of accumulating unreclaimed temp
+    * copies (for the lineitem-slice writers that is gigabytes per run at
+    * larger SF), and `SessionArtifacts.clear` sweeps the last one. Used
+    * by the roundtrip sources that deliberately RE-WRITE per invocation
+    * (the encode path is part of what is measured); the once-per-session
+    * staged sources keep their own memo keys. */
+  private def tmp(s: SparkSession, prefix: String): String = {
+    val dir = tmp(prefix)
+    graft.core.SessionArtifacts.resetDir(s, s"spark.graft.dir.$prefix", dir)
+    dir
+  }
+
   /** Binary-file ingest (`binaryFile` format) — the multimodal raw-bytes
     * on-ramp: a directory of opaque per-record files (images, audio,
     * shards from a crawler) read as (path, modificationTime, length,
@@ -71,7 +87,7 @@ object Sources {
 
   /** parquet → csv (header, explicit schema on read) → DataFrame. */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = tmp("graft_csv")
+    val dir = tmp(s, "graft_csv")
     Tables.customer(s, d).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(dir)
     val schema = StructType(Seq(
@@ -83,7 +99,7 @@ object Sources {
 
   /** parquet → json lines → DataFrame (schema pinned: json is typeless). */
   def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = tmp("graft_json")
+    val dir = tmp(s, "graft_json")
     Tables.nation(s, d).write.mode(SaveMode.Overwrite).json(dir)
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
@@ -95,7 +111,7 @@ object Sources {
     * entire data plane: O1/O2/O8 + the KV convention). */
   def textKvRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dir = tmp("graft_textkv")
+    val dir = tmp(s, "graft_textkv")
     Tables.orders(s, d)
       .select(concat_ws("\t", $"o_orderkey".cast("string"), $"o_orderstatus").as("value"))
       .write.mode(SaveMode.Overwrite).text(dir)
@@ -107,7 +123,7 @@ object Sources {
   /** Hive-partitioned parquet write + read-back aggregation; the partition
     * column round-trips through directory names. */
   def partitionedWrite(s: SparkSession, d: String): DataFrame =
-    partitionedWriteTo(s, d, tmp("graft_part"))
+    partitionedWriteTo(s, d, tmp(s, "graft_part"))
 
   /** Core over an explicit target URI — any Hadoop-SPI scheme works
     * (`file:`, `graftfs:` in GraftFsSpec, a real object store in
@@ -216,7 +232,7 @@ object Sources {
     * being hash-checked. */
   def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dir = tmp("graft_orc")
+    val dir = tmp(s, "graft_orc")
     Tables.supplier(s, d).write.mode(SaveMode.Overwrite).orc(dir)
     s.read.orc(dir)
       .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
@@ -239,7 +255,7 @@ object Sources {
       .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_returnflag")
     val codecs = Seq("snappy", "zstd", "gzip")
     val frames = codecs.map { c =>
-      val dir = tmp(s"graft_codec_$c")
+      val dir = tmp(s, s"graft_codec_$c")
       slice.write.mode(SaveMode.Overwrite).option("compression", c).parquet(dir)
       val size = {
         val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
@@ -266,7 +282,7 @@ object Sources {
     * XML is record-delimited and the reader splits on element boundaries,
     * so files stay splittable like the other text formats. */
   def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = tmp("graft_xml")
+    val dir = tmp(s, "graft_xml")
     Tables.part(s, d).write.mode(SaveMode.Overwrite)
       .option("rowTag", "part").format("xml").save(dir)
     val schema = StructType(Seq(
@@ -289,7 +305,7 @@ object Sources {
     * the same either way.) */
   def schemaEvolution(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dir = tmp("graft_evolve")
+    val dir = tmp(s, "graft_evolve")
     val nation = Tables.nation(s, d)
     nation.where($"n_nationkey" < 12).select($"n_nationkey", $"n_name")
       .write.mode(SaveMode.Append).parquet(dir)
@@ -314,7 +330,7 @@ object Sources {
     * gets is a parallelism artifact, not a semantic one. */
   def fileMetadata(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dir = tmp("graft_meta")
+    val dir = tmp(s, "graft_meta")
     Tables.orders(s, d).write.mode(SaveMode.Overwrite)
       .partitionBy("o_orderstatus").parquet(dir)
     s.read.parquet(dir)
@@ -350,7 +366,7 @@ object Sources {
     * one scan per mode, no shuffles beyond the final 1-row aggregate. */
   def csvMalformed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dir = tmp("graft_csvbad")
+    val dir = tmp(s, "graft_csvbad")
     Tables.documents(s, d).select(
       concat_ws(",", $"doc_id",
         $"source",

@@ -85,8 +85,19 @@ object SpillProbe {
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
             val secs = (System.nanoTime() - t0) / 1e9
             // listener events are posted asynchronously (the bus is
-            // private[spark]); a short settle keeps the counters complete
-            Thread.sleep(300)
+            // private[spark], so waitUntilEmpty is unreachable): poll until
+            // the counters are stable across two consecutive 200 ms reads.
+            // A fixed sleep under-attributes a spill-heavy query whose last
+            // TaskEnd events trail the action by more than the sleep — they
+            // would land after the reset and corrupt the NEXT query's line.
+            var settle = 0
+            var last = (-1L, -1L, -1L)
+            while (settle < 25 && // 5 s cap: a dead-quiet bus exits in 400 ms
+                   last != ((memSpill.get, diskSpill.get, peakExec.get))) {
+              last = (memSpill.get, diskSpill.get, peakExec.get)
+              Thread.sleep(200)
+              settle += 1
+            }
             println(f"""{"query":"$name","mem_spill_mb":${memSpill.get / 1e6}%.1f,"disk_spill_mb":${diskSpill.get / 1e6}%.1f,"peak_exec_mb":${peakExec.get / 1e6}%.1f,"sec":$secs%.2f}""")
           } catch {
             case e: Throwable =>
@@ -97,6 +108,12 @@ object SpillProbe {
           }
       }
     }
+    // sweep session-scoped artifact dirs/caches before exit: the
+    // in-session memo bounding caps live copies at one per call-site,
+    // and this drops that last copy so a finished run leaves no temp
+    // residue behind (best-effort — a kill-9 leaves the final set)
+    try graft.core.SessionArtifacts.clear(spark)
+    catch { case _: Throwable => () }
     spark.stop()
     if (failed) sys.exit(1)
   }

