@@ -335,6 +335,111 @@ object Sql {
     """)
   }
 
+  /** TPC-H Q17 shape (small-quantity revenue): a correlated SCALAR
+    * AGGREGATE in the WHERE clause — each lineitem compares against the
+    * average quantity OF ITS OWN PART (`0.2 * avg(..) WHERE l2.l_partkey
+    * = l.l_partkey`). Catalyst decorrelates this into one per-part
+    * aggregate joined back on the key (RewriteCorrelatedScalarSubquery):
+    * at 100 TB that is a map-side-combined agg over lineitem plus one
+    * equi-join — NOT a per-row re-scan, which is how a naive nested-loop
+    * evaluation goes quadratic (pinned: no nested loop in the plan).
+    * Determinism: quantities are integer-valued doubles (exact IEEE
+    * sums, order-independent), and the 0.2 factor is CAST AS DOUBLE on
+    * both sides — Spark and DuckDB both parse a bare `0.2` as DECIMAL,
+    * with different multiply semantics. */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT p.p_brand AS brand,
+             count(*) AS n_small,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+      FROM graft_lineitem l
+      JOIN graft_part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity < CAST(0.2 AS DOUBLE) * (
+          SELECT avg(l2.l_quantity) FROM graft_lineitem l2
+          WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY p.p_brand
+    """)
+  }
+
+  /** TPC-H Q2 shape (minimum-cost supplier): a correlated MIN subquery
+    * selecting, per part, exactly the offer(s) at that part's minimum
+    * price — `l_extendedprice = (SELECT min(..) WHERE l2.l_partkey =
+    * p.p_partkey)`. Same decorrelation family as Q17 but with the
+    * equality-on-extremum twist: the rewritten plan aggregates lineitem
+    * per part once and equi-joins the min back, then the outer 3-way
+    * join (part ⋈ lineitem ⋈ supplier) proceeds as ordinary hash joins
+    * with the dimension sides broadcast. Price equality is a bit
+    * comparison of unmodified doubles (no arithmetic), so ties at the
+    * minimum are kept — Q2's LIMIT-free core semantics. Rolled up by
+    * supplier nation so the result is group-sized at every SF. */
+  def q2MinCost(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT s.s_nationkey AS nationkey,
+             count(*) AS n_min_offers,
+             count(DISTINCT p.p_partkey) AS n_parts
+      FROM graft_part p
+      JOIN graft_lineitem l ON l.l_partkey = p.p_partkey
+      JOIN graft_supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE p.p_size >= 40
+        AND l.l_extendedprice = (
+          SELECT min(l2.l_extendedprice) FROM graft_lineitem l2
+          WHERE l2.l_partkey = p.p_partkey)
+      GROUP BY s.s_nationkey
+    """)
+  }
+
+  /** TPC-H Q15 shape (top supplier): a named revenue CTE referenced
+    * TWICE — once as the join input, once inside the scalar
+    * `(SELECT max(..) FROM revenue)` — the view-plus-extremum pattern
+    * every reporting workload contains. Spark plans the CTE once and
+    * reuses it when worthwhile; the scalar max is a one-row broadcast
+    * into the filter, so the whole query is one windowed-scan aggregate
+    * + one dimension join at any scale. Integer-cents totals make the
+    * max and its equality comparison exact, and TIES at the maximum are
+    * all returned (the SQL-standard Q15 answer set, no arbitrary pick). */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      WITH revenue AS (
+        SELECT l_suppkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                 AS total_cents
+        FROM graft_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s.s_suppkey AS suppkey, s.s_name AS name, r.total_cents
+      FROM graft_supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+      WHERE r.total_cents = (SELECT max(total_cents) FROM revenue)
+    """)
+  }
+
+  /** TPC-H Q11 shape (important stock): a grouped total filtered against
+    * a SHARE of the global total — the classic scalar-subquery-in-HAVING.
+    * TPC-H scales its fraction by 1/SF so the result stays non-empty;
+    * here the threshold is relative to the MEAN supplier share
+    * (value × n_suppliers × 100 > total × 105, all integer — suppliers
+    * at >1.05× the mean), which is scale-invariant by construction:
+    * non-empty at every SF without a tuned constant. Plan: two
+    * aggregates over the same per-supplier frame (Spark reuses the
+    * exchange) and two one-row scalar broadcasts into the filter —
+    * nothing rescans lineitem. */
+  def q11ImportantValue(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      WITH sup AS (
+        SELECT l_suppkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+        FROM graft_lineitem GROUP BY l_suppkey)
+      SELECT l_suppkey AS suppkey, value_cents
+      FROM sup
+      WHERE value_cents * (SELECT count(*) FROM sup) * 100 >
+            (SELECT sum(value_cents) FROM sup) * 105
+    """)
+  }
+
   /** Ordered-set aggregates (`WITHIN GROUP`, SQL:2003): grouped
     * `percentile_disc` — the smallest value whose cumulative
     * distribution reaches p, an ACTUAL data value both engines pick
@@ -685,6 +790,55 @@ object Sql {
         GROUP BY c.c_custkey
       ) t
       GROUP BY c_count""",
+
+    "sql_q17_small_qty" -> """
+      SELECT p.p_brand AS brand,
+             count(*) AS n_small,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity < CAST(0.2 AS DOUBLE) * (
+          SELECT avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY p.p_brand""",
+
+    "sql_q2_min_cost" -> """
+      SELECT s.s_nationkey AS nationkey,
+             count(*) AS n_min_offers,
+             count(DISTINCT p.p_partkey) AS n_parts
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE p.p_size >= 40
+        AND l.l_extendedprice = (
+          SELECT min(l2.l_extendedprice) FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey)
+      GROUP BY s.s_nationkey""",
+
+    "sql_q15_top_supplier" -> """
+      WITH revenue AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s.s_suppkey AS suppkey, s.s_name AS name, r.total_cents
+      FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+      WHERE r.total_cents = (SELECT max(total_cents) FROM revenue)""",
+
+    "sql_q11_important_value" -> """
+      WITH sup AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM lineitem GROUP BY l_suppkey)
+      SELECT l_suppkey AS suppkey, value_cents
+      FROM sup
+      WHERE value_cents * (SELECT count(*) FROM sup) * 100 >
+            (SELECT CAST(sum(value_cents) AS BIGINT) FROM sup) * 105""",
 
     "sql_recursive" -> """
       WITH RECURSIVE chain AS (

@@ -265,6 +265,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("sql_q17_small_qty decorrelates the scalar avg to one aggregate + equi-join") {
+    val p = plan("sql_q17_small_qty")
+    // RewriteCorrelatedScalarSubquery: the per-part avg must come from ONE
+    // aggregate over lineitem joined back on l_partkey — a NestedLoop or
+    // Cartesian here means the subquery re-evaluates per outer row, the
+    // quadratic shape this pin exists to catch
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), "the correlated avg must be a real aggregate\n" + p)
+  }
+
+  test("sql_q2_min_cost decorrelates the scalar min to one aggregate + equi-join") {
+    val p = plan("sql_q2_min_cost")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), "the correlated min must be a real aggregate\n" + p)
+  }
+
   test("sql_q21_waiting plans EXISTS as semi and NOT EXISTS as anti, both set-based") {
     val p = plan("sql_q21_waiting")
     assert(p.contains("LeftSemi"),
