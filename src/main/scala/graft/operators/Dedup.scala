@@ -457,6 +457,55 @@ object Dedup {
         .otherwise(lit(0L)).as("lcc_ppm"))
   }
 
+  /** HITS (Kleinberg hubs & authorities) over the k-NN graph — the
+    * DIRECTED companion to [[pagerank]]'s undirected power iteration:
+    * the k-nearest relation is asymmetric (b in a's top-k does not put
+    * a in b's), so hub and authority separate — a high-authority vector
+    * is one that many others choose as a neighbor (a density center,
+    * the natural seed for cluster exploration and dedup canonical
+    * election), while a high-hub vector points INTO dense regions from
+    * the outside. Fixed [[HitsIters]] unnormalized rounds in exact
+    * BIGINT (auth ← Σ in-neighbor hubs, hub ← Σ out-neighbor auths):
+    * normalization is what makes textbook HITS float-fragile, and for
+    * RANKING it is irrelevant — the unnormalized integer scores order
+    * identically and replay bitwise. Growth is bounded by
+    * (Σ degrees)^iters — BIGINT-safe far past fixture scale; rescale
+    * per round if ever iterating deep on a billion-edge graph. Each
+    * round is two edge-key shuffle joins against a localCheckpoint'd
+    * node frame (lineage-truncated like [[pagerank]]); nodes with no
+    * in/out edges keep score 0 via the left-join + coalesce rule the
+    * oracle mirrors. Edges come from the session-materialized exact
+    * k-NN artifact ([[SimSearch.knnGraphShared]]); at 100 TB the LSH
+    * graph is the documented edge-source swap-in. */
+  def hits(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = SimSearch.knnGraphShared(s, d)
+      .select($"q_id".as("src"), $"n_id".as("dst")).localCheckpoint()
+    val nodes = Tables.embeddings(s, d).select($"vec_id".as("v")).localCheckpoint()
+    var hub = nodes.select($"v", lit(1L).as("h"))
+    var auth = nodes.select($"v", lit(0L).as("a"))
+    for (_ <- 1 to HitsIters) {
+      auth = nodes.join(
+          edges.join(hub, edges("src") === hub("v"))
+            .groupBy($"dst").agg(sum($"h").as("a_in")),
+          nodes("v") === col("dst"), "left")
+        .select(nodes("v"), coalesce($"a_in", lit(0L)).as("a"))
+        .localCheckpoint()
+      hub = nodes.join(
+          edges.join(auth, edges("dst") === auth("v"))
+            .groupBy($"src").agg(sum($"a").as("h_in")),
+          nodes("v") === col("src"), "left")
+        .select(nodes("v"), coalesce($"h_in", lit(0L)).as("h"))
+        .localCheckpoint()
+    }
+    nodes.join(hub, "v").join(auth, "v")
+      .select($"v".as("vec_id"), $"h".as("hub"), $"a".as("auth"))
+  }
+
+  /** Power-iteration count for [[hits]] — mirrored by the oracle's
+    * unrolled CTE chain. */
+  val HitsIters = 3
+
   /** Neighborhood overlap per near-dup pair — the classic link-prediction
     * / community-strength signal: for each edge (a, b), the count of
     * common neighbors and the Jaccard of the two neighborhoods in exact
@@ -1126,6 +1175,45 @@ object Dedup {
       WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $tau"""
   }
 
+  /** [[hits]]'s oracle: the same unnormalized integer iteration over the
+    * same k-NN edge definition (window replay, shared with the
+    * simsearch_knn_graph oracle), unrolled one auth+hub CTE pair per
+    * round — generated from [[HitsIters]]/[[SimSearch.KnnGraphK]] so the
+    * two sides cannot desynchronize. */
+  private def hitsOracle: String = {
+    val rounds = (1 to HitsIters).map { i =>
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      s"""a$i AS (
+        SELECT n.v, coalesce(s.a, 0) AS a FROM nodes n
+        LEFT JOIN (SELECT e.dst AS v, CAST(sum(h.h) AS BIGINT) AS a
+                   FROM edges e JOIN $prevH h ON h.v = e.src GROUP BY e.dst) s
+          ON s.v = n.v),
+      h$i AS (
+        SELECT n.v, coalesce(s.h, 0) AS h FROM nodes n
+        LEFT JOIN (SELECT e.src AS v, CAST(sum(a.a) AS BIGINT) AS h
+                   FROM edges e JOIN a$i a ON a.v = e.dst GROUP BY e.src) s
+          ON s.v = n.v)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH edges AS MATERIALIZED (
+        SELECT q_id AS src, n_id AS dst FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])) DESC,
+                            e.vec_id ASC) AS rk
+          FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        ) t WHERE rk <= ${SimSearch.KnnGraphK}),
+      nodes AS (SELECT vec_id AS v FROM embeddings),
+      h0 AS (SELECT v, CAST(1 AS BIGINT) AS h FROM nodes),
+      $rounds
+      SELECT n.v AS vec_id, h.h AS hub, a.a AS auth
+      FROM nodes n
+      JOIN h$HitsIters h ON h.v = n.v
+      JOIN a$HitsIters a ON a.v = n.v"""
+  }
+
   /** [[pagerank]]'s oracle: the same integer power iteration, unrolled as
     * one CTE per round (DuckDB's recursive CTEs are UNION-semantics
     * fixpoints, unusable for a fixed-iteration-count recurrence). */
@@ -1300,6 +1388,7 @@ object Dedup {
       FROM orders GROUP BY 1""",
 
     "graph_pagerank" -> pagerankOracle,
+    "graph_hits" -> hitsOracle,
     "graph_shortest_paths" -> bfsOracle,
     "dedup_incremental" -> s"""
       WITH sh AS MATERIALIZED (

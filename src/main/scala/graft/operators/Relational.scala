@@ -1601,6 +1601,45 @@ object Relational {
     * bug this operator's oracle would catch. One scan, one 7-group
     * aggregate, all map-side combinable; the distinct-day count rides
     * the same aggregate as count_distinct. */
+  /** Lagged cross-correlation between two daily series (views vs
+    * purchases): lead/lag discovery — "does today's browsing predict
+    * purchases ℓ days out?" — the first question asked of any pair of
+    * operational time series. Pearson correlation at each lag in
+    * [-3, +3], computed FROM EXACT INTEGER MOMENTS: per-lag n/Σx/Σy/Σxy
+    * are BIGINT sums of daily counts (order-independent), and the
+    * correlation divides those exact integers in one identical double
+    * expression on both engines — `corr()` built-ins are deliberately
+    * NOT used because Spark and DuckDB implement different streaming
+    * variance algorithms whose last bits disagree. Day pairing is an
+    * inner join on shifted day (days absent from either series drop; a
+    * gapfilled-zeros variant composes with [[tsGapfill]]). Plan: two
+    * tiny day-grain aggregates (map-side combined over the raw scan),
+    * a 7-row broadcast lag frame, one day-key equi-join — at 100 TB
+    * the only fact-sized work is the first aggregate's scan; everything
+    * after operates on |days| rows. */
+  def tsCrossCorrelation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    def daily(t: String, c: String) = ev.where($"event_type" === t)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as(c))
+    val x = daily("view", "xv")
+    val y = daily("purchase", "yv")
+    val lags = broadcast((-3 to 3).toDF("lag_d"))
+    val paired = x.crossJoin(lags)
+      .join(y.select($"day".as("y_day"), $"yv"),
+        $"y_day" === expr("timestampadd(DAY, lag_d, day)"))
+    val m = paired.groupBy($"lag_d".cast("bigint").as("lag_d"))
+      .agg(count(lit(1)).as("n"),
+        sum($"xv").as("sx"), sum($"yv").as("sy"),
+        sum($"xv" * $"yv").as("sxy"),
+        sum($"xv" * $"xv").as("sx2"), sum($"yv" * $"yv").as("sy2"))
+    m.select($"lag_d", $"n", $"sx", $"sy", $"sxy",
+      (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+        (sqrt(($"n" * $"sx2" - $"sx" * $"sx").cast("double")) *
+         sqrt(($"n" * $"sy2" - $"sy" * $"sy").cast("double")))).as("corr"))
+  }
+
   def tsSeasonalDow(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val profile = Tables.events(s, d)

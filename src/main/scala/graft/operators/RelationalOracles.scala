@@ -153,6 +153,33 @@ object RelationalOracles {
              CAST(1 AS BIGINT) AS in_sketch, CAST(1 AS BIGINT) AS count_ok
       FROM r WHERE rk <= 10""",
 
+    "ts_cross_correlation" -> """
+      WITH x AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               count(*) AS xv
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      y AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               count(*) AS yv
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      lags AS (SELECT unnest(range(-3, 4)) AS lag_d),
+      paired AS (
+        SELECT l.lag_d, x.xv, y.yv
+        FROM lags l
+        JOIN x ON true
+        JOIN y ON y.day = x.day + l.lag_d * INTERVAL 1 DAY),
+      m AS (
+        SELECT CAST(lag_d AS BIGINT) AS lag_d, count(*) AS n,
+               CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+               CAST(sum(xv*yv) AS BIGINT) AS sxy,
+               CAST(sum(xv*xv) AS BIGINT) AS sx2, CAST(sum(yv*yv) AS BIGINT) AS sy2
+        FROM paired GROUP BY 1)
+      SELECT lag_d, n, sx, sy, sxy,
+             CAST(n*sxy - sx*sy AS DOUBLE) /
+             (sqrt(CAST(n*sx2 - sx*sx AS DOUBLE)) *
+              sqrt(CAST(n*sy2 - sy*sy AS DOUBLE))) AS corr
+      FROM m""",
+
     "ts_seasonal_dow" -> """
       WITH e AS (
         SELECT isodow(CAST(ts AS TIMESTAMP)) AS iso_dow, CAST(ts AS DATE) AS day,
