@@ -440,6 +440,150 @@ object Sql {
     """)
   }
 
+  /** TPC-H Q6 shape (forecast revenue change): the degenerate-but-vital
+    * plan — a GLOBAL scalar aggregate over one tightly filtered scan, no
+    * join, no grouping. What is under test is the scan: all three
+    * predicates (date range, discount band, quantity cap) must reach the
+    * parquet reader as pushed filters so a 100 TB scan prunes row groups
+    * instead of materializing rows (min/max stats kill whole files on
+    * the date range). Revenue rounds extendedprice×discount to cents
+    * PER ROW then sums exact integers. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT count(*) AS n,
+             sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+               AS revenue_cents
+      FROM graft_lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_discount >= CAST(0.05 AS DOUBLE)
+        AND l_discount <= CAST(0.07 AS DOUBLE)
+        AND l_quantity < 24
+      """)
+  }
+
+  /** TPC-H Q8 shape (national market share): conditional aggregation as
+    * a SHARE — `sum(CASE WHEN supplier is ours THEN rev END) / sum(rev)`
+    * per order year. Both sums ride ONE aggregate over the 3-way join
+    * (no second pass, no self-join): the CASE is a projection, so at
+    * 100 TB this costs exactly one join tree + one grouped aggregate.
+    * The share itself divides the two exact cents totals in an
+    * identical double expression on both engines. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             sum(CASE WHEN s.s_nationkey = 7
+                      THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                      ELSE 0 END) AS nation_cents,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+               AS total_cents,
+             CAST(sum(CASE WHEN s.s_nationkey = 7
+                      THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                      ELSE 0 END) AS DOUBLE) /
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                  AS DOUBLE) AS mkt_share
+      FROM graft_lineitem l
+      JOIN graft_orders o ON o.o_orderkey = l.l_orderkey
+      JOIN graft_supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY year(o.o_orderdate)
+      """)
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): the classic 3-table
+    * fact-to-dimension rollup — customers ranked by revenue lost to
+    * returns in a quarter. Group keys carry the customer attributes
+    * (key, name, nation) through the aggregate — the wide-group-key
+    * pattern whose 100 TB answer is "aggregate on c_custkey, then
+    * broadcast-join the attributes back" and Spark's aggregate pushdown
+    * does the equivalent by treating the functionally-dependent columns
+    * as part of the key. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT c.c_custkey, c.c_name, c.c_nationkey,
+             count(*) AS n_items,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+               AS revenue_cents
+      FROM graft_customer c
+      JOIN graft_orders o ON o.o_custkey = c.c_custkey
+      JOIN graft_lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      GROUP BY c.c_custkey, c.c_name, c.c_nationkey
+      """)
+  }
+
+  /** TPC-H Q12 shape (shipping-priority audit): CASE-counting two
+    * priority classes inside one aggregate over a join with a DERIVED
+    * row predicate (late = shipped >90 days after ordering; the fixture
+    * has no commit/receipt dates, so the shipdate-vs-orderdate gap
+    * stands in — same cross-table comparison shape). The IN/NOT-IN
+    * literal lists are complementary, so high+low = group size, a
+    * conservation the oracle hash implicitly pins. */
+  def q12ShipPriority(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT l.l_returnflag,
+             sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS high_line_count,
+             sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS low_line_count
+      FROM graft_lineitem l
+      JOIN graft_orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL '90' DAY
+      GROUP BY l.l_returnflag
+      """)
+  }
+
+  /** TPC-H Q14 shape (promotion effect): monthly share of revenue from
+    * promo-typed parts — the LIKE-predicated conditional share, month
+    * grain. Same one-aggregate discipline as Q8; the prefix LIKE rides
+    * the broadcast part dimension. */
+  def q14PromoEffect(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT date_trunc('month', l.l_shipdate) AS month,
+             sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                      THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                      ELSE 0 END) AS promo_cents,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+               AS total_cents
+      FROM graft_lineitem l
+      JOIN graft_part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY date_trunc('month', l.l_shipdate)
+      """)
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): an OR
+    * of three conjunctive clauses that each mix part-side and
+    * lineitem-side predicates — the query that separates planners with
+    * CNF extraction from those without. The common join key equality
+    * must still plan as a hash join (NOT a nested loop over the OR),
+    * with the per-side common factors (brand/size on part, quantity on
+    * lineitem) extracted and pushed below the join; PlanShapeSpec pins
+    * the no-nested-loop shape. */
+  def q19DiscountedRevenue(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT count(*) AS n,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+               AS revenue_cents
+      FROM graft_lineitem l
+      JOIN graft_part p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+         OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+             AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+         OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+             AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+      """)
+  }
+
   /** Ordered-set aggregates (`WITHIN GROUP`, SQL:2003): grouped
     * `percentile_disc` — the smallest value whose cumulative
     * distribution reaches p, an ACTUAL data value both engines pick
@@ -790,6 +934,84 @@ object Sql {
         GROUP BY c.c_custkey
       ) t
       GROUP BY c_count""",
+
+    "sql_q6_forecast" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_discount >= CAST(0.05 AS DOUBLE)
+        AND l_discount <= CAST(0.07 AS DOUBLE)
+        AND l_quantity < 24""",
+
+    "sql_q8_market_share" -> """
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(sum(CASE WHEN s.s_nationkey = 7
+                      THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS nation_cents,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents,
+             CAST(sum(CASE WHEN s.s_nationkey = 7
+                      THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                      ELSE 0 END) AS DOUBLE) /
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                  AS DOUBLE) AS mkt_share
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY year(o.o_orderdate)""",
+
+    "sql_q10_returned_items" -> """
+      SELECT c.c_custkey, c.c_name, c.c_nationkey,
+             count(*) AS n_items,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      GROUP BY c.c_custkey, c.c_name, c.c_nationkey""",
+
+    "sql_q12_ship_priority" -> """
+      SELECT l.l_returnflag,
+             CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      GROUP BY l.l_returnflag""",
+
+    "sql_q14_promo_effect" -> """
+      SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS month,
+             CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                      THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS promo_cents,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY date_trunc('month', l.l_shipdate)""",
+
+    "sql_q19_discounted_revenue" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+         OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+             AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+         OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+             AND l.l_quantity >= 20 AND l.l_quantity <= 40)""",
 
     "sql_q17_small_qty" -> """
       SELECT p.p_brand AS brand,

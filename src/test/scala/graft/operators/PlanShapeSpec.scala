@@ -281,6 +281,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "the correlated min must be a real aggregate\n" + p)
   }
 
+  test("sql_q19_discounted_revenue keeps the hash join under disjunctive predicates") {
+    val p = plan("sql_q19_discounted_revenue")
+    // the OR-of-conjunctions must NOT demote the partkey equality to a
+    // nested-loop join condition: the equality is a common factor across
+    // all three clauses, so the planner keeps a hash join and evaluates
+    // the disjunction as a filter/residual
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), "partkey equality must stay a hash join\n" + p)
+  }
+
+  test("sql_q6_forecast pushes all three scan predicates into the parquet reader") {
+    val p = plan("sql_q6_forecast")
+    // the 100 TB value of Q6 is row-group pruning: shipdate/discount/
+    // quantity must appear as PushedFilters, not post-scan filters only
+    // the plan string TRUNCATES the PushedFilters list, so assert the
+    // leading entries only (all three columns' IsNotNull come first)
+    assert(p.contains(
+      "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual"), p)
+  }
+
   test("sql_q21_waiting plans EXISTS as semi and NOT EXISTS as anti, both set-based") {
     val p = plan("sql_q21_waiting")
     assert(p.contains("LeftSemi"),
