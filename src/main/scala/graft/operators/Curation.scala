@@ -370,6 +370,35 @@ object Curation {
       .withColumn("blocked", blockedPred.cast("bigint"))
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney; Machanavajjhala et al.) —
+    * the release gate run before any user-grained table ships to a
+    * training pipeline or external party. Quasi-identifier groups
+    * (nation × market segment: the columns an adversary can join from
+    * public data) are audited for group size ≥ k (re-identification
+    * resistance) and for ≥ l distinct values of the SENSITIVE attribute
+    * (banded account balance) within each group — k-anonymity alone is
+    * defeated by a homogeneous group (everyone in the group shares the
+    * sensitive value, so "anonymity" reveals it; that is the l-diversity
+    * gap). Thresholds k=10 / l=6 sit where the sf0.01 fixture exercises
+    * BOTH flag values (35 k-violations, 15 l-violations of 125 groups).
+    * One grouped aggregate with a distinct-count — map-side partials +
+    * one Expand pass, the same 100 TB shape as any count_distinct
+    * rollup; no per-row state, no self-joins. The violating groups are
+    * exactly the rows a generalization/suppression pass would rewrite
+    * next. */
+  def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .select($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 1000).cast("bigint").as("sens_band"))
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"sens_band").as("sens_distinct"))
+      .select($"c_nationkey", $"c_mktsegment", $"n", $"sens_distinct",
+        ($"n" >= 10).cast("bigint").as("k_ok"),
+        ($"sens_distinct" >= 6).cast("bigint").as("l_ok"))
+  }
+
   // ----------------------------------------------------------------- oracles
 
   private lazy val oracleBase: Map[String, String] = {
@@ -388,6 +417,18 @@ object Curation {
         s"(ip // ${1L << (32 - p)}) IN (${nets.map(_._2).mkString(", ")})"
       }.mkString(" OR ")
     Map(
+      "curate_k_anonymity" -> """
+        WITH g AS (
+          SELECT c_nationkey, c_mktsegment, count(*) AS n,
+                 count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                   AS sens_distinct
+          FROM customer
+          GROUP BY 1, 2)
+        SELECT c_nationkey, c_mktsegment, n, sens_distinct,
+               CAST(n >= 10 AS BIGINT) AS k_ok,
+               CAST(sens_distinct >= 6 AS BIGINT) AS l_ok
+        FROM g""",
+
       "curate_ip_blocklist" -> s"""
         WITH f AS (
           SELECT event_type, user_id, $ipSql AS ip FROM events),
