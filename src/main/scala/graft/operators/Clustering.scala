@@ -47,7 +47,22 @@ object Clustering {
 
   def kmeansEmbed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val q = quantized(s, d)
+    val (assigned, cents) = lloyd(quantized(s, d))
+    val l1ByCid = map(cents.zipWithIndex.flatMap { case (c, ci) =>
+      Seq(lit(ci.toLong), lit(c.map(math.abs).sum)) }: _*)
+    assigned
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n"), sum($"d").as("inertia"))
+      .withColumn("centroid_l1", element_at(l1ByCid, $"cluster"))
+  }
+
+  /** Core Lloyd loop over any (vec_id, e: array<bigint>) frame — exposed
+    * so specs can plant separated clusters and assert recovery. Returns
+    * the per-vector assignment (vec_id, cluster, d = squared distance to
+    * its centroid) and the final centroid matrix. */
+  private[operators] def lloyd(q: DataFrame): (DataFrame, Array[Seq[Long]]) = {
+    val s = q.sparkSession
+    import s.implicits._
 
     // deterministic seed: the K smallest vec_ids' vectors (k-means++ at
     // scale would sample by D^2 weight; a FIXED seed is what makes the
@@ -95,12 +110,8 @@ object Clustering {
       }
     }
 
-    val l1ByCid = map(cents.zipWithIndex.flatMap { case (c, ci) =>
-      Seq(lit(ci.toLong), lit(c.map(math.abs).sum)) }: _*)
-    withCents(q).select(cid.as("cluster"), array_min(dists).as("d"))
-      .groupBy($"cluster")
-      .agg(count(lit(1)).as("n"), sum($"d").as("inertia"))
-      .withColumn("centroid_l1", element_at(l1ByCid, $"cluster"))
+    (withCents(q).select($"vec_id", cid.as("cluster"), array_min(dists).as("d")),
+      cents.map(_.toSeq))
   }
 
   /** DuckDB replay of the SAME integer algorithm, unrolled per

@@ -26,6 +26,32 @@ class ClusteringSpec extends SparkSpec {
     assert(out1.toSeq == out2.toSeq)
   }
 
+  test("lloyd recovers planted well-separated clusters exactly") {
+    // 4 planted centers at disjoint corners of the 64-dim cube (block j
+    // of 16 dims is hot for cluster j), 50 vectors per cluster with
+    // deterministic jitter far below the separation; vec_ids are laid
+    // out so the K-smallest-ids seed starts with one vector per planted
+    // cluster. Lloyd must then assign every vector to its planted
+    // cluster — the end-to-end sanity the oracle hash can't express.
+    val rows = (0 until 200).map { id =>
+      val cluster = id % 4
+      val e = (0 until 64).map { dim =>
+        val hot = if (dim / 16 == cluster) 1000000L else 0L
+        hot + ((id * 31 + dim * 7) % 100) // jitter ≤ 99 micro-units
+      }
+      (id.toLong, e)
+    }
+    val q = rows.toDF("vec_id", "e")
+    val (assigned, cents) = Clustering.lloyd(q)
+    val out = assigned.select($"vec_id", $"cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 200)
+    // seed vector id=j lands in planted cluster j, so labels align
+    assert(out.forall { case (id, c) => c == id % 4 },
+      "every vector must recover its planted cluster")
+    assert(cents.length == 4)
+  }
+
   test("ml_kmeans: iterated inertia beats assigning against the raw seed centroids") {
     // the seed is K arbitrary vectors; three Lloyd rounds must produce a
     // strictly better quantizer on this fixture (each assignment step is
