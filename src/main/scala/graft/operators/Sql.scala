@@ -440,6 +440,37 @@ object Sql {
     """)
   }
 
+  /** TPC-H Q1 proper, through the SQL entry path (the DataFrame twin is
+    * `q1_agg`): the pricing summary with all EIGHT aggregate columns —
+    * three tiered cents sums (base, discounted, charged = disc×(1+tax)),
+    * the quantity sum, three averages, and the row count — in ONE
+    * grouped aggregate over a date-filtered scan. The averages divide
+    * exact integer sums in identical double expressions (a bare `avg()`
+    * over doubles is partition-order-dependent in its low bits). This is
+    * THE canonical columnar-engine benchmark query: 6 groups out of
+    * millions of rows, pure map-side-combine, the scan dominates. */
+  def q1Pricing(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS sum_disc_cents,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT))
+               AS sum_charge_cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100 AS avg_price,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100 AS avg_disc,
+             count(*) AS count_order
+      FROM graft_lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      GROUP BY l_returnflag, l_linestatus
+      """)
+  }
+
   /** TPC-H Q6 shape (forecast revenue change): the degenerate-but-vital
     * plan — a GLOBAL scalar aggregate over one tightly filtered scan, no
     * join, no grouping. What is under test is the scan: all three
@@ -934,6 +965,25 @@ object Sql {
         GROUP BY c.c_custkey
       ) t
       GROUP BY c_count""",
+
+    "sql_q1_pricing" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_base_cents,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS sum_disc_cents,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                           AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100 AS avg_price,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100 AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      GROUP BY l_returnflag, l_linestatus""",
 
     "sql_q6_forecast" -> """
       SELECT count(*) AS n,
