@@ -848,6 +848,57 @@ object TextAnalysis {
         .cast("bigint"))
   }
 
+  /** BPE merge-pair mining (Sennrich et al. 2016) — the inner loop of
+    * tokenizer-vocabulary training, distributed: count adjacent symbol
+    * pairs over the word-frequency table (NOT per occurrence in the
+    * corpus — per distinct word × its frequency, the standard BPE
+    * formulation that makes the hot loop |vocab|-sized instead of
+    * corpus-sized), apply the winning merge, recount. Two rounds here
+    * (the driver-loop shape shared with [[Clustering]]'s Lloyd: the
+    * per-round reduction is a bounded scalar — one winning pair — and
+    * the heavy count is map-side-combined over the word table).
+    * Determinism: ties break (count desc, pair asc); the merge applies
+    * as a non-overlapping left-to-right delimiter-string replace run
+    * TWICE — consecutive occurrences share a delimiter space, so one
+    * pass under-merges every second occurrence; both engines' replace
+    * has identical continue-after-match semantics, and the double pass
+    * closes the odd occurrences (real BPE trainers use a pair-index
+    * heap; the replace form is the declarative-plan equivalent).
+    * Output: the top-20 pairs AFTER the first merge (rank, count) —
+    * the second round's candidate table, which any further rounds
+    * would consume. */
+  def bpePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .where($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    val seqs = words.select(
+      concat(lit(" "), array_join(split($"w", ""), " "), lit(" ")).as("seq"),
+      $"freq")
+    def pairCounts(sq: DataFrame): DataFrame = sq
+      .select(split(trim($"seq"), " ").as("l"), $"freq")
+      .select(explode(arrays_zip(
+        slice($"l", lit(1), size($"l") - 1).as("sym"),
+        slice($"l", lit(2), size($"l") - 1).as("nxt"))).as("p"), $"freq")
+      .select(concat($"p.sym", lit(" "), $"p.nxt").as("pair"), $"freq")
+      .groupBy($"pair").agg(sum($"freq").as("cnt"))
+    val top1 = pairCounts(seqs)
+      .orderBy($"cnt".desc, $"pair".asc).limit(1)
+      .select($"pair").head().getString(0) // bounded driver scalar: THE pair
+    val merged = top1.replace(" ", "")
+    val applied = seqs.select(
+      expr(s"replace(replace(seq, ' $top1 ', ' $merged '), ' $top1 ', ' $merged ')")
+        .as("seq"), $"freq")
+    // TakeOrdered to 20 rows FIRST, then rank the tiny result (the bm25
+    // discipline — no global single-partition window over the vocab)
+    pairCounts(applied)
+      .orderBy($"cnt".desc, $"pair".asc).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"cnt".desc, $"pair".asc)).cast("bigint"))
+      .select($"pair", $"cnt", $"rk")
+  }
+
   val oracle: Map[String, String] = {
     val stopList = StopwordSets.map { case (l, ws) =>
       l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -954,6 +1005,50 @@ object TextAnalysis {
         FROM tk
         JOIN topf ON tk.doc_id = topf.doc_id
         LEFT JOIN bistat ON tk.doc_id = bistat.doc_id""",
+
+      "text_bpe_pairs" -> """
+        WITH words AS (
+          SELECT lower(w) AS w, count(*) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> ''
+          GROUP BY 1),
+        seqs AS (
+          SELECT ' ' || array_to_string(string_split_regex(w, ''), ' ') || ' ' AS seq,
+                 freq
+          FROM words),
+        pairs1 AS (
+          SELECT s.sym || ' ' || s.nxt AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (
+            SELECT freq,
+                   unnest(l[1:len(l)-1]) AS sym,
+                   unnest(l[2:len(l)])   AS nxt
+            FROM (SELECT string_split(trim(seq), ' ') AS l, freq FROM seqs)
+          ) s
+          GROUP BY 1),
+        top1 AS (
+          SELECT pair, replace(pair, ' ', '') AS merged
+          FROM pairs1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+        -- double replace: consecutive occurrences share a delimiter
+        -- space, so one non-overlapping pass under-merges every second
+        -- one (same continue-after-match semantics as the engine)
+        seqs2 AS (
+          SELECT replace(replace(seq, ' ' || t.pair || ' ', ' ' || t.merged || ' '),
+                         ' ' || t.pair || ' ', ' ' || t.merged || ' ') AS seq,
+                 freq
+          FROM seqs CROSS JOIN top1 t),
+        pairs2 AS (
+          SELECT s.sym || ' ' || s.nxt AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (
+            SELECT freq,
+                   unnest(l[1:len(l)-1]) AS sym,
+                   unnest(l[2:len(l)])   AS nxt
+            FROM (SELECT string_split(trim(seq), ' ') AS l, freq FROM seqs2)
+          ) s
+          GROUP BY 1)
+        SELECT pair, cnt, rk FROM (
+          SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rk
+          FROM pairs2) t
+        WHERE rk <= 20""",
 
       "text_pack" -> """
         WITH tk AS (
