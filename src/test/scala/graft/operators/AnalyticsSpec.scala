@@ -97,6 +97,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(!out(0).isNullAt(out(0).fieldIndex("n_anchored")))
   }
 
+  test("cross-correlation: every lag's corr is a valid Pearson value with consistent moments") {
+    val rows = Relational.tsCrossCorrelation(spark, sf).collect()
+    assert(rows.length == 7) // lags -3..3
+    rows.foreach { r =>
+      val (n, sx, sy, sxy) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val corr = r.getDouble(5)
+      assert(n > 0 && sx > 0 && sy > 0)
+      // Cauchy-Schwarz on the centered sums: |corr| ≤ 1 (+ε for the one
+      // double division); a violation means the integer moments drifted
+      assert(math.abs(corr) <= 1.0 + 1e-12, s"corr $corr out of range")
+      // the cross moment is bounded by the raw magnitudes
+      assert(sxy > 0 && sxy <= sx * sy)
+    }
+  }
+
   test("kll quantile_ok band: tie mass at the exact p50 stays far below the rank tolerance") {
     // agg_kll_quantile's quantile_ok/rank_ok ±0.03 rank flags assume the
     // value distribution puts well under 3% of its mass on the exact p50

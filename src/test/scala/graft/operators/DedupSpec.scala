@@ -125,6 +125,27 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("hits: score conservation against the k-NN edge set") {
+    // unnormalized integer HITS has exact conservation laws the output
+    // hash can't localize: with hub_0 = 1 everywhere, auth_1(v) is v's
+    // IN-degree, so Σ auth_1 = |edges|; after the final round,
+    // Σ hub = Σ_{(u,v)∈E} auth(v) — each round is a pure edge-sum.
+    val edges = SimSearch.knnGraphShared(spark, sf)
+      .select(col("q_id").as("src"), col("n_id").as("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = Dedup.hits(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val auth = out.map(t => (t._1, t._3)).toMap
+    val hub = out.map(t => (t._1, t._2)).toMap
+    // final-round consistency: hub(u) = Σ auth(v) over u's out-edges
+    val hubExpected = edges.groupBy(_._1).view.mapValues(_.map(e => auth(e._2)).sum)
+    assert(out.forall { case (v, h, _) => hubExpected.getOrElse(v, 0L) == h })
+    // every corpus vector appears exactly once; out-degree-0 is impossible
+    // in a k-NN graph (k ≥ 1), so every hub is positive
+    assert(out.length == graft.core.Tables.embeddings(spark, sf).count())
+    assert(out.forall(_._2 > 0))
+  }
+
   test("pagerank: hub outranks leaves, mass is conserved-ish, layout-invariant") {
     import spark.implicits._
     // star 1-{2,3,4,5} plus a detached edge 10-11
