@@ -180,6 +180,61 @@ object Multimodal {
         (0 until 4).map(b => round(element_at($"features", b + 1), 4).as(s"b$b")): _*)
   }
 
+  /** Perceptual average-hash (aHash) of each image — the image-dedup
+    * primitive every multimodal curation pipeline runs before training
+    * (near-identical crops/re-encodes collide; the 64-bit hashes then
+    * feed the SAME banding machinery the text SimHash path uses). The
+    * decoded raster ([[ImageW]]-wide row-major) is average-pooled onto
+    * an 8×8 grid and each cell thresholds against the global mean —
+    * computed as EXACT integer cross-multiplication (cell_sum × n >
+    * total × cell_count), so unequal cell sizes on a ragged final row
+    * need no float division and the 64-bit result replays bitwise
+    * (bit 63 rides the sign, same two's complement both engines). Runs
+    * on REAL codec output (PNG round-trip, batched one codec call per
+    * [[DecodeBatchSize]] rows); the oracle replays the pooling from the
+    * payload bytes — lossless grayscale PNG makes raster == payload,
+    * so codec-vs-arithmetic agreement is the check, the
+    * [[decodeFeatures]] discipline. Per-row map, no shuffle. */
+  def imagePhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"text".cast("binary").as("media"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batchRoundTrip(batch.map(_.media)).lazyZip(batch).map { (px, r) =>
+            val n = px.length
+            var hash = 0L
+            if (n > 0) {
+              val h = (n + ImageW - 1) / ImageW
+              val sums = new Array[Long](64)
+              val cnts = new Array[Long](64)
+              var i = 0
+              while (i < n) {
+                val blk = ((i / ImageW).toLong * 8 / h).toInt * 8 + (i % ImageW) / 8
+                sums(blk) += (px(i) & 0xff)
+                cnts(blk) += 1
+                i += 1
+              }
+              var total = 0L
+              var bi = 0
+              while (bi < 64) { total += sums(bi); bi += 1 }
+              bi = 0
+              while (bi < 64) {
+                if (cnts(bi) > 0 && sums(bi) * n > total * cnts(bi))
+                  hash |= (1L << bi)
+                bi += 1
+              }
+            }
+            PhashRow(r.doc_id, n.toLong, hash)
+          }
+        }
+      }
+      .select($"doc_id", $"n_pixels", $"phash")
+  }
+
+  final case class PhashRow(doc_id: Long, n_pixels: Long, phash: Long)
+
   /** Sample rate of the synthesized PCM audio container. */
   val AudioRateHz = 8000
 
@@ -392,6 +447,34 @@ object Multimodal {
     // lossless PCM-in-WAV ⇒ decoded samples equal payload bytes; the
     // engine's sample_rate comes from the parsed header, the oracle's
     // from the layout constant — agreement proves the parse
+    // lossless PNG ⇒ raster == payload bytes; the 8×8 average-pool
+    // threshold replays as exact integer cross-multiplication, bit 63
+    // via the explicit Long.MinValue constant (DuckDB raises on 1<<63)
+    "mm_image_phash" -> s"""
+      WITH px AS (
+        SELECT doc_id, length(text) AS n,
+               unnest(range(1, length(text) + 1)) AS i, text
+        FROM documents),
+      b AS (
+        SELECT doc_id, n,
+               (((i - 1) // $ImageW) * 8 // ((n + ${ImageW - 1}) // $ImageW)) * 8
+                 + ((i - 1) % $ImageW) // 8 AS blk,
+               CAST(sum(ascii(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS s,
+               count(*) AS c
+        FROM px GROUP BY doc_id, n, blk),
+      t AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS total FROM b GROUP BY doc_id),
+      h AS (
+        SELECT b.doc_id,
+               CAST(sum(CASE WHEN b.s * b.n > t.total * b.c
+                             THEN CASE WHEN blk = 63
+                                       THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                                       ELSE (CAST(1 AS BIGINT) << CAST(blk AS INT)) END
+                             ELSE 0 END) AS BIGINT) AS phash
+        FROM b JOIN t USING (doc_id) GROUP BY b.doc_id)
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_pixels,
+             coalesce(h.phash, 0) AS phash
+      FROM documents d LEFT JOIN h USING (doc_id)""",
+
     "mm_audio" -> s"""
       WITH px AS (
         SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text

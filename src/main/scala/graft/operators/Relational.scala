@@ -1640,6 +1640,38 @@ object Relational {
          sqrt(($"n" * $"sy2" - $"sy" * $"sy").cast("double")))).as("corr"))
   }
 
+  /** CUSUM changepoint detection over the daily revenue series (Page
+    * 1954): the standard "did the level shift, and when" monitor run on
+    * every operational metric. The cumulative deviation from the global
+    * mean is kept EXACT by scaling through the row count — S_t·n =
+    * n·prefix_t − t·total, all BIGINT — so argmax and ties replay
+    * bitwise (a double running mean would drift in the last bits and
+    * flip the argmax on near-ties). Emits the full per-day trace with
+    * the changepoint flag (ties flag every maximal day — deterministic,
+    * no arbitrary pick). Plan: one fact-sized day-grain aggregate, then
+    * windows over |days| rows — the unpartitioned ORDER BY day window is
+    * bounded by the calendar, not the corpus (the events_rfm
+    * discipline); the global (n, total) pair rides a 1-row broadcast
+    * cross join. */
+  def tsChangepoint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .where($"event_type" === "purchase")
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(sum(round($"value" * 100).cast("bigint")).as("cents"))
+    val g = broadcast(daily.agg(count(lit(1)).as("n"), sum($"cents").as("total")))
+    val wOrd = Window.orderBy($"day")
+    val c = daily.select($"day", $"cents",
+      row_number().over(wOrd).cast("bigint").as("t"),
+      sum($"cents").over(wOrd).as("prefix"))
+      .crossJoin(g)
+      .withColumn("cusum_scaled", $"n" * $"prefix" - $"t" * $"total")
+    val mx = broadcast(c.agg(max(abs($"cusum_scaled")).as("mx")))
+    c.crossJoin(mx)
+      .select($"day", $"t", $"cents", $"cusum_scaled",
+        (abs($"cusum_scaled") === $"mx").cast("bigint").as("is_changepoint"))
+  }
+
   def tsSeasonalDow(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val profile = Tables.events(s, d)

@@ -180,6 +180,24 @@ object RelationalOracles {
               sqrt(CAST(n*sy2 - sy*sy AS DOUBLE))) AS corr
       FROM m""",
 
+    "ts_changepoint" -> """
+      WITH d AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      g AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS total FROM d),
+      c AS (
+        SELECT day, cents,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+               CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS prefix
+        FROM d)
+      SELECT c.day, c.t, c.cents,
+             CAST(g.n * c.prefix - c.t * g.total AS BIGINT) AS cusum_scaled,
+             CAST((abs(g.n * c.prefix - c.t * g.total) =
+                   (SELECT max(abs(g2.n * c2.prefix - c2.t * g2.total))
+                    FROM c c2 CROSS JOIN g g2)) AS BIGINT) AS is_changepoint
+      FROM c CROSS JOIN g""",
+
     "ts_seasonal_dow" -> """
       WITH e AS (
         SELECT isodow(CAST(ts AS TIMESTAMP)) AS iso_dow, CAST(ts AS DATE) AS day,
