@@ -38,8 +38,9 @@ object Clustering {
   private val Dim = 64
   private val Scale = 1000000L
 
-  /** Quantized corpus: (vec_id, e: array<bigint> micro-units). */
-  private def quantized(s: SparkSession, d: String): DataFrame = {
+  /** Quantized corpus: (vec_id, e: array<bigint> micro-units). Exposed
+    * to specs so seed-inertia replays use the SAME scale constant. */
+  private[operators] def quantized(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, d).select($"vec_id",
       transform($"embedding", x => round(x.cast("double") * Scale).cast("bigint")).as("e"))
@@ -60,9 +61,14 @@ object Clustering {
     * so specs can plant separated clusters and assert recovery. Returns
     * the per-vector assignment (vec_id, cluster, d = squared distance to
     * its centroid) and the final centroid matrix. */
-  private[operators] def lloyd(q: DataFrame): (DataFrame, Array[Seq[Long]]) = {
-    val s = q.sparkSession
+  private[operators] def lloyd(qIn: DataFrame): (DataFrame, Array[Seq[Long]]) = {
+    val s = qIn.sparkSession
     import s.implicits._
+    // the corpus is consumed by 2 + Iters actions (seed collect, one
+    // aggregate per iteration, final assignment): checkpoint so the
+    // scan + per-row quantization runs once, not per action — MLlib's
+    // KMeans caches its input for exactly this reason
+    val q = qIn.localCheckpoint()
 
     // deterministic seed: the K smallest vec_ids' vectors (k-means++ at
     // scale would sample by D^2 weight; a FIXED seed is what makes the

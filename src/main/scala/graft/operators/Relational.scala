@@ -1634,10 +1634,16 @@ object Relational {
         sum($"xv").as("sx"), sum($"yv").as("sy"),
         sum($"xv" * $"yv").as("sxy"),
         sum($"xv" * $"xv").as("sx2"), sum($"yv" * $"yv").as("sy2"))
+    // zero-variance guard, identical on both sides: Spark's Divide
+    // returns NULL on /0 while DuckDB returns IEEE inf/NaN, so a
+    // constant series at some lag would flag a spurious engine/oracle
+    // mismatch; an explicit NULL under zero variance pins ONE semantic
     m.select($"lag_d", $"n", $"sx", $"sy", $"sxy",
-      (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-        (sqrt(($"n" * $"sx2" - $"sx" * $"sx").cast("double")) *
-         sqrt(($"n" * $"sy2" - $"sy" * $"sy").cast("double")))).as("corr"))
+      when(($"n" * $"sx2" - $"sx" * $"sx") === 0L ||
+           ($"n" * $"sy2" - $"sy" * $"sy") === 0L, lit(null))
+        .otherwise(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n" * $"sx2" - $"sx" * $"sx").cast("double")) *
+           sqrt(($"n" * $"sy2" - $"sy" * $"sy").cast("double")))).as("corr"))
   }
 
   /** CUSUM changepoint detection over the daily revenue series (Page
@@ -1655,10 +1661,14 @@ object Relational {
     * cross join. */
   def tsChangepoint(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // |days|-sized but referenced by FOUR plan subtrees (g, c, and both
+    // again under mx): checkpoint, or Catalyst duplicates the fact-sized
+    // scan+aggregate per reference (the tsInterpolate discipline)
     val daily = Tables.events(s, d)
       .where($"event_type" === "purchase")
       .groupBy(date_trunc("day", $"ts").as("day"))
       .agg(sum(round($"value" * 100).cast("bigint")).as("cents"))
+      .localCheckpoint()
     val g = broadcast(daily.agg(count(lit(1)).as("n"), sum($"cents").as("total")))
     val wOrd = Window.orderBy($"day")
     val c = daily.select($"day", $"cents",
@@ -1666,6 +1676,7 @@ object Relational {
       sum($"cents").over(wOrd).as("prefix"))
       .crossJoin(g)
       .withColumn("cusum_scaled", $"n" * $"prefix" - $"t" * $"total")
+      .localCheckpoint() // two consumers: the max probe and the output
     val mx = broadcast(c.agg(max(abs($"cusum_scaled")).as("mx")))
     c.crossJoin(mx)
       .select($"day", $"t", $"cents", $"cusum_scaled",

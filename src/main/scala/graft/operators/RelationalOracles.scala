@@ -175,9 +175,10 @@ object RelationalOracles {
                CAST(sum(xv*xv) AS BIGINT) AS sx2, CAST(sum(yv*yv) AS BIGINT) AS sy2
         FROM paired GROUP BY 1)
       SELECT lag_d, n, sx, sy, sxy,
-             CAST(n*sxy - sx*sy AS DOUBLE) /
-             (sqrt(CAST(n*sx2 - sx*sx AS DOUBLE)) *
-              sqrt(CAST(n*sy2 - sy*sy AS DOUBLE))) AS corr
+             CASE WHEN n*sx2 - sx*sx = 0 OR n*sy2 - sy*sy = 0 THEN NULL
+                  ELSE CAST(n*sxy - sx*sy AS DOUBLE) /
+                       (sqrt(CAST(n*sx2 - sx*sx AS DOUBLE)) *
+                        sqrt(CAST(n*sy2 - sy*sy AS DOUBLE))) END AS corr
       FROM m""",
 
     "ts_changepoint" -> """

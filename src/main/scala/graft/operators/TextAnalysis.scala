@@ -873,9 +873,12 @@ object TextAnalysis {
       .select(explode(split(lower($"text"), " ")).as("w"))
       .where($"w" =!= "")
       .groupBy($"w").agg(count(lit(1)).as("freq"))
+    // |vocab|-sized, and consumed by TWO actions (the top-1 pick and the
+    // post-merge recount): checkpoint so the corpus scan + word
+    // aggregate runs once, not once per action
     val seqs = words.select(
       concat(lit(" "), array_join(split($"w", ""), " "), lit(" ")).as("seq"),
-      $"freq")
+      $"freq").localCheckpoint()
     def pairCounts(sq: DataFrame): DataFrame = sq
       .select(split(trim($"seq"), " ").as("l"), $"freq")
       .select(explode(arrays_zip(
@@ -887,9 +890,12 @@ object TextAnalysis {
       .orderBy($"cnt".desc, $"pair".asc).limit(1)
       .select($"pair").head().getString(0) // bounded driver scalar: THE pair
     val merged = top1.replace(" ", "")
-    val applied = seqs.select(
-      expr(s"replace(replace(seq, ' $top1 ', ' $merged '), ' $top1 ', ' $merged ')")
-        .as("seq"), $"freq")
+    // column-function replace, NOT an interpolated expr string: a quote
+    // or backslash in the winning pair must stay data, never SQL text
+    def applyMerge(c: Column): Column =
+      org.apache.spark.sql.functions.replace(c,
+        lit(s" $top1 "), lit(s" $merged "))
+    val applied = seqs.select(applyMerge(applyMerge($"seq")).as("seq"), $"freq")
     // TakeOrdered to 20 rows FIRST, then rank the tiny result (the bm25
     // discipline — no global single-partition window over the vocab)
     pairCounts(applied)

@@ -57,14 +57,17 @@ class ClusteringSpec extends SparkSpec {
     // strictly better quantizer on this fixture (each assignment step is
     // optimal for its centroids, so regression past the seed would mean
     // the update loop is feeding garbage centroids back)
-    val q = Tables.embeddings(spark, sf).select($"vec_id",
-      transform($"embedding", x => round(x.cast("double") * 1000000L).cast("bigint")).as("e"))
+    // reuse the operator's own quantization (same Scale constant) and
+    // its broadcast-frame centroid form — the literal-array alternative
+    // pays the multi-second codegen compile the operator engineered out
+    val q = Clustering.quantized(spark, sf)
     val seed = q.orderBy($"vec_id").limit(4).select($"e").as[Seq[Long]].collect()
-    val seedDists = transform(
-      array(seed.map(c => array(c.map(lit(_)): _*)): _*),
+    val seedDists = transform($"cents",
       c => aggregate(zip_with($"e", c, (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, v) => acc + v))
-    val seedInertia = q.select(array_min(seedDists).as("d"))
+    val seedInertia = q
+      .crossJoin(broadcast(Seq(Tuple1(seed.map(_.toSeq).toSeq)).toDF("cents")))
+      .select(array_min(seedDists).as("d"))
       .agg(sum($"d")).head().getLong(0)
     val finalInertia = Clustering.kmeansEmbed(spark, sf)
       .agg(sum($"inertia")).head().getLong(0)

@@ -7,11 +7,12 @@ fixture (SCALE.md "measured growth" sections).
 Each replica r in 1..R-1 is the base fixture with:
   - every key column offset by r * (max_key + 1), so joins/groupings see
     genuinely new entities (no accidental key collisions across replicas);
-  - document TEXT word-rotated by r positions, so shingle/minhash
-    similarity ACROSS replicas stays low (verbatim copies would plant
+  - document TEXT word-PERMUTED per replica with every 5th token
+    retagged, so both shingle-level AND bag-of-words similarity across
+    replicas collapses (verbatim or merely-rotated copies would plant
     R-sized duplicate cliques and measure an adversarial dup-explosion
-    regime, not organic growth — rotation preserves token counts and
-    per-doc statistics while shifting every word 3-gram);
+    regime, not organic growth); n_chars is recomputed from the
+    rewritten text;
   - embeddings rotated by r dimensions (norm-preserving, neighborhoods
     shuffled, no cross-replica near-identity pairs).
 
@@ -27,10 +28,29 @@ con = duckdb.connect()
 import os
 os.makedirs(dst, exist_ok=True)
 
+def off(table, key):
+    """Per-replica key stride = max(key)+1 FROM THE SOURCE — hardcoded
+    strides would silently collide keys when the tool is chained on its
+    own output (the scale-another-decade workflow) or run on a fixture
+    with a different key range, corrupting every join/grouping/dedup
+    measurement with cross-replica entity merges."""
+    return con.execute(
+        f"SELECT max({key}) + 1 FROM '{src}/{table}.parquet'").fetchone()[0]
+
+O_SUPP = off('supplier', 's_suppkey')
+O_CUST = off('customer', 'c_custkey')
+O_PART = off('part', 'p_partkey')
+O_ORD  = off('orders', 'o_orderkey')
+O_USER = off('events', 'user_id')
+O_EVT  = off('events', 'event_id')
+O_DOC  = off('documents', 'doc_id')
+O_VEC  = off('embeddings', 'vec_id')
+
 def gen(table, sql_tpl, copy_only=False):
     parts = []
     for r in range(reps):
-        parts.append(sql_tpl.format(r=r, src=src))
+        parts.append(sql_tpl.format(r=r, src=src, O_SUPP=O_SUPP, O_CUST=O_CUST,
+            O_PART=O_PART, O_ORD=O_ORD, O_USER=O_USER, O_EVT=O_EVT, O_DOC=O_DOC, O_VEC=O_VEC))
         if copy_only:
             break
     union = "\nUNION ALL\n".join(parts)
@@ -42,37 +62,37 @@ gen("region", "SELECT * FROM '{src}/region.parquet'", copy_only=True)
 gen("nation", "SELECT * FROM '{src}/nation.parquet'", copy_only=True)
 
 gen("supplier", """
-SELECT s_suppkey + {r} * 1000 AS s_suppkey,
+SELECT s_suppkey + {r} * {O_SUPP} AS s_suppkey,
        concat(s_name, '_R{r}') AS s_name, s_nationkey, s_acctbal
 FROM '{src}/supplier.parquet'""")
 
 gen("customer", """
-SELECT c_custkey + {r} * 15000 AS c_custkey,
+SELECT c_custkey + {r} * {O_CUST} AS c_custkey,
        concat(c_name, '_R{r}') AS c_name, c_nationkey, c_acctbal, c_mktsegment
 FROM '{src}/customer.parquet'""")
 
 gen("part", """
-SELECT p_partkey + {r} * 20000 AS p_partkey,
+SELECT p_partkey + {r} * {O_PART} AS p_partkey,
        concat(p_name, '_R{r}') AS p_name, p_brand, p_type, p_size, p_retailprice
 FROM '{src}/part.parquet'""")
 
 gen("orders", """
-SELECT o_orderkey + {r} * 150000 AS o_orderkey,
-       o_custkey + {r} * 15000 AS o_custkey,
+SELECT o_orderkey + {r} * {O_ORD} AS o_orderkey,
+       o_custkey + {r} * {O_CUST} AS o_custkey,
        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
 FROM '{src}/orders.parquet'""")
 
 gen("lineitem", """
-SELECT l_orderkey + {r} * 150000 AS l_orderkey,
-       l_partkey + {r} * 20000 AS l_partkey,
-       l_suppkey + {r} * 1000 AS l_suppkey,
+SELECT l_orderkey + {r} * {O_ORD} AS l_orderkey,
+       l_partkey + {r} * {O_PART} AS l_partkey,
+       l_suppkey + {r} * {O_SUPP} AS l_suppkey,
        l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
        l_returnflag, l_linestatus, l_shipdate
 FROM '{src}/lineitem.parquet'""")
 
 gen("events", """
-SELECT event_id + {r} * 100000 AS event_id, ts,
-       user_id + {r} * 1500 AS user_id, event_type, value, props
+SELECT event_id + {r} * {O_EVT} AS event_id, ts,
+       user_id + {r} * {O_USER} AS user_id, event_type, value, props
 FROM '{src}/events.parquet'""")
 
 # deterministically PERMUTE words per replica (hash-keyed sort over
@@ -84,10 +104,13 @@ FROM '{src}/events.parquet'""")
 # token divergence pushes SimHash hamming far past its 3-bit budget and
 # drops token-set Jaccard to ~0.67 < any dedup τ, while intra-replica
 # near-dup structure survives (similar docs get similar keys and the
-# same retag positions). Token counts and per-doc length stats are
-# preserved.
+# same retag positions). The outer SELECT recomputes n_chars from the
+# rewritten text (the retag lengthens it ~4%).
 gen("documents", """
-SELECT doc_id + {r} * 5000 AS doc_id,
+SELECT doc_id, text, lang, source,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM (
+SELECT doc_id + {r} * {O_DOC} AS doc_id,
        CASE WHEN {r} = 0 THEN text
             ELSE array_to_string(
               list_transform(
@@ -98,12 +121,12 @@ SELECT doc_id + {r} * 5000 AS doc_id,
                                         ELSE x END}})),
                 s -> s.w), ' ')
        END AS text,
-       lang, source, n_chars
-FROM '{src}/documents.parquet'""")
+       lang, source, n_chars AS n_chars_orig
+FROM '{src}/documents.parquet') t""")
 
 # rotate embedding dimensions by r (norm-preserving)
 gen("embeddings", """
-SELECT vec_id + {r} * 2000 AS vec_id,
+SELECT vec_id + {r} * {O_VEC} AS vec_id,
        CASE WHEN {r} = 0 THEN embedding
             ELSE CAST(list_concat(embedding[(1 + {r} % 64):], embedding[1:({r} % 64)])
                       AS FLOAT[])
