@@ -790,9 +790,14 @@ object Relational {
     * skew-report rank rule (rank = (n−1)·p div 100 + 1 over ascending
     * latency, user_id tiebreak) — a real data value, not an
     * interpolated double, and the same convention DuckDB replays
-    * exactly. One user_id window pass + a rank over the converted
-    * profile (≪ events); the percentile picks ride a broadcast 1-row
-    * scalar, the skew_report shape. */
+    * exactly. One user_id window pass, then the converted-user profile
+    * is ranked with the DISTRIBUTED exact rank ([[DistRank.withRank]]:
+    * range-repartition + per-partition row_number + ≤P-row broadcast
+    * offsets — round-9 rewrite of the flagged single-partition
+    * `row_number() OVER (ORDER BY lat_us)`; "converted ≪ events" still
+    * holds but the profile is user-scale, so it must never funnel
+    * through one partition); the percentile picks ride a broadcast
+    * 1-row scalar, the skew_report shape. */
   def eventsTimeToConvert(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -804,8 +809,8 @@ object Relational {
       .where($"t1".isNotNull)
       .groupBy($"user_id")
       .agg((unix_micros(max($"t2")) - unix_micros(max($"t1"))).as("lat_us"))
-    val ranked = lat.where($"lat_us".isNotNull).withColumn("rk",
-      row_number().over(Window.orderBy($"lat_us".asc, $"user_id".asc)))
+    val ranked = DistRank.withRank(lat.where($"lat_us".isNotNull),
+      Seq($"lat_us".asc, $"user_id".asc), "rk")
     val stats = lat.agg(count(lit(1)).as("n_anchored"),
       count($"lat_us").as("n_converted"),
       min($"lat_us").as("min_us"), max($"lat_us").as("max_us"))
@@ -2111,14 +2116,22 @@ object Relational {
     * split: per user, days since last purchase (recency, against the
     * corpus-wide max event day as "now" so the query is deterministic),
     * purchase count, and integer-cents spend; each dimension then ranked
-    * into quintiles with ntile(5) under an EXPLICIT total order
-    * (metric, then user_id — ntile on a non-total order would tie-break
-    * by partition layout, the agg_mode lesson). One exchange for the
-    * per-user aggregate; the three ntile windows are single-partition
-    * rankings over |users| rows — fine at fixture scale, and at 100 TB
-    * each swaps to the percent_rank-over-distributed-sort form or
-    * approx_percentile cuts (agg_approx_percentile) without changing
-    * the contract. */
+    * into quintiles under an EXPLICIT total order (metric, then
+    * user_id — ranking on a non-total order would tie-break by
+    * partition layout, the agg_mode lesson).
+    *
+    * Scale shape (round-9 rewrite — this was one of the three flagged
+    * single-partition `ntile(5) OVER (ORDER BY …)` windows): each
+    * dimension gets an exact distributed global rank via
+    * [[DistRank.withRank]] (range-repartition + per-partition
+    * row_number + ≤P-row broadcast offset table), and the quintile is
+    * the pure-integer position formula [[DistRank.ntileFromRank]] over
+    * that rank and the broadcast 1-row user count — bit-identical to
+    * SQL ntile (tie-SPLITTING included, which value-based percentile
+    * cuts cannot reproduce; equivalence pinned in DistRankSpec). The
+    * per-user profile is ranked three times (3 range exchanges of
+    * |users| narrow rows, all P-way parallel); no window anywhere
+    * touches an unbounded single partition. */
   def eventsRfm(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val per = Tables.events(s, d)
@@ -2129,13 +2142,20 @@ object Relational {
       .agg(datediff(max($"now_ts"), max($"ts")).cast("bigint").as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(round($"value" * 100).cast("bigint")).as("monetary_cents"))
-    per.select($"user_id", $"recency_days", $"frequency", $"monetary_cents",
-      ntile(5).over(Window.orderBy($"recency_days".asc, $"user_id".asc))
-        .cast("bigint").as("r_quintile"),
-      ntile(5).over(Window.orderBy($"frequency".desc, $"user_id".asc))
-        .cast("bigint").as("f_quintile"),
-      ntile(5).over(Window.orderBy($"monetary_cents".desc, $"user_id".asc))
-        .cast("bigint").as("m_quintile"))
+      // consumed by 3 rank passes + the count: materialize the events
+      // scan+agg once (multi-consumer rule), |users| narrow rows
+      .localCheckpoint()
+    val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
+      ("__rk_r", Seq($"recency_days".asc, $"user_id".asc)),
+      ("__rk_f", Seq($"frequency".desc, $"user_id".asc)),
+      ("__rk_m", Seq($"monetary_cents".desc, $"user_id".asc))
+    ).foldLeft(per) { case (df, (out, keys)) => DistRank.withRank(df, keys, out) }
+    ranked
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("__n")))) // 1-row scalar
+      .select($"user_id", $"recency_days", $"frequency", $"monetary_cents",
+        DistRank.ntileFromRank($"__rk_r", $"__n", 5).as("r_quintile"),
+        DistRank.ntileFromRank($"__rk_f", $"__n", 5).as("f_quintile"),
+        DistRank.ntileFromRank($"__rk_m", $"__n", 5).as("m_quintile"))
   }
 
   /** Cohort LTV curves — the revenue view of [[eventsRetention]]'s cohort

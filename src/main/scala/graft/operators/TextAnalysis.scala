@@ -136,9 +136,14 @@ object TextAnalysis {
     * count-desc/type-asc), cumulative-sum their counts, and report
     * exact ppm coverage at k ∈ {1,2,4,8,16,31}. All integers — counts,
     * running sums, floor-div ppm — so DuckDB replays bit-exactly. The
-    * heavy aggregate (type counts) is map-side combinable; the ranking
-    * and cumsum run on the |vocab| profile, and the total rides a
-    * broadcast 1-row scalar. */
+    * heavy aggregate (type counts) is map-side combinable; only the
+    * TOP 31 types survive past it — a distributed top-k
+    * (TakeOrderedAndProject, per-partition 31-row heaps, plan-pinned
+    * in PlanShapeSpec) — so the rank/cumsum windows run over a ≤31-row
+    * frame (the bounded-frame discipline; round-9 rewrite of the
+    * flagged full-|vocab| single-partition window — at 100 TB the type
+    * profile is billions of rows and must never cross one partition).
+    * The grand total rides a broadcast 1-row scalar. */
   def vocabCoverage(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -146,7 +151,13 @@ object TextAnalysis {
       .select(explode(split(lower($"text"), " ")).as("tok"))
       .where($"tok" =!= "")
     val counts = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
-    val ranked = counts.withColumn("rk",
+      // both consumers (top-31, grand total) re-derive from the token
+      // explode otherwise — materialize the |vocab| profile once
+      .localCheckpoint()
+    // global rank 1..31 == rank within the top-31 under the same total
+    // order, so the post-limit row_number is exact and bounded
+    val top = counts.orderBy($"n".desc, $"tok".asc).limit(31)
+    val ranked = top.withColumn("rk",
       row_number().over(Window.orderBy($"n".desc, $"tok".asc)))
     val cum = ranked.withColumn("covered",
       sum($"n").over(Window.orderBy($"rk".asc)))
