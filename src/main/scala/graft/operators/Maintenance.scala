@@ -415,17 +415,22 @@ object Maintenance {
     * percentile, whose index conventions differ across engines), and
     * max-over-mean in integer ppm. A max/mean ratio ≫ 1 is the salting
     * trigger; p99/p50 separates one hot key from a heavy tail. The heavy
-    * aggregate is map-side combinable; ranking runs on the |keys|
-    * profile (suppliers here — for billion-key profiles swap the exact
-    * rank for approx quantiles, the summary schema is unchanged). */
+    * aggregate is map-side combinable; ranking the |keys| profile
+    * (suppliers here, but billions of keys for a user-keyed join) runs
+    * through [[DistRank.withRank]] — P-way range-partitioned exact rank,
+    * never a single-partition window (round-10 fix of the last
+    * WindowDisciplineSpec offender). */
   def skewReport(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val cnt = Tables.lineitem(s, d)
       .groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
-    val ranked = cnt.withColumn("rk",
-      row_number().over(Window.orderBy($"cnt".asc, $"l_suppkey".asc)))
-    val stats = cnt.agg(
+    val ranked = DistRank.withRank(cnt,
+      Seq($"cnt".asc, $"l_suppkey".asc), "rk")
+    // stats reads the ranked frame, not cnt: withRank localCheckpoints
+    // its input, so both consumers replay the materialized profile
+    // instead of re-running the lineitem scan+aggregate (multi-consumer
+    // rule)
+    val stats = ranked.agg(
       count(lit(1)).as("n_keys"), sum($"cnt").as("total_rows"),
       min($"cnt").as("min_cnt"), max($"cnt").as("max_cnt"))
     ranked.crossJoin(broadcast(stats))

@@ -792,8 +792,8 @@ object Relational {
     * interpolated double, and the same convention DuckDB replays
     * exactly. One user_id window pass, then the converted-user profile
     * is ranked with the DISTRIBUTED exact rank ([[DistRank.withRank]]:
-    * range-repartition + per-partition row_number + ≤P-row broadcast
-    * offsets — round-9 rewrite of the flagged single-partition
+    * range-repartition + zipWithIndex offsets — round-9/10 rewrite of
+    * the flagged single-partition
     * `row_number() OVER (ORDER BY lat_us)`; "converted ≪ events" still
     * holds but the profile is user-scale, so it must never funnel
     * through one partition); the percentile picks ride a broadcast
@@ -809,6 +809,11 @@ object Relational {
       .where($"t1".isNotNull)
       .groupBy($"user_id")
       .agg((unix_micros(max($"t2")) - unix_micros(max($"t1"))).as("lat_us"))
+      // consumed by the rank pass AND the stats aggregate below:
+      // cache the events scan + user-window + groupBy once
+      // (multi-consumer rule), |anchored users| narrow rows; lazy —
+      // the first consuming job materializes (see DistRank scaladoc)
+      .localCheckpoint(eager = false)
     val ranked = DistRank.withRank(lat.where($"lat_us".isNotNull),
       Seq($"lat_us".asc, $"user_id".asc), "rk")
     val stats = lat.agg(count(lit(1)).as("n_anchored"),
@@ -2120,38 +2125,45 @@ object Relational {
     * user_id — ranking on a non-total order would tie-break by
     * partition layout, the agg_mode lesson).
     *
-    * Scale shape (round-9 rewrite — this was one of the three flagged
-    * single-partition `ntile(5) OVER (ORDER BY …)` windows): each
-    * dimension gets an exact distributed global rank via
-    * [[DistRank.withRank]] (range-repartition + per-partition
-    * row_number + ≤P-row broadcast offset table), and the quintile is
-    * the pure-integer position formula [[DistRank.ntileFromRank]] over
-    * that rank and the broadcast 1-row user count — bit-identical to
-    * SQL ntile (tie-SPLITTING included, which value-based percentile
-    * cuts cannot reproduce; equivalence pinned in DistRankSpec). The
-    * per-user profile is ranked three times (3 range exchanges of
-    * |users| narrow rows, all P-way parallel); no window anywhere
-    * touches an unbounded single partition. */
+    * Scale shape (round-9/10 rewrite — this was one of the three
+    * flagged single-partition `ntile(5) OVER (ORDER BY …)` windows):
+    * each dimension gets an exact distributed global rank via
+    * [[DistRank.withRank]] (range-repartition + zipWithIndex offsets),
+    * and the quintile is the pure-integer position formula
+    * [[DistRank.ntileFromRank]] over that rank and the broadcast 1-row
+    * user count — bit-identical to SQL ntile (tie-SPLITTING included,
+    * which value-based percentile cuts cannot reproduce; equivalence
+    * pinned in DistRankSpec). The per-user profile is ranked three
+    * times (3 range exchanges of |users| narrow rows, all P-way
+    * parallel); no window anywhere touches an unbounded single
+    * partition. */
   def eventsRfm(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val per = Tables.events(s, d)
+    // ONE events scan (round-10: the previous shape scanned events twice
+    // — once for the corpus-wide max ts, once for the per-user profile —
+    // but the corpus max IS the max of the per-user maxes, so it rides
+    // the same aggregate): per-user last-purchase ts + count + cents,
+    // cached once for its three consumers (the "now" scalar, the rank
+    // chain, the user count; multi-consumer rule), |users| narrow rows
+    val perUser = Tables.events(s, d)
       .where($"event_type" === "purchase")
-      .agg(max($"ts").as("now_ts")) // 1-row scalar, broadcast
-      .crossJoin(Tables.events(s, d).where($"event_type" === "purchase"))
       .groupBy($"user_id")
-      .agg(datediff(max($"now_ts"), max($"ts")).cast("bigint").as("recency_days"),
+      .agg(max($"ts").as("last_ts"),
         count(lit(1)).as("frequency"),
         sum(round($"value" * 100).cast("bigint")).as("monetary_cents"))
-      // consumed by 3 rank passes + the count: materialize the events
-      // scan+agg once (multi-consumer rule), |users| narrow rows
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    val per = perUser
+      .crossJoin(broadcast(perUser.agg(max($"last_ts").as("now_ts")))) // 1-row scalar
+      .select($"user_id",
+        datediff($"now_ts", $"last_ts").cast("bigint").as("recency_days"),
+        $"frequency", $"monetary_cents")
     val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
       ("__rk_r", Seq($"recency_days".asc, $"user_id".asc)),
       ("__rk_f", Seq($"frequency".desc, $"user_id".asc)),
       ("__rk_m", Seq($"monetary_cents".desc, $"user_id".asc))
     ).foldLeft(per) { case (df, (out, keys)) => DistRank.withRank(df, keys, out) }
     ranked
-      .crossJoin(broadcast(per.agg(count(lit(1)).as("__n")))) // 1-row scalar
+      .crossJoin(broadcast(perUser.agg(count(lit(1)).as("__n")))) // 1-row scalar
       .select($"user_id", $"recency_days", $"frequency", $"monetary_cents",
         DistRank.ntileFromRank($"__rk_r", $"__n", 5).as("r_quintile"),
         DistRank.ntileFromRank($"__rk_f", $"__n", 5).as("f_quintile"),

@@ -138,6 +138,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans == 1, s"expected one events scan, got $scans\n$p")
   }
 
+  test("text_vocab_coverage bounds its windows behind a top-31 TakeOrderedAndProject") {
+    val p = plan("text_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject(limit=31"),
+      "the |vocab| profile must shrink to 31 rows via distributed top-k " +
+        "BEFORE any rank/cumsum window (round-9 scale fix)\n" + p)
+  }
+
   test("maint_weighted_sample plans per-partition top-k (TakeOrderedAndProject)") {
     // priority sampling must not global-sort the corpus: per-partition
     // top-k + single merge is the only shape that holds at 100 TB
