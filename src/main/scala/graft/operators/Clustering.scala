@@ -20,8 +20,10 @@ import graft.core.Tables
   * float vectors are quantized ONCE to integer micro-units, so every
   * distance is an exact BIGINT dot of differences (order-independent
   * sums), centroid updates are floor-divided integer means
-  * (`Math.floorDiv` here ≡ `floor(s/n)` in the oracle — exact while
-  * |s| < 2^52, true by construction at any SF that fits a table), and
+  * (`Math.floorDiv` here ≡ `(s - ((s % n) + n) % n) // n` in the
+  * oracle — all-BIGINT on both sides, exact at ANY magnitude; DuckDB's
+  * bare `//` truncates and a double-based floor loses exactness past
+  * 2^53, so neither is used), and
   * argmin ties break to the smallest centroid id (`array_position`
   * returns the FIRST index at the min). Convergence is fixed-iteration
   * (3), not threshold-based — a replayable loop count. Scale notes: K
@@ -124,8 +126,8 @@ object Clustering {
     * iteration (the oracle string is generated, not hand-kept, so K /
     * Iters / Dim changes cannot desynchronize the two sides): QUALIFY
     * row_number argmin ≡ array_position-first tie-break;
-    * floor(s/n) ≡ floorDiv; coalesce-to-previous ≡ the empty-cluster
-    * rule. */
+    * non-negative-mod floor division ≡ floorDiv (exact BIGINT at any
+    * magnitude); coalesce-to-previous ≡ the empty-cluster rule. */
   private def oracleKmeans: String = {
     val dist = s"list_sum(list_transform(range(1, ${Dim + 1}), " +
       "i -> (q.e[i] - c.e[i]) * (q.e[i] - c.e[i])))"
@@ -146,7 +148,7 @@ object Clustering {
         FROM $prev p
         LEFT JOIN (
           SELECT cid,
-                 list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                 list((s - ((s % n) + n) % n) // n
                       ORDER BY dim) AS e
           FROM ${a}_sums GROUP BY cid) u ON u.cid = p.cid)"""
     val head = s"""

@@ -888,7 +888,12 @@ object TextAnalysis {
     // post-merge recount): checkpoint so the corpus scan + word
     // aggregate runs once, not once per action
     val seqs = words.select(
-      concat(lit(" "), array_join(split($"w", ""), " "), lit(" ")).as("seq"),
+      // filter the trailing empty element Java's limit(-1) split("")
+      // emits — the oracle's string_split_regex has no such element, and
+      // leaving it in relies on trim() + space-delimited patterns to
+      // wash the asymmetry out (round-8 ADVICE)
+      concat(lit(" "), array_join(filter(split($"w", ""), c => c =!= ""), " "),
+        lit(" ")).as("seq"),
       $"freq").localCheckpoint()
     def pairCounts(sq: DataFrame): DataFrame = sq
       .select(split(trim($"seq"), " ").as("l"), $"freq")

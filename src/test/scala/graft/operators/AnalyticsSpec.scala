@@ -102,13 +102,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.length == 7) // lags -3..3
     rows.foreach { r =>
       val (n, sx, sy, sxy) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
-      val corr = r.getDouble(5)
-      assert(n > 0 && sx > 0 && sy > 0)
-      // Cauchy-Schwarz on the centered sums: |corr| ≤ 1 (+ε for the one
-      // double division); a violation means the integer moments drifted
-      assert(math.abs(corr) <= 1.0 + 1e-12, s"corr $corr out of range")
-      // the cross moment is bounded by the raw magnitudes
-      assert(sxy > 0 && sxy <= sx * sy)
+      assert(n > 0)
+      if (r.isNullAt(5)) {
+        // the operator's documented zero-variance semantics: corr is
+        // NULL exactly when a series is constant at this lag — assert
+        // the moments agree instead of unboxing a null (round-8 ADVICE)
+        assert(sx == 0 || sy == 0,
+          s"NULL corr with nonzero variances sx=$sx sy=$sy")
+      } else {
+        val corr = r.getDouble(5)
+        assert(sx > 0 && sy > 0)
+        // Cauchy-Schwarz on the centered sums: |corr| ≤ 1 (+ε for the one
+        // double division); a violation means the integer moments drifted
+        assert(math.abs(corr) <= 1.0 + 1e-12, s"corr $corr out of range")
+        // the cross moment is bounded by the raw magnitudes
+        assert(sxy > 0 && sxy <= sx * sy)
+      }
+    }
+  }
+
+  test("sql_percentile_disc picks the SQL-standard ceil(p*n) element on the live group sizes") {
+    // Round-8 ADVICE pin: Spark's percentile_disc (smallest value with
+    // cume_dist >= p) and DuckDB's quantile_disc-backed one must select
+    // the same 1-based index ceil(p*n). Both engines compute it in
+    // doubles, so a (p, n) pair where p*n lands ON an integer is the
+    // divergence risk after a fixture regen. This test recomputes each
+    // pick with EXACT integer arithmetic — idx = ceil(a*n/b) =
+    // (a*n + b - 1) div b for p = a/b — against the live fixture group
+    // sizes, so whichever engine drifts off the standard rule fails
+    // loudly here or in the oracle gate (which pins the DuckDB side).
+    val got = graft.SparkEntry.queries("sql_percentile_disc")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val groups = Tables.lineitem(spark, sf)
+      .select($"l_returnflag",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted }
+    def pick(sorted: Array[Long], a: Long, b: Long): Long = {
+      val n = sorted.length.toLong
+      val idx = ((a * n + b - 1) / b).max(1L) // exact ceil(a*n/b), 1-based
+      sorted((idx - 1).toInt)
+    }
+    assert(groups.nonEmpty && groups.keySet == got.keySet)
+    groups.foreach { case (flag, sorted) =>
+      val (p25, p50, p90) = got(flag)
+      assert(p25 == pick(sorted, 1, 4), s"$flag p25 n=${sorted.length}")
+      assert(p50 == pick(sorted, 1, 2), s"$flag p50 n=${sorted.length}")
+      assert(p90 == pick(sorted, 9, 10), s"$flag p90 n=${sorted.length}")
     }
   }
 

@@ -38,10 +38,16 @@ def off(table, key):
         f"SELECT max({key}) + 1 FROM '{src}/{table}.parquet'").fetchone()[0]
 
 O_SUPP = off('supplier', 's_suppkey')
-O_CUST = off('customer', 'c_custkey')
+# events.user_id JOINS customer.c_custkey (joinScd2, stream_static_join,
+# GDPR purge): the two columns live in ONE entity space, so they must
+# share ONE stride — per-column strides would shift replicas r>=1 of the
+# two sides by different amounts whenever max(user_id) != max(c_custkey),
+# silently breaking the user<->customer join relationship in every
+# synthesized-SF scale measurement (round-8 ADVICE).
+O_CUST = max(off('customer', 'c_custkey'), off('events', 'user_id'))
 O_PART = off('part', 'p_partkey')
 O_ORD  = off('orders', 'o_orderkey')
-O_USER = off('events', 'user_id')
+O_USER = O_CUST  # same entity space as c_custkey — see above
 O_EVT  = off('events', 'event_id')
 O_DOC  = off('documents', 'doc_id')
 O_VEC  = off('embeddings', 'vec_id')
