@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout through VERBATIM instead of routing it
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// which made the Bench/Verify stdout contract line unparseable in the
+// driver's tail capture for four straight rounds (BENCH_r06..r09
+// "parsed": null). With StdoutOutput the JSON contract line reaches
+// stdout as a bare line; sbt's own "[success] ..." epilogue still
+// follows it, so consumers should scan for the last parseable line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

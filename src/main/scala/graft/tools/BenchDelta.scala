@@ -14,6 +14,17 @@ import scala.io.Source
   * costing a judge adjudication. Median ratios are still printed alongside
   * as the reported number; only min-rep ratios count as flags.
   *
+  * Round-10 hardening: the tool also ADJUDICATES RUN HEALTH from the
+  * artifact's pass-order reps (and per-pass totals when present). Two
+  * straight driver rounds were environmentally degraded with 100% of
+  * queries monotone-increasing across identical interleaved passes — a
+  * signature random contention cannot produce (P(strictly increasing) =
+  * 1/6 per query under exchangeable noise, so ~17% expected, not 100%).
+  * When well over half the queries are monotone-increasing the run is
+  * labeled DEGRADED, the evidence is printed, and median-based ratios
+  * are explicitly marked untrustworthy — min-rep remains the only gate
+  * either way.
+  *
   * Usage: runMain graft.tools.BenchDelta [benchJson] [baselineMd]
   * (defaults: bench_out.json, BASELINE.md). Exit code 0 always — this is
   * a diagnostic, not a gate; the 2x regression gate is the driver's.
@@ -36,6 +47,29 @@ object BenchDelta {
             .findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }.getOrElse(Map.empty)
+    // run-health: fraction of queries whose pass-order reps strictly
+    // increase (requires a round-10+ artifact where reps are pass-order)
+    val repsRe = """"([A-Za-z0-9_]+)"\s*:\s*\{"median":[^}]*"reps":\[([0-9.,]+)\]""".r
+    val repSeqs = repsRe.findAllMatchIn(benchText)
+      .map(m => m.group(1) -> m.group(2).split(",").map(_.toDouble).toSeq)
+      .toMap
+    val multi = repSeqs.filter(_._2.size >= 3)
+    val monotone = multi.count { case (_, ts) =>
+      ts.sliding(2).forall { case Seq(a, b) => b > a; case _ => true } }
+    val passTotals = """"passes"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(benchText).map(_.group(1)).toSeq
+      .flatMap(b => """"total":(-?[0-9.]+)""".r.findAllMatchIn(b).map(_.group(1).toDouble))
+    val degraded = multi.nonEmpty && monotone.toDouble / multi.size > 0.5
+    if (multi.nonEmpty) {
+      val pct = 100.0 * monotone / multi.size
+      val label = if (degraded) "DEGRADED" else "healthy"
+      println(f"run health: $label — $monotone/${multi.size} queries ($pct%.0f%%) monotone-increasing across passes" +
+        (if (passTotals.nonEmpty) s"; pass totals ${passTotals.map(t => f"$t%.1f").mkString(" -> ")} s" else ""))
+      if (degraded)
+        println("  (environmental degradation signature: median ratios below are " +
+          "UNTRUSTWORTHY; only min-rep ratios are meaningful on this run)")
+    } else println("run health: unknown (no pass-order reps in artifact — pre-round-10 format)")
+
     val med = mapOf("queries")
     // pre-round-7 artifacts have no "min" map — fall back to medians so the
     // tool still reads historical bench_out.json files
