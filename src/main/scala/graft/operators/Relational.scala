@@ -197,6 +197,49 @@ object Relational {
       .select($"user_id", $"event_id".as("click_id"), $"asof_signup".as("signup_id"))
   }
 
+  /** As-of join WITH tolerance (pandas `merge_asof(tolerance=...)` /
+    * kdb window-join semantics — SURVEY §2.3 D's temporal family): each
+    * click matches the LATEST signup at ts ≤ click ts, but only when
+    * that signup is within 7 days — an older match is reported as NULL
+    * (LEFT as-of, so every click survives; `within_tol` makes both
+    * branches hash-checked). Correctness note: nulling the latest match
+    * when it is out of tolerance IS the tolerance semantics — any other
+    * candidate is older still. Same ONE-scan ONE-shuffle window shape
+    * as [[joinAsof]]: the running `last` also carries the signup ts, so
+    * the tolerance test is a per-row comparison with no second scan and
+    * no extra exchange; at 100 TB this is one user-partitioned window
+    * pass, P-way parallel. The oracle states the SPEC through DuckDB's
+    * native ASOF LEFT JOIN + tolerance CASE, so the window rewrite is
+    * checked against the definition, not itself. */
+  def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tagged = Tables.events(s, d)
+      .where($"event_type".isin("click", "signup"))
+      .select($"user_id", $"ts",
+        when($"event_type" === "signup", 0).otherwise(1).as("kind"),
+        $"event_id")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"kind".asc, $"event_id".asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_signup",
+        last(when($"kind" === 0, $"event_id"), ignoreNulls = true).over(running))
+      .withColumn("asof_ts",
+        last(when($"kind" === 0, $"ts"), ignoreNulls = true).over(running))
+      .withColumn("nxt_ts", lead($"ts", 1).over(w))
+      .withColumn("nxt_kind", lead($"kind", 1).over(w))
+      // keep exactly the max-event_id click per (user, ts) — the
+      // joinAsof dedup rule — but LEFT: unmatched clicks survive
+      .where($"kind" === 1 &&
+        ($"nxt_ts".isNull || $"nxt_ts" =!= $"ts" || $"nxt_kind" =!= $"kind"))
+      .withColumn("within_tol",
+        ($"asof_ts".isNotNull &&
+          $"asof_ts" >= $"ts" - expr("INTERVAL 7 DAYS")).cast("bigint"))
+      .select($"user_id", $"event_id".as("click_id"),
+        when($"within_tol" === 1, $"asof_signup").as("signup_id"),
+        $"within_tol")
+  }
+
   /** Skew-mitigated join by explicit key salting: the fact side gets a
     * deterministic salt in [0,S), the dim side is replicated S times, and
     * the join key becomes (key, salt) — a hot key's rows spread over S
@@ -1711,6 +1754,63 @@ object Relational {
         .cast("bigint"))
   }
 
+  /** Holt linear (double-exponential) smoothing of daily purchase
+    * revenue — level + trend forecasting (Holt 1957), the one-step-ahead
+    * `fitted` being the forecast every ops dashboard overlays. Exact
+    * INTEGER recurrence so the DuckDB oracle replays it bit-for-bit:
+    * α = 1/5, β = 1/10 as rational truncating divisions
+    * (`div` here ≡ DuckDB integer `//`, both truncate toward zero — and
+    * trend DOES go negative, so matching division semantics is load-
+    * bearing, not cosmetic):
+    *   level₀ = obs₀, trend₀ = 0, fitted₀ = obs₀
+    *   fittedₜ = levelₜ₋₁ + trendₜ₋₁
+    *   levelₜ  = (obsₜ + 4·fittedₜ) div 5
+    *   trendₜ  = ((levelₜ − levelₜ₋₁) + 9·trendₜ₋₁) div 10
+    * Scale shape: the ONLY corpus-sized work is the map-side-combined
+    * day-grid aggregate (corpus → ≤|calendar days| rows); the smoothing
+    * is an inherently sequential fold over that CALENDAR-BOUNDED grid,
+    * run as one `aggregate` HOF over the collected (day, cents) array —
+    * the ts_seasonal_dow boundedness class, ~730 rows at two years
+    * whatever the SF — then exploded back to rows. No window, no
+    * driver loop. The oracle is an independent formulation (recursive
+    * CTE over the ordered grid), so the fold is checked against the
+    * recurrence definition. */
+  def tsHolt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grid = Tables.events(s, d)
+      .where($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(round($"value" * 100).cast("bigint")).as("cents"))
+    grid
+      .agg(sort_array(collect_list(struct($"day", $"cents"))).as("g"))
+      .select(expr("""
+        aggregate(
+          g,
+          CAST(array() AS ARRAY<STRUCT<day: DATE, obs_cents: BIGINT,
+                                       level: BIGINT, trend: BIGINT,
+                                       fitted: BIGINT>>),
+          (acc, x) -> CASE WHEN size(acc) = 0
+            THEN array(named_struct(
+              'day', x.day, 'obs_cents', x.cents,
+              'level', x.cents, 'trend', CAST(0 AS BIGINT),
+              'fitted', x.cents))
+            ELSE concat(acc, array(named_struct(
+              'day', x.day, 'obs_cents', x.cents,
+              'level',
+                (x.cents + 4 * (element_at(acc, -1).level
+                                + element_at(acc, -1).trend)) div 5,
+              'trend',
+                ((x.cents + 4 * (element_at(acc, -1).level
+                                 + element_at(acc, -1).trend)) div 5
+                 - element_at(acc, -1).level
+                 + 9 * element_at(acc, -1).trend) div 10,
+              'fitted',
+                element_at(acc, -1).level + element_at(acc, -1).trend)))
+          END) AS h"""))
+      .select(explode($"h").as("r"))
+      .select($"r.day", $"r.obs_cents", $"r.level", $"r.trend", $"r.fitted")
+  }
+
   def tsResample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ord = Window.partitionBy($"user_id", $"day")
@@ -2241,6 +2341,46 @@ object Relational {
         per("frequency") === frontier("frequency")
           && $"monetary_cents" === $"best_m", "left_semi")
       .select($"user_id", $"frequency", $"monetary_cents")
+  }
+
+  /** Event-type association lift over user-days — the market-basket
+    * measure (Agrawal et al.'s association-rule lift) on behavioral
+    * "baskets": a basket is one (user, day), and for every unordered
+    * type pair lift = P(a,b) / (P(a)·P(b)), reported as exact floor ppm
+    * of (n_both · n_baskets · 10⁶) / (n_a · n_b). Lift < 1 means the
+    * types repel within a day; > 1 means they travel together — the
+    * co-occurrence screen run before any pairwise feature is built.
+    * Scale shape: ONE distinct over (user, day, type) — a map-side
+    * combinable aggregate — then a self-join on (user, day) whose
+    * per-basket fanout is capped at |types|² (25 here: baskets are
+    * SETS of types, so the join is |baskets|·|types|² rows max, never
+    * quadratic in events); margins and the basket count are ≤|types|
+    * rows and ride back by broadcast. The ppm product goes through
+    * DECIMAL(38,0) `div` (DuckDB replays with HUGEINT `//` — the
+    * skew_report precedent): BIGINT would wrap at ~10⁹ baskets, exactly
+    * the regime this screen exists for. */
+  def eventsLift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ut = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day"), $"event_type")
+      .distinct()
+      // consumed by the basket count, the margins, and BOTH sides of
+      // the pair join: cache the distinct once (multi-consumer rule)
+      .localCheckpoint(eager = false)
+    val tot = ut.select($"user_id", $"day").distinct()
+      .agg(count(lit(1)).as("n_ud")) // 1-row scalar
+    val per = ut.groupBy($"event_type").agg(count(lit(1)).as("n")) // ≤|types| rows
+    val pair = ut.as("a").join(ut.as("b"), Seq("user_id", "day"))
+      .where($"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pair
+      .join(broadcast(per.select($"event_type".as("type_a"), $"n".as("n_a"))), "type_a")
+      .join(broadcast(per.select($"event_type".as("type_b"), $"n".as("n_b"))), "type_b")
+      .crossJoin(broadcast(tot))
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both", $"n_ud",
+        expr("cast(n_both * cast(n_ud as decimal(38,0)) * 1000000 div (n_a * n_b) as bigint)")
+          .as("lift_ppm"))
   }
 
   /** Event-type Markov transitions — the per-user behavioral bigram

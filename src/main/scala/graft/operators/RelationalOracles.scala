@@ -89,6 +89,73 @@ object RelationalOracles {
       FROM clicks c ASOF JOIN signups s
         ON c.user_id = s.user_id AND c.ts >= s.ts""",
 
+    // the SPEC via DuckDB's native ASOF LEFT JOIN: latest signup at
+    // ts <= click ts, nulled when older than the 7-day tolerance (any
+    // other candidate is older still, so null-latest IS the semantics)
+    "join_asof_tolerance" -> """
+      WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      signups AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+      SELECT c.user_id AS user_id, c.event_id AS click_id,
+             CASE WHEN s.ts >= c.ts - INTERVAL 7 DAY THEN s.event_id END
+               AS signup_id,
+             CAST(s.ts IS NOT NULL AND s.ts >= c.ts - INTERVAL 7 DAY AS BIGINT)
+               AS within_tol
+      FROM clicks c ASOF LEFT JOIN signups s
+        ON c.user_id = s.user_id AND c.ts >= s.ts""",
+
+    // basket = (user, day); HUGEINT product // mirrors the engine's
+    // DECIMAL(38,0) div (both exact truncating on non-negatives — the
+    // skew_report ppm precedent)
+    "events_lift" -> """
+      WITH ut AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events),
+      tot AS (SELECT count(*) AS n_ud
+              FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events)),
+      per AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+      pair AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_both
+        FROM ut a JOIN ut b USING (user_id, day)
+        WHERE a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT p.type_a, p.type_b, pa.n AS n_a, pb.n AS n_b, p.n_both,
+             t.n_ud,
+             CAST((p.n_both * CAST(t.n_ud AS HUGEINT) * 1000000)
+                  // (pa.n * pb.n) AS BIGINT) AS lift_ppm
+      FROM pair p
+      JOIN per pa ON pa.event_type = p.type_a
+      JOIN per pb ON pb.event_type = p.type_b
+      CROSS JOIN tot t""",
+
+    // independent formulation of the Holt recurrence: recursive CTE
+    // over the ordered day grid (the engine folds an aggregate HOF);
+    // integer `//` truncates exactly like Spark's `div`, incl. the
+    // negative-trend rows
+    "ts_holt" -> """
+      WITH RECURSIVE grid AS (
+        SELECT row_number() OVER (ORDER BY day) AS rn, day, cents FROM (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1)),
+      holt AS (
+        SELECT rn, day, cents, cents AS level, CAST(0 AS BIGINT) AS trend,
+               cents AS fitted
+        FROM grid WHERE rn = 1
+        UNION ALL
+        SELECT g.rn, g.day, g.cents,
+               (g.cents + 4 * (h.level + h.trend)) // 5 AS level,
+               (((g.cents + 4 * (h.level + h.trend)) // 5 - h.level)
+                + 9 * h.trend) // 10 AS trend,
+               h.level + h.trend AS fitted
+        FROM holt h JOIN grid g ON g.rn = h.rn + 1)
+      SELECT day, cents AS obs_cents, level, trend, fitted FROM holt""",
+
     "window_dist" -> """
       SELECT c_nationkey, c_custkey, c_acctbal,
              ntile(4) OVER w AS quartile,
