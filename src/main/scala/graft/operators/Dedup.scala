@@ -286,6 +286,31 @@ object Dedup {
       .select($"n".as("doc_id"), $"l".as("cluster_rep"))
   }
 
+  /** Dedup-aware SAMPLING WEIGHTS — the soft alternative to hard
+    * near-dup removal (keep every copy but downweight so each
+    * duplicate CLUSTER contributes one document's worth of training
+    * mass, the Lee et al. "Deduplicating Training Data" loss-weighting
+    * recipe): weight_ppm = 10⁶ div |dedup_group|, exact integers.
+    * Cluster membership is [[minhashClusters]] over the session-shared
+    * pair artifact; unclustered docs form singleton groups (weight 1).
+    * Scale shape: one left join of the corpus id column against the
+    * clustered-docs frame, a map-side-combined group-size aggregate,
+    * and a shuffle join back on the group key (sizes are |groups|-
+    * scale — NOT broadcast at 100 TB). */
+  def dupWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id")
+      .join(minhashClusters(s, d), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_rep", $"doc_id").as("dedup_group"))
+      // consumed by the size aggregate AND the weight join
+      .localCheckpoint(eager = false)
+    val sizes = docs.groupBy($"dedup_group")
+      .agg(count(lit(1)).as("group_size"))
+    docs.join(sizes, "dedup_group")
+      .select($"doc_id", $"dedup_group", $"group_size",
+        expr("CAST(1000000 div group_size AS BIGINT)").as("weight_ppm"))
+  }
+
   /** The dedup VERDICT a pipeline actually publishes: per document,
     * whether it sits in a near-dup cluster, whether it is KEPT (the
     * cluster representative = the component's min doc_id, which is
@@ -1581,6 +1606,23 @@ object Dedup {
         UNION
         SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.n)
       SELECT n AS doc_id, min(l) AS cluster_rep FROM reach GROUP BY n""",
+    "curate_dup_weights" -> s"""
+      WITH RECURSIVE pairs AS (${shingleOracle(0.9, "char12")}),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      nodes AS (SELECT DISTINCT a AS n FROM edges),
+      reach(n, l) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.n),
+      cl AS (SELECT n AS doc_id, min(l) AS cluster_rep FROM reach GROUP BY n),
+      g AS (SELECT d.doc_id, coalesce(cl.cluster_rep, d.doc_id) AS dedup_group
+            FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+      sz AS (SELECT dedup_group, count(*) AS group_size FROM g GROUP BY 1)
+      SELECT g.doc_id, g.dedup_group, sz.group_size,
+             CAST(1000000 // sz.group_size AS BIGINT) AS weight_ppm
+      FROM g JOIN sz USING (dedup_group)""",
     "dedup_keep_list" -> s"""
       WITH RECURSIVE pairs AS (${shingleOracle(0.9, "char12")}),
       edges AS (

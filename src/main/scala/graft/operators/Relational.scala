@@ -1811,6 +1811,53 @@ object Relational {
       .select($"r.day", $"r.obs_cents", $"r.level", $"r.trend", $"r.fitted")
   }
 
+  /** STL-lite seasonal–trend decomposition of daily revenue —
+    * trend = CENTERED 7-day moving average (positional over the
+    * observed day sequence, defined only where the full window exists:
+    * days 4..n−3, the classic edge convention), seasonal = per-ISO-
+    * weekday floor-mean of the detrended series, residual = obs −
+    * trend − seasonal. All exact integers: the 7-day sum floor-divides
+    * by 7, the seasonal mean is sum div count on (possibly negative)
+    * detrended cents — truncating `div` on both engines, the ts_holt
+    * division discipline. The anomaly/forecast twin queries
+    * (`ts_changepoint`, `ts_holt`) consume raw or level series; this
+    * is the decomposition view every capacity dashboard plots.
+    *
+    * Scale shape: corpus → map-side-combined day grid (calendar-
+    * bounded); the centered MA runs as one `transform` + windowed
+    * `slice` fold over the collected grid (no Spark window, no
+    * allowlist); the seasonal profile is a ≤7-row aggregate broadcast
+    * back onto the ≤|days| trend frame. */
+  def tsStlLite(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grid = Tables.events(s, d)
+      .where($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(round($"value" * 100).cast("bigint")).as("cents"))
+    val tr = grid
+      .agg(sort_array(collect_list(struct($"day", $"cents"))).as("g"))
+      .select(expr("""
+        CASE WHEN size(g) >= 7 THEN
+          transform(sequence(4, size(g) - 3), i -> named_struct(
+            'day', g[i - 1].day,
+            'obs_cents', g[i - 1].cents,
+            'trend_cents', aggregate(slice(g, i - 3, 7), CAST(0 AS BIGINT),
+                                     (a, x) -> a + x.cents) div 7))
+        ELSE CAST(array() AS ARRAY<STRUCT<day: DATE, obs_cents: BIGINT,
+                                          trend_cents: BIGINT>>)
+        END AS t"""))
+      .select(explode($"t").as("r"))
+      .select($"r.day", $"r.obs_cents", $"r.trend_cents",
+        (weekday($"r.day") + 1).cast("bigint").as("iso_dow"))
+      // consumed by the seasonal aggregate AND the final join
+      .localCheckpoint(eager = false)
+    val se = tr.groupBy($"iso_dow") // ≤7 rows
+      .agg(expr("sum(obs_cents - trend_cents) div count(1)").as("seasonal_cents"))
+    tr.join(broadcast(se), "iso_dow")
+      .select($"day", $"obs_cents", $"trend_cents", $"seasonal_cents",
+        ($"obs_cents" - $"trend_cents" - $"seasonal_cents").as("resid_cents"))
+  }
+
   def tsResample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ord = Window.partitionBy($"user_id", $"day")
@@ -2381,6 +2428,75 @@ object Relational {
       .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both", $"n_ud",
         expr("cast(n_both * cast(n_ud as decimal(38,0)) * 1000000 div (n_a * n_b) as bigint)")
           .as("lift_ppm"))
+  }
+
+  /** Kaplan–Meier conversion survival (Kaplan & Meier 1958) — the
+    * censoring-correct answer to "how long until a user makes their
+    * first big purchase?", which a naive converted-only histogram gets
+    * WRONG (it silently drops the 30/150 users who never convert —
+    * survivorship bias by construction). Subjects enter at their first
+    * event; the event is the first purchase with value ≥ 100;
+    * non-converters are RIGHT-CENSORED at the corpus horizon and leave
+    * the risk set at their censoring duration, exactly like a clinical
+    * trial's lost-to-follow-up. Estimate, exact integer ppm:
+    *   S(t) = Π over event times t' ≤ t of (n_risk − n_conv)/n_risk,
+    * as the recurrence s ← s·(n_risk−n_conv) div n_risk (truncating
+    * div, replayed bit-for-bit by the oracle's recursive CTE — an
+    * INDEPENDENT formulation that computes each n_risk with a
+    * correlated ≥-count instead of this fold).
+    *
+    * Scale shape: corpus → per-user aggregate (map-side combinable,
+    * |users| narrow rows) → day-duration histogram (map-side
+    * combinable, ≤ |calendar days| rows) → ONE bounded `aggregate` HOF
+    * fold that produces n_risk via N − prefix-count (suffix counts
+    * without any window — no unpartitioned-window allowlist needed)
+    * and the survival product in the same pass. The 1-row collected
+    * array is the ts_holt calendar-bounded class. */
+  def eventsSurvival(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perU = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(to_date(min($"ts")).as("t0"),
+        to_date(min(when($"event_type" === "purchase" && $"value" >= 100, $"ts")))
+          .as("fp"),
+        to_date(max($"ts")).as("ld"))
+      // consumed by the horizon scalar AND the subject frame
+      .localCheckpoint(eager = false)
+    val subj = perU
+      .crossJoin(broadcast(perU.agg(max($"ld").as("maxd")))) // 1-row scalar
+      .select(
+        when($"fp".isNull, datediff($"maxd", $"t0"))
+          .otherwise(datediff($"fp", $"t0")).cast("bigint").as("dur"),
+        $"fp".isNotNull.cast("bigint").as("converted"))
+    val hist = subj.groupBy($"dur")
+      .agg(count(lit(1)).as("n_all"), sum($"converted").as("n_conv"))
+    hist
+      .agg(sort_array(collect_list(struct($"dur", $"n_all", $"n_conv"))).as("g"),
+        sum($"n_all").as("n_total"))
+      .select(expr("""
+        aggregate(
+          g,
+          named_struct(
+            'prefix', CAST(0 AS BIGINT), 's', CAST(1000000 AS BIGINT),
+            'out', CAST(array() AS ARRAY<STRUCT<duration_days: BIGINT,
+              n_risk: BIGINT, n_converted: BIGINT, surv_ppm: BIGINT>>)),
+          (acc, x) -> named_struct(
+            'prefix', acc.prefix + x.n_all,
+            's', CASE WHEN x.n_conv > 0
+              THEN (acc.s * ((n_total - acc.prefix) - x.n_conv))
+                   div (n_total - acc.prefix)
+              ELSE acc.s END,
+            'out', CASE WHEN x.n_conv > 0
+              THEN concat(acc.out, array(named_struct(
+                'duration_days', x.dur,
+                'n_risk', n_total - acc.prefix,
+                'n_converted', x.n_conv,
+                'surv_ppm', (acc.s * ((n_total - acc.prefix) - x.n_conv))
+                            div (n_total - acc.prefix))))
+              ELSE acc.out END),
+          acc -> acc.out) AS h"""))
+      .select(explode($"h").as("r"))
+      .select($"r.duration_days", $"r.n_risk", $"r.n_converted", $"r.surv_ppm")
   }
 
   /** Event-type Markov transitions — the per-user behavioral bigram

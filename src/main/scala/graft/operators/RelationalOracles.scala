@@ -132,6 +132,68 @@ object RelationalOracles {
       JOIN per pb ON pb.event_type = p.type_b
       CROSS JOIN tot t""",
 
+    // INDEPENDENT formulation of Kaplan-Meier: each n_risk is a
+    // correlated >=-count over the subject frame (the engine computes
+    // it as N - prefix from a histogram fold); the survival product is
+    // the same truncating-div ppm recurrence, unrolled by a recursive
+    // CTE over the ordered event times
+    "events_survival" -> """
+      WITH RECURSIVE per AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS t0,
+               CAST(min(CASE WHEN event_type = 'purchase' AND value >= 100
+                             THEN ts END) AS DATE) AS fp
+        FROM events GROUP BY 1),
+      mx AS (SELECT CAST(max(ts) AS DATE) AS maxd FROM events),
+      subj AS (
+        SELECT CASE WHEN fp IS NULL
+                    THEN datediff('day', t0, (SELECT maxd FROM mx))
+                    ELSE datediff('day', t0, fp) END AS dur,
+               CAST(fp IS NOT NULL AS BIGINT) AS converted
+        FROM per),
+      steps AS (
+        SELECT dur, count(*) AS n_converted,
+               row_number() OVER (ORDER BY dur) AS rn
+        FROM subj WHERE converted = 1 GROUP BY dur),
+      risk AS (
+        SELECT s.rn, s.dur, s.n_converted,
+               (SELECT count(*) FROM subj WHERE subj.dur >= s.dur) AS n_risk
+        FROM steps s),
+      km AS (
+        SELECT rn, dur, n_converted, n_risk,
+               CAST(1000000 AS BIGINT) * (n_risk - n_converted) // n_risk
+                 AS surv_ppm
+        FROM risk WHERE rn = 1
+        UNION ALL
+        SELECT r.rn, r.dur, r.n_converted, r.n_risk,
+               (k.surv_ppm * (r.n_risk - r.n_converted)) // r.n_risk
+        FROM km k JOIN risk r ON r.rn = k.rn + 1)
+      SELECT dur AS duration_days, n_risk, n_converted, surv_ppm FROM km""",
+
+    // window-SQL formulation of the same decomposition (the engine
+    // computes the centered MA with a slice-fold, no window): QUALIFY
+    // trims the edge days where the full 7-day window is undefined
+    "ts_stl_lite" -> """
+      WITH grid AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      o AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS rn,
+                   count(*) OVER () AS n FROM grid),
+      tr AS (
+        SELECT day, cents,
+               CAST((sum(cents) OVER (ORDER BY rn
+                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) // 7 AS BIGINT)
+                 AS trend_cents
+        FROM o QUALIFY rn BETWEEN 4 AND n - 3),
+      se AS (
+        SELECT isodow(day) AS iso_dow,
+               CAST(sum(cents - trend_cents) // count(*) AS BIGINT)
+                 AS seasonal_cents
+        FROM tr GROUP BY 1)
+      SELECT t.day, t.cents AS obs_cents, t.trend_cents, s.seasonal_cents,
+             t.cents - t.trend_cents - s.seasonal_cents AS resid_cents
+      FROM tr t JOIN se s ON s.iso_dow = isodow(t.day)""",
+
     // independent formulation of the Holt recurrence: recursive CTE
     // over the ordered day grid (the engine folds an aggregate HOF);
     // integer `//` truncates exactly like Spark's `div`, incl. the
