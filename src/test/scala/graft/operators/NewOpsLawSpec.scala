@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Internal-consistency laws for the round-10 breadth operators — the
+  * oracle gate proves cross-engine agreement on the fixture; these pin
+  * properties the DEFINITIONS guarantee on ANY input, so a fixture
+  * regeneration that happens to hash-match a subtly wrong formulation
+  * still gets caught (the AnalyticsSpec discipline).
+  */
+class NewOpsLawSpec extends SparkSpec {
+
+  test("events_survival: S is antitone, risk sets shrink, counts conserve") {
+    val rows = graft.SparkEntry.queries("events_survival")(spark, sf)
+      .orderBy("duration_days").collect()
+    assert(rows.nonEmpty)
+    // survival starts at most at 1.0 and never increases
+    assert(rows.head.getLong(3) <= 1000000L)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(3) <= a.getLong(3), "S(t) must be non-increasing")
+        assert(b.getLong(1) <= a.getLong(1) - a.getLong(2),
+          "risk set must shrink by at least the converted at each step")
+      case _ => ()
+    }
+    // every step's conversions fit inside its risk set
+    rows.foreach(r => assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1)))
+    // replay the ppm recurrence from the emitted (n_risk, n_converted)
+    var s = 1000000L
+    rows.foreach { r =>
+      s = s * (r.getLong(1) - r.getLong(2)) / r.getLong(1)
+      assert(r.getLong(3) == s, s"surv_ppm drifted at t=${r.getLong(0)}")
+    }
+  }
+
+  test("ts_holt: fitted is the one-step forecast and the recurrence replays") {
+    val rows = graft.SparkEntry.queries("ts_holt")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.length >= 3)
+    // first row: level = obs, trend = 0, fitted = obs
+    assert(rows.head.getLong(2) == rows.head.getLong(1))
+    assert(rows.head.getLong(3) == 0L)
+    rows.sliding(2).foreach {
+      case Array(p, c) =>
+        assert(c.getLong(4) == p.getLong(2) + p.getLong(3),
+          "fitted(t) must equal level(t-1) + trend(t-1)")
+      case _ => ()
+    }
+  }
+
+  test("ts_stl_lite: floor-mean seasonal leaves per-weekday residual remainders in [0, n)") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("ts_stl_lite")(spark, sf)
+    // obs = trend + seasonal + residual by construction; the LAW is that
+    // per ISO weekday the residuals sum to the floor-division remainder:
+    // 0 <= sum(resid) < n (truncating div of the non-negative... the
+    // detrended sum may be negative, so the remainder matches Spark's
+    // TRUNCATING div: sum(resid) = sum(detrended) - n*(sum(detrended) div n))
+    val bad = out
+      .groupBy((weekday(col("day")) + 1).as("dow"))
+      .agg(sum(col("resid_cents")).as("r"), count(lit(1)).as("n"),
+        sum(col("obs_cents") - col("trend_cents")).as("det"))
+      .collect()
+      .filter { row =>
+        val (r, n, det) = (row.getLong(1), row.getLong(2), row.getLong(3))
+        r != det - n * (det / n) // Scala / on Long truncates like Spark div
+      }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("events_lift: margins bound the joint and the pair grid is complete") {
+    val rows = graft.SparkEntry.queries("events_lift")(spark, sf).collect()
+    val types = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct
+    assert(rows.length == types.length * (types.length - 1) / 2,
+      "one row per unordered type pair")
+    rows.foreach { r =>
+      val (na, nb, both, nud) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(both <= math.min(na, nb) && math.max(na, nb) <= nud)
+      assert(r.getString(0) < r.getString(1), "canonical a < b orientation")
+    }
+  }
+
+  test("join_asof_tolerance: the flag and the nullable match agree; inner asof is a sub-result") {
+    import org.apache.spark.sql.functions._
+    val tol = graft.SparkEntry.queries("join_asof_tolerance")(spark, sf)
+    assert(tol.where(
+      (col("within_tol") === 1 && col("signup_id").isNull) ||
+        (col("within_tol") === 0 && col("signup_id").isNotNull)).isEmpty)
+    // every tolerance-match must be join_asof's match for that click
+    // (tolerance only NULLs matches, never changes them)
+    val strict = graft.SparkEntry.queries("join_asof")(spark, sf)
+      .select(col("click_id"), col("signup_id").as("strict_signup"))
+    assert(tol.where(col("within_tol") === 1).join(strict, "click_id")
+      .where(col("signup_id") =!= col("strict_signup")).isEmpty)
+  }
+
+  test("curate_dup_weights: each group's total weight is ~one document (floor loss < group size)") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("curate_dup_weights")(spark, sf)
+    val bad = out.groupBy(col("dedup_group"))
+      .agg(sum(col("weight_ppm")).as("w"), max(col("group_size")).as("n"),
+        count(lit(1)).as("members"))
+      .where(col("members") =!= col("n") ||
+        col("w") > 1000000L || col("w") <= lit(1000000L) - col("n"))
+      .collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("graph_wcc: components are closed over the 1-NN edges and labeled by their min") {
+    import org.apache.spark.sql.functions._
+    val comp = graft.SparkEntry.queries("graph_wcc")(spark, sf)
+    val edges = SimSearch.knnGraphShared(spark, sf, k = 1)
+      .select(col("q_id").as("a"), col("n_id").as("b"))
+    // endpoints of every edge share a component
+    val ca = comp.select(col("vec_id").as("a"), col("component").as("comp_a"))
+    val cb = comp.select(col("vec_id").as("b"), col("component").as("comp_b"))
+    assert(edges.join(ca, "a").join(cb, "b")
+      .where(col("comp_a") =!= col("comp_b")).isEmpty,
+      "an edge crosses two components")
+    // the label is a member of its own component (hence its minimum,
+    // since labels only ever decrease to the component min)
+    assert(comp.groupBy(col("component")).agg(min(col("vec_id")).as("mn"))
+      .where(col("component") =!= col("mn")).isEmpty)
+  }
+}
