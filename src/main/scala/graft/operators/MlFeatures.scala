@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, Tables}
+
+/** Supervised-learning feature primitives over the relational fixture:
+  * exact per-group OLS trend screening and feature binning — the two
+  * passes every tabular feature pipeline runs before any model sees the
+  * data. Both follow the graft exactness discipline (integer moments,
+  * sign-safe truncating division) so DuckDB replays them bit-for-bit.
+  */
+object MlFeatures {
+
+  /** Per-group simple linear regression (exact OLS slope) — the trend
+    * screen "is order value drifting over time, per priority class?",
+    * answered from the four classic integer moments (n, Σx, Σy, Σxy,
+    * Σxx) with x = days since the corpus epoch and y = integer cents.
+    * slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²), reported as exact
+    * sign-safe floor-of-magnitude ppm: sign(num) · (|num|·10⁶ div den)
+    * — truncating division on NON-NEGATIVE magnitudes, so Spark's
+    * DECIMAL `div` and DuckDB's HUGEINT `//` agree bit-for-bit even
+    * though the two engines round negative quotients differently (the
+    * events_lift precedent, extended to signed numerators).
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the fact scan
+    * (five moment sums per group, |groups| = |priorities| rows out) —
+    * the same profile as q1_agg; nothing after the aggregate touches
+    * fact-sized data. Moment products ride DECIMAL(38,0): at 10⁹ rows
+    * per group with day ≤ 2·10⁴ and cents ≤ 10⁹, n·Σxy ≤ ~10³³ and
+    * |num|·10⁶ ≤ ~10³⁹·ε — inside 38 digits, where BIGINT partials
+    * would wrap at ~10⁵ rows (the skew_report wrap-safety rationale).
+    */
+  def mlLinreg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val x = datediff(to_date($"o_orderdate"), lit("1992-01-01").cast("date"))
+      .cast("bigint")
+    val y = Exact.cents($"o_totalprice")
+    Tables.orders(s, d)
+      .select($"o_orderpriority", x.as("x"), y.as("y"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sum_x"),
+        sum($"y").as("sum_y"),
+        sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"))
+      .select($"o_orderpriority", $"n", $"sum_x", $"sum_y",
+        // the moment-sum cross products (Σx·Σy etc.) are the first
+        // terms to wrap: BIGINT overflows them at ~10⁵ rows/group
+        // (measured at sf0.1), so promote to DECIMAL(38,0) BEFORE
+        // multiplying — n·sxy/n·sxx promote via the decimal operand
+        expr("""
+          CAST(CASE WHEN n * sxx - CAST(sum_x AS DECIMAL(38,0)) * sum_x = 0 THEN NULL
+               ELSE CASE WHEN n * sxy - CAST(sum_x AS DECIMAL(38,0)) * sum_y < 0
+                         THEN -1 ELSE 1 END
+                    * (abs(n * sxy - CAST(sum_x AS DECIMAL(38,0)) * sum_y) * 1000000
+                       div (n * sxx - CAST(sum_x AS DECIMAL(38,0)) * sum_x)) END AS BIGINT)
+        """).as("slope_ppm_per_day"))
+  }
+
+  /** Feature binning, both flavors side by side over the same measure
+    * (lineitem extended price in cents): equi-WIDTH — bin = (v − lo)·k
+    * div (hi − lo + 1), pure per-row integer arithmetic once the 2-value
+    * (lo, hi) scalar broadcasts back — and equi-DEPTH — SQL-standard
+    * ntile(k) under the TOTAL order (cents, l_orderkey, l_linenumber),
+    * computed by [[DistRank.withRank]] + [[DistRank.ntileFromRank]]
+    * because a bare `ntile() OVER (ORDER BY …)` is the single-partition
+    * scale-killer the window-discipline sweep bans. Output is the 2k-row
+    * bin profile (method, bin, n, min/max cents) — the artifact a
+    * feature store persists, not the per-row assignment (that is the
+    * rank frame itself, one more column away).
+    *
+    * Scale shape: one slim 3-column projection of the fact scan feeds
+    * both flavors (checkpointed once, multi-consumer rule); width is a
+    * broadcast-scalar map + one k-group aggregate; depth is DistRank's
+    * single range exchange + zipWithIndex over the SAME slim frame —
+    * the ADVICE.md wide-frame caveat doesn't bite because the ranked
+    * frame IS the 3 columns the binning needs, no join-back. DistRank
+    * here ranks a FACT-sized frame (not an aggregate profile): that is
+    * exactly its design envelope — P-way parallel local sorts, P-long
+    * driver offsets. */
+  def featureBins(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val buckets = 10
+    val v = Tables.lineitem(s, d)
+      .select(Exact.cents($"l_extendedprice").as("cents"),
+        $"l_orderkey", $"l_linenumber")
+      // consumed by the (lo, hi, n) scalar, the width map, and the
+      // depth rank: cache the slim projection once
+      .localCheckpoint(eager = false)
+    val scalars = v.agg(min($"cents").as("lo"), max($"cents").as("hi"),
+      count(lit(1)).as("n_total"))
+    val width = v.crossJoin(broadcast(scalars))
+      .select(lit("width").as("method"),
+        DistRank.idiv(($"cents" - $"lo") * buckets, $"hi" - $"lo" + 1)
+          .cast("bigint").as("bin"),
+        $"cents")
+    val depth = DistRank
+      .withRank(v, Seq($"cents".asc, $"l_orderkey".asc, $"l_linenumber".asc), "rk")
+      .crossJoin(broadcast(scalars))
+      .select(lit("depth").as("method"),
+        (DistRank.ntileFromRank($"rk", $"n_total", buckets) - 1).as("bin"),
+        $"cents")
+    width.unionByName(depth)
+      .groupBy($"method", $"bin")
+      .agg(count(lit(1)).as("n"),
+        min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+  }
+
+  /** DuckDB replays: identical integer moments / bin arithmetic; the
+    * depth flavor uses DuckDB's NATIVE ntile under the same total order,
+    * so the DistRank decomposition is checked against the SQL-standard
+    * operator itself (the events_rfm discipline, on a fact-sized
+    * frame). */
+  val oracle: Map[String, String] = Map(
+    "ml_linreg" -> """
+      WITH m AS (
+        SELECT o_orderpriority,
+               count(*) AS n,
+               sum(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))) AS sx,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sy,
+               sum(CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                   * CAST(round(o_totalprice * 100) AS BIGINT)) AS sxy,
+               sum(CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                   * datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))) AS sxx
+        FROM orders GROUP BY 1)
+      SELECT o_orderpriority, n,
+             CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+             CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                  ELSE CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+                       * (abs(n * sxy - sx * sy) * 1000000
+                          // (n * sxx - sx * sx)) END AS BIGINT)
+               AS slope_ppm_per_day
+      FROM m""",
+
+    "ml_feature_bins" -> """
+      WITH v AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem),
+      b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM v),
+      width AS (
+        SELECT 'width' AS method,
+               CAST((cents - lo) * 10 // (hi - lo + 1) AS BIGINT) AS bin,
+               cents
+        FROM v CROSS JOIN b),
+      depth AS (
+        SELECT 'depth' AS method,
+               CAST(ntile(10) OVER (ORDER BY cents, l_orderkey, l_linenumber)
+                    AS BIGINT) - 1 AS bin,
+               cents
+        FROM v)
+      SELECT method, bin, count(*) AS n,
+             min(cents) AS min_cents, max(cents) AS max_cents
+      FROM (SELECT * FROM width UNION ALL SELECT * FROM depth)
+      GROUP BY 1, 2""")
+}

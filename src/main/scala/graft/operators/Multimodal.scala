@@ -235,6 +235,40 @@ object Multimodal {
 
   final case class PhashRow(doc_id: Long, n_pixels: Long, phash: Long)
 
+  /** Image NEAR-DUP pairs from the perceptual hashes — the promised
+    * completion of [[imagePhash]]'s pipeline ("the hashes feed the SAME
+    * banding machinery the text SimHash path uses"): 64-bit aHash →
+    * 4 × 16-bit bands → band-bucket EQUI-join (candidates are
+    * bucket-local, never all-pairs) → exact hamming verify at τ = 3.
+    * τ = bands − 1 makes the banding LOSSLESS by pigeonhole (≤ 3
+    * differing bits cannot touch all 4 bands), so the result EQUALS
+    * the exhaustive all-pairs oracle — the dedup_simhash recall
+    * discipline, now over decoded image rasters. Scale shape: the
+    * decode+hash map is per-row; the join shuffles (band, 16-bit key)
+    * pairs and its fanout is per-bucket quadratic, bounded by bucket
+    * population — the same knob the SimHash section sizes — never
+    * corpus-quadratic. */
+  def phashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ph = imagePhash(s, d).select($"doc_id", $"phash")
+      // both sides of the band self-join read the decoded hashes once
+      .localCheckpoint(eager = false)
+    val banded = ph
+      .select($"doc_id", $"phash", explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key",
+        expr("shiftright(phash, CAST(band * 16 AS INT)) & 65535"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .distinct() // a pair can collide in several bands — count it once
+      .select($"doc_a", $"doc_b",
+        expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)").as("hamming"))
+      .where($"hamming" <= 3)
+  }
+
   /** Sample rate of the synthesized PCM audio container. */
   val AudioRateHz = 8000
 
@@ -443,15 +477,10 @@ object Multimodal {
     * than the fixture's current max), and empty docs survive via LEFT
     * JOIN + coalesce(0) exactly as the engine's kernels emit zero
     * features for a zero-length payload (law in MultimodalSpec). */
-  val oracle: Map[String, String] = Map(
-    // lossless PCM-in-WAV ⇒ decoded samples equal payload bytes; the
-    // engine's sample_rate comes from the parsed header, the oracle's
-    // from the layout constant — agreement proves the parse
-    // lossless PNG ⇒ raster == payload bytes; the 8×8 average-pool
-    // threshold replays as exact integer cross-multiplication, bit 63
-    // via the explicit Long.MinValue constant (DuckDB raises on 1<<63)
-    "mm_image_phash" -> s"""
-      WITH px AS (
+  /** Shared phash derivation CTEs (px -> b -> t -> h): consumed by BOTH
+    * the mm_image_phash oracle and the dedup_phash all-pairs oracle so
+    * the two cannot desynchronize on the pooling arithmetic. */
+  private def phashCtes: String = s"""px AS (
         SELECT doc_id, length(text) AS n,
                unnest(range(1, length(text) + 1)) AS i, text
         FROM documents),
@@ -470,10 +499,32 @@ object Multimodal {
                                        THEN CAST(-9223372036854775807 AS BIGINT) - 1
                                        ELSE (CAST(1 AS BIGINT) << CAST(blk AS INT)) END
                              ELSE 0 END) AS BIGINT) AS phash
-        FROM b JOIN t USING (doc_id) GROUP BY b.doc_id)
+        FROM b JOIN t USING (doc_id) GROUP BY b.doc_id)"""
+
+  val oracle: Map[String, String] = Map(
+    // lossless PCM-in-WAV ⇒ decoded samples equal payload bytes; the
+    // engine's sample_rate comes from the parsed header, the oracle's
+    // from the layout constant — agreement proves the parse
+    // lossless PNG ⇒ raster == payload bytes; the 8×8 average-pool
+    // threshold replays as exact integer cross-multiplication, bit 63
+    // via the explicit Long.MinValue constant (DuckDB raises on 1<<63)
+    "mm_image_phash" -> s"""
+      WITH $phashCtes
       SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_pixels,
              coalesce(h.phash, 0) AS phash
       FROM documents d LEFT JOIN h USING (doc_id)""",
+
+    // EXHAUSTIVE all-pairs reference for the banded engine join: tau =
+    // bands-1 = 3 makes banding lossless (pigeonhole), so the two
+    // formulations must agree exactly
+    "dedup_phash" -> s"""
+      WITH $phashCtes,
+      p AS (SELECT d.doc_id, coalesce(h.phash, 0) AS phash
+            FROM documents d LEFT JOIN h USING (doc_id))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      FROM p a JOIN p b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3""",
 
     "mm_audio" -> s"""
       WITH px AS (

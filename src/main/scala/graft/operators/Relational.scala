@@ -2390,6 +2390,47 @@ object Relational {
       .select($"user_id", $"frequency", $"monetary_cents")
   }
 
+  /** Rolling active users (DAU / WAU-7 / MAU-28 + stickiness) — the
+    * product-health staple every event pipeline reports first. All three
+    * actives come out of ONE two-level distinct aggregate: each distinct
+    * (user, day) is exploded to the ≤28 anchor days whose lookback
+    * window it enters, and per (anchor, user) only the MIN lookback
+    * offset is kept — the windows NEST, so min-off = 0 ⟺ DAU member,
+    * ≤ 6 ⟺ WAU, present at all ⟺ MAU, and three conditional counts
+    * read the tiers off the deduped frame. stickiness = DAU·10⁶ div MAU
+    * (truncating on non-negatives ≡ DuckDB `//`). The oracle is the
+    * INDEPENDENT formulation — three per-window range joins with
+    * count(DISTINCT) — so the min-offset tier algebra is what the
+    * hash-compare checks.
+    *
+    * Scale shape: the corpus collapses to distinct (user, day) first
+    * (map-side partial dedup, the only fact-sized exchange); the ×28
+    * calendar explode multiplies USER-DAYS, not events, and the
+    * per-(anchor, user) min is map-side combinable, so the "count
+    * distinct per day" skew trap (|days| reducers each seeing |users|
+    * rows) never forms — the second exchange is keyed on (anchor, user),
+    * uniform by construction, and the final per-day counts combine
+    * map-side. Anchors ride back as a calendar-bounded broadcast. */
+  def eventsActiveUsers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables.events(s, d)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+      // consumed by the anchor calendar AND the explode: dedup once
+      .localCheckpoint(eager = false)
+    val anchors = ud.select($"day").distinct() // |days| rows
+    val perAU = ud
+      .select($"user_id", $"day", explode(expr("sequence(0, 27)")).as("off"))
+      .groupBy(date_add($"day", $"off").as("day"), $"user_id")
+      .agg(min($"off").as("mn"))
+    perAU.join(broadcast(anchors), "day") // windows anchor on ACTIVE days
+      .groupBy($"day")
+      .agg(sum(when($"mn" === 0, 1L).otherwise(0L)).as("dau"),
+        sum(when($"mn" <= 6, 1L).otherwise(0L)).as("wau"),
+        count(lit(1)).as("mau"))
+      .select($"day", $"dau", $"wau", $"mau",
+        expr("CAST(dau * 1000000 div mau AS BIGINT)").as("stickiness_ppm"))
+  }
+
   /** Event-type association lift over user-days — the market-basket
     * measure (Agrawal et al.'s association-rule lift) on behavioral
     * "baskets": a basket is one (user, day), and for every unordered

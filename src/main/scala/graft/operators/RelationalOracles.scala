@@ -110,6 +110,24 @@ object RelationalOracles {
     // basket = (user, day); HUGEINT product // mirrors the engine's
     // DECIMAL(38,0) div (both exact truncating on non-negatives — the
     // skew_report ppm precedent)
+    // INDEPENDENT formulation: three per-window range joins with
+    // count(DISTINCT) — the engine's single min-offset tier aggregate
+    // must reproduce all three window widths exactly
+    "events_active_users" -> """
+      WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      days AS (SELECT DISTINCT day FROM ud),
+      dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+      wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+              FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+              GROUP BY 1),
+      mau AS (SELECT d.day, count(DISTINCT u.user_id) AS mau
+              FROM days d JOIN ud u ON u.day BETWEEN d.day - 27 AND d.day
+              GROUP BY 1)
+      SELECT d.day, dau.dau, wau.wau, mau.mau,
+             CAST(dau.dau * 1000000 // mau.mau AS BIGINT) AS stickiness_ppm
+      FROM days d JOIN dau USING (day) JOIN wau USING (day)
+      JOIN mau USING (day)""",
+
     "events_lift" -> """
       WITH ut AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type

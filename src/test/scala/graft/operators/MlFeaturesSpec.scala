@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Internal-consistency laws for the ml feature primitives — the oracle
+  * gate proves cross-engine agreement on the fixture; these pin what the
+  * DEFINITIONS guarantee on ANY input (planted slopes, bin-size
+  * invariants), so a fixture regeneration that happens to hash-match a
+  * subtly wrong formulation still gets caught.
+  */
+class MlFeaturesSpec extends SparkSpec {
+
+  test("ml_linreg recovers a planted integer slope exactly and NULLs a zero-variance x") {
+    import spark.implicits._
+    // staged orders fixture: priority A is exactly linear with slope 3
+    // cents/day (ppm must be exactly 3_000_000 — OLS through exact
+    // points IS the line); B has slope -2 (sign-safe magnitude path);
+    // C puts every order on one day (den = 0 → NULL slope)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_linreg_law").toString
+    val base = graft.core.Utc.ts("1992-01-01 00:00:00")
+    def day(i: Int) = graft.core.Utc.ts(s"1992-01-${"%02d".format(i + 1)} 00:00:00")
+    val rows =
+      (0 until 10).map(i => (i.toLong, 0L, "O", (100.00 + 0.03 * i), day(i), "A")) ++
+      (0 until 10).map(i => (100L + i, 0L, "O", (500.00 - 0.02 * i), day(i), "B")) ++
+      (0 until 5).map(i => (200L + i, 0L, "O", (50.00 + i), base, "C"))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = MlFeatures.mlLinreg(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getLong(4) == 3000000L, out("A").toString)
+    assert(out("B").getLong(4) == -2000000L, out("B").toString)
+    assert(out("C").isNullAt(4), out("C").toString)
+    // the emitted moments are the plain sums they claim to be
+    assert(out("A").getLong(1) == 10L && out("A").getLong(2) == (0 until 10).sum.toLong)
+    assert(out("A").getLong(3) == (0 until 10).map(i => 10000L + 3 * i).sum)
+  }
+
+  test("ml_feature_bins: both flavors cover the corpus, depth sizes differ by ≤1, values are bin-monotone") {
+    val rows = graft.SparkEntry.queries("ml_feature_bins")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = graft.core.Tables.lineitem(spark, sf).count()
+    for (m <- Seq("width", "depth")) {
+      val bins = rows.filter(_._1 == m).sortBy(_._2)
+      assert(bins.map(_._2).forall(b => b >= 0 && b <= 9), bins.mkString(","))
+      assert(bins.map(_._3).sum == total, s"$m bins must cover every row")
+      // bin value ranges are internally sane and monotone across bins
+      bins.foreach { case (_, _, n, lo, hi) => assert(n > 0 && lo <= hi) }
+      bins.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4,
+          s"$m bins overlap: ${a._2} max=${a._5} vs ${b._2} min=${b._4}")
+        case _ => ()
+      }
+    }
+    // equi-depth: SQL ntile's exact size law — first n % k tiles get
+    // one extra row, the rest n div k
+    val depth = rows.filter(_._1 == "depth").sortBy(_._2)
+    assert(depth.length == 10)
+    val (q, r) = (total / 10, total % 10)
+    depth.foreach { case (_, b, n, _, _) =>
+      assert(n == (if (b < r) q + 1 else q), s"depth bin $b size $n (n=$total)")
+    }
+  }
+}

@@ -182,4 +182,25 @@ class MultimodalSpec extends SparkSpec {
     assert(!cuts.contains(1L), "empty doc filtered from scene cuts")
     assert(cuts(4L) == (10000 + 31) / 32, "scene-cut frames span past the old bound")
   }
+
+  test("dedup_phash banding is lossless: the banded join equals the brute-force all-pairs replay") {
+    // τ = 3 = bands − 1, so by pigeonhole any pair within hamming 3 must
+    // agree on at least one 16-bit band — the banded equi-join may drop
+    // NOTHING relative to exhaustive all-pairs. Replay the all-pairs set
+    // driver-side from the emitted phashes and demand set equality, the
+    // same discipline the DuckDB oracle applies cross-engine.
+    val hashes = Multimodal.imagePhash(spark, sf).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getLong(r.fieldIndex("phash")))
+    val brute = (for {
+      (ida, pa) <- hashes; (idb, pb) <- hashes
+      if ida < idb && java.lang.Long.bitCount(pa ^ pb) <= 3
+    } yield (ida, idb, java.lang.Long.bitCount(pa ^ pb).toLong)).toSet
+    val banded = graft.SparkEntry.queries("dedup_phash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size}; diff=${(banded diff brute) ++ (brute diff banded)}")
+    banded.foreach { case (a, b, h) =>
+      assert(a < b && h >= 0 && h <= 3, s"canonical orientation / τ bound violated: ($a,$b,$h)")
+    }
+  }
 }

@@ -107,6 +107,36 @@ class NewOpsLawSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("events_active_users: tiers nest and every row replays against a brute-force set union") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("events_active_users")(spark, sf)
+      .orderBy("day").collect()
+    assert(out.nonEmpty)
+    // dau ⊆ wau ⊆ mau and the stickiness quotient replays
+    out.foreach { r =>
+      val (dau, wau, mau) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dau >= 1 && dau <= wau && wau <= mau, r.toString)
+      assert(r.getLong(4) == dau * 1000000L / mau, r.toString)
+    }
+    // brute-force replay from the raw distinct (user, day) pairs —
+    // independent of the engine's min-offset tier algebra
+    val ud = graft.core.Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val byDay = ud.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      def active(k: Int) =
+        (0 until k).flatMap(i => byDay.getOrElse(d.minusDays(i.toLong), Set.empty)).toSet.size
+      assert(r.getLong(1) == active(1).toLong, s"dau mismatch at $d")
+      assert(r.getLong(2) == active(7).toLong, s"wau mismatch at $d")
+      assert(r.getLong(3) == active(28).toLong, s"mau mismatch at $d")
+    }
+    // every active day appears exactly once
+    assert(out.map(_.getDate(0)).distinct.length == out.length)
+    assert(out.length == byDay.size, "one row per ACTIVE day")
+  }
+
   test("graph_wcc: components are closed over the 1-NN edges and labeled by their min") {
     import org.apache.spark.sql.functions._
     val comp = graft.SparkEntry.queries("graph_wcc")(spark, sf)

@@ -749,6 +749,65 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected one priority exchange, got $exchanges\n$p")
   }
 
+  test("dedup_phash pairs meet on the (band, key) equi-join — no cartesian, one decode") {
+    // image near-dup candidates must come from the 4×16-bit band-bucket
+    // equi-join (per-bucket quadratic, bounded by bucket population) —
+    // a nested-loop or cartesian here is the corpus-quadratic regression
+    // the banding exists to prevent; the fused decode+hash runs once
+    // behind the lazy localCheckpoint, not once per join side
+    val p = plan("dedup_phash").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+    assert(!p.contains("FileScan parquet"),
+      "both join sides must read the checkpointed hashes, not re-scan+decode\n" + p)
+  }
+
+  test("events_active_users keys its distinct exchange on (anchor, user) — the day-skew trap never forms") {
+    // post-checkpoint: explode → (anchor, user) min-offset agg →
+    // broadcast anchor semi-filter → per-day tier counts. Two hash
+    // exchanges max; the per-day exchange carries already-deduped
+    // rows with map-side partial counts — never |users| rows per day
+    val p = plan("events_active_users").split("== Initial Plan ==")(0)
+    assert(!p.contains("FileScan parquet"),
+      "consumers must read the checkpointed distinct, not re-scan events\n" + p)
+    // three exchanges, each safe: (anchor, user) min-offset agg —
+    // uniform keys; |days|-row anchor dedup feeding the broadcast;
+    // per-day exchange of already-partial-counted tier rows
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected (anchor,user) + anchors + day exchanges, got $exchanges\n$p")
+    assert("Exchange hashpartitioning\\([^)]*user_id".r.findAllIn(p).nonEmpty,
+      "the min-offset aggregate must key its exchange on (anchor, user), " +
+        "never day alone over raw user rows\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "anchors must broadcast\n" + p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "tier counts must combine map-side\n" + p)
+  }
+
+  test("ml_linreg is one exchange over map-side-combined moments (the q1_agg profile)") {
+    // five moment sums, all partial-aggregated before the shuffle; the
+    // slope expression runs on |groups| rows after the final agg
+    val p = plan("ml_linreg").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one group exchange, got $exchanges\n$p")
+    assert(p.contains("partial_sum"), "moments must combine map-side\n" + p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("ml_feature_bins reads the checkpointed slim projection — no re-scan, scalar-only broadcasts") {
+    // width and depth (plus their scalars) must all consume the one
+    // lazily-checkpointed 3-column projection; the only nested-loop
+    // joins allowed are the 1-row scalar crossJoins
+    val p = plan("ml_feature_bins").split("== Initial Plan ==")(0)
+    assert(!p.contains("FileScan parquet"),
+      "every consumer must read the checkpointed projection, not re-scan+decode\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2 &&
+      p.contains("IdentityBroadcastMode"),
+      "only the 1-row scalar crossJoins may nested-loop\n" + p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected one (method,bin) exchange, got $exchanges\n$p")
+  }
+
   test("dedup_containment joins candidates on the shingle equi-key only — no cartesian") {
     val p = plan("dedup_containment").split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
