@@ -235,28 +235,49 @@ object Multimodal {
 
   final case class PhashRow(doc_id: Long, n_pixels: Long, phash: Long)
 
+  /** Band-bucket population cap for [[phashDedup]] — the SSJoin skew
+    * guard ([[Dedup.ContainDfCap]] precedent): a (band, 16-bit key)
+    * bucket holding more than this many docs is dropped from the join.
+    * Hot phash buckets are DEGENERATE rasters (near-constant images —
+    * on the synthetic fixture one band key collects 14k of 50k docs,
+    * 98M candidate pairs on its own, measured in SCALE.md), and pairing
+    * them is quadratic noise, not near-dup signal. Per-task pair work
+    * is bounded at cap²/2 ≈ 32k regardless of corpus size. */
+  val PhashBucketCap = 256
+
   /** Image NEAR-DUP pairs from the perceptual hashes — the promised
     * completion of [[imagePhash]]'s pipeline ("the hashes feed the SAME
     * banding machinery the text SimHash path uses"): 64-bit aHash →
-    * 4 × 16-bit bands → band-bucket EQUI-join (candidates are
-    * bucket-local, never all-pairs) → exact hamming verify at τ = 3.
-    * τ = bands − 1 makes the banding LOSSLESS by pigeonhole (≤ 3
-    * differing bits cannot touch all 4 bands), so the result EQUALS
-    * the exhaustive all-pairs oracle — the dedup_simhash recall
-    * discipline, now over decoded image rasters. Scale shape: the
-    * decode+hash map is per-row; the join shuffles (band, 16-bit key)
-    * pairs and its fanout is per-bucket quadratic, bounded by bucket
-    * population — the same knob the SimHash section sizes — never
-    * corpus-quadratic. */
+    * 4 × 16-bit bands → population-capped band-bucket EQUI-join
+    * (candidates are bucket-local, never all-pairs) → exact hamming
+    * verify at τ = 3. τ = bands − 1 makes the banding lossless by
+    * pigeonhole (≤ 3 differing bits cannot touch all 4 bands) UP TO the
+    * cap: a qualifying pair is emitted unless EVERY band it agrees on
+    * is hotter than [[PhashBucketCap]] — the declared contract, stated
+    * identically by the oracle (exhaustive pair enumeration + an
+    * agreeing-cold-band EXISTS), so the gate still hash-compares the
+    * full set algebra. The dedup_simhash recall discipline over decoded
+    * image rasters. Scale shape: the decode+hash map is per-row; the
+    * join shuffles (band, 16-bit key) pairs; per-bucket fanout is
+    * quadratic ONLY below the cap, so no hot key can concentrate
+    * super-constant work on one task — the uncapped form measured 16×
+    * at 10× data on the degenerate fixture (SCALE.md), exactly the
+    * regime this guard exists for. */
   def phashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val ph = imagePhash(s, d).select($"doc_id", $"phash")
-      // both sides of the band self-join read the decoded hashes once
-      .localCheckpoint(eager = false)
     val banded = ph
       .select($"doc_id", $"phash", explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("key",
         expr("shiftright(phash, CAST(band * 16 AS INT)) & 65535"))
+      // bucket population via one partitioned window over the banded
+      // frame (the containment df pattern — no second aggregate+join)
+      .withColumn("pop", count(lit(1)).over(Window.partitionBy($"band", $"key")))
+      .where($"pop" <= PhashBucketCap)
+      .drop("pop")
+      // both sides of the band self-join read the capped frame once
+      .localCheckpoint(eager = false)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -515,16 +536,31 @@ object Multimodal {
       FROM documents d LEFT JOIN h USING (doc_id)""",
 
     // EXHAUSTIVE all-pairs reference for the banded engine join: tau =
-    // bands-1 = 3 makes banding lossless (pigeonhole), so the two
-    // formulations must agree exactly
+    // bands-1 = 3 makes banding lossless (pigeonhole) up to the bucket
+    // cap, and the cap is part of the declared contract — a pair
+    // qualifies iff hamming <= 3 AND at least one band it agrees on
+    // sits in a bucket of population <= PhashBucketCap (hot buckets =
+    // degenerate rasters, the SSJoin skew guard). Enumeration here is
+    // exhaustive pairs + an agreeing-cold-band EXISTS — independent of
+    // the engine's join+distinct mechanics
     "dedup_phash" -> s"""
       WITH $phashCtes,
       p AS (SELECT d.doc_id, coalesce(h.phash, 0) AS phash
-            FROM documents d LEFT JOIN h USING (doc_id))
+            FROM documents d LEFT JOIN h USING (doc_id)),
+      bd AS (SELECT doc_id, phash, band,
+                    (phash >> CAST(band * 16 AS INT)) & 65535 AS key
+             FROM (SELECT doc_id, phash, unnest(range(0, 4)) AS band FROM p)),
+      pop AS (SELECT band, key, count(*) AS n FROM bd GROUP BY 1, 2)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
       FROM p a JOIN p b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.phash, b.phash)) <= 3""",
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        AND EXISTS (SELECT 1
+                    FROM bd x JOIN bd y
+                      ON x.band = y.band AND x.key = y.key
+                    JOIN pop ON pop.band = x.band AND pop.key = x.key
+                    WHERE x.doc_id = a.doc_id AND y.doc_id = b.doc_id
+                      AND pop.n <= $PhashBucketCap)""",
 
     "mm_audio" -> s"""
       WITH px AS (

@@ -183,17 +183,23 @@ class MultimodalSpec extends SparkSpec {
     assert(cuts(4L) == (10000 + 31) / 32, "scene-cut frames span past the old bound")
   }
 
-  test("dedup_phash banding is lossless: the banded join equals the brute-force all-pairs replay") {
+  test("dedup_phash banding is lossless up to the cap: the banded join equals the brute-force capped replay") {
     // τ = 3 = bands − 1, so by pigeonhole any pair within hamming 3 must
-    // agree on at least one 16-bit band — the banded equi-join may drop
-    // NOTHING relative to exhaustive all-pairs. Replay the all-pairs set
-    // driver-side from the emitted phashes and demand set equality, the
-    // same discipline the DuckDB oracle applies cross-engine.
+    // agree on at least one 16-bit band; the declared contract keeps the
+    // pair iff at least one AGREEING band sits in a bucket of population
+    // ≤ PhashBucketCap. Replay that set driver-side from the emitted
+    // phashes and demand set equality — the same discipline the DuckDB
+    // oracle applies cross-engine.
     val hashes = Multimodal.imagePhash(spark, sf).collect()
       .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getLong(r.fieldIndex("phash")))
+    def bandKey(p: Long, b: Int): Long = (p >>> (b * 16)) & 0xffffL
+    val pop = hashes.flatMap { case (_, p) => (0 until 4).map(b => (b, bandKey(p, b))) }
+      .groupBy(identity).view.mapValues(_.length).toMap
     val brute = (for {
       (ida, pa) <- hashes; (idb, pb) <- hashes
       if ida < idb && java.lang.Long.bitCount(pa ^ pb) <= 3
+      if (0 until 4).exists(b => bandKey(pa, b) == bandKey(pb, b) &&
+        pop((b, bandKey(pa, b))) <= Multimodal.PhashBucketCap)
     } yield (ida, idb, java.lang.Long.bitCount(pa ^ pb).toLong)).toSet
     val banded = graft.SparkEntry.queries("dedup_phash")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
