@@ -109,12 +109,128 @@ object MlFeatures {
         min($"cents").as("min_cents"), max($"cents").as("max_cents"))
   }
 
+  /** Classifier evaluation (confusion metrics) — the scoreboard every
+    * model-quality loop reads: per-class n_truth / n_pred / true
+    * positives plus precision, recall, and F1, for the [[TextAnalysis
+    * .langPredOf]] language-ID heuristic scored against the corpus's
+    * ground-truth `lang` label (truth and prediction live on the SAME
+    * row, so no join touches fact-sized data). Exact integer ppm:
+    * P = tp div n_pred, R = tp div n_truth, and F1 collapses to
+    * 2·tp div (n_truth + n_pred) — the harmonic mean of two ratios
+    * with a common numerator needs NO floating point. A `__all__` row
+    * carries micro accuracy (= micro P = R = F1). Zero denominators
+    * emit NULL (guarded on both engines — ANSI Spark and DuckDB both
+    * raise on integer div-by-zero).
+    *
+    * Scale shape: ONE map-side-combinable (truth, pred) aggregate over
+    * the corpus scan — the confusion profile is ≤ (|langs|+1)² rows —
+    * and every metric derives from that profile; the class/metric
+    * joins are profile-sized. */
+  /** The fact-sized stage of [[evalConfusion]] — one map-side-combinable
+    * (truth, pred) aggregate over the corpus scan. Exposed so the plan
+    * pin can assert the single-exchange shape the checkpoint boundary
+    * would otherwise hide. */
+  private[graft] def confusionProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"lang".as("truth"),
+        TextAnalysis.langPredOf(TextAnalysis.toks($"text")).as("pred"))
+      .groupBy($"truth", $"pred").agg(count(lit(1)).as("n"))
+  }
+
+  def evalConfusion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val conf = confusionProfile(s, d)
+      // profile-sized, consumed by five derivations
+      .localCheckpoint(eager = false)
+    val classes = conf.select($"truth".as("class"))
+      .unionByName(conf.select($"pred".as("class"))).distinct()
+    val nTruth = conf.groupBy($"truth".as("class")).agg(sum($"n").as("n_truth"))
+    val nPred = conf.groupBy($"pred".as("class")).agg(sum($"n").as("n_pred"))
+    val tp = conf.where($"truth" === $"pred")
+      .select($"truth".as("class"), $"n".as("tp"))
+    def ppm(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(null)).otherwise(call_function("div", num * 1000000L, den))
+        .cast("bigint")
+    val per = classes
+      .join(nTruth, Seq("class"), "left")
+      .join(nPred, Seq("class"), "left")
+      .join(tp, Seq("class"), "left")
+      .na.fill(0L, Seq("n_truth", "n_pred", "tp"))
+      .select($"class", $"n_truth", $"n_pred", $"tp",
+        ppm($"tp", $"n_pred").as("precision_ppm"),
+        ppm($"tp", $"n_truth").as("recall_ppm"),
+        ppm($"tp" * 2, $"n_truth" + $"n_pred").as("f1_ppm"))
+    val all = conf.agg(sum($"n").as("total"),
+        sum(when($"truth" === $"pred", $"n").otherwise(0L)).as("tp"))
+      .select(lit("__all__").as("class"), $"total".as("n_truth"),
+        $"total".as("n_pred"), $"tp",
+        ppm($"tp", $"total").as("precision_ppm"),
+        ppm($"tp", $"total").as("recall_ppm"),
+        ppm($"tp", $"total").as("f1_ppm"))
+    per.unionByName(all)
+  }
+
+  private def stopListSql(l: String): String =
+    TextAnalysis.StopwordSets.toMap.apply(l)
+      .map(w => s"'$w'").mkString("[", ",", "]")
+  private def hitsSql(l: String): String =
+    s"len(list_filter(toks, t -> list_contains(${stopListSql(l)}, t)))"
+
   /** DuckDB replays: identical integer moments / bin arithmetic; the
     * depth flavor uses DuckDB's NATIVE ntile under the same total order,
     * so the DistRank decomposition is checked against the SQL-standard
     * operator itself (the events_rfm discipline, on a fact-sized
-    * frame). */
+    * frame); the confusion oracle regenerates the langid prediction
+    * from the same [[TextAnalysis.StopwordSets]] constants (the
+    * generated-oracle discipline — the two sides cannot
+    * desynchronize). */
   val oracle: Map[String, String] = Map(
+    "ml_eval_confusion" -> s"""
+      WITH pr AS (
+        SELECT truth,
+               CASE WHEN c_en = best AND best > 0 THEN 'en'
+                    WHEN c_de = best AND best > 0 THEN 'de'
+                    WHEN c_es = best AND best > 0 THEN 'es'
+                    WHEN c_fr = best AND best > 0 THEN 'fr'
+                    WHEN c_zh = best AND best > 0 THEN 'zh'
+                    ELSE 'und' END AS pred
+        FROM (SELECT truth, c_en, c_de, c_es, c_fr, c_zh,
+                     greatest(c_en, c_de, c_es, c_fr, c_zh) AS best
+              FROM (SELECT lang AS truth,
+                           ${hitsSql("en")} AS c_en, ${hitsSql("de")} AS c_de,
+                           ${hitsSql("es")} AS c_es, ${hitsSql("fr")} AS c_fr,
+                           ${hitsSql("zh")} AS c_zh
+                    FROM (SELECT lang, string_split(lower(text), ' ') AS toks
+                          FROM documents) t) s) b),
+      conf AS (SELECT truth, pred, count(*) AS n FROM pr GROUP BY 1, 2),
+      classes AS (SELECT truth AS c FROM conf UNION SELECT pred FROM conf),
+      m AS (SELECT c,
+              CAST((SELECT coalesce(sum(n), 0) FROM conf WHERE truth = c) AS BIGINT) AS n_truth,
+              CAST((SELECT coalesce(sum(n), 0) FROM conf WHERE pred = c) AS BIGINT) AS n_pred,
+              CAST((SELECT coalesce(sum(n), 0) FROM conf
+                    WHERE truth = c AND pred = c) AS BIGINT) AS tp
+            FROM classes)
+      SELECT c AS class, n_truth, n_pred, tp,
+        CASE WHEN n_pred = 0 THEN NULL
+             ELSE CAST(tp * 1000000 // n_pred AS BIGINT) END AS precision_ppm,
+        CASE WHEN n_truth = 0 THEN NULL
+             ELSE CAST(tp * 1000000 // n_truth AS BIGINT) END AS recall_ppm,
+        CASE WHEN n_truth + n_pred = 0 THEN NULL
+             ELSE CAST(2 * tp * 1000000 // (n_truth + n_pred) AS BIGINT) END AS f1_ppm
+      FROM m
+      UNION ALL
+      SELECT '__all__',
+        CAST((SELECT sum(n) FROM conf) AS BIGINT),
+        CAST((SELECT sum(n) FROM conf) AS BIGINT),
+        CAST((SELECT coalesce(sum(n), 0) FROM conf WHERE truth = pred) AS BIGINT),
+        CAST((SELECT coalesce(sum(n), 0) FROM conf WHERE truth = pred) * 1000000
+             // (SELECT sum(n) FROM conf) AS BIGINT),
+        CAST((SELECT coalesce(sum(n), 0) FROM conf WHERE truth = pred) * 1000000
+             // (SELECT sum(n) FROM conf) AS BIGINT),
+        CAST((SELECT coalesce(sum(n), 0) FROM conf WHERE truth = pred) * 1000000
+             // (SELECT sum(n) FROM conf) AS BIGINT)""",
+
     "ml_linreg" -> """
       WITH m AS (
         SELECT o_orderpriority,

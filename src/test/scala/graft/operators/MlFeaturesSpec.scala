@@ -61,4 +61,31 @@ class MlFeaturesSpec extends SparkSpec {
       assert(n == (if (b < r) q + 1 else q), s"depth bin $b size $n (n=$total)")
     }
   }
+
+  test("ml_eval_confusion: counts conserve, tp bounds hold, and preds agree with text_langid") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("ml_eval_confusion")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)))).toMap
+    val (allT, allP, allTp, allF1) = rows("__all__")
+    val per = rows - "__all__"
+    // conservation: per-class truth, pred, and tp columns each sum to
+    // the micro row's totals
+    assert(per.values.map(_._1).sum == allT)
+    assert(per.values.map(_._2).sum == allP && allP == allT)
+    assert(per.values.map(_._3).sum == allTp)
+    assert(allF1.contains(allTp * 1000000L / allT), "micro F1 must be accuracy")
+    per.foreach { case (c, (nt, np, tp, _)) =>
+      assert(tp <= math.min(nt, np), s"$c: tp=$tp nt=$nt np=$np")
+    }
+    // cross-operator consistency: n_pred per class equals the declared
+    // text_langid query's prediction distribution
+    val langid = graft.SparkEntry.queries("text_langid")(spark, sf)
+      .groupBy(col("lang_pred")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    per.foreach { case (c, (_, np, _, _)) =>
+      assert(np == langid.getOrElse(c, 0L), s"$c: n_pred=$np langid=${langid.get(c)}")
+    }
+  }
 }

@@ -808,6 +808,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected one (method,bin) exchange, got $exchanges\n$p")
   }
 
+  test("ml_eval_confusion's fact stage is one exchange over a map-side-combined profile") {
+    // the only fact-sized work is the (truth, pred) aggregate; every
+    // metric derives from the ≤(|langs|+1)² profile behind a checkpoint
+    val df = MlFeatures.confusionProfile(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one (truth, pred) exchange, got $exchanges\n$p")
+    assert(p.contains("partial_count"), "profile must combine map-side\n" + p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("dedup_containment joins candidates on the shingle equi-key only — no cartesian") {
     val p = plan("dedup_containment").split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
