@@ -921,12 +921,107 @@ object TextAnalysis {
       .select($"pair", $"cnt", $"rk")
   }
 
+  /** RAKE phrase-length knob: candidate phrases longer than this many
+    * tokens are dropped (the standard RAKE max-words parameter). Also
+    * load-bearing for scale — it bounds each phrase instance's degree
+    * contribution and the per-phrase word fanout at a constant. */
+  val RakeMaxWords = 4
+
+  /** RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+    * keyword miner curation pipelines run before any topic labeling:
+    * candidate phrases are maximal runs of non-stopword tokens (≤
+    * [[RakeMaxWords]]), each word scores deg(w)/freq(w) where freq
+    * counts phrase instances containing w and deg additionally weights
+    * by phrase length, and a phrase scores the sum of its word scores.
+    * Exact integers end-to-end: word score as floor ppm (truncating div
+    * on non-negatives ≡ DuckDB `//`), phrase score as the ppm sum —
+    * every instance of the same phrase text scores identically (law in
+    * MlFeaturesSpec), so the emitted score is min = max over instances.
+    * Top 20 by (score desc, phrase asc) — a total order.
+    *
+    * Scale shape: islands come from ONE doc-partitioned window (running
+    * non-stop count ⇒ island id without per-flag renumbering), and the
+    * phrase and instance aggregates both reuse that doc_id exchange
+    * (doc-prefixed keys). The word-stat join is the tf-idf class: a
+    * |vocab|-keyed shuffle join, never broadcast (vocab grows with the
+    * corpus), and the final ranking is a distributed top-20
+    * TakeOrdered, never a global sort. */
+  def rake(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stop = StopwordSets.head._2 // the "en" marker set
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("is_stop", $"tok".isin(stop.map(lit): _*))
+      .withColumn("grp", $"pos" - sum((!$"is_stop").cast("bigint")).over(w))
+    val phr = tok.where(!$"is_stop")
+      .groupBy($"doc_id", $"grp")
+      .agg(
+        concat_ws(" ", transform(sort_array(collect_list(struct($"pos", $"tok"))),
+          e => e("tok"))).as("phrase"),
+        count(lit(1)).as("plen"))
+      .where($"plen" <= RakeMaxWords)
+    val pw = phr.select($"doc_id", $"grp", $"phrase", $"plen",
+      explode(split($"phrase", " ")).as("tok"))
+      // consumed by the word-stat aggregate AND the score join-back
+      .localCheckpoint(eager = false)
+    val ws = pw.groupBy($"tok")
+      .agg((sum($"plen") * 1000000L).as("deg6"), count(lit(1)).as("freq"))
+      .select($"tok", call_function("div", $"deg6", $"freq").as("score_ppm"))
+    val inst = pw.join(ws, "tok")
+      .groupBy($"doc_id", $"grp", $"phrase")
+      .agg(sum($"score_ppm").as("inst_score"))
+    inst.groupBy($"phrase")
+      .agg(count(lit(1)).as("n"), min($"inst_score").as("score_ppm"))
+      .orderBy($"score_ppm".desc, $"phrase".asc)
+      .limit(20)
+  }
+
   val oracle: Map[String, String] = {
     val stopList = StopwordSets.map { case (l, ws) =>
       l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
     }.toMap
     def hits(l: String) = s"len(list_filter(toks, t -> list_contains(${stopList(l)}, t)))"
     Map(
+      // independent island detection (per-flag row_number gaps vs the
+      // engine's running non-stop count) and an independent per-instance
+      // scoring path (sum-over-instances ÷ n vs the engine's min) — the
+      // instance-score-uniformity LAW is what makes ÷ n exact
+      "text_rake" -> s"""
+        WITH tl AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                    FROM documents),
+        tok AS (
+          SELECT doc_id, toks[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+          FROM tl, LATERAL unnest(range(1, len(toks) + 1)) AS r(i)),
+        w AS (
+          SELECT doc_id, tok, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id,
+                     list_contains(${stopList("en")}, tok) ORDER BY pos) AS grp,
+                 list_contains(${stopList("en")}, tok) AS is_stop
+          FROM tok),
+        phr AS (
+          SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                 count(*) AS plen
+          FROM w WHERE NOT is_stop
+          GROUP BY doc_id, grp
+          HAVING count(*) <= $RakeMaxWords),
+        pw AS (
+          SELECT doc_id, grp, phrase, plen, u.tok
+          FROM phr, LATERAL unnest(string_split(phrase, ' ')) AS u(tok)),
+        ws AS (
+          SELECT tok, CAST(sum(plen) * 1000000 // count(*) AS BIGINT) AS score_ppm
+          FROM pw GROUP BY tok),
+        inst AS (
+          SELECT p.doc_id, p.grp, p.phrase,
+                 CAST(sum(ws.score_ppm) AS BIGINT) AS inst_score
+          FROM pw p JOIN ws ON ws.tok = p.tok
+          GROUP BY 1, 2, 3)
+        SELECT phrase, count(*) AS n,
+               CAST(min(inst_score) AS BIGINT) AS score_ppm
+        FROM inst GROUP BY phrase
+        ORDER BY score_ppm DESC, phrase ASC LIMIT 20""",
+
       "text_heavy_hitters" -> """
         WITH t2 AS (
           SELECT tok FROM (

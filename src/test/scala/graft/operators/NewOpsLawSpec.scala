@@ -137,6 +137,46 @@ class NewOpsLawSpec extends SparkSpec {
     assert(out.length == byDay.size, "one row per ACTIVE day")
   }
 
+  test("text_rake: the top-20 replays against an independent driver-side RAKE") {
+    // full independent reimplementation (island split, deg/freq ppm
+    // scores, phrase-sum, total-order top-20) over the raw corpus —
+    // instance-score uniformity is implicit: the replay scores phrase
+    // TEXT once while the engine min-aggregates per-instance scores,
+    // so any instance divergence would break the comparison
+    val stop = TextAnalysis.StopwordSets.head._2.toSet
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase)
+    val phrases = docs.flatMap { case (_, txt) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val run = scala.collection.mutable.ArrayBuffer.empty[String]
+      def flush(): Unit = {
+        if (run.nonEmpty && run.length <= TextAnalysis.RakeMaxWords)
+          out += run.mkString(" ")
+        run.clear()
+      }
+      txt.split(" ", -1).foreach(t => if (stop(t)) flush() else run += t)
+      flush(); out
+    }
+    val deg = scala.collection.mutable.Map.empty[String, Long]
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    phrases.foreach { p =>
+      val ws = p.split(" "); ws.foreach { t =>
+        deg(t) = deg.getOrElse(t, 0L) + ws.length
+        freq(t) = freq.getOrElse(t, 0L) + 1L
+      }
+    }
+    def wscore(t: String) = deg(t) * 1000000L / freq(t)
+    val expected = phrases.groupBy(identity).view
+      .map { case (p, in) => (p, in.length.toLong, p.split(" ").map(wscore).sum) }
+      .toSeq
+      .sortBy { case (p, _, sc) => (-sc, p) }.take(20)
+    val got = graft.SparkEntry.queries("text_rake")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected,
+      s"engine:\n${got.mkString("\n")}\nreplay:\n${expected.mkString("\n")}")
+  }
+
   test("graph_wcc: components are closed over the 1-NN edges and labeled by their min") {
     import org.apache.spark.sql.functions._
     val comp = graft.SparkEntry.queries("graph_wcc")(spark, sf)

@@ -839,6 +839,14 @@ class PlanShapeSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("text_rake ranks via distributed top-20, word stats join on the token equi-key") {
+    val p = plan("text_rake").split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      "the final ranking must be a distributed top-k, not a global sort\n" + p)
+    assert(!p.contains("rangepartitioning"), "no global sort exchange\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("text_bm25 ranks via TakeOrderedAndProject with broadcast scalars, no cartesian") {
     val p = plan("text_bm25").split("== Initial Plan ==")(0)
     assert(p.contains("TakeOrderedAndProject"),
