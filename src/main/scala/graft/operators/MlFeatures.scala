@@ -171,6 +171,58 @@ object MlFeatures {
     per.unionByName(all)
   }
 
+  /** Exact ROC AUC (midrank/Mann–Whitney form) for the langid 'en'
+    * hit-count score against the binary ground truth lang = 'en' — the
+    * threshold-free companion to [[evalConfusion]]'s scoreboard. AUC =
+    * (Σ_pos midrank − n_pos(n_pos+1)/2) / (n_pos·n_neg), and with
+    * integer midranks doubled (midrank·2 = r_lo + r_hi per tie group)
+    * the whole statistic is EXACT integer arithmetic — ties get the
+    * standard 1/2 credit with no floating point anywhere; the oracle's
+    * rank()-window formulation and an all-pairs brute-force law
+    * (MlFeaturesSpec) both replay it bit-for-bit.
+    *
+    * Scale shape: per-row score map → ONE map-side-combinable
+    * per-score aggregate. The score is a bounded small integer (a
+    * stopword hit count ≤ tokens per document), so the profile is
+    * VALUE-bounded — |distinct scores| never grows with the corpus —
+    * and the rank-offset recurrence runs as one bounded fold over the
+    * sorted profile (the events_survival class), not a window and not
+    * a per-row rank. The ppm quotient rides DECIMAL(38,0): mid2 ≈
+    * 2·N·n_pos wraps BIGINT·10⁶ at ~10⁶ rows. */
+  def evalAuc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val prof = Tables.documents(s, d)
+      .select(
+        TextAnalysis.hitCount(TextAnalysis.toks($"text"),
+          TextAnalysis.StopwordSets.head._2).cast("bigint").as("score"),
+        ($"lang" === "en").cast("bigint").as("pos"))
+      .groupBy($"score").agg(count(lit(1)).as("cnt"), sum($"pos").as("cp"))
+    prof
+      .agg(sort_array(collect_list(struct($"score", $"cnt", $"cp"))).as("g"),
+        sum($"cp").as("np"), sum($"cnt").as("n"))
+      .select(
+        $"np".as("n_pos"), ($"n" - $"np").as("n_neg"),
+        // r_lo + r_hi of a tie group starting after `off` rows with
+        // `cnt` members is 2·off + cnt + 1; positives contribute cp of
+        // those doubled midranks
+        expr("""
+          aggregate(
+            g,
+            named_struct('off', CAST(0 AS BIGINT), 'm2', CAST(0 AS BIGINT)),
+            (acc, e) -> named_struct(
+              'off', acc.off + e.cnt,
+              'm2', acc.m2 + e.cp * (2 * acc.off + e.cnt + 1)),
+            acc -> acc.m2)
+        """).as("mid2"))
+      .select($"n_pos", $"n_neg",
+        expr("""
+          CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+               ELSE (CAST(mid2 AS DECIMAL(38,0)) - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))
+                    * 1000000 div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)
+               END AS BIGINT)
+        """).as("auc_ppm"))
+  }
+
   private def stopListSql(l: String): String =
     TextAnalysis.StopwordSets.toMap.apply(l)
       .map(w => s"'$w'").mkString("[", ",", "]")
@@ -186,6 +238,32 @@ object MlFeatures {
     * generated-oracle discipline — the two sides cannot
     * desynchronize). */
   val oracle: Map[String, String] = Map(
+    // INDEPENDENT formulation: per-row rank() windows (r_lo, and r_hi
+    // via the per-score partition count) instead of the engine's
+    // profile fold — the midrank algebra is what the hash-compare checks
+    "ml_eval_auc" -> s"""
+      WITH sc AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '),
+                   t -> list_contains(${stopListSql("en")}, t))) AS score,
+               CAST(lang = 'en' AS BIGINT) AS pos
+        FROM documents),
+      r AS (
+        SELECT score, pos,
+               rank() OVER (ORDER BY score) AS r_lo,
+               rank() OVER (ORDER BY score)
+                 + count(*) OVER (PARTITION BY score) - 1 AS r_hi
+        FROM sc),
+      agg AS (
+        SELECT CAST(sum(CASE WHEN pos = 1 THEN r_lo + r_hi ELSE 0 END) AS BIGINT) AS mid2,
+               CAST(sum(pos) AS BIGINT) AS np,
+               CAST(count(*) - sum(pos) AS BIGINT) AS nn
+        FROM r)
+      SELECT np AS n_pos, nn AS n_neg,
+             CASE WHEN np = 0 OR nn = 0 THEN NULL
+                  ELSE CAST((mid2 - np * (np + 1)) * 1000000
+                            // (2 * np * nn) AS BIGINT) END AS auc_ppm
+      FROM agg""",
     "ml_eval_confusion" -> s"""
       WITH pr AS (
         SELECT truth,

@@ -88,4 +88,35 @@ class MlFeaturesSpec extends SparkSpec {
       assert(np == langid.getOrElse(c, 0L), s"$c: n_pred=$np langid=${langid.get(c)}")
     }
   }
+
+  test("ml_eval_auc replays the brute-force pairwise definition and nails planted separations") {
+    // fixture run: the midrank fold must equal the Mann–Whitney
+    // pairwise count (wins + half-ties) computed driver-side
+    val Array(row) = graft.SparkEntry.queries("ml_eval_auc")(spark, sf).collect()
+    val (np, nn, auc) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val stop = graft.operators.TextAnalysis.StopwordSets.head._2.toSet
+    val sc = graft.core.Tables.documents(spark, sf)
+      .select("text", "lang").collect()
+      .map(r => (r.getString(0).toLowerCase.split(" ", -1).count(stop), r.getString(1) == "en"))
+    val pos = sc.filter(_._2).map(_._1)
+    val neg = sc.filterNot(_._2).map(_._1)
+    assert(np == pos.length.toLong && nn == neg.length.toLong)
+    val wins2 = pos.map(p => 2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    assert(auc == wins2 * 1000000L / (2L * np * nn),
+      s"fold AUC $auc != pairwise ${wins2 * 1000000L / (2L * np * nn)}")
+    // planted extremes on a staged corpus: perfect separation → 10⁶,
+    // inverted → 0, all-tied scores → exactly 500000
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_auc_law").toString
+    def stage(rows: Seq[(Long, String, String)]): Long = {
+      rows.toDF("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      MlFeatures.evalAuc(spark, tmp).collect()(0).getLong(2)
+    }
+    val en = "the of and"  // 3 stopword hits
+    val de = "wort nicht hier klar" // 0 'en' stopword hits
+    assert(stage(Seq((1L, en, "en"), (2L, en, "en"), (3L, de, "de"))) == 1000000L)
+    assert(stage(Seq((1L, de, "en"), (2L, en, "de"))) == 0L)
+    assert(stage(Seq((1L, en, "en"), (2L, en, "de"), (3L, en, "de"))) == 500000L)
+  }
 }

@@ -820,6 +820,18 @@ class PlanShapeSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("ml_eval_auc is one score exchange + a bounded fold — no rank window, no per-row rank") {
+    // the midrank recurrence must run over the VALUE-bounded score
+    // profile (one map-side aggregate), never as a global rank/window
+    // over corpus rows
+    val p = plan("ml_eval_auc").split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), "no window may touch fact rows\n" + p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one score exchange, got $exchanges\n$p")
+    assert(p.contains("partial_count"), "profile must combine map-side\n" + p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("dedup_containment joins candidates on the shingle equi-key only — no cartesian") {
     val p = plan("dedup_containment").split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
