@@ -197,6 +197,39 @@ object Relational {
       .select($"user_id", $"event_id".as("click_id"), $"asof_signup".as("signup_id"))
   }
 
+  /** FORWARD as-of join (pandas `merge_asof(direction='forward')`) —
+    * each click ↔ the same user's NEAREST purchase at or after it: the
+    * next-touch question ("did this click convert, and to which
+    * purchase?") that the backward as-of cannot answer. Same ONE-scan
+    * ONE-exchange window shape as [[joinAsof]], time-reversed: the
+    * per-user traversal runs ts DESC with purchases (kind 0) before
+    * clicks at equal ts, so a running `last` carries the nearest
+    * FOLLOWING purchase — equal-ts purchases match (c.ts ≤ p.ts), and
+    * the max-event_id dedup per (user, ts) rides the same sort exactly
+    * as in joinAsof. Inner semantics: clicks with no later purchase
+    * drop. Oracle: DuckDB's native forward ASOF JOIN (ON c.ts ≤ p.ts),
+    * so the reversed-window rewrite is checked against the definition. */
+  def joinAsofForward(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tagged = Tables.events(s, d)
+      .where($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"ts",
+        when($"event_type" === "purchase", 0).otherwise(1).as("kind"),
+        $"event_id")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"kind".asc, $"event_id".asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("next_purchase",
+        last(when($"kind" === 0, $"event_id"), ignoreNulls = true).over(running))
+      .withColumn("nxt_ts", lead($"ts", 1).over(w))
+      .withColumn("nxt_kind", lead($"kind", 1).over(w))
+      .where($"kind" === 1 && $"next_purchase".isNotNull &&
+        ($"nxt_ts".isNull || $"nxt_ts" =!= $"ts" || $"nxt_kind" =!= $"kind"))
+      .select($"user_id", $"event_id".as("click_id"),
+        $"next_purchase".as("purchase_id"))
+  }
+
   /** As-of join WITH tolerance (pandas `merge_asof(tolerance=...)` /
     * kdb window-join semantics — SURVEY §2.3 D's temporal family): each
     * click matches the LATEST signup at ts ≤ click ts, but only when

@@ -89,6 +89,21 @@ object RelationalOracles {
       FROM clicks c ASOF JOIN signups s
         ON c.user_id = s.user_id AND c.ts >= s.ts""",
 
+    // forward direction via DuckDB's native ASOF JOIN with c.ts <=
+    // p.ts — nearest purchase at or after the click, the next-touch
+    // definition the reversed engine window must reproduce
+    "join_asof_forward" -> """
+      WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      purchases AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT c.user_id AS user_id, c.event_id AS click_id,
+             p.event_id AS purchase_id
+      FROM clicks c ASOF JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts <= p.ts""",
+
     // the SPEC via DuckDB's native ASOF LEFT JOIN: latest signup at
     // ts <= click ts, nulled when older than the 7-day tolerance (any
     // other candidate is older still, so null-latest IS the semantics)

@@ -177,6 +177,27 @@ class NewOpsLawSpec extends SparkSpec {
       s"engine:\n${got.mkString("\n")}\nreplay:\n${expected.mkString("\n")}")
   }
 
+  test("join_asof_forward replays the brute-force next-touch definition") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "purchase"))
+      .select("user_id", "ts", "event_type", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2), r.getLong(3)))
+    // dedup to max event_id per (user, ts, type) — the declared tie rule
+    def dedup(t: String) = ev.filter(_._3 == t)
+      .groupBy(e => (e._1, e._2)).view.mapValues(_.map(_._4).max).toMap
+    val clicks = dedup("click"); val purchases = dedup("purchase")
+    val expected = clicks.flatMap { case ((u, ts), cid) =>
+      val later = purchases.keys.filter(k => k._1 == u && k._2 >= ts)
+      if (later.isEmpty) None
+      else { val k = later.minBy(_._2); Some((u, cid, purchases(k))) }
+    }.toSet
+    val got = graft.SparkEntry.queries("join_asof_forward")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"engine=${got.size} replay=${expected.size}; diff=${(got diff expected) ++ (expected diff got)}")
+  }
+
   test("graph_wcc: components are closed over the 1-NN edges and labeled by their min") {
     import org.apache.spark.sql.functions._
     val comp = graft.SparkEntry.queries("graph_wcc")(spark, sf)

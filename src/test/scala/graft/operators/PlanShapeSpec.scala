@@ -127,6 +127,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans == 1, s"expected one events scan, got $scans\n$p")
   }
 
+  test("join_asof_forward keeps join_asof's one-exchange one-scan shape, time-reversed") {
+    val p = plan("join_asof_forward").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one user_id exchange, got $exchanges\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one events scan, got $scans\n$p")
+  }
+
   test("join_asof_tolerance keeps join_asof's one-exchange one-scan shape") {
     // the tolerance variant adds a running match-ts and a per-row
     // comparison — if it ever costs a second scan or exchange, the
