@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Exact, Tables}
 
-/** Supervised-learning feature primitives over the relational fixture:
-  * exact per-group OLS trend screening and feature binning — the two
-  * passes every tabular feature pipeline runs before any model sees the
-  * data. Both follow the graft exactness discipline (integer moments,
-  * sign-safe truncating division) so DuckDB replays them bit-for-bit.
+/** Supervised-learning primitives over the fixtures: exact per-group
+  * OLS trend screening and feature binning (the passes every tabular
+  * feature pipeline runs before any model sees the data), plus the
+  * model-quality scoreboard — confusion metrics and exact midrank ROC
+  * AUC for the langid heuristic against ground truth. Everything
+  * follows the graft exactness discipline (integer moments, sign-safe
+  * truncating division, DECIMAL(38,0) where BIGINT cross-products
+  * wrap) so DuckDB replays each result bit-for-bit.
   */
 object MlFeatures {
 
