@@ -112,6 +112,39 @@ object MlFeatures {
         min($"cents").as("min_cents"), max($"cents").as("max_cents"))
   }
 
+  /** GLOBAL exact percentiles via distributed rank — the 100 TB twin of
+    * the ordered-set `sql_percentile_disc` path: Spark's native
+    * `percentile_disc` aggregate BUFFERS every value of its group, so a
+    * global (ungrouped) exact percentile OOMs one task when the corpus
+    * outgrows executor memory; here [[DistRank.withRank]] range-
+    * partitions the total order P ways and each target percentile is
+    * the row at rank ceil(p·n) — the integer rule (p·n + 99) div 100,
+    * which equals the SQL-standard "smallest value whose cume_dist ≥ p"
+    * (the AnalyticsSpec percentile_disc index pin) and is verified
+    * against DuckDB's native ordered-set aggregate at every shipped SF.
+    * Tiebreak ids make ranks unique; the VALUE at the target position
+    * is tiebreak-invariant.
+    *
+    * Scale shape: one slim projection (checkpointed — consumed by the
+    * n-scalar and the rank), DistRank's single range exchange + P-way
+    * spill-safe local sorts, then a 5-row broadcast target join picks
+    * the answers — no task ever holds more than its |rows|/P slice. */
+  def percentileExact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pcts = Seq(25, 50, 75, 90, 99)
+    val v = Tables.lineitem(s, d)
+      .select(Exact.cents($"l_extendedprice").as("cents"),
+        $"l_orderkey", $"l_linenumber")
+      .localCheckpoint(eager = false)
+    val targets = v.agg(count(lit(1)).as("n"))
+      .select(explode(lit(pcts.toArray)).as("pct"), $"n")
+      .select($"pct".cast("bigint").as("pct"),
+        DistRank.idiv($"pct" * $"n" + 99L, lit(100L)).as("rk"))
+    DistRank.withRank(v, Seq($"cents".asc, $"l_orderkey".asc, $"l_linenumber".asc), "rk")
+      .join(broadcast(targets), "rk")
+      .select($"pct", $"cents".as("pct_cents"))
+  }
+
   /** Classifier evaluation (confusion metrics) — the scoreboard every
     * model-quality loop reads: per-class n_truth / n_pred / true
     * positives plus precision, recall, and F1, for the [[TextAnalysis
@@ -241,6 +274,18 @@ object MlFeatures {
     * generated-oracle discipline — the two sides cannot
     * desynchronize). */
   val oracle: Map[String, String] = Map(
+    // INDEPENDENT formulation: DuckDB's native SQL-standard ordered-set
+    // aggregate — the engine's ceil(p·n) rank pick must equal it
+    "agg_percentile_exact" -> """
+      WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                 FROM lineitem)
+      SELECT CAST(25 AS BIGINT) AS pct,
+             CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS pct_cents FROM v
+      UNION ALL SELECT 50, CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cents) AS BIGINT) FROM v
+      UNION ALL SELECT 75, CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS BIGINT) FROM v
+      UNION ALL SELECT 90, CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY cents) AS BIGINT) FROM v
+      UNION ALL SELECT 99, CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cents) AS BIGINT) FROM v""",
+
     // INDEPENDENT formulation: per-row rank() windows (r_lo, and r_hi
     // via the per-score partition count) instead of the engine's
     // profile fold — the midrank algebra is what the hash-compare checks

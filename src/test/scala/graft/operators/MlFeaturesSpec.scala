@@ -119,4 +119,21 @@ class MlFeaturesSpec extends SparkSpec {
     assert(stage(Seq((1L, de, "en"), (2L, en, "de"))) == 0L)
     assert(stage(Seq((1L, en, "en"), (2L, en, "de"), (3L, en, "de"))) == 500000L)
   }
+
+  test("agg_percentile_exact replays the ceil(p·n) sorted pick and satisfies the cume_dist spec") {
+    val got = graft.SparkEntry.queries("agg_percentile_exact")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val vals = graft.core.Tables.lineitem(spark, sf)
+      .select(graft.core.Exact.cents(org.apache.spark.sql.functions.col("l_extendedprice")))
+      .collect().map(_.getLong(0)).sorted
+    val n = vals.length.toLong
+    assert(got.map(_._1).toSeq == Seq(25L, 50L, 75L, 90L, 99L))
+    got.foreach { case (p, c) =>
+      val k = (p * n + 99) / 100
+      assert(c == vals((k - 1).toInt), s"p$p: $c != sorted[${k - 1}]")
+      // SQL-standard spec: smallest value whose cume_dist >= p
+      assert(vals.count(_ <= c) >= k && vals.count(_ < c) < k, s"p$p cume_dist spec")
+    }
+    assert(got.map(_._2).sliding(2).forall(w => w(0) <= w(1)), "percentiles must be monotone")
+  }
 }

@@ -840,6 +840,17 @@ class PlanShapeSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("agg_percentile_exact picks rows via a broadcast rank join — no window, no value buffering") {
+    // the whole point vs native percentile_disc: no task ever buffers
+    // the corpus — DistRank's range partitioning does the ordering and
+    // a 5-row broadcast picks the targets
+    val p = plan("agg_percentile_exact").split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), "no window may touch fact rows\n" + p)
+    assert(!p.contains("percentile"), "must not fall back to the buffering aggregate\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "targets must broadcast\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("FileScan parquet"), p)
+  }
+
   test("dedup_containment joins candidates on the shingle equi-key only — no cartesian") {
     val p = plan("dedup_containment").split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
