@@ -230,6 +230,45 @@ object Relational {
         $"next_purchase".as("purchase_id"))
   }
 
+  /** Bloom-filter semi-join reduction (SURVEY §2.3 D — the classic
+    * distributed-DB sideways information passing move, cf. Bloom 1970;
+    * LIP in Redshift/Impala; Spark's own runtime row-level filtering):
+    * per-supplier revenue for ONE nation's suppliers, in the regime
+    * where the dim side is too big to broadcast as a hash table. A
+    * Bloom filter over the dim KEYS is built distributed
+    * (`stat.bloomFilter` — fixed-size bitmap however many rows feed
+    * it), broadcast (~a few hundred KB), and applied to the fact side
+    * BEFORE its exchange via the codegen'd
+    * [[graft.functions.BloomMightContain]] predicate — so the shuffle
+    * moves ~4 % of lineitem (this nation's rows + the 1 % FP mass)
+    * instead of 100 %. The exact sort-merge join afterwards removes
+    * false positives: the reduction is semantically invisible, which is
+    * exactly why the oracle can state the query as the PLAIN join.
+    * `hint("shuffle_merge")` pins the no-broadcast regime at test SF
+    * (Catalyst would rightly broadcast a 10-row dim; at 100 TB with a
+    * fact-sized dim it could not). Driver traffic is bounded: one count
+    * scalar + one fixed-size bitmap. Plan pin (PlanShapeSpec): the
+    * bloom predicate filters below the fact-side exchange; law
+    * (NewOpsLawSpec): bloom pass-rate ≪ 1 yet result ≡ unfiltered join. */
+  def joinBloom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // three consumers (count, bloom build, join probe) — checkpoint or
+    // Catalyst re-runs the dim scan per reference
+    val dim = Tables.supplier(s, d).where($"s_nationkey".isin(3, 9))
+      .select($"s_suppkey", $"s_name").localCheckpoint()
+    // size the bitmap from the observed key cardinality (bounded scalar
+    // to the driver); at 100 TB this count comes from table stats
+    val nKeys = math.max(dim.count(), 64L)
+    val bf = dim.stat.bloomFilter("s_suppkey", nKeys, 0.01)
+    val bc = s.sparkContext.broadcast(bf)
+    val fact = Tables.lineitem(s, d)
+      .select($"l_suppkey", cents($"l_extendedprice").as("cents"))
+      .where(graft.functions.BloomFunctions.mightContain(s, bc, $"l_suppkey"))
+    fact.join(dim.hint("shuffle_merge"), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_suppkey", $"s_name")
+      .agg(count(lit(1)).as("n_items"), sum($"cents").as("rev_cents"))
+  }
+
   /** As-of join WITH tolerance (pandas `merge_asof(tolerance=...)` /
     * kdb window-join semantics — SURVEY §2.3 D's temporal family): each
     * click matches the LATEST signup at ts ≤ click ts, but only when
@@ -1732,6 +1771,66 @@ object Relational {
            sqrt(($"n" * $"sy2" - $"sy" * $"sy").cast("double")))).as("corr"))
   }
 
+  /** Pairwise Pearson correlation matrix over the four lineitem
+    * measures (quantity, price, discount, tax) per return flag — the
+    * feature-correlation profile every training-data EDA pass computes
+    * before feature selection. The [[tsCrossCorrelation]] exactness
+    * pattern, widened to a matrix and hardened one magnitude up: all
+    * 14 moments (4 sums, 4 sum-squares, 6 cross-sums) accumulate as
+    * DECIMAL(38,0) over integer cents — BIGINT cross-products were
+    * measured WRAPPING at sf0.1 on ml_linreg, and sum(price_cents²)
+    * here is ~10²² at that SF — then each variance/covariance combo
+    * (n·sxy − sx·sy) is computed exactly in decimal and cast to double
+    * only for the final sqrt/divide, which both engines evaluate as
+    * the identical IEEE expression (sqrt is correctly rounded) →
+    * bit-equal corr. Zero-variance pairs → explicit NULL (the
+    * tsCrossCorrelation guard).
+    * Scale shape: ONE fact scan into ONE map-side-combined hash
+    * aggregate (corpus → |flags| rows × 15 columns — the full matrix
+    * costs one pass however many pairs); the 6-way pair expansion is a
+    * `stack` over that profile. The oracle re-states the matrix as 6
+    * independent UNION ALL branches — a different decomposition of the
+    * same moments, so the single-scan rewrite is checked against the
+    * per-pair definition. */
+  def aggCorrMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val b = Tables.lineitem(s, d).select(
+      $"l_returnflag".as("flag"),
+      round($"l_quantity" * 100).cast("bigint").as("q"),
+      cents($"l_extendedprice").as("p"),
+      round($"l_discount" * 100).cast("bigint").as("dd"),
+      round($"l_tax" * 100).cast("bigint").as("t"))
+    // per-row products are DOMAIN-bounded (quantity ≤ 50, price/discount/
+    // tax cents bounded by the TPC-H value domains — independent of row
+    // count), so they stay exact in LONG at any SF; only the corpus-sized
+    // SUMS need the decimal accumulator. Multiplying in long and casting
+    // once per row keeps the hot loop out of per-row BigDecimal math
+    // (measured 2.5 s → decimal-multiply vs long-multiply at sf0.1).
+    def s1(c: String) = sum(col(c).cast(dec)).as(s"s_$c")
+    def s2(c: String) = sum((col(c) * col(c)).cast(dec)).as(s"s2_$c")
+    def sxy(x: String, y: String) = sum((col(x) * col(y)).cast(dec)).as(s"s_${x}_$y")
+    val m = b.groupBy($"flag").agg(count(lit(1)).as("n"),
+      s1("q"), s1("p"), s1("dd"), s1("t"),
+      s2("q"), s2("p"), s2("dd"), s2("t"),
+      sxy("q", "p"), sxy("q", "dd"), sxy("q", "t"),
+      sxy("p", "dd"), sxy("p", "t"), sxy("dd", "t"))
+    val pairs = m.selectExpr("flag", "n", """stack(6,
+      'quantity', 'price',    s_q,  s_p,  s_q_p,  s2_q,  s2_p,
+      'quantity', 'discount', s_q,  s_dd, s_q_dd, s2_q,  s2_dd,
+      'quantity', 'tax',      s_q,  s_t,  s_q_t,  s2_q,  s2_t,
+      'price',    'discount', s_p,  s_dd, s_p_dd, s2_p,  s2_dd,
+      'price',    'tax',      s_p,  s_t,  s_p_t,  s2_p,  s2_t,
+      'discount', 'tax',      s_dd, s_t,  s_dd_t, s2_dd, s2_t
+      ) AS (cx, cy, sx, sy, sxy, sx2, sy2)""")
+    pairs.select($"flag", $"cx", $"cy", $"n",
+      when(($"n" * $"sx2" - $"sx" * $"sx") === 0 ||
+           ($"n" * $"sy2" - $"sy" * $"sy") === 0, lit(null))
+        .otherwise(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n" * $"sx2" - $"sx" * $"sx").cast("double")) *
+           sqrt(($"n" * $"sy2" - $"sy" * $"sy").cast("double")))).as("corr"))
+  }
+
   /** CUSUM changepoint detection over the daily revenue series (Page
     * 1954): the standard "did the level shift, and when" monitor run on
     * every operational metric. The cumulative deviation from the global
@@ -1767,6 +1866,50 @@ object Relational {
     c.crossJoin(mx)
       .select($"day", $"t", $"cents", $"cusum_scaled",
         (abs($"cusum_scaled") === $"mx").cast("bigint").as("is_changepoint"))
+  }
+
+  /** Robust time-series anomaly flags via median/MAD (Hampel /
+    * Iglewicz–Hoaglin modified z-score — the outlier detector that,
+    * unlike the CUSUM mean-shift in [[tsChangepoint]] or the stddev
+    * z-score in `events_anomaly`, is itself immune to the outliers it
+    * hunts): per event type, flag days whose daily revenue deviates
+    * from the type's median by more than z·MAD/0.6745 (z = 1.5 here —
+    * the textbook 3.5 is a parameter; 1.5 exercises both flag values
+    * at the gate SFs). Everything integer-exact: cents quantization,
+    * LOWER-median convention (rank ceil(n/2) of the sorted profile, so
+    * even-length series never interpolate), and the threshold as the
+    * cross-multiplied comparison 6745·|x−med| > 15000·MAD (zero-MAD
+    * series fall back to |x−med| > 0) — no division anywhere, so the
+    * DuckDB oracle (an independent row_number-rank formulation) must
+    * hash-match bit-for-bit.
+    * Scale shape: ONE corpus-sized map-side-combined aggregate (events
+    * → |types|×|days| daily profile); both medians are per-type sorted
+    * collects over that profile, bounded by the CALENDAR (≤ |days|
+    * elements per group whatever the SF — the ts_seasonal_dow
+    * boundedness class); the med/MAD profiles (≤|types| rows) join
+    * back broadcast. No window over fact rows, no driver loop. */
+  def tsAnomalyMad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // two consumers (median profile + dev join): checkpoint, or the
+    // fact aggregate re-runs per reference (the tsChangepoint rule)
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(sum(round($"value" * 100).cast("bigint")).as("cents"))
+      .localCheckpoint()
+    val lowerMedian = (c: org.apache.spark.sql.Column) =>
+      element_at(sort_array(c), ((size(c) + 1) / 2).cast("int"))
+    val med = daily.groupBy($"event_type")
+      .agg(lowerMedian(collect_list($"cents")).as("med"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("adev", abs($"cents" - $"med"))
+      .localCheckpoint() // two consumers: MAD profile + the output
+    val mad = dev.groupBy($"event_type")
+      .agg(lowerMedian(collect_list($"adev")).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .select($"event_type", $"day", $"cents", $"med", $"mad",
+        when($"mad" === 0, $"adev" > 0)
+          .otherwise(lit(6745L) * $"adev" > lit(15000L) * $"mad")
+          .cast("bigint").as("is_anomaly"))
   }
 
   def tsSeasonalDow(s: SparkSession, d: String): DataFrame = {

@@ -343,6 +343,79 @@ object RelationalOracles {
                         sqrt(CAST(n*sy2 - sy*sy AS DOUBLE))) END AS corr
       FROM m""",
 
+    // the matrix stated pair-by-pair (6 UNION ALL rescans) — a different
+    // decomposition than the engine's single 15-moment aggregate, so the
+    // one-scan rewrite is checked against the per-pair definition
+    "agg_corr_matrix" -> """
+      WITH b AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_quantity * 100) AS BIGINT)      AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+               CAST(round(l_discount * 100) AS BIGINT)      AS d,
+               CAST(round(l_tax * 100) AS BIGINT)           AS t
+        FROM lineitem),
+      u AS (
+        SELECT flag, 'quantity' AS cx, 'price' AS cy, q AS x, p AS y FROM b
+        UNION ALL SELECT flag, 'quantity', 'discount', q, d FROM b
+        UNION ALL SELECT flag, 'quantity', 'tax', q, t FROM b
+        UNION ALL SELECT flag, 'price', 'discount', p, d FROM b
+        UNION ALL SELECT flag, 'price', 'tax', p, t FROM b
+        UNION ALL SELECT flag, 'discount', 'tax', d, t FROM b),
+      m AS (
+        SELECT flag, cx, cy, count(*) AS n,
+               sum(CAST(x AS DECIMAL(38,0))) AS sx,
+               sum(CAST(y AS DECIMAL(38,0))) AS sy,
+               sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+               sum(CAST(x AS DECIMAL(38,0)) * x) AS sx2,
+               sum(CAST(y AS DECIMAL(38,0)) * y) AS sy2
+        FROM u GROUP BY 1, 2, 3)
+      SELECT flag, cx, cy, CAST(n AS BIGINT) AS n,
+             CASE WHEN n*sx2 - sx*sx = 0 OR n*sy2 - sy*sy = 0 THEN NULL
+                  ELSE CAST(n*sxy - sx*sy AS DOUBLE) /
+                       (sqrt(CAST(n*sx2 - sx*sx AS DOUBLE)) *
+                        sqrt(CAST(n*sy2 - sy*sy AS DOUBLE))) END AS corr
+      FROM m""",
+
+    // lower-median rank rule stated through row_number — an independent
+    // formulation of the engine's sorted-array element_at pick
+    "ts_anomaly_mad" -> """
+      WITH d AS (
+        SELECT event_type,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT event_type, day, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY cents, day) AS rn,
+               count(*)    OVER (PARTITION BY event_type) AS n
+        FROM d),
+      med AS (
+        SELECT event_type, cents AS med FROM r WHERE rn = (n + 1) // 2),
+      dev AS (
+        SELECT d.event_type, d.day, d.cents, m.med, abs(d.cents - m.med) AS adev
+        FROM d JOIN med m USING (event_type)),
+      r2 AS (
+        SELECT event_type, adev,
+               row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+               count(*)    OVER (PARTITION BY event_type) AS n
+        FROM dev),
+      mad AS (
+        SELECT event_type, adev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+      SELECT v.event_type, v.day, v.cents, v.med, CAST(m.mad AS BIGINT) AS mad,
+             CAST(CASE WHEN m.mad = 0 THEN (v.adev > 0)
+                       ELSE (6745 * v.adev > 15000 * m.mad) END AS BIGINT) AS is_anomaly
+      FROM dev v JOIN mad m USING (event_type)""",
+
+    // the bloom reduction is semantically invisible: the oracle is the
+    // PLAIN dim-filtered join — any bloom false negative would drop rows
+    // and hash-mismatch here
+    "join_bloom" -> """
+      SELECT s.s_suppkey, s.s_name, count(*) AS n_items,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey IN (3, 9)
+      GROUP BY 1, 2""",
+
     "ts_changepoint" -> """
       WITH d AS (
         SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,

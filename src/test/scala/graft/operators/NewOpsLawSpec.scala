@@ -214,4 +214,89 @@ class NewOpsLawSpec extends SparkSpec {
     assert(comp.groupBy(col("component")).agg(min(col("vec_id")).as("mn"))
       .where(col("component") =!= col("mn")).isEmpty)
   }
+
+  test("ts_anomaly_mad: med/MAD replay as lower medians and the flag rule replays") {
+    val rows = graft.SparkEntry.queries("ts_anomaly_mad")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+    rows.groupBy(_._1).foreach { case (tpe, grp) =>
+      val med = lowerMedian(grp.map(_._3).toSeq)
+      val mad = lowerMedian(grp.map(g => math.abs(g._3 - med)).toSeq)
+      grp.foreach { g =>
+        assert(g._4 == med, s"$tpe med drifted: ${g._4} vs replay $med")
+        assert(g._5 == mad, s"$tpe mad drifted: ${g._5} vs replay $mad")
+        val adev = math.abs(g._3 - med)
+        val want = if (mad == 0) adev > 0 else 6745L * adev > 15000L * mad
+        assert(g._6 == (if (want) 1L else 0L), s"$tpe flag rule drifted at ${g._2}")
+      }
+    }
+    // both flag values must be exercised at the gate SF, else the
+    // threshold is untestable (the curate_k_anonymity discipline)
+    assert(rows.exists(_._6 == 1L) && rows.exists(_._6 == 0L))
+  }
+
+  test("agg_corr_matrix: corrs replay from raw cents via exact BigInt moments") {
+    val got = graft.SparkEntry.queries("agg_corr_matrix")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got.size == 18) // 3 flags x 6 pairs
+    val base = graft.core.Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag",
+        "CAST(round(l_quantity * 100) AS BIGINT)",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "CAST(round(l_discount * 100) AS BIGINT)",
+        "CAST(round(l_tax * 100) AS BIGINT)")
+      .collect().map(r => (r.getString(0),
+        Map("quantity" -> r.getLong(1), "price" -> r.getLong(2),
+            "discount" -> r.getLong(3), "tax" -> r.getLong(4))))
+    got.foreach { case ((flag, cx, cy), (n, corr)) =>
+      val grp = base.filter(_._1 == flag).map(_._2)
+      assert(n == grp.length.toLong)
+      val xs = grp.map(m => BigInt(m(cx))); val ys = grp.map(m => BigInt(m(cy)))
+      val bn = BigInt(grp.length)
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val vx = bn * xs.map(a => a * a).sum - sx * sx
+      val vy = bn * ys.map(a => a * a).sum - sy * sy
+      if (vx == 0 || vy == 0) assert(corr.isEmpty, s"$flag/$cx/$cy must be NULL")
+      else {
+        val want = (bn * sxy - sx * sy).toDouble /
+          (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble))
+        assert(corr.isDefined && math.abs(corr.get - want) < 1e-12,
+          s"$flag/$cx/$cy: ${corr} vs replay $want")
+      }
+    }
+  }
+
+  test("join_bloom: bloom reduction is invisible (≡ plain join) yet actually prunes") {
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("join_bloom")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val dim = graft.core.Tables.supplier(spark, sf)
+      .where(col("s_nationkey").isin(3, 9)).select(col("s_suppkey"), col("s_name"))
+    val plain = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("rev_cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == plain, "bloom semi-join reduction changed the join result")
+    // the filter must actually prune: dim covers ≤ a few suppliers of the
+    // fixture's ~10-100, so with fpp=0.01 the pass-rate stays well under half
+    val nKeys = math.max(dim.count(), 64L)
+    val bf = dim.stat.bloomFilter("s_suppkey", nKeys, 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    val fact = graft.core.Tables.lineitem(spark, sf).select(col("l_suppkey"))
+    val passed = fact.where(
+      graft.functions.BloomFunctions.mightContain(spark, bc, col("l_suppkey"))).count()
+    val total = fact.count()
+    assert(passed.toDouble / total < 0.5,
+      s"bloom prefilter passed $passed of $total fact rows — no reduction")
+    // and it never drops a matching row (no false negatives, by Bloom law)
+    val matching = graft.core.Tables.lineitem(spark, sf)
+      .join(dim, col("l_suppkey") === col("s_suppkey")).count()
+    assert(passed >= matching)
+  }
 }

@@ -895,4 +895,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "keyword match must be a broadcast term equi-join\n" + p)
   }
+
+  test("join_bloom filters the fact side below its exchange in the no-broadcast regime") {
+    val p = plan("join_bloom").split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin"),
+      "the hint must pin the dim-too-big-to-broadcast regime\n" + p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    val ex = p.indexOf("Exchange")
+    val bl = p.indexOf("bloom_might_contain")
+    assert(bl >= 0, "bloom predicate missing from the physical plan\n" + p)
+    assert(ex >= 0 && bl > ex,
+      "bloom filter must sit BELOW the fact-side exchange (children print " +
+        "after parents), so the shuffle moves only rows that can match\n" + p)
+  }
+
+  test("agg_corr_matrix is one scan into one partial-aggregated reduce") {
+    val p = plan("agg_corr_matrix").split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "the full matrix must cost ONE pass over lineitem\n" + p)
+    assert(p.contains("partial_"), "map-side partial aggregation expected\n" + p)
+  }
 }
