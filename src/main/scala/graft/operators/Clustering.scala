@@ -175,6 +175,96 @@ object Clustering {
       GROUP BY f.cid"""
   }
 
+  // ---------------------------------------------------------------- ml_pca_power
+
+  private val PcaDim = 64
+  private val PcaScale = 1000L     // milli-units: keeps s·x products in long
+  private val PcaVScale = 1000000L // fixed-point loading scale (ppm)
+  private val PcaIters = 4
+
+  /** Dominant principal direction of the embedding corpus by POWER
+    * ITERATION on the uncentered Gram matrix XᵀX (the top right singular
+    * vector — what an IVF coarse rotation, a whitening pass, or an
+    * ANN-dimensionality diagnostic starts from). Same bit-replayability
+    * discipline as [[kmeansEmbed]]: vectors quantized once to integer
+    * milli-units (coarser than kmeans' micro-units so the per-row
+    * s·x products stay in LONG: |s| ≤ 64·10³·10⁶ ≈ 6.4·10¹⁰,
+    * |s·x| ≤ 6.4·10¹³), the iteration w = Xᵀ(Xv) runs as per-row dot
+    * in long + per-element DECIMAL(38,0) sums (corpus-sized sums wrap
+    * BIGINT, the agg_corr_matrix lesson), and normalization divides by
+    * max|w| (NOT the L2 norm — an integer-exact truncating division
+    * both engines replay; BigInt `/` here ≡ HUGEINT `//` in DuckDB,
+    * both toward zero) into ppm fixed point. Fixed 4 iterations, all-ones
+    * seed — replayable loop, no convergence threshold. Per iteration the
+    * distributed work is ONE map-side-combined 64-column aggregate; the
+    * only driver traffic is the 64-long w vector — bounded model state,
+    * the kmeans-centroid class of collect. The all-zero-corpus edge keeps
+    * the seed (mx = 0 guard on both sides). */
+  def pcaPower(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // one consumer per iteration: checkpoint so scan + quantization run
+    // once, not once per collect
+    val q = Tables.embeddings(s, d).select(
+      transform($"embedding",
+        x => round(x.cast("double") * PcaScale).cast("bigint")).as("e"))
+      .localCheckpoint()
+    var v: Array[BigInt] = Array.fill(PcaDim)(BigInt(PcaVScale))
+    for (_ <- 1 to PcaIters) {
+      // s = <x, v> projected ONCE per row (inlining it into all 64 sum
+      // terms would square the codegen expression tree — the measured
+      // K×dim compile blowup), then w_j = Σ x_j·s as decimal sums
+      val sCol = (0 until PcaDim).map(j => $"e"(j) * lit(v(j).toLong)).reduce(_ + _)
+      val row = q.withColumn("sc", sCol)
+        .select((0 until PcaDim).map(j =>
+          sum(($"e"(j) * $"sc").cast(dec)).as(s"w$j")): _*)
+        .collect()(0)
+      val w = (0 until PcaDim).map(j => BigInt(row.getDecimal(j).toBigInteger))
+      val mx = w.map(_.abs).max
+      if (mx > 0) v = w.map(x => x * PcaVScale / mx).toArray
+    }
+    v.zipWithIndex
+      .map { case (x, j) => ((j + 1).toLong, x.toLong) }.toSeq
+      .toDF("dim_idx", "loading_ppm")
+  }
+
+  /** DuckDB replay of the same integer power iteration, unrolled
+    * (generated like [[oracleKmeans]], so Dim/Iters/scale changes cannot
+    * desynchronize the sides). Per iteration: the projection is an
+    * unnest-join dot product, the matrix-vector product a per-element
+    * grouped sum in DECIMAL(38,0), the normalization a HUGEINT `//`
+    * (truncating, ≡ Scala BigInt `/`). */
+  private def oraclePcaPower: String = {
+    def iter(prev: String, k: Int) = s"""
+      s$k AS (
+        SELECT q.e, x.sc FROM q JOIN (
+          SELECT q2.rid, CAST(sum(q2.e[v.j] * v.v) AS BIGINT) AS sc
+          FROM q q2, $prev v GROUP BY q2.rid) x USING (rid)),
+      w$k AS (
+        SELECT i.range AS j,
+               CAST(sum(CAST(e[i.range] * sc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS w
+        FROM s$k, range(1, ${PcaDim + 1}) i GROUP BY 1),
+      m$k AS (SELECT max(abs(CAST(w AS HUGEINT))) AS mx FROM w$k),
+      v$k AS (
+        SELECT j, CASE WHEN m.mx = 0 THEN vp.v
+                       ELSE CAST((CAST(w.w AS HUGEINT) * $PcaVScale) // m.mx AS BIGINT)
+                  END AS v
+        FROM w$k w JOIN $prev vp USING (j), m$k m)"""
+    val head = s"""
+      WITH q AS (
+        SELECT row_number() OVER () AS rid,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * $PcaScale) AS BIGINT)) AS e
+        FROM embeddings),
+      v0 AS (SELECT i.range AS j, CAST($PcaVScale AS BIGINT) AS v
+             FROM range(1, ${PcaDim + 1}) i)"""
+    val iters = (1 to PcaIters).map(k => iter(s"v${k - 1}", k)).mkString(",", ",", "")
+    head + iters + s"""
+      SELECT CAST(j AS BIGINT) AS dim_idx, CAST(v AS BIGINT) AS loading_ppm
+      FROM v$PcaIters"""
+  }
+
   val oracle: Map[String, String] = Map(
-    "ml_kmeans" -> oracleKmeans)
+    "ml_kmeans" -> oracleKmeans,
+    "ml_pca_power" -> oraclePcaPower)
 }

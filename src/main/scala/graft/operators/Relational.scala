@@ -1831,6 +1831,47 @@ object Relational {
            sqrt(($"n" * $"sy2" - $"sy" * $"sy").cast("double")))).as("corr"))
   }
 
+  /** Autocorrelation function of the daily revenue series at lags 1–10
+    * (the Box–Jenkins diagnostic that picks AR orders and validates the
+    * `ts_holt`/`ts_stl_lite` residuals): Pearson between the series and
+    * its own lag, per-lag means over the PAIRED subset (the textbook
+    * sample-ACF-with-per-lag-moments variant, which is what
+    * [[tsCrossCorrelation]] computes between two series — this is its
+    * self-join twin on the revenue grid). Exactness identical: BIGINT
+    * moments per lag, correlation as ONE shared double expression,
+    * zero-variance → NULL. Scale: one fact-sized day-grain aggregate,
+    * then a |days|×10 broadcast self-pairing — calendar-bounded both
+    * ways. */
+  def tsAcf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .where($"event_type" === "purchase")
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(sum(round($"value" * 100).cast("bigint")).as("cents"))
+      .localCheckpoint() // both sides of the self-pairing
+    val lags = broadcast((1 to 10).toDF("lag_d"))
+    val paired = daily.crossJoin(lags)
+      .join(broadcast(daily.select($"day".as("y_day"), $"cents".as("yv"))),
+        $"y_day" === expr("timestampadd(DAY, lag_d, day)"))
+    // daily revenue cents grow with the CORPUS (unlike the day counts in
+    // tsCrossCorrelation), so squares leave long around daily sums of
+    // ~3·10⁹ — and the pairing frame is calendar-bounded anyway, so the
+    // decimal moments are free here
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = paired.groupBy($"lag_d".cast("bigint").as("lag_d"))
+      .agg(count(lit(1)).as("n"),
+        sum($"cents".cast(dec)).as("sx"), sum($"yv".cast(dec)).as("sy"),
+        sum($"cents".cast(dec) * $"yv").as("sxy"),
+        sum($"cents".cast(dec) * $"cents").as("sx2"),
+        sum($"yv".cast(dec) * $"yv").as("sy2"))
+    m.select($"lag_d", $"n",
+      when(($"n" * $"sx2" - $"sx" * $"sx") === 0L ||
+           ($"n" * $"sy2" - $"sy" * $"sy") === 0L, lit(null))
+        .otherwise(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n" * $"sx2" - $"sx" * $"sx").cast("double")) *
+           sqrt(($"n" * $"sy2" - $"sy" * $"sy").cast("double")))).as("acf"))
+  }
+
   /** CUSUM changepoint detection over the daily revenue series (Page
     * 1954): the standard "did the level shift, and when" monitor run on
     * every operational metric. The cumulative deviation from the global

@@ -376,6 +376,34 @@ object RelationalOracles {
                         sqrt(CAST(n*sy2 - sy*sy AS DOUBLE))) END AS corr
       FROM m""",
 
+    // the tsCrossCorrelation oracle shape, self-joined on the revenue
+    // grid; decimal moments because daily-revenue squares outgrow BIGINT
+    "ts_acf" -> """
+      WITH x AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      lags AS (SELECT unnest(range(1, 11)) AS lag_d),
+      paired AS (
+        SELECT l.lag_d, x.cents AS xv, y.cents AS yv
+        FROM lags l
+        JOIN x ON true
+        JOIN x y ON y.day = x.day + l.lag_d * INTERVAL 1 DAY),
+      m AS (
+        SELECT CAST(lag_d AS BIGINT) AS lag_d, count(*) AS n,
+               sum(CAST(xv AS DECIMAL(38,0))) AS sx,
+               sum(CAST(yv AS DECIMAL(38,0))) AS sy,
+               sum(CAST(xv AS DECIMAL(38,0)) * yv) AS sxy,
+               sum(CAST(xv AS DECIMAL(38,0)) * xv) AS sx2,
+               sum(CAST(yv AS DECIMAL(38,0)) * yv) AS sy2
+        FROM paired GROUP BY 1)
+      SELECT lag_d, n,
+             CASE WHEN n*sx2 - sx*sx = 0 OR n*sy2 - sy*sy = 0 THEN NULL
+                  ELSE CAST(n*sxy - sx*sy AS DOUBLE) /
+                       (sqrt(CAST(n*sx2 - sx*sx AS DOUBLE)) *
+                        sqrt(CAST(n*sy2 - sy*sy AS DOUBLE))) END AS acf
+      FROM m""",
+
     // lower-median rank rule stated through row_number — an independent
     // formulation of the engine's sorted-array element_at pick
     "ts_anomaly_mad" -> """

@@ -410,7 +410,11 @@ object Sources {
     * any other day is even listed into the scan), and the data-file
     * read set is a single partition. The oracle replays the day's
     * aggregate from the raw table. */
-  def partitionPrune(s: SparkSession, d: String): DataFrame = {
+  /** Day-partitioned copy of events, memoized per (session, data dir) —
+    * shared by [[partitionPrune]] (static pruning) and [[joinDpp]]
+    * (dynamic pruning), which exercise the two halves of the same
+    * 100 TB layout contract. */
+  private def dayPartitionedEvents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val srcKey = "spark.graft.prune.src"
     val dirKey = "spark.graft.prune.dir"
@@ -425,12 +429,70 @@ object Sources {
       s.conf.set(srcKey, d)
     }
     s.read.parquet(s.conf.get(dirKey))
+  }
+
+  def partitionPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    dayPartitionedEvents(s, d)
       .where($"day" === "2024-01-11")
       .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"),
         count_distinct($"user_id").as("n_users"))
   }
 
+  /** Dynamic partition pruning (SURVEY §2.3 B/D — the star-schema scan
+    * killer): per-day event rollup restricted to the ABOVE-AVERAGE
+    * purchase days, where "which days" is only known at RUNTIME — the
+    * dim side is itself an aggregate of the data. Catalyst inserts a
+    * `dynamicpruning` subquery into the fact scan's partition filters
+    * (plan-pinned in SourcesSpec), so the partitioned fact reads ONLY
+    * the selected days' directories; at 100 TB with a date-partitioned
+    * fact this is the difference between scanning ~half the table and
+    * all of it — no query rewrite, just the partition layout plus a
+    * broadcastable dim. The day-selection rule is the exact
+    * cross-multiplied above-average comparison (cnt·n_days > total, no
+    * division), so the dim set replays bitwise; the oracle states the
+    * whole thing over raw events. */
+  def joinDpp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fact = dayPartitionedEvents(s, d)
+    // dim: days whose purchase count is strictly above the daily average
+    def perDay = Tables.events(s, d)
+      .where($"event_type" === "purchase")
+      .groupBy(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("p_day"))
+      .agg(count(lit(1)).as("cnt"))
+    // threshold rides to the driver as TWO bounded scalars and re-enters
+    // as literals — NOT a crossJoin of a checkpointed frame: a
+    // LogicalRDD in the dim subtree reports the default (max) size
+    // estimate and Catalyst's DPP benefit check then rejects the
+    // insertion; with a plain filtered aggregate the dim stays
+    // stats-estimable and the dynamicpruning subquery lands in the
+    // fact scan (plan-pinned). Costs one extra day-grain aggregate of
+    // the purchase slice — at 100 TB, noise against the ~half-table
+    // scan the pruning saves.
+    val t = perDay.agg(count(lit(1)).as("n_days"), sum($"cnt").as("total")).collect()(0)
+    val (nDays, total) = (t.getLong(0), t.getLong(1))
+    val dim = perDay.where($"cnt" * lit(nDays) > lit(total)).select($"p_day")
+    fact.join(broadcast(dim), $"day" === $"p_day")
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "join_dpp" -> """
+      WITH p AS (
+        SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_day,
+               count(*) AS cnt
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      g AS (SELECT count(*) AS n_days, CAST(sum(cnt) AS BIGINT) AS total FROM p),
+      dim AS (SELECT p_day FROM p, g WHERE cnt * g.n_days > g.total)
+      SELECT e.day, count(*) AS n_rows,
+             CAST(sum(e.cents) AS BIGINT) AS sum_cents
+      FROM (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events) e
+      JOIN dim ON e.day = dim.p_day
+      GROUP BY 1""",
+
     "src_partition_prune" -> """
       SELECT count(*) AS n_rows,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

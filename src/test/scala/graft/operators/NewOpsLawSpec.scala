@@ -299,4 +299,51 @@ class NewOpsLawSpec extends SparkSpec {
       .join(dim, col("l_suppkey") === col("s_suppkey")).count()
     assert(passed >= matching)
   }
+
+  test("ml_pca_power: loadings replay from a driver-side power iteration") {
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("ml_pca_power")(spark, sf).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1))).sortBy(_._1).map(_._2)
+    assert(got.length == 64)
+    // max-normalization: every loading in [-1e6, 1e6] and some |v| == 1e6
+    assert(got.forall(v => math.abs(v) <= 1000000L))
+    assert(got.exists(v => math.abs(v) == 1000000L),
+      "the max-|w| component must normalize to exactly ±1e6")
+    // replay the exact integer iteration over the collected quantized corpus
+    val x: Array[Array[Long]] = graft.core.Tables.embeddings(spark, sf)
+      .select(transform(col("embedding"),
+        e => round(e.cast("double") * 1000L).cast("bigint")).as("e"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    var v = Array.fill(64)(BigInt(1000000L))
+    for (_ <- 1 to 4) {
+      val w = Array.fill(64)(BigInt(0))
+      x.foreach { row =>
+        var s = BigInt(0)
+        var j = 0
+        while (j < 64) { s += BigInt(row(j)) * v(j); j += 1 }
+        j = 0
+        while (j < 64) { w(j) += BigInt(row(j)) * s; j += 1 }
+      }
+      val mx = w.map(_.abs).max
+      if (mx > 0) v = w.map(_ * 1000000L / mx)
+    }
+    assert(got.toSeq == v.map(_.toLong).toSeq,
+      s"engine loadings diverge from the integer replay")
+  }
+
+  test("ts_acf: values lie in [-1, 1] and lag coverage shrinks with lag") {
+    val rows = graft.SparkEntry.queries("ts_acf")(spark, sf)
+      .orderBy("lag_d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.length == 10)
+    rows.foreach { case (_, n, acf) =>
+      assert(n >= 1)
+      acf.foreach(a => assert(a >= -1.0 - 1e-12 && a <= 1.0 + 1e-12))
+    }
+    // each +1 lag drops at most one paired day (contiguous grid: exactly one)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._2 <= a._2, "pair count must be antitone in lag")
+      case _ => ()
+    }
+  }
 }

@@ -909,6 +909,16 @@ class PlanShapeSpec extends SparkSpec {
         "after parents), so the shuffle moves only rows that can match\n" + p)
   }
 
+  test("join_dpp inserts a dynamicpruning subquery into the fact scan's partition filters") {
+    val df = graft.SparkEntry.queries("join_dpp")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      "Catalyst must prune fact partitions from the runtime dim key set — " +
+        "without it a 100 TB date-partitioned fact is scanned whole\n" + p)
+    assert(p.contains("PartitionFilters: [isnotnull(day"), p)
+  }
+
   test("agg_corr_matrix is one scan into one partial-aggregated reduce") {
     val p = plan("agg_corr_matrix").split("== Initial Plan ==")(0)
     assert("Scan parquet".r.findAllIn(p).size == 1,
