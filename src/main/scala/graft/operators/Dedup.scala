@@ -553,6 +553,52 @@ object Dedup {
       .select(col("q_id").as("a"), col("n_id").as("b")))
       .select(col("n").as("vec_id"), col("l").as("component"))
 
+  /** STRONGLY connected components of the DIRECTED 1-NN graph — where
+    * [[wcc]] answers "what clumps together", SCC answers "which
+    * neighbor relationships are MUTUAL at the group level": the
+    * directed 1-NN graph is functional (out-degree exactly 1), so its
+    * SCCs are precisely the attractor CYCLES (mutual-NN rings) plus
+    * singleton tail nodes, the k=1 case of the mutual-kNN structure
+    * density clustering builds on.
+    *
+    * Algorithm: POINTER DOUBLING (the classic PRAM list-ranking /
+    * Wyllie technique — on a functional graph succ^(2^k) composes with
+    * itself, so ⌈log₂ N⌉ self-joins reach any orbit), carrying two
+    * invariants per node after round k: far = succ^(2^k)(v) and
+    * mn = min id among the first 2^k orbit steps. After L rounds with
+    * 2^L ≥ N, mn(v) = min of v's whole forward orbit, and the g-image
+    * {far(u) : u} is EXACTLY the union of cycles (far lands on the
+    * cycle from anywhere; on the cycle a fixed power is a bijection).
+    * So: scc(v) = mn(v) when v is in the g-image (orbit of an on-cycle
+    * node IS its cycle → mn = cycle min), else the singleton v. Each
+    * round is ONE equi-join on the node id, lineage-truncated; at
+    * 100 TB that is ~40 bounded shuffle rounds — O(log N), data-
+    * independent, no driver traffic beyond the round count scalar.
+    * The oracle is the DEFINITION: directed transitive closure
+    * (recursive CTE), scc(v) = min({v} ∪ {u : v→⁺u ∧ u→⁺v}),
+    * on_cycle(v) = v→⁺v. */
+  def scc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val succ = SimSearch.knnGraphShared(s, d, k = 1)
+      .select($"q_id".as("v"), $"n_id".as("s")).localCheckpoint()
+    val n = succ.count() // bounded scalar: the round count only
+    val rounds = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
+    var st = succ.select($"v", $"s".as("far"), $"v".as("mn")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      st = st.as("x")
+        .join(st.as("y").select($"v".as("fv"), $"far".as("ffar"), $"mn".as("fmn")),
+          col("x.far") === $"fv")
+        .select(col("x.v").as("v"), $"ffar".as("far"),
+          least(col("x.mn"), $"fmn").as("mn"))
+        .localCheckpoint()
+    }
+    val cycleNodes = st.select($"far".as("cv")).distinct()
+    st.join(cycleNodes, st("v") === cycleNodes("cv"), "left")
+      .select(st("v").as("vec_id"),
+        when($"cv".isNotNull, $"mn").otherwise(st("v")).as("scc"),
+        $"cv".isNotNull.cast("bigint").as("on_cycle"))
+  }
+
   /** Neighborhood overlap per near-dup pair — the classic link-prediction
     * / community-strength signal: for each edge (a, b), the count of
     * common neighbors and the Jaccard of the two neighborhoods in exact
@@ -1459,6 +1505,36 @@ object Dedup {
         UNION
         SELECT u.b AS v, reach.r FROM und u JOIN reach ON reach.v = u.a)
       SELECT v AS vec_id, min(r) AS component FROM reach GROUP BY v""",
+    // the DEFINITION of SCC: directed transitive closure,
+    // scc(v) = min({v} ∪ {u : v→⁺u ∧ u→⁺v}), on_cycle(v) = v→⁺v —
+    // independent of the engine's pointer-doubling algorithm. Same
+    // 1-NN edge rule as graph_wcc, kept DIRECTED.
+    "graph_scc" -> """
+      WITH RECURSIVE edges AS MATERIALIZED (
+        SELECT q_id AS a, n_id AS b FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])) DESC,
+                            e.vec_id ASC) AS rk
+          FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id) t
+        WHERE rk <= 1),
+      reach AS (
+        SELECT a AS v, b AS r FROM edges
+        UNION
+        SELECT reach.v, e.b FROM edges e JOIN reach ON reach.r = e.a),
+      mutual AS (
+        SELECT r1.v, min(r1.r) AS m
+        FROM reach r1 JOIN reach r2 ON r2.v = r1.r AND r2.r = r1.v
+        GROUP BY r1.v),
+      cyc AS (SELECT DISTINCT v FROM reach WHERE v = r)
+      SELECT n.vec_id,
+             CAST(least(n.vec_id, coalesce(s.m, n.vec_id)) AS BIGINT) AS scc,
+             CAST(c.v IS NOT NULL AS BIGINT) AS on_cycle
+      FROM (SELECT vec_id FROM embeddings) n
+      LEFT JOIN mutual s ON s.v = n.vec_id
+      LEFT JOIN cyc c ON c.v = n.vec_id""",
     "dedup_incremental" -> s"""
       WITH sh AS MATERIALIZED (
         -- 4096-position cap: repo-wide oracle convention (see shingleOracle /

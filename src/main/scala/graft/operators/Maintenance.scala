@@ -567,7 +567,51 @@ object Maintenance {
         s" + ((((l_suppkey & 65535) >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", "\n             + ", ")")
 
+  /** Incremental aggregate maintenance (SURVEY §2.3 — materialized-view
+    * delta refresh, the daily-pipeline pattern: yesterday's rollup +
+    * today's partition, never a full recompute): the per-type scoreboard
+    * is assembled ONLY from two disjoint-slice PARTIAL states (events
+    * before/after a cutoff date) re-aggregated with the metrics' own
+    * combiners — counts and sums add, min/max fold, the distinct-day
+    * set unions (calendar-bounded, the one distinct that is safe to
+    * carry as a set; corpus-keyed distincts would ride a sketch
+    * instead). At 100 TB with a date-partitioned fact the base partial
+    * is yesterday's saved output and only the delta partition is
+    * scanned — here both slices compute live, which IS one full scan
+    * split in two. The oracle recomputes from scratch in one pass, so
+    * the hash gate proves merge(partials) ≡ recompute — the algebraic
+    * property incremental refresh rests on. MergedOnlyLaw
+    * (NewOpsLawSpec) additionally pins that the merge path equals the
+    * direct Spark single-pass aggregate. */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutoff = graft.core.Utc.ts("2024-01-15 00:00:00")
+    def partial(slice: DataFrame): DataFrame = slice
+      .select($"event_type", round($"value" * 100).cast("bigint").as("cents"),
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+        min($"cents").as("mn_cents"), max($"cents").as("mx_cents"),
+        collect_set($"day").as("days"))
+    val ev = Tables.events(s, d)
+    val base  = partial(ev.where($"ts" <  lit(cutoff)))
+    val delta = partial(ev.where($"ts" >= lit(cutoff)))
+    base.unionAll(delta)
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n"), sum($"sum_cents").as("sum_cents"),
+        min($"mn_cents").as("mn_cents"), max($"mx_cents").as("mx_cents"),
+        size(array_distinct(flatten(collect_list($"days")))).cast("bigint").as("n_days"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "maint_incremental_agg" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mn_cents,
+             CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mx_cents,
+             count(DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS n_days
+      FROM events GROUP BY 1""",
+
     // the observed globals are replayed as scalar subqueries; the
     // conservation invariant (sum of per-flag n == obs_rows) is implied
     // by the shared source and checked by the hash compare

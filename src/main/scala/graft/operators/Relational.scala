@@ -1133,6 +1133,25 @@ object Relational {
       expr("mask(c_name, 'X', 'x', '9')").as("masked_digits9"))
   }
 
+  /** Regexp scalar family (SURVEY §2.3 I): extract / extract-groups /
+    * count / replace-all / match-test over real document text. Dialect
+    * discipline: Spark compiles java.util.regex, DuckDB compiles RE2 —
+    * the patterns here stay inside the shared subset (literal classes,
+    * `+` quantifiers, anchored groups, `\b`), where both engines are
+    * specified identically; backreferences, lookaround, and possessive
+    * quantifiers are out of contract (RE2 rejects the first two
+    * outright). Per-row, zero shuffle, codegen'd built-ins. */
+  def fnRegex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(
+      $"doc_id",
+      regexp_extract($"text", "([A-Z][a-z]+)", 1).as("first_cap"),
+      regexp_count($"text", lit("[aeiou]+")).cast("bigint").as("n_vowel_runs"),
+      regexp_replace(substring($"text", 1, 48), "[aeiou]", "_").as("devoweled"),
+      array_join(expr("regexp_extract_all(text, '([a-z]+ing)\\\\b', 1)"), ",").as("ing_words"),
+      $"text".rlike("[A-Za-z]+ed\\b").cast("bigint").as("has_past"))
+  }
+
   def fnString(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.part(s, d).select(

@@ -376,6 +376,18 @@ object RelationalOracles {
                         sqrt(CAST(n*sy2 - sy*sy AS DOUBLE))) END AS corr
       FROM m""",
 
+    // java.util.regex (engine) vs RE2 (here): patterns stay inside the
+    // shared dialect subset — see fnRegex's contract note
+    "fn_regex" -> """
+      SELECT doc_id,
+             regexp_extract(text, '([A-Z][a-z]+)', 1) AS first_cap,
+             CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
+             regexp_replace(substr(text, 1, 48), '[aeiou]', '_', 'g') AS devoweled,
+             -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+             coalesce(array_to_string(regexp_extract_all(text, '([a-z]+ing)\b', 1), ','), '') AS ing_words,
+             CAST(regexp_matches(text, '[A-Za-z]+ed\b') AS BIGINT) AS has_past
+      FROM documents""",
+
     // the tsCrossCorrelation oracle shape, self-joined on the revenue
     // grid; decimal moments because daily-revenue squares outgrow BIGINT
     "ts_acf" -> """

@@ -331,6 +331,59 @@ class NewOpsLawSpec extends SparkSpec {
       s"engine loadings diverge from the integer replay")
   }
 
+  test("graph_scc: labels replay from a driver-side functional-graph walk") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.SparkEntry.queries("graph_scc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.nonEmpty)
+    val succ = SimSearch.knnGraphShared(spark, sf, k = 1)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // functional-graph SCC by direct orbit walk: v is on a cycle iff its
+    // far-forward orbit returns to it; its scc is then the cycle min
+    def orbitCycle(v: Long): Option[Set[Long]] = {
+      var seen = Vector.empty[Long]; var cur = v
+      val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+      while (!idx.contains(cur)) { idx(cur) = seen.length; seen :+= cur; cur = succ(cur) }
+      val cyc = seen.drop(idx(cur)).toSet
+      if (cyc.contains(v)) Some(cyc) else None
+    }
+    got.foreach { case (v, sccId, onCycle) =>
+      orbitCycle(v) match {
+        case Some(cyc) =>
+          assert(onCycle == 1L, s"$v is on a cycle but flagged 0")
+          assert(sccId == cyc.min, s"$v: scc $sccId != cycle min ${cyc.min}")
+        case None =>
+          assert(onCycle == 0L && sccId == v, s"tail node $v must be a singleton")
+      }
+    }
+    // closure: the successor of an on-cycle node is on-cycle with the same label
+    val byId = got.map(t => t._1 -> t).toMap
+    got.filter(_._3 == 1L).foreach { case (v, sccId, _) =>
+      val (_, s2, oc2) = byId(succ(v))
+      assert(oc2 == 1L && s2 == sccId, s"cycle not closed at $v -> ${succ(v)}")
+    }
+  }
+
+  test("maint_incremental_agg: the partial-state merge equals a direct single pass") {
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("maint_incremental_agg")(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val direct = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"),
+        countDistinct(col("day")).as("nd"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == direct, s"merge(partials) != direct recompute:\n$got\n$direct")
+  }
+
   test("ts_acf: values lie in [-1, 1] and lag coverage shrinks with lag") {
     val rows = graft.SparkEntry.queries("ts_acf")(spark, sf)
       .orderBy("lag_d").collect()
