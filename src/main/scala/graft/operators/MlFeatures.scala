@@ -273,7 +273,54 @@ object MlFeatures {
     * from the same [[TextAnalysis.StopwordSets]] constants (the
     * generated-oracle discipline — the two sides cannot
     * desynchronize). */
+  /** Calibration / reliability bins for the English-stopword-density
+    * score against the labeled truth (`lang = 'en'`) — the diagram that
+    * tells you whether a classifier's score is TRUSTWORTHY as a
+    * probability (do 70 %-score docs come out English 70 % of the
+    * time?), the standard companion to [[mlEvalAuc]]'s ranking view
+    * and `ml_eval_confusion`'s threshold view. Score = en-stopword
+    * hits ·10⁶ div tokens (the [[TextAnalysis.langId]] tokenization
+    * and marker set, shared not copy-pasted); decile bins with the top
+    * edge folded into bin 9; per-bin mean score and observed-English
+    * rate as exact non-negative floor-div ppm. ONE map-side-combined
+    * aggregate over the docs scan → ≤10 rows; BIGINT score sums are
+    * safe to ~10¹² docs (score ≤ 10⁶/row). */
+  def calibrationBins(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = TextAnalysis.toks($"text")
+    val en = TextAnalysis.hitCount(t, TextAnalysis.StopwordSets.head._2)
+    Tables.documents(s, d)
+      .select(($"lang" === "en").cast("bigint").as("is_en"),
+        (en.cast("bigint") * 1000000L).as("hits6"),
+        size(t).cast("bigint").as("n_toks"))
+      .select($"is_en", expr("hits6 div n_toks").as("score_ppm"))
+      .select($"is_en", $"score_ppm",
+        least(lit(9L), expr("score_ppm div 100000")).as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(score_ppm) div count(*) AS BIGINT)").as("mean_score_ppm"),
+        expr("CAST(sum(is_en) * 1000000 div count(*) AS BIGINT)").as("observed_en_ppm"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "ml_calibration_bins" -> """
+      WITH t AS (
+        SELECT CAST(lang = 'en' AS BIGINT) AS is_en,
+               string_split(lower(text), ' ') AS toks
+        FROM documents),
+      sc AS (
+        SELECT is_en,
+               len(list_filter(toks, x -> list_contains(
+                 ['the','a','of','and','to','in','is','that','for','it'], x)))
+                 * 1000000 // len(toks) AS score_ppm
+        FROM t),
+      b AS (SELECT is_en, score_ppm,
+                   least(9, score_ppm // 100000) AS bin FROM sc)
+      SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+             CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score_ppm,
+             CAST(sum(is_en) * 1000000 // count(*) AS BIGINT) AS observed_en_ppm
+      FROM b GROUP BY 1""",
+
     // INDEPENDENT formulation: DuckDB's native SQL-standard ordered-set
     // aggregate — the engine's ceil(p·n) rank pick must equal it
     "agg_percentile_exact" -> """

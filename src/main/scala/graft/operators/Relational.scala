@@ -1850,6 +1850,85 @@ object Relational {
            sqrt(($"n" * $"sy2" - $"sy" * $"sy").cast("double")))).as("corr"))
   }
 
+  /** Difference-in-differences estimator (Card–Krueger form) — THE
+    * quasi-experimental effect readout when treatment was not
+    * randomized: purchase value for treated (odd user_id) vs control
+    * cohorts, before vs after a cutoff date, effect = (T,post −
+    * T,pre) − (C,post − C,pre). ONE map-side-combined conditional
+    * aggregate computes all four cells in a single fact pass (the
+    * agg_corr_matrix shape); cell means are exact floor-div ppm on
+    * DECIMAL(38,0) sums (BIGINT·10⁶ wraps at corpus scale — the
+    * ml_linreg rationale; sums are non-negative so plain `div` ≡
+    * DuckDB HUGEINT `//`), and the DiD is computed ON the quantized
+    * means so both engines state the identical integer. Empty cells →
+    * NULL (never arises at the fixture SFs, pinned anyway). */
+  def eventsDid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cutoff = graft.core.Utc.ts("2024-01-15 00:00:00")
+    val p = Tables.events(s, d)
+      .where($"event_type" === "purchase")
+      .select(($"user_id" % 2).as("t"),
+        ($"ts" >= lit(cutoff)).cast("bigint").as("po"),
+        round($"value" * 100).cast("bigint").as("cents"))
+    def cell(t: Int, po: Int, col: org.apache.spark.sql.Column) =
+      sum(when($"t" === t && $"po" === po, col).otherwise(lit(0L)))
+    val m = p.groupBy().agg(
+      cell(0, 0, lit(1L)).as("n00"), cell(0, 1, lit(1L)).as("n01"),
+      cell(1, 0, lit(1L)).as("n10"), cell(1, 1, lit(1L)).as("n11"),
+      cell(0, 0, $"cents").cast(dec).as("s00"), cell(0, 1, $"cents").cast(dec).as("s01"),
+      cell(1, 0, $"cents").cast(dec).as("s10"), cell(1, 1, $"cents").cast(dec).as("s11"))
+    def meanPpm(sc: String, nc: String) =
+      expr(s"CAST(CASE WHEN $nc = 0 THEN NULL ELSE ($sc * 1000000) div $nc END AS BIGINT)")
+    m.select($"n00", $"n01", $"n10", $"n11",
+      meanPpm("s00", "n00").as("m00_ppm"), meanPpm("s01", "n01").as("m01_ppm"),
+      meanPpm("s10", "n10").as("m10_ppm"), meanPpm("s11", "n11").as("m11_ppm"))
+      .withColumn("did_ppm",
+        ($"m11_ppm" - $"m10_ppm") - ($"m01_ppm" - $"m00_ppm"))
+  }
+
+  /** Delete-one-bucket jackknife for the mean — distributed uncertainty
+    * quantification: how wide is the confidence band around "average
+    * purchase value"? True bootstrap needs random resampling; the
+    * delete-d jackknife over K = 20 content-addressed user buckets
+    * (md5 hash — [[Maintenance.md5Hex32Col]], the repo's one hash
+    * convention) is its deterministic, one-pass, merge-friendly
+    * sibling (Efron 1982): leave-one-bucket-out means m₋ᵦ from the
+    * per-bucket (nᵦ, sᵦ) partials, variance = (K−1)/K · Σ(m₋ᵦ − m̄)².
+    * Everything after the ONE fact aggregate is 20-row profile math;
+    * the ppm quantization of m₋ᵦ is applied BEFORE the variance on
+    * both engines, so the contract is exact integers all the way.
+    * At 100 TB: one map-side-combined aggregate (20 partials), zero
+    * extra passes — the same partials an incremental pipeline already
+    * maintains ([[Maintenance.incrementalAgg]]). */
+  def eventsJackknife(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val byB = Tables.events(s, d)
+      .where($"event_type" === "purchase")
+      .select((Maintenance.md5Hex32Col($"user_id") % 20).as("bkt"),
+        round($"value" * 100).cast("bigint").as("cents"))
+      .groupBy($"bkt")
+      .agg(count(lit(1)).as("n_b"), sum($"cents").cast(dec).as("s_b"))
+      .localCheckpoint() // consumed by the totals probe and the output
+    val g = broadcast(byB.agg(sum($"n_b").as("n_tot"), sum($"s_b").as("s_tot"),
+      count(lit(1)).as("k")))
+    val loo = byB.crossJoin(g)
+      .select($"bkt", $"n_b", $"s_b".cast("bigint").as("s_b"), $"k",
+        expr("CAST((( s_tot - s_b) * 1000000) div (n_tot - n_b) AS BIGINT)")
+          .as("loo_mean_ppm"))
+      .localCheckpoint() // consumed by the mbar/var probe and the output
+    val stats = broadcast(loo
+      .agg(expr("CAST(sum(loo_mean_ppm) div count(*) AS BIGINT)").as("mbar_ppm"),
+        count(lit(1)).as("k2")))
+    val varRow = broadcast(loo.crossJoin(stats)
+      .agg(expr("""CAST(sum(CAST(loo_mean_ppm - mbar_ppm AS DECIMAL(38,0))
+                           * (loo_mean_ppm - mbar_ppm))
+                        * max(k2 - 1) div max(k2) AS BIGINT)""").as("jk_var_ppm2")))
+    loo.crossJoin(varRow)
+      .select($"bkt", $"n_b", $"s_b", $"loo_mean_ppm", $"jk_var_ppm2")
+  }
+
   /** Autocorrelation function of the daily revenue series at lags 1–10
     * (the Box–Jenkins diagnostic that picks AR orders and validates the
     * `ts_holt`/`ts_stl_lite` residuals): Pearson between the series and

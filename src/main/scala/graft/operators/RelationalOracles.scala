@@ -376,6 +376,59 @@ object RelationalOracles {
                         sqrt(CAST(n*sy2 - sy*sy AS DOUBLE))) END AS corr
       FROM m""",
 
+    // four conditional-aggregate cells + floor-div ppm means; DiD stated
+    // on the quantized means, exactly the engine's rule
+    "events_did" -> """
+      WITH p AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS t,
+               CAST(CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00' AS BIGINT) AS po,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      m AS (
+        SELECT sum(CASE WHEN t=0 AND po=0 THEN 1 ELSE 0 END) AS n00,
+               sum(CASE WHEN t=0 AND po=1 THEN 1 ELSE 0 END) AS n01,
+               sum(CASE WHEN t=1 AND po=0 THEN 1 ELSE 0 END) AS n10,
+               sum(CASE WHEN t=1 AND po=1 THEN 1 ELSE 0 END) AS n11,
+               CAST(sum(CASE WHEN t=0 AND po=0 THEN cents ELSE 0 END) AS HUGEINT) AS s00,
+               CAST(sum(CASE WHEN t=0 AND po=1 THEN cents ELSE 0 END) AS HUGEINT) AS s01,
+               CAST(sum(CASE WHEN t=1 AND po=0 THEN cents ELSE 0 END) AS HUGEINT) AS s10,
+               CAST(sum(CASE WHEN t=1 AND po=1 THEN cents ELSE 0 END) AS HUGEINT) AS s11
+        FROM p),
+      mm AS (
+        SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+               CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+               CAST(CASE WHEN n00=0 THEN NULL ELSE (s00*1000000)//n00 END AS BIGINT) AS m00_ppm,
+               CAST(CASE WHEN n01=0 THEN NULL ELSE (s01*1000000)//n01 END AS BIGINT) AS m01_ppm,
+               CAST(CASE WHEN n10=0 THEN NULL ELSE (s10*1000000)//n10 END AS BIGINT) AS m10_ppm,
+               CAST(CASE WHEN n11=0 THEN NULL ELSE (s11*1000000)//n11 END AS BIGINT) AS m11_ppm
+        FROM m)
+      SELECT *, (m11_ppm - m10_ppm) - (m01_ppm - m00_ppm) AS did_ppm FROM mm""",
+
+    // same md5 bucket convention as the engine (one hash scheme repo-wide);
+    // ppm quantization applied BEFORE the variance on both sides
+    "events_jackknife" -> s"""
+      WITH p AS (
+        SELECT (${Maintenance.md5Hex32Sql("CAST(user_id AS VARCHAR)")} % 20) AS bkt,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      b AS (SELECT bkt, count(*) AS n_b, CAST(sum(cents) AS HUGEINT) AS s_b
+            FROM p GROUP BY 1),
+      g AS (SELECT CAST(sum(n_b) AS HUGEINT) AS n_tot,
+                   CAST(sum(s_b) AS HUGEINT) AS s_tot, count(*) AS k FROM b),
+      loo AS (
+        SELECT CAST(b.bkt AS BIGINT) AS bkt, b.n_b, CAST(b.s_b AS BIGINT) AS s_b,
+               CAST(((g.s_tot - b.s_b) * 1000000) // (g.n_tot - b.n_b) AS BIGINT)
+                 AS loo_mean_ppm
+        FROM b, g),
+      st AS (SELECT CAST(sum(loo_mean_ppm) // count(*) AS BIGINT) AS mbar_ppm,
+                    count(*) AS k2 FROM loo),
+      v AS (SELECT CAST(sum(CAST(loo.loo_mean_ppm - st.mbar_ppm AS HUGEINT)
+                            * (loo.loo_mean_ppm - st.mbar_ppm))
+                        * (max(st.k2) - 1) // max(st.k2) AS BIGINT) AS jk_var_ppm2
+            FROM loo, st)
+      SELECT loo.bkt, loo.n_b, loo.s_b, loo.loo_mean_ppm, v.jk_var_ppm2
+      FROM loo, v""",
+
     // java.util.regex (engine) vs RE2 (here): patterns stay inside the
     // shared dialect subset — see fnRegex's contract note
     "fn_regex" -> """

@@ -384,6 +384,56 @@ class NewOpsLawSpec extends SparkSpec {
     assert(got == direct, s"merge(partials) != direct recompute:\n$got\n$direct")
   }
 
+  test("events_did: cells and effect replay from the raw purchase slice") {
+    import org.apache.spark.sql.functions.col
+    val r = graft.SparkEntry.queries("events_did")(spark, sf).collect()(0)
+    val cutoff = graft.core.Utc.ts("2024-01-15 00:00:00").getTime
+    val raw = graft.core.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value")).collect()
+      .map(x => (x.getLong(0) % 2, if (x.getTimestamp(1).getTime >= cutoff) 1 else 0,
+        math.round(x.getDouble(2) * 100)))
+    def cell(t: Long, po: Int) = raw.filter(x => x._1 == t && x._2 == po)
+    def meanPpm(t: Long, po: Int) = {
+      val c = cell(t, po); BigInt(c.map(_._3).sum) * 1000000 / c.length
+    }
+    assert(r.getLong(0) == cell(0, 0).length && r.getLong(3) == cell(1, 1).length)
+    val (m00, m01, m10, m11) =
+      (meanPpm(0, 0), meanPpm(0, 1), meanPpm(1, 0), meanPpm(1, 1))
+    assert(r.getLong(4) == m00.toLong && r.getLong(7) == m11.toLong)
+    assert(r.getLong(8) == ((m11 - m10) - (m01 - m00)).toLong, "did_ppm drifted")
+  }
+
+  test("events_jackknife: loo means and variance replay from the bucket partials") {
+    val rows = graft.SparkEntry.queries("events_jackknife")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val k = rows.length
+    assert(k >= 2 && k <= 20)
+    val nTot = rows.map(_._2).sum; val sTot = rows.map(x => BigInt(x._3)).sum
+    rows.foreach { case (_, nB, sB, loo, _) =>
+      assert(loo == ((sTot - sB) * 1000000 / (nTot - nB)).toLong, "loo mean drifted")
+    }
+    val mbar = rows.map(x => BigInt(x._4)).sum / k
+    val varWant = (rows.map(x => (BigInt(x._4) - mbar) * (BigInt(x._4) - mbar)).sum
+      * (k - 1) / k).toLong
+    assert(rows.forall(_._5 == varWant), s"jackknife variance drifted (want $varWant)")
+    assert(varWant >= 0)
+  }
+
+  test("ml_calibration_bins: bins partition the corpus and means respect bin edges") {
+    val rows = graft.SparkEntry.queries("ml_calibration_bins")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 0 && r._1 <= 9))
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == nDocs, "bins must partition every doc")
+    rows.foreach { case (bin, _, mean, obs) =>
+      assert(mean >= bin * 100000 &&
+        (mean < (bin + 1) * 100000 || (bin == 9 && mean <= 1000000)),
+        s"bin $bin mean $mean outside its edges")
+      assert(obs >= 0 && obs <= 1000000)
+    }
+  }
+
   test("ts_acf: values lie in [-1, 1] and lag coverage shrinks with lag") {
     val rows = graft.SparkEntry.queries("ts_acf")(spark, sf)
       .orderBy("lag_d").collect()
