@@ -302,7 +302,143 @@ object MlFeatures {
         expr("CAST(sum(is_en) * 1000000 div count(*) AS BIGINT)").as("observed_en_ppm"))
   }
 
+  private val BoostRounds = 3
+  private val BoostFeatures = Seq("disc", "qty", "tax") // ASC string order = tie order
+
+  /** Gradient-boosted decision STUMPS (Friedman 2001, squared loss,
+    * depth-1 trees, unit learning rate, [[BoostRounds]] rounds) fitting
+    * price cents from the three domain-bounded lineitem measures — the
+    * minimal honest GBM: each round finds the (feature, threshold)
+    * split maximizing the SSE reduction S²_L/n_L + S²_R/n_R over the
+    * current RESIDUALS, fits left/right constants, and subtracts.
+    *
+    * Exactness contract: residuals stay exact BIGINT cents end-to-end
+    * (leaf constants are sign-safe truncating divisions — the
+    * ml_linreg rule); split gains are computed as ONE identical double
+    * expression on both engines from exact integer moments (S² rides
+    * DECIMAL(38,0)/HUGEINT — ~10³⁷ at 100 TB, inside both; the double
+    * rounding of the same exact integer is the same double), with ties
+    * broken (feature ASC, threshold ASC). So the full 3-round model
+    * REPLAYS bit-for-bit, and the oracle is a GENERATED unrolled
+    * DuckDB program of the identical recurrence (the ml_kmeans /
+    * ml_pca_power discipline).
+    *
+    * Scale shape: candidate thresholds are the features' DOMAINS
+    * (50+11+9 values — bounded however large the corpus), so each
+    * round is one fact-sized map-side-combined (feature-value →
+    * n, Σr) aggregate per feature over the checkpointed residual
+    * frame; the prefix-sum split search runs on the ≤70-row collected
+    * profile on the driver (the kmeans-centroid class of collect).
+    * Residual update is a per-row `when` against two broadcast leaf
+    * constants. Driver traffic per round: ≤70 rows + one stump. */
+  def boostedStumps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    var cur = Tables.lineitem(s, d).select(
+      round($"l_discount" * 100).cast("bigint").as("disc"),
+      round($"l_quantity" * 100).cast("bigint").as("qty"),
+      round($"l_tax" * 100).cast("bigint").as("tax"),
+      Exact.cents($"l_extendedprice").as("r"))
+      .localCheckpoint() // re-consumed by every round's profile aggs
+    val stumps = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Long, Long)]
+    def truncDiv(a: BigInt, n: BigInt): BigInt =
+      if (a < 0) -((-a) / n) else a / n
+    for (round <- 1 to BoostRounds) {
+      // per-feature residual profiles — domain-bounded rows out
+      val profiles = BoostFeatures.map { f =>
+        f -> cur.groupBy(col(f).as("v"))
+          .agg(count(lit(1)).as("n"), sum($"r".cast(dec)).as("s"))
+          .collect()
+          .map(x => (x.getLong(0), x.getLong(1), BigInt(x.getDecimal(2).toBigInteger)))
+          .sortBy(_._1)
+      }
+      val nTot = profiles.head._2.map(_._2).sum
+      val sTot = profiles.head._2.map(_._3).sum
+      // split search on the collected profiles: exact prefix moments,
+      // gain as the shared double expression, (gain DESC, f ASC, v ASC)
+      val candidates = profiles.flatMap { case (f, prof) =>
+        prof.scanLeft(("", 0L, 0L, BigInt(0))) { case ((_, _, nl, sl), (v, n, sv)) =>
+          (f, v, nl + n, sl + sv)
+        }.drop(1).dropRight(1) // thresholds with non-empty both sides
+          .map { case (_, v, nl, sl) =>
+            val (nr, sr) = (nTot - nl, sTot - sl)
+            val gain = (sl * sl).toDouble / nl + (sr * sr).toDouble / nr
+            (f, v, nl, sl, nr, sr, gain)
+          }
+      }
+      val best = candidates.minBy { case (f, v, _, _, _, _, g) => (-g, f, v) }
+      val (f, v, nl, sl, nr, sr, _) = best
+      val (pl, pr) = (truncDiv(sl, nl).toLong, truncDiv(sr, nr).toLong)
+      stumps += ((round.toLong, f, v, nl, pl, pr))
+      cur = cur.select($"disc", $"qty", $"tax",
+        ($"r" - when(col(f) <= v, pl).otherwise(pr)).as("r"))
+        .localCheckpoint()
+    }
+    stumps.toSeq.toDF("round", "feature", "threshold", "n_left",
+      "pred_left_cents", "pred_right_cents")
+  }
+
+  /** Generated DuckDB replay of [[boostedStumps]], unrolled per round
+    * so rounds/features/loss constants cannot desynchronize. */
+  private def oracleBoostedStumps: String = {
+    def round(k: Int): String = {
+      val prev = s"rr${k - 1}"
+      val cands = BoostFeatures.map(f =>
+        s"""SELECT '$f' AS f, $f AS v, count(*) AS n,
+               CAST(sum(r) AS HUGEINT) AS sv FROM $prev GROUP BY 2""")
+        .mkString("\n          UNION ALL ")
+      s"""
+      cand$k AS ($cands),
+      pref$k AS (
+        SELECT f, v,
+               sum(n) OVER (PARTITION BY f ORDER BY v) AS nl,
+               sum(sv) OVER (PARTITION BY f ORDER BY v) AS sl,
+               sum(n) OVER (PARTITION BY f) AS nf
+        FROM cand$k),
+      tot$k AS (SELECT count(*) AS n, CAST(sum(r) AS HUGEINT) AS s FROM $prev),
+      best$k AS (
+        SELECT f, v, nl, sl, t.n - nl AS nr, t.s - sl AS sr
+        FROM pref$k, tot$k t
+        WHERE nl > 0 AND t.n - nl > 0
+        QUALIFY row_number() OVER (ORDER BY
+          CAST(CAST(sl*sl AS DOUBLE)/nl + CAST((t.s-sl)*(t.s-sl) AS DOUBLE)/(t.n-nl)
+               AS DOUBLE) DESC, f ASC, v ASC) = 1),
+      p$k AS (
+        SELECT f, v, nl,
+               CASE WHEN sl < 0 THEN -((-sl) // CAST(nl AS HUGEINT))
+                    ELSE sl // CAST(nl AS HUGEINT) END AS pl,
+               CASE WHEN sr < 0 THEN -((-sr) // CAST(nr AS HUGEINT))
+                    ELSE sr // CAST(nr AS HUGEINT) END AS pr
+        FROM best$k),
+      rr$k AS (
+        SELECT disc, qty, tax,
+               r - (CASE WHEN (CASE p.f WHEN 'disc' THEN disc
+                                        WHEN 'qty' THEN qty
+                                        ELSE tax END) <= p.v
+                         THEN p.pl ELSE p.pr END) AS r
+        FROM $prev, p$k p)"""
+    }
+    val head = """
+      WITH rr0 AS (
+        SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+               CAST(round(l_tax * 100) AS BIGINT) AS tax,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS r
+        FROM lineitem)"""
+    val rounds = (1 to BoostRounds).map(round).mkString(",", ",", "")
+    val out = (1 to BoostRounds).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS round, f AS feature,
+             CAST(v AS BIGINT) AS threshold, CAST(nl AS BIGINT) AS n_left,
+             CAST(pl AS BIGINT) AS pred_left_cents,
+             CAST(pr AS BIGINT) AS pred_right_cents FROM p$k""")
+      .mkString("\n      UNION ALL ")
+    head + rounds + "\n      " + out
+  }
+
   val oracle: Map[String, String] = Map(
+    "ml_boosted_stumps" -> oracleBoostedStumps,
+
     "ml_calibration_bins" -> """
       WITH t AS (
         SELECT CAST(lang = 'en' AS BIGINT) AS is_en,

@@ -384,6 +384,52 @@ class NewOpsLawSpec extends SparkSpec {
     assert(got == direct, s"merge(partials) != direct recompute:\n$got\n$direct")
   }
 
+  test("ml_boosted_stumps: the full fit replays and training SSE is monotone") {
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("ml_boosted_stumps")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(got.length == 3)
+    val rows = graft.core.Tables.lineitem(spark, sf).select(
+      expr("CAST(round(l_discount * 100) AS BIGINT)"),
+      expr("CAST(round(l_quantity * 100) AS BIGINT)"),
+      expr("CAST(round(l_tax * 100) AS BIGINT)"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .collect()
+      .map(x => (Map("disc" -> x.getLong(0), "qty" -> x.getLong(1),
+        "tax" -> x.getLong(2)), x.getLong(3)))
+    var cur = rows
+    def sse(rs: Seq[(Map[String, Long], Long)]): BigInt =
+      rs.map(x => BigInt(x._2) * x._2).sum
+    var lastSse = sse(cur)
+    def truncDiv(a: BigInt, n: Long): BigInt = if (a < 0) -((-a) / n) else a / n
+    got.foreach { case (_, f, v, nLeft, pl, pr) =>
+      // replay the argmax over all (feature, threshold) candidates
+      val cands = Seq("disc", "qty", "tax").flatMap { ff =>
+        val prof = cur.groupBy(_._1(ff)).view
+          .mapValues(g => (g.length.toLong, g.map(x => BigInt(x._2)).sum))
+          .toSeq.sortBy(_._1)
+        val (nT, sT) = (cur.length.toLong, cur.map(x => BigInt(x._2)).sum)
+        prof.scanLeft((0L, 0L, BigInt(0))) { case ((_, nl, sl), (vv, (n, sv))) =>
+          (vv, nl + n, sl + sv)
+        }.drop(1).dropRight(1).map { case (vv, nl, sl) =>
+          val (nr, sr) = (nT - nl, sT - sl)
+          (ff, vv, nl, (sl * sl).toDouble / nl + (sr * sr).toDouble / nr, sl, sr, nr)
+        }
+      }
+      val b = cands.minBy(c => (-c._4, c._1, c._2))
+      assert((b._1, b._2, b._3) == (f, v, nLeft),
+        s"stump drifted: engine ($f,$v,$nLeft) vs replay (${b._1},${b._2},${b._3})")
+      assert(truncDiv(b._5, nLeft).toLong == pl && truncDiv(b._6, b._7).toLong == pr)
+      cur = cur.map { case (fs, r) =>
+        (fs, r - (if (fs(f) <= v) pl else pr))
+      }
+      val s2 = sse(cur)
+      assert(s2 <= lastSse, "training SSE must not increase")
+      lastSse = s2
+    }
+  }
+
   test("events_did: cells and effect replay from the raw purchase slice") {
     import org.apache.spark.sql.functions.col
     val r = graft.SparkEntry.queries("events_did")(spark, sf).collect()(0)
