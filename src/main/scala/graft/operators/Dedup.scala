@@ -1233,6 +1233,61 @@ object Dedup {
         coalesce($"cluster_rep", $"vec_id").as("dedup_group"))
   }
 
+  private val DbscanEps = 0.35
+  private val DbscanMinPts = 4
+
+  /** DBSCAN (Ester et al. 1996) over the embedding space — DENSITY
+    * clustering where [[semanticDedup]]'s plain CC merges any chain:
+    * core points have ≥ minPts−1 cosine-ε neighbors (the point itself
+    * is the minPts-th), clusters are connected components of the
+    * CORE-CORE graph, border points attach to their minimum core
+    * neighbor's cluster (the deterministic version of DBSCAN's
+    * first-visitor rule), everything else is noise. ε = 0.35 /
+    * minPts = 4 exercise all three roles at every fixture SF
+    * (48/47/1553 cores at sf0.001/0.01/0.1).
+    *
+    * Pipeline: the EXACT B²-tiled blocked pair join
+    * ([[embeddingExactPairs]] — replayable ground truth, the
+    * dedup_embedding discipline; at 100 TB the candidate generator
+    * swaps for [[lshBuckets]] or IVF cells with everything downstream
+    * unchanged) → degree aggregate → core filter → the union-find-law-
+    * checked [[connectedComponents]] star algebra on core-core edges
+    * (isolated cores label themselves) → border min-label join. The
+    * oracle restates all of it from the DEFINITION: SQL pairs +
+    * recursive-CTE closure + the same min rules. Cosine compares are
+    * the proven FloatVecDot ≡ list_cosine_similarity double parity. */
+  def dbscan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = embeddingCosineExact(s, d, DbscanEps)
+      .select($"vec_a", $"vec_b").localCheckpoint() // und consumed 3×
+    val und = pairs.unionAll(pairs.select($"vec_b".as("vec_a"), $"vec_a".as("vec_b")))
+      .select($"vec_a".as("v"), $"vec_b".as("u"))
+    val core = und.groupBy($"v").agg(count(lit(1)).as("deg"))
+      .where($"deg" >= DbscanMinPts - 1)
+      .select($"v".as("core_id")).localCheckpoint() // consumed 3×
+    val coreEdges = und
+      .join(core.select($"core_id".as("v")), "v")
+      .join(core.select($"core_id".as("u")), "u")
+      .select($"v".as("a"), $"u".as("b"))
+    val coreLab = core.join(
+        connectedComponents(coreEdges).select($"n".as("core_id"), $"l"),
+        Seq("core_id"), "left")
+      .select($"core_id", coalesce($"l", $"core_id").as("ccluster"))
+      .localCheckpoint() // consumed by the border join and the output
+    val border = und
+      .join(coreLab.select($"core_id".as("u"), $"ccluster"), "u")
+      .join(core.select($"core_id".as("v")), Seq("v"), "left_anti")
+      .groupBy($"v").agg(min($"ccluster").as("bcluster"))
+    Tables.embeddings(s, d).select($"vec_id")
+      .join(coreLab.select($"core_id".as("vec_id"), $"ccluster"), Seq("vec_id"), "left")
+      .join(border.select($"v".as("vec_id"), $"bcluster"), Seq("vec_id"), "left")
+      .select($"vec_id",
+        when($"ccluster".isNotNull, "core")
+          .when($"bcluster".isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce($"ccluster", $"bcluster", lit(-1L)).cast("bigint").as("cluster"))
+  }
+
   /** Deterministic seeded hyperplanes (Gaussian-ish via Random(seed)). */
   def hyperplanes(k: Int, dim: Int, seed: Long = 7L): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
@@ -1730,6 +1785,39 @@ object Dedup {
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+
+    // the DEFINITION: pairs from the cosine predicate, cores by degree,
+    // clusters by recursive closure over core-core edges (base row
+    // covers isolated cores), border = min core-neighbor label
+    "ml_dbscan" -> """
+      WITH RECURSIVE pairs AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.35),
+      und AS (SELECT va AS v, vb AS u FROM pairs
+              UNION ALL SELECT vb, va FROM pairs),
+      core AS (SELECT v FROM (SELECT v, count(*) AS d FROM und GROUP BY 1)
+               WHERE d >= 3),
+      ce AS (SELECT u.v AS a, u.u AS b FROM und u
+             JOIN core c1 ON c1.v = u.v JOIN core c2 ON c2.v = u.u),
+      reach(n, l) AS (
+        SELECT v, v FROM core
+        UNION
+        SELECT e.b, r.l FROM reach r JOIN ce e ON e.a = r.n),
+      lab AS (SELECT n AS v, min(l) AS ccluster FROM reach GROUP BY 1),
+      bord AS (
+        SELECT u.v, min(lab.ccluster) AS bcluster
+        FROM und u JOIN lab ON lab.v = u.u
+        WHERE u.v NOT IN (SELECT v FROM core) GROUP BY 1)
+      SELECT em.vec_id,
+             CASE WHEN l.ccluster IS NOT NULL THEN 'core'
+                  WHEN b.bcluster IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS role,
+             CAST(coalesce(l.ccluster, b.bcluster, -1) AS BIGINT) AS cluster
+      FROM embeddings em
+      LEFT JOIN lab l ON l.v = em.vec_id
+      LEFT JOIN bord b ON b.v = em.vec_id""",
 
     "dedup_semantic" -> """
       WITH RECURSIVE pairs AS (

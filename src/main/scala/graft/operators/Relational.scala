@@ -1850,6 +1850,34 @@ object Relational {
            sqrt(($"n" * $"sy2" - $"sy" * $"sy").cast("double")))).as("corr"))
   }
 
+  /** Gini impurity of the per-day event-type mix — the distribution-
+    * concentration diagnostic (is traffic diversifying or collapsing
+    * into one event type?) and the split criterion [[MlFeatures
+    * .boostedStumps]]'s classification twin would use. Exact integer
+    * ppm: gini = 1 − Σpᵢ² stated as (n² − Σnᵢ²)·10⁶ div n² — no
+    * division until the final quantized one; n²·10⁶ rides
+    * DECIMAL(38,0) (wraps BIGINT past ~3·10⁶ rows/day). Also emits
+    * the dominant type's share (max nᵢ·10⁶ div n). ONE map-side
+    * (day, type) aggregate (≤|days|×|types| rows) folded to the day
+    * profile — corpus touched once. */
+  def aggGini(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byType = Tables.events(s, d)
+      .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n_i"))
+    byType.groupBy($"day")
+      .agg(sum($"n_i").as("n"),
+        sum(($"n_i".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"n_i"))
+          .as("sum_sq"),
+        max($"n_i").as("max_i"),
+        count(lit(1)).as("n_types"))
+      .select($"day", $"n", $"n_types",
+        expr("""CAST(((CAST(n AS DECIMAL(38,0)) * n - sum_sq) * 1000000)
+                     div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""").as("gini_ppm"),
+        expr("CAST((CAST(max_i AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)")
+          .as("dominant_share_ppm"))
+  }
+
   /** Difference-in-differences estimator (Card–Krueger form) — THE
     * quasi-experimental effect readout when treatment was not
     * randomized: purchase value for treated (odd user_id) vs control

@@ -376,6 +376,23 @@ object RelationalOracles {
                         sqrt(CAST(n*sy2 - sy*sy AS DOUBLE))) END AS corr
       FROM m""",
 
+    "agg_gini" -> """
+      WITH bt AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               event_type, count(*) AS n_i
+        FROM events GROUP BY 1, 2),
+      p AS (
+        SELECT day, CAST(sum(n_i) AS BIGINT) AS n,
+               CAST(sum(CAST(n_i AS HUGEINT) * n_i) AS HUGEINT) AS sum_sq,
+               CAST(max(n_i) AS BIGINT) AS max_i, count(*) AS n_types
+        FROM bt GROUP BY 1)
+      SELECT day, n, n_types,
+             CAST(((CAST(n AS HUGEINT) * n - sum_sq) * 1000000)
+                  // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_ppm,
+             CAST((CAST(max_i AS HUGEINT) * 1000000) // n AS BIGINT)
+               AS dominant_share_ppm
+      FROM p""",
+
     // four conditional-aggregate cells + floor-div ppm means; DiD stated
     // on the quantized means, exactly the engine's rule
     "events_did" -> """

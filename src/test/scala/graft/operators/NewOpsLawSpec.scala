@@ -384,6 +384,53 @@ class NewOpsLawSpec extends SparkSpec {
     assert(got == direct, s"merge(partials) != direct recompute:\n$got\n$direct")
   }
 
+  test("ml_dbscan: roles and labels replay from the pair set by definition") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.SparkEntry.queries("ml_dbscan")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    // replay: exact pairs at the operator's eps from the blocked join
+    val pairs = Dedup.embeddingCosineExact(spark, sf, 0.35)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val cores = nbrs.filter(_._2.size >= 3).keySet
+    // CC over core-core edges by fixpoint min-label
+    var lab = cores.map(c => c -> c).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      cores.foreach { c =>
+        val m = (nbrs(c).intersect(cores).map(lab) + lab(c)).min
+        if (m < lab(c)) { lab += c -> m; changed = true }
+      }
+    }
+    got.foreach { case (v, role, cl) =>
+      if (cores(v)) assert(role == "core" && cl == lab(v), s"core $v drifted")
+      else nbrs.get(v).map(_.intersect(cores)).filter(_.nonEmpty) match {
+        case Some(cn) =>
+          assert(role == "border" && cl == cn.map(lab).min, s"border $v drifted")
+        case None => assert(role == "noise" && cl == -1L, s"noise $v drifted")
+      }
+    }
+    // all three roles exercised at the gate SF (the threshold choice's point)
+    val roles = got.map(_._2).toSet
+    assert(roles == Set("core", "border", "noise"), roles.toString)
+  }
+
+  test("agg_gini: ppm impurity replays and respects the 1 - 1/k ceiling") {
+    val rows = graft.SparkEntry.queries("agg_gini")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, k, gini, dom) =>
+      assert(gini >= 0 && gini < 1000000L)
+      // gini ≤ 1 - 1/k for k categories (equality at the uniform mix)
+      assert(gini <= 1000000L - 1000000L / k)
+      assert(dom * k >= 1000000L - k, s"dominant share must be >= 1/k (dom=$dom k=$k)")
+      assert(dom <= 1000000L && n >= 1)
+    }
+  }
+
   test("ml_boosted_stumps: the full fit replays and training SSE is monotone") {
     import org.apache.spark.sql.functions._
     val got = graft.SparkEntry.queries("ml_boosted_stumps")(spark, sf).collect()
