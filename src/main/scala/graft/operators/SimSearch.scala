@@ -659,7 +659,62 @@ object SimSearch {
       .where($"rk" <= RrfTopK)
   }
 
+  /** k-NN CLASSIFIER over the embedding space (Cover–Hart 1967, k = 5,
+    * majority vote) — "label the new document from its nearest labeled
+    * neighbors", the zero-training baseline every embedding pipeline
+    * ships first. Votes come from the session-memoized exact top-5
+    * artifact ([[bruteTopKShared]] — the LSH/IVF index is the
+    * documented 100 TB candidate swap, as everywhere in this family);
+    * neighbor labels join from documents via a SHUFFLE equi-join
+    * (labels are corpus-sized — never broadcast); the vote is a
+    * per-query ≤5-row profile ranked by (votes DESC, best-rank ASC,
+    * lang ASC) — the nearest of the tied classes wins, then
+    * lexicographic, fully deterministic. Output carries the truth and
+    * a correct flag so the hash gate doubles as an accuracy pin. */
+  def knnClassifier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val topk = bruteTopKShared(s, d, k = 5)
+    val labels = Tables.documents(s, d).select($"doc_id", $"lang")
+    val votes = topk
+      .join(labels.select($"doc_id".as("n_id"), $"lang".as("n_lang")), "n_id")
+      .groupBy($"q_id", $"n_lang")
+      .agg(count(lit(1)).as("votes"), min($"rk").as("best_rk"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"votes".desc, $"best_rk".asc, $"n_lang".asc)
+    votes.withColumn("r", row_number().over(w)).where($"r" === 1)
+      .select($"q_id", $"n_lang".as("pred_lang"))
+      .join(labels.select($"doc_id".as("q_id"), $"lang".as("true_lang")), "q_id")
+      .select($"q_id", $"pred_lang", $"true_lang",
+        ($"pred_lang" === $"true_lang").cast("bigint").as("correct"))
+  }
+
   val oracle: Map[String, String] = Map(
+    // the definition restated: exact top-5 window, label join, majority
+    // vote with the same (votes, nearest, lang) tie rule
+    "ml_knn_classifier" -> s"""
+      WITH topk AS (
+        SELECT q_id, n_id, rk FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])) DESC,
+                            e.vec_id ASC) AS rk
+          FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+          WHERE q.vec_id < $NumQueries) t
+        WHERE rk <= 5),
+      v AS (
+        SELECT t.q_id, d.lang AS n_lang, count(*) AS votes, min(t.rk) AS best_rk
+        FROM topk t JOIN documents d ON d.doc_id = t.n_id
+        GROUP BY 1, 2),
+      p AS (
+        SELECT q_id, n_lang AS pred_lang FROM v
+        QUALIFY row_number() OVER (PARTITION BY q_id
+          ORDER BY votes DESC, best_rk ASC, n_lang ASC) = 1)
+      SELECT p.q_id, p.pred_lang, d.lang AS true_lang,
+             CAST(p.pred_lang = d.lang AS BIGINT) AS correct
+      FROM p JOIN documents d ON d.doc_id = p.q_id""",
+
     "search_rrf" -> s"""
       WITH vec AS (
         SELECT q_id, n_id, rk AS rk_vec FROM (

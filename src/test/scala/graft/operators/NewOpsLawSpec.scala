@@ -384,6 +384,27 @@ class NewOpsLawSpec extends SparkSpec {
     assert(got == direct, s"merge(partials) != direct recompute:\n$got\n$direct")
   }
 
+  test("ml_knn_classifier: votes replay from the exact top-5 and labels") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.SparkEntry.queries("ml_knn_classifier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.length == SimSearch.NumQueries)
+    val labels = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val topk = SimSearch.bruteTopKShared(spark, sf, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (q, pred, truth, correct) =>
+      val nb = topk.filter(_._1 == q)
+      assert(nb.length == 5)
+      val byLang = nb.groupBy(x => labels(x._2)).view
+        .mapValues(g => (g.length, g.map(_._3).min)).toSeq
+      val want = byLang.minBy { case (l, (v, br)) => (-v, br, l) }._1
+      assert(pred == want, s"q=$q vote drifted: $pred vs $want")
+      assert(truth == labels(q) && correct == (if (pred == truth) 1L else 0L))
+    }
+  }
+
   test("ml_dbscan: roles and labels replay from the pair set by definition") {
     import org.apache.spark.sql.functions.col
     val got = graft.SparkEntry.queries("ml_dbscan")(spark, sf).collect()
