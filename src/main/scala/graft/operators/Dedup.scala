@@ -1288,6 +1288,54 @@ object Dedup {
         coalesce($"ccluster", $"bcluster", lit(-1L)).cast("bigint").as("cluster"))
   }
 
+  /** The 100 TB candidate swap for [[dbscan]], wired and recall-pinned
+    * (closing the ADVICE item): candidates from k-means IVF CELLS
+    * (SemDedup's own partitioner — [[Clustering.lloyd]]'s deterministic
+    * integer assignment) instead of the exact O(n²) blocked join, exact
+    * cosine verify within cells, same degree/core pipeline. Work is
+    * Σ|cell|² ≈ n²/K with K growing with n — the IVF cost model.
+    *
+    * Emits the [[embeddingLshRecall]]-style driver-visible bound: the
+    * exact pair/core counts (independently SQL-checkable) plus recall
+    * flags against floors ratcheted to 0.8× the measured minimum
+    * (pairs 132/257, 133/271, 1786/4137 ≈ 0.49–0.51 → floor 0.40;
+    * cores 10/48, 9/47, 540/1553 ≈ 0.19–0.35 → floor 0.15). A recall
+    * regression now hash-fails CORRECTNESS. The hyperplane-LSH
+    * candidate source was probed for this role and REJECTED: at the
+    * fixture's mid-similarity ε = 0.35 its core recall is 1/48–74/1553
+    * (2–5 %) — LSH thins degrees ~5× and deg ≥ minPts−1 cores vanish;
+    * cell-granular candidates keep neighborhoods together, which is
+    * what a density definition needs. */
+  def dbscanIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val cells = Clustering.lloyd(Clustering.quantized(s, d))._1
+      .select($"vec_id", $"cluster")
+    val withCell = Tables.embeddings(s, d).join(cells, "vec_id")
+    val approx = withCell.as("x")
+      .join(withCell.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        graft.functions.VectorFunctions.cosine(
+          col("x.embedding"), col("y.embedding")).as("cos"))
+      .where($"cos" >= DbscanEps)
+      .select($"vec_a", $"vec_b").localCheckpoint()
+    val exact = embeddingCosineExact(s, d, DbscanEps)
+      .select($"vec_a", $"vec_b").localCheckpoint()
+    def cores(p: DataFrame): DataFrame =
+      p.unionAll(p.select($"vec_b".as("vec_a"), $"vec_a".as("vec_b")))
+        .groupBy($"vec_a").agg(count(lit(1)).as("deg"))
+        .where($"deg" >= DbscanMinPts - 1).select($"vec_a".as("c"))
+    val pairRec = recallCounts(exact, approx, Seq("vec_a", "vec_b"))
+    val coreRec = recallCounts(cores(exact), cores(approx), Seq("c"))
+      .select($"n_exact".as("nc_exact"), $"n_found".as("nc_found"))
+    pairRec.crossJoin(coreRec).select(
+      $"n_exact".as("n_exact_pairs"),
+      ($"n_found" * 100L >= $"n_exact" * 40L).cast("bigint").as("pair_recall_ok"),
+      $"nc_exact".as("n_exact_cores"),
+      ($"nc_found" * 100L >= $"nc_exact" * 15L).cast("bigint").as("core_recall_ok"))
+  }
+
   /** Deterministic seeded hyperplanes (Gaussian-ish via Random(seed)). */
   def hyperplanes(k: Int, dim: Int, seed: Long = 7L): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
@@ -1818,6 +1866,23 @@ object Dedup {
       FROM embeddings em
       LEFT JOIN lab l ON l.v = em.vec_id
       LEFT JOIN bord b ON b.v = em.vec_id""",
+
+    // exact pair/core counts restated from the definition; the recall
+    // flags are the engine-side floors (1 expected — a quality
+    // regression in the IVF candidate stage hash-fails here)
+    "ml_dbscan_ivf" -> """
+      WITH pairs AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.35),
+      und AS (SELECT va AS v FROM pairs UNION ALL SELECT vb FROM pairs),
+      core AS (SELECT v FROM (SELECT v, count(*) AS d FROM und GROUP BY 1)
+               WHERE d >= 3)
+      SELECT (SELECT count(*) FROM pairs) AS n_exact_pairs,
+             CAST(1 AS BIGINT) AS pair_recall_ok,
+             (SELECT count(*) FROM core) AS n_exact_cores,
+             CAST(1 AS BIGINT) AS core_recall_ok""",
 
     "dedup_semantic" -> """
       WITH RECURSIVE pairs AS (

@@ -384,6 +384,18 @@ class NewOpsLawSpec extends SparkSpec {
     assert(got == direct, s"merge(partials) != direct recompute:\n$got\n$direct")
   }
 
+  test("ml_dbscan_ivf: verified candidates are a subset of the exact pairs") {
+    import org.apache.spark.sql.functions.col
+    val r = graft.SparkEntry.queries("ml_dbscan_ivf")(spark, sf).collect()(0)
+    assert(r.getLong(1) == 1L && r.getLong(3) == 1L, "recall floors must hold")
+    // the IVF stage can only LOSE pairs (cell-split), never invent them:
+    // every emitted candidate passed the same exact cosine predicate
+    val exact = Dedup.embeddingCosineExact(spark, sf, 0.35)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.getLong(0) == exact.size.toLong, "n_exact_pairs drifted")
+  }
+
   test("ml_knn_classifier: votes replay from the exact top-5 and labels") {
     import org.apache.spark.sql.functions.col
     val got = graft.SparkEntry.queries("ml_knn_classifier")(spark, sf).collect()
