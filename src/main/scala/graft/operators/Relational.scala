@@ -1850,6 +1850,37 @@ object Relational {
            sqrt(($"n" * $"sy2" - $"sy" * $"sy").cast("double")))).as("corr"))
   }
 
+  /** Forecast BASELINE error metrics (Hyndman's forecasting-101 rule:
+    * no model earns its keep until it beats naive and seasonal-naive):
+    * per method, MAE in cents and sMAPE in ppm for one-step forecasts
+    * of daily purchase revenue — naive (yesterday) and snaive-7 (same
+    * weekday last week). Exact integers end-to-end: per-day sMAPE
+    * terms are 2·|f−o|·10⁶ div (f+o) (floor-div, f+o > 0 on revenue
+    * days), the means floor-div again — both engines replay the same
+    * quantized arithmetic. Scale: the one corpus-sized stage is the
+    * day-grain aggregate; the lag windows run over the CALENDAR-
+    * bounded grid (the ts_changepoint class) and the output is 2
+    * rows. */
+  def tsForecastBaselines(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .where($"event_type" === "purchase")
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(sum(round($"value" * 100).cast("bigint")).as("cents"))
+      .localCheckpoint() // two lag readers
+    val w = Window.orderBy($"day")
+    def metrics(method: String, lagN: Int) = daily
+      .withColumn("f", lag($"cents", lagN).over(w))
+      .where($"f".isNotNull)
+      .select(abs($"f" - $"cents").as("ae"),
+        expr("(2 * abs(f - cents) * 1000000) div (f + cents)").as("sm"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(ae) div count(*) AS BIGINT)").as("mae_cents"),
+        expr("CAST(sum(sm) div count(*) AS BIGINT)").as("smape_ppm"))
+      .select(lit(method).as("method"), $"n", $"mae_cents", $"smape_ppm")
+    metrics("naive", 1).unionAll(metrics("snaive7", 7))
+  }
+
   /** Gini impurity of the per-day event-type mix — the distribution-
     * concentration diagnostic (is traffic diversifying or collapsing
     * into one event type?) and the split criterion [[MlFeatures

@@ -376,6 +376,30 @@ object RelationalOracles {
                         sqrt(CAST(n*sy2 - sy*sy AS DOUBLE))) END AS corr
       FROM m""",
 
+    "ts_forecast_baselines" -> """
+      WITH d AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      l AS (
+        SELECT cents,
+               lag(cents, 1) OVER (ORDER BY day) AS f1,
+               lag(cents, 7) OVER (ORDER BY day) AS f7
+        FROM d),
+      m1 AS (
+        SELECT 'naive' AS method, count(*) AS n,
+               CAST(sum(abs(f1 - cents)) // count(*) AS BIGINT) AS mae_cents,
+               CAST(sum((2 * abs(f1 - cents) * 1000000) // (f1 + cents))
+                    // count(*) AS BIGINT) AS smape_ppm
+        FROM l WHERE f1 IS NOT NULL),
+      m7 AS (
+        SELECT 'snaive7' AS method, count(*) AS n,
+               CAST(sum(abs(f7 - cents)) // count(*) AS BIGINT) AS mae_cents,
+               CAST(sum((2 * abs(f7 - cents) * 1000000) // (f7 + cents))
+                    // count(*) AS BIGINT) AS smape_ppm
+        FROM l WHERE f7 IS NOT NULL)
+      SELECT * FROM m1 UNION ALL SELECT * FROM m7""",
+
     "agg_gini" -> """
       WITH bt AS (
         SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,

@@ -384,6 +384,30 @@ class NewOpsLawSpec extends SparkSpec {
     assert(got == direct, s"merge(partials) != direct recompute:\n$got\n$direct")
   }
 
+  test("ts_forecast_baselines: metrics replay and sMAPE stays in [0, 2e6]") {
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("ts_forecast_baselines")(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val daily = graft.core.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .orderBy("day").collect().map(_.getLong(1))
+    def replay(lagN: Int): (Long, Long, Long) = {
+      val pairs = daily.drop(lagN).zip(daily.dropRight(lagN)) // (obs, forecast)
+      val n = pairs.length.toLong
+      val mae = pairs.map { case (o, f) => math.abs(f - o) }.sum / n
+      val sm = pairs.map { case (o, f) => 2L * math.abs(f - o) * 1000000L / (f + o) }.sum / n
+      (n, mae, sm)
+    }
+    Seq("naive" -> 1, "snaive7" -> 7).foreach { case (m, l) =>
+      val (n, mae, sm) = replay(l)
+      val (gn, gmae, gsm) = (got(m)._1, got(m)._2, got(m)._3)
+      assert((gn, gmae, gsm) == ((n, mae, sm)), s"$m drifted: got ${got(m)}, want ($n,$mae,$sm)")
+      assert(gsm >= 0 && gsm <= 2000000L)
+    }
+  }
+
   test("ml_dbscan_ivf: verified candidates are a subset of the exact pairs") {
     import org.apache.spark.sql.functions.col
     val r = graft.SparkEntry.queries("ml_dbscan_ivf")(spark, sf).collect()(0)

@@ -46,6 +46,12 @@ class WindowDisciplineSpec extends SparkSpec {
         "it at 7 rows by the calendar, at 100 TB as at 100 MB — the " +
         "structural rule cannot see a domain bound carried by a value " +
         "range, only by plan shape"),
+    "ts_forecast_baselines" ->
+      ("lag windows run over the day-grain revenue grid (groupBy(day) " +
+        "aggregate, eagerly checkpointed so the plan shows an RDD leaf): " +
+        "|rows| ≤ |calendar days| — ~3.7k at ten years — at 100 TB as at " +
+        "100 MB; the corpus-sized work is the aggregate below the " +
+        "checkpoint, which stays fully partitioned"),
     "events_skyline" ->
       ("window input is the per-DISTINCT-frequency candidate set " +
         "(groupBy(frequency) of per-user purchase counts): it grows " +
