@@ -200,15 +200,29 @@ object Clustering {
     * only driver traffic is the 64-long w vector — bounded model state,
     * the kmeans-centroid class of collect. The all-zero-corpus edge keeps
     * the seed (mx = 0 guard on both sides). */
-  def pcaPower(s: SparkSession, d: String): DataFrame = {
+  /** Quantized corpus for the PCA family (milli-units — see
+    * [[pcaPower]]'s magnitude contract), checkpointed once. */
+  private def pcaQuantized(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    // one consumer per iteration: checkpoint so scan + quantization run
-    // once, not once per collect
-    val q = Tables.embeddings(s, d).select(
+    Tables.embeddings(s, d).select(
       transform($"embedding",
         x => round(x.cast("double") * PcaScale).cast("bigint")).as("e"))
       .localCheckpoint()
+  }
+
+  /** One power-iteration pass over the checkpointed quantized corpus.
+    * With `ortho = Some(v1)`, every round Gram–Schmidts the raw iterate
+    * against v1 IN EXACT INTEGERS before normalizing — the scale-free
+    * form w′ = w·⟨v1,v1⟩ − ⟨w,v1⟩·v1 (no division, so no rounding
+    * enters until the one ppm quantization both engines share).
+    * Magnitude contract at sf0.1: |w| ≤ ~6·10¹⁷, ⟨v1,v1⟩ ≤ 64·10¹²,
+    * ⟨w,v1⟩ ≤ 64·6·10²³ → |w′| ≤ ~4·10³¹ and w′·10⁶ ≤ 4·10³⁷ — inside
+    * both BigInt (unbounded) and the oracle's HUGEINT (1.7·10³⁸),
+    * margins stated not assumed. */
+  private def powerPass(q: DataFrame, ortho: Option[Array[BigInt]]): Array[BigInt] = {
+    val s = q.sparkSession
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     var v: Array[BigInt] = Array.fill(PcaDim)(BigInt(PcaVScale))
     for (_ <- 1 to PcaIters) {
       // s = <x, v> projected ONCE per row (inlining it into all 64 sum
@@ -219,13 +233,42 @@ object Clustering {
         .select((0 until PcaDim).map(j =>
           sum(($"e"(j) * $"sc").cast(dec)).as(s"w$j")): _*)
         .collect()(0)
-      val w = (0 until PcaDim).map(j => BigInt(row.getDecimal(j).toBigInteger))
+      var w = (0 until PcaDim).map(j => BigInt(row.getDecimal(j).toBigInteger)).toArray
+      ortho.foreach { v1 =>
+        val v1v1 = v1.map(x => x * x).sum
+        val wv1 = w.zip(v1).map { case (a, b) => a * b }.sum
+        w = w.zip(v1).map { case (wj, v1j) => wj * v1v1 - wv1 * v1j }
+      }
       val mx = w.map(_.abs).max
-      if (mx > 0) v = w.map(x => x * PcaVScale / mx).toArray
+      if (mx > 0) v = w.map(x => x * PcaVScale / mx)
     }
-    v.zipWithIndex
+    v
+  }
+
+  def pcaPower(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    powerPass(pcaQuantized(s, d), None).zipWithIndex
       .map { case (x, j) => ((j + 1).toLong, x.toLong) }.toSeq
       .toDF("dim_idx", "loading_ppm")
+  }
+
+  /** TOP-2 principal directions — [[pcaPower]] plus a second pass whose
+    * iterate is Gram–Schmidt-orthogonalized against the first component
+    * EVERY round, in exact integers ([[powerPass]]): the deflation
+    * variant that never touches the data (deflating rows would force
+    * rational arithmetic; orthogonalizing the 64-long iterate is a
+    * driver-side BigInt identity). Same distributed cost model as
+    * pcaPower ×2; the oracle is the generated two-pass unrolled replay.
+    * Residual non-orthogonality is one ppm quantization per round —
+    * law-checked |cos(v1, v2)| < 0.01 in NewOpsLawSpec. */
+  def pcaTop2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = pcaQuantized(s, d)
+    val v1 = powerPass(q, None)
+    val v2 = powerPass(q, Some(v1))
+    (v1.zipWithIndex.map { case (x, j) => (1L, (j + 1).toLong, x.toLong) } ++
+      v2.zipWithIndex.map { case (x, j) => (2L, (j + 1).toLong, x.toLong) }).toSeq
+      .toDF("component", "dim_idx", "loading_ppm")
   }
 
   /** DuckDB replay of the same integer power iteration, unrolled
@@ -234,24 +277,65 @@ object Clustering {
     * unnest-join dot product, the matrix-vector product a per-element
     * grouped sum in DECIMAL(38,0), the normalization a HUGEINT `//`
     * (truncating, ≡ Scala BigInt `/`). */
-  private def oraclePcaPower: String = {
-    def iter(prev: String, k: Int) = s"""
-      s$k AS (
+  /** Generated two-pass replay for [[pcaTop2]]: pass 1 is the
+    * [[oraclePcaPower]] chain verbatim; pass 2 re-seeds at all-ones and
+    * inserts the integer Gram–Schmidt CTEs (w′ = w·⟨v1,v1⟩ − ⟨w,v1⟩·v1,
+    * all HUGEINT) between each raw iterate and its normalization. */
+  private def oraclePcaTop2: String = {
+    val v1f = s"v$PcaIters" // pass-1 final component
+    def iter2(prev: String, k: Int) = s"""
+      b_s$k AS MATERIALIZED (
         SELECT q.e, x.sc FROM q JOIN (
           SELECT q2.rid, CAST(sum(q2.e[v.j] * v.v) AS BIGINT) AS sc
           FROM q q2, $prev v GROUP BY q2.rid) x USING (rid)),
-      w$k AS (
+      b_w$k AS MATERIALIZED (
+        SELECT i.range AS j,
+               CAST(sum(CAST(e[i.range] * sc AS DECIMAL(38,0))) AS HUGEINT) AS w
+        FROM b_s$k, range(1, ${PcaDim + 1}) i GROUP BY 1),
+      b_o$k AS (
+        SELECT (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) FROM $v1f) AS v1v1,
+               (SELECT CAST(sum(w.w * v1.v) AS HUGEINT)
+                FROM b_w$k w JOIN $v1f v1 USING (j)) AS wv1),
+      b_wo$k AS MATERIALIZED (
+        SELECT w.j, w.w * o.v1v1 - o.wv1 * v1.v AS w
+        FROM b_w$k w JOIN $v1f v1 USING (j), b_o$k o),
+      b_m$k AS (SELECT max(abs(w)) AS mx FROM b_wo$k),
+      b_v$k AS MATERIALIZED (
+        SELECT j, CASE WHEN m.mx = 0 THEN vp.v
+                       ELSE CAST((w.w * $PcaVScale) // m.mx AS BIGINT)
+                  END AS v
+        FROM b_wo$k w JOIN $prev vp USING (j), b_m$k m)"""
+    val pass2 = (1 to PcaIters)
+      .map(k => iter2(if (k == 1) "b_v0" else s"b_v${k - 1}", k))
+      .mkString(",", ",", "")
+    oraclePcaBody + ",\n      b_v0 AS MATERIALIZED (SELECT j, v FROM v0)" + pass2 + s"""
+      SELECT CAST(1 AS BIGINT) AS component, CAST(j AS BIGINT) AS dim_idx,
+             CAST(v AS BIGINT) AS loading_ppm FROM $v1f
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), CAST(j AS BIGINT), CAST(v AS BIGINT)
+      FROM b_v$PcaIters"""
+  }
+
+  /** Shared WITH-chain of [[oraclePcaPower]] up to the pass-1 final
+    * component (no SELECT) so the top-2 oracle can extend it. */
+  private def oraclePcaBody: String = {
+    def iter(prev: String, k: Int) = s"""
+      s$k AS MATERIALIZED (
+        SELECT q.e, x.sc FROM q JOIN (
+          SELECT q2.rid, CAST(sum(q2.e[v.j] * v.v) AS BIGINT) AS sc
+          FROM q q2, $prev v GROUP BY q2.rid) x USING (rid)),
+      w$k AS MATERIALIZED (
         SELECT i.range AS j,
                CAST(sum(CAST(e[i.range] * sc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS w
         FROM s$k, range(1, ${PcaDim + 1}) i GROUP BY 1),
       m$k AS (SELECT max(abs(CAST(w AS HUGEINT))) AS mx FROM w$k),
-      v$k AS (
+      v$k AS MATERIALIZED (
         SELECT j, CASE WHEN m.mx = 0 THEN vp.v
                        ELSE CAST((CAST(w.w AS HUGEINT) * $PcaVScale) // m.mx AS BIGINT)
                   END AS v
         FROM w$k w JOIN $prev vp USING (j), m$k m)"""
     val head = s"""
-      WITH q AS (
+      WITH q AS MATERIALIZED (
         SELECT row_number() OVER () AS rid,
                list_transform(embedding,
                  x -> CAST(round(CAST(x AS DOUBLE) * $PcaScale) AS BIGINT)) AS e
@@ -259,12 +343,16 @@ object Clustering {
       v0 AS (SELECT i.range AS j, CAST($PcaVScale AS BIGINT) AS v
              FROM range(1, ${PcaDim + 1}) i)"""
     val iters = (1 to PcaIters).map(k => iter(s"v${k - 1}", k)).mkString(",", ",", "")
-    head + iters + s"""
+    head + iters
+  }
+
+  private def oraclePcaPower: String =
+    oraclePcaBody + s"""
       SELECT CAST(j AS BIGINT) AS dim_idx, CAST(v AS BIGINT) AS loading_ppm
       FROM v$PcaIters"""
-  }
 
   val oracle: Map[String, String] = Map(
     "ml_kmeans" -> oracleKmeans,
-    "ml_pca_power" -> oraclePcaPower)
+    "ml_pca_power" -> oraclePcaPower,
+    "ml_pca_top2" -> oraclePcaTop2)
 }
