@@ -331,6 +331,24 @@ class NewOpsLawSpec extends SparkSpec {
       s"engine loadings diverge from the integer replay")
   }
 
+  test("ml_pca_top2: the two components are near-orthogonal (|cos| < 0.01)") {
+    val rows = graft.SparkEntry.queries("ml_pca_top2")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2)))
+    assert(rows.length == 128, "expected 2 components x 64 dims")
+    def comp(c: Long): Array[Double] =
+      rows.filter(_._1 == c).sortBy(_._2).map(_._3.toDouble)
+    val v1 = comp(1L); val v2 = comp(2L)
+    assert(v1.length == 64 && v2.length == 64)
+    // both max-normalized to ppm: some |loading| == 1e6 in each component
+    assert(v1.exists(x => math.abs(x) == 1e6) && v2.exists(x => math.abs(x) == 1e6))
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    val n1 = math.sqrt(v1.map(x => x * x).sum)
+    val n2 = math.sqrt(v2.map(x => x * x).sum)
+    val cos = math.abs(dot / (n1 * n2))
+    // per-round integer Gram–Schmidt leaves only ppm-quantization residue
+    assert(cos < 0.01, s"|cos(v1, v2)| = $cos — deflation failed to orthogonalize")
+  }
+
   test("graph_scc: labels replay from a driver-side functional-graph walk") {
     import org.apache.spark.sql.functions.col
     val got = graft.SparkEntry.queries("graph_scc")(spark, sf).collect()

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Fast no-JVM replica of the file-based paper gates (ContractSpec's
+SURVEY/BASELINE checks + ScaleCoverageSpec), so they can run after EVERY
+SparkEntry.scala edit in ~50 ms instead of a 30 s sbt session.
+
+Why this exists: rounds 9 and 10 both ended RED because a query key was
+registered in SparkEntry.queries after the last full `sbt test` run,
+with its SURVEY §2.4 row / BASELINE.md row / SCALE.md entry missing
+(round-10 verdict item 2 ordered this made structural). The Scala specs
+remain the authoritative gate — this script only extracts the key list
+by regex from SparkEntry.scala's literal `"key" ->` registrations, so
+run `sbt "testOnly graft.ContractSpec graft.ScaleCoverageSpec"` too
+before any round-close claim (it also checks oracle-map parity, which
+needs the compiled object).
+
+Usage: python3 tools/check_contract.py   (exit 1 on any missing paper)
+"""
+import re
+import sys
+import os
+
+os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def read(p):
+    with open(p, encoding="utf-8") as f:
+        return f.read()
+
+
+entry = read("src/main/scala/graft/SparkEntry.scala")
+qstart = entry.index("def queries")
+qend = entry.index("\n  )", qstart)
+keys = set(re.findall(r'^\s*"([a-z0-9_]+)"\s*->', entry[qstart:qend], re.M))
+if not keys:
+    sys.exit("no keys extracted from SparkEntry.queries — script regex broke")
+
+failures = []
+
+survey = read("SURVEY.md")
+s24 = survey[survey.index("### 2.4"):]
+nxt = s24.find("\n## ")
+if nxt >= 0:
+    s24 = s24[:nxt]
+missing = sorted(k for k in keys if f"`{k}`" not in s24)
+if missing:
+    failures.append(f"no SURVEY.md §2.4 citation: {', '.join(missing)}")
+
+row = re.compile(r"^\|\s*([a-z0-9_]+)\s*\|\s*[0-9.]+\s*\|\s*[0-9.]+\s*\|", re.M)
+baselined = set(m.group(1) for m in row.finditer(read("BASELINE.md")))
+grace = set(k.strip() for k in os.environ.get("SPARK_GRAFT_NEW_QUERIES", "").split(",") if k.strip())
+missing = sorted(keys - baselined - grace)
+if missing:
+    failures.append(f"no BASELINE.md bench row: {', '.join(missing)}")
+
+scale = read("SCALE.md")
+missing = sorted(k for k in keys if k not in scale)
+if missing:
+    failures.append(f"no SCALE.md entry: {', '.join(missing)}")
+
+if failures:
+    print(f"PAPER GATE FAILED ({len(keys)} registered keys):")
+    for f in failures:
+        print("  -", f)
+    sys.exit(1)
+print(f"paper gates green: {len(keys)} keys all cited in SURVEY §2.4 + BASELINE.md + SCALE.md")
