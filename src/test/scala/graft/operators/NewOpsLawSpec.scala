@@ -438,6 +438,46 @@ class NewOpsLawSpec extends SparkSpec {
     assert(r.getLong(0) == exact.size.toLong, "n_exact_pairs drifted")
   }
 
+  test("ml_dbscan_ivf: cell cap sub-buckets an over-cap cell, leaves cold cells whole") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // plant one hot cell (3 * cap members) and one cold cell (100)
+    val n = 3 * Dedup.DbscanCellCap
+    val planted = ((1 to n).map(i => (i.toLong, 0L)) ++
+      (1 to 100).map(i => (10000L + i, 1L))).toDF("vec_id", "cluster")
+    val bucketed = Dedup.capCells(planted)
+      .select(col("cluster"), col("sub")).groupBy("cluster", "sub").count()
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // cold cell: untouched — exactly one sub-bucket, sub = 0
+    assert(bucketed.keySet.filter(_._1 == 1L) == Set((1L, 0L)))
+    assert(bucketed((1L, 0L)) == 100L)
+    // hot cell: exactly ceil(pop/cap) = 3 sub-buckets, partitioning it
+    val hot = bucketed.filter(_._1._1 == 0L)
+    assert(hot.keySet.map(_._2) == Set(0L, 1L, 2L), hot.keySet.toString)
+    assert(hot.values.sum == n.toLong)
+    // and no md5 sub-bucket concentrates the cell: a uniform 3-way hash
+    // split of 1536 stays far under 2x the target size (binomial tails)
+    assert(hot.values.max < 2L * Dedup.DbscanCellCap, hot.toString)
+  }
+
+  test("ml_dbscan_ivf: at the law SF every cell is cold — capped ≡ uncapped, " +
+    "found = exact ∩ same-cell") {
+    import org.apache.spark.sql.functions.col
+    val c = Dedup.dbscanIvfCounts(spark, sf).collect()(0)
+    val cells = Clustering.lloyd(Clustering.quantized(spark, sf))._1
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cells.groupBy(_._2).values.map(_.size).max <= Dedup.DbscanCellCap,
+      "law-SF premise broke: a cell exceeds the cap — re-derive this law")
+    val exact = Dedup.embeddingCosineExact(spark, sf, 0.35)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val sameCell = exact.count { case (a, b) => cells(a) == cells(b) }
+    assert(c.getLong(1) == sameCell.toLong,
+      s"cold-regime candidates must be exactly the same-cell exact pairs: " +
+        s"${c.getLong(1)} vs $sameCell")
+  }
+
   test("ml_knn_classifier: votes replay from the exact top-5 and labels") {
     import org.apache.spark.sql.functions.col
     val got = graft.SparkEntry.queries("ml_knn_classifier")(spark, sf).collect()
