@@ -58,4 +58,27 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Catalog-style row-count STATISTIC for a table: summed from parquet
+    * file footers on the driver — O(#files) metadata reads, the number
+    * ANALYZE TABLE would persist — NOT a Spark job over the data. For
+    * consumers that need a cardinality to SIZE something (a bloom
+    * filter, a sketch) without paying a dim-side count() job; it is the
+    * unfiltered table cardinality, so filtered consumers get a safe
+    * over-estimate (selectivity is the CBO's refinement, not ours). */
+  def rowStat(s: SparkSession, dir: String, name: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Array(fs.getFileStatus(root))
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

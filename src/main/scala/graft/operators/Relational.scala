@@ -246,19 +246,23 @@ object Relational {
     * exactly why the oracle can state the query as the PLAIN join.
     * `hint("shuffle_merge")` pins the no-broadcast regime at test SF
     * (Catalyst would rightly broadcast a 10-row dim; at 100 TB with a
-    * fact-sized dim it could not). Driver traffic is bounded: one count
-    * scalar + one fixed-size bitmap. Plan pin (PlanShapeSpec): the
+    * fact-sized dim it could not). Driver traffic is bounded: one
+    * footer-stat scalar ([[Tables.rowStat]] — metadata, no job) + one
+    * fixed-size bitmap. Plan pin (PlanShapeSpec): the
     * bloom predicate filters below the fact-side exchange; law
     * (NewOpsLawSpec): bloom pass-rate ≪ 1 yet result ≡ unfiltered join. */
   def joinBloom(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // three consumers (count, bloom build, join probe) — checkpoint or
-    // Catalyst re-runs the dim scan per reference
+    // two consumers (bloom build, join probe) — checkpoint or Catalyst
+    // re-runs the dim scan per reference
     val dim = Tables.supplier(s, d).where($"s_nationkey".isin(3, 9))
       .select($"s_suppkey", $"s_name").localCheckpoint()
-    // size the bitmap from the observed key cardinality (bounded scalar
-    // to the driver); at 100 TB this count comes from table stats
-    val nKeys = math.max(dim.count(), 64L)
+    // size the bitmap from TABLE STATS (parquet footer row counts — the
+    // ANALYZE-style catalog number, a driver metadata read), not a
+    // dim-side count() job: the unfiltered cardinality over-sizes the
+    // bitmap by 1/selectivity (~12× here), which only LOWERS the FP
+    // rate — bits are cheap, an extra job in the DAG is not
+    val nKeys = math.max(Tables.rowStat(s, d, "supplier"), 64L)
     val bf = dim.stat.bloomFilter("s_suppkey", nKeys, 0.01)
     val bc = s.sparkContext.broadcast(bf)
     val fact = Tables.lineitem(s, d)
