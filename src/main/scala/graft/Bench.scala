@@ -182,10 +182,14 @@ $perQuery
     // residue behind (best-effort — a kill-9 leaves the final set)
     try graft.core.SessionArtifacts.clear(spark)
     catch { case _: Throwable => () }
-    spark.stop()
     // the contract line goes out LAST, after spark.stop(), so no
     // shutdown logging can land after it in a merged stdout/stderr
-    // capture — the driver's tail parse reads the last parseable line
+    // capture — the driver's tail parse reads the last parseable line.
+    // stop() rides the same guard as the artifact sweep: a shutdown
+    // exception must not swallow the contract line (the JVM exits
+    // right after anyway)
+    try spark.stop()
+    catch { case _: Throwable => () }
     println(line)
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -426,10 +426,12 @@ object Maintenance {
       .groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
     val ranked = DistRank.withRank(cnt,
       Seq($"cnt".asc, $"l_suppkey".asc), "rk")
-    // stats reads the ranked frame, not cnt: withRank localCheckpoints
-    // its input, so both consumers replay the materialized profile
+    // stats reads the ranked frame, not cnt: withRank's zipWithIndex
+    // runs an eager job that materializes the range-partitioned sort's
+    // shuffle files, so both consumers re-read that shuffle output
     // instead of re-running the lineitem scan+aggregate (multi-consumer
-    // rule)
+    // rule — the round-10 DistRank rewrite replaced the old explicit
+    // localCheckpoint with this shuffle-file reuse)
     val stats = ranked.agg(
       count(lit(1)).as("n_keys"), sum($"cnt").as("total_rows"),
       min($"cnt").as("min_cnt"), max($"cnt").as("max_cnt"))

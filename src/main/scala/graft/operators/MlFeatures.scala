@@ -223,8 +223,11 @@ object MlFeatures {
     * VALUE-bounded — |distinct scores| never grows with the corpus —
     * and the rank-offset recurrence runs as one bounded fold over the
     * sorted profile (the events_survival class), not a window and not
-    * a per-row rank. The ppm quotient rides DECIMAL(38,0): mid2 ≈
-    * 2·N·n_pos wraps BIGINT·10⁶ at ~10⁶ rows. */
+    * a per-row rank. The doubled-midrank sum m2 ≈ 2·N·n_pos itself
+    * ACCUMULATES in DECIMAL(38,0) inside the fold (BIGINT would wrap
+    * near ~3·10⁹ positive docs — short of the 100 TB envelope), and the
+    * oracle mirrors it in HUGEINT; only the row counts, bounded by
+    * BIGINT at any realistic corpus, stay long. */
   def evalAuc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val prof = Tables.documents(s, d)
@@ -244,16 +247,16 @@ object MlFeatures {
         expr("""
           aggregate(
             g,
-            named_struct('off', CAST(0 AS BIGINT), 'm2', CAST(0 AS BIGINT)),
+            named_struct('off', CAST(0 AS BIGINT), 'm2', CAST(0 AS DECIMAL(38,0))),
             (acc, e) -> named_struct(
               'off', acc.off + e.cnt,
-              'm2', acc.m2 + e.cp * (2 * acc.off + e.cnt + 1)),
+              'm2', acc.m2 + CAST(e.cp AS DECIMAL(38,0)) * (2 * acc.off + e.cnt + 1)),
             acc -> acc.m2)
         """).as("mid2"))
       .select($"n_pos", $"n_neg",
         expr("""
           CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-               ELSE (CAST(mid2 AS DECIMAL(38,0)) - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))
+               ELSE (mid2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))
                     * 1000000 div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)
                END AS BIGINT)
         """).as("auc_ppm"))
@@ -486,7 +489,7 @@ object MlFeatures {
                  + count(*) OVER (PARTITION BY score) - 1 AS r_hi
         FROM sc),
       agg AS (
-        SELECT CAST(sum(CASE WHEN pos = 1 THEN r_lo + r_hi ELSE 0 END) AS BIGINT) AS mid2,
+        SELECT CAST(sum(CASE WHEN pos = 1 THEN r_lo + r_hi ELSE 0 END) AS HUGEINT) AS mid2,
                CAST(sum(pos) AS BIGINT) AS np,
                CAST(count(*) - sum(pos) AS BIGINT) AS nn
         FROM r)

@@ -25,6 +25,14 @@ import scala.io.Source
   * are explicitly marked untrustworthy — min-rep remains the only gate
   * either way.
   *
+  * Caveat on error runs: Bench's passes[].total sums every timing taken
+  * in that pass, including timings of queries that error in a LATER
+  * pass, while the per-query aggregates exclude errored queries
+  * entirely — so on a run with errors the pass totals can exceed the
+  * summed per-query reps. Pass totals are a health signal, not an
+  * accounting identity; reconcile against per_query only on zero-error
+  * runs.
+  *
   * Usage: runMain graft.tools.BenchDelta [benchJson] [baselineMd]
   * (defaults: bench_out.json, BASELINE.md). Exit code 0 always — this is
   * a diagnostic, not a gate; the 2x regression gate is the driver's.

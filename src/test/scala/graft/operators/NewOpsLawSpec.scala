@@ -628,6 +628,31 @@ class NewOpsLawSpec extends SparkSpec {
     assert(varWant >= 0)
   }
 
+  test("events_jackknife: K-sensitivity — the estimator replays and centers at K = 5/10/20") {
+    for (k <- Seq(5, 10, 20)) {
+      val rows = Relational.jackknifeByK(spark, sf, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val kk = rows.length
+      assert(kk >= 2 && kk <= k, s"K=$k produced $kk buckets")
+      val nTot = rows.map(_._2).sum; val sTot = rows.map(x => BigInt(x._3)).sum
+      // the replay law holds at every K, not just the declared 20
+      rows.foreach { case (_, nB, sB, loo, _) =>
+        assert(loo == ((sTot - sB) * 1000000 / (nTot - nB)).toLong,
+          s"K=$k loo mean drifted")
+      }
+      val mbar = rows.map(x => BigInt(x._4)).sum / kk
+      val varWant = (rows.map(x => (BigInt(x._4) - mbar) * (BigInt(x._4) - mbar)).sum
+        * (kk - 1) / kk).toLong
+      assert(rows.forall(_._5 == varWant), s"K=$k jackknife variance drifted")
+      // sensitivity: delete-one-bucket means center on the FULL-sample
+      // mean whatever the bucketing — mbar within 1% of the global ppm
+      // mean at every K (the estimate measures the data, not the K knob)
+      val globalPpm = sTot * 1000000 / nTot
+      assert((mbar - globalPpm).abs * 100 <= globalPpm.abs,
+        s"K=$k mbar $mbar strays >1% from global mean $globalPpm")
+    }
+  }
+
   test("ml_calibration_bins: bins partition the corpus and means respect bin edges") {
     val rows = graft.SparkEntry.queries("ml_calibration_bins")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
