@@ -334,22 +334,11 @@ object Dedup {
         coalesce($"cluster_rep", $"doc_id").as("dedup_group"))
   }
 
-  /** Incremental near-dup detection — the INGESTION-TIME dedup shape: new
-    * documents (the delta) are probed against the banded signature index
-    * of the EXISTING corpus (the base), never re-self-joining the whole
-    * corpus. Base/delta membership is the content-addressed hash split
-    * ([[Maintenance.bucketCol]] < 90 = base, ≥ 90 = delta — stands in for
-    * yesterday's corpus vs today's batch). The base index is a
-    * session-materialized parquet artifact, same discipline as the other
-    * indexes: at 100 TB the banded index is maintained beside the corpus
-    * and each ingest batch pays only sig(delta) + an index probe — work
-    * ∝ |delta|, not ∝ |corpus|. Verification restricts to candidate docs
-    * on BOTH sides ([[verifyJaccard]]), and the (1−0.9⁴)³² ≈ 1.5e-15
-    * per-pair band-miss bound makes the verified output equal the
-    * exhaustive cross-corpus oracle. */
-  def incrementalDedup(s: SparkSession, d: String, tau: Double = 0.9): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
+  /** Session-materialized banded signature index of the BASE corpus —
+    * "yesterday's" maintained artifact, shared by every ingestion-time
+    * consumer ([[incrementalDedup]]'s pair probe and
+    * [[minhashClustersIncremental]]'s cluster update). */
+  private def baseBandIndex(s: SparkSession, d: String, docs: DataFrame): DataFrame = {
     val srcKey = "spark.graft.basebands.src"
     val dirKey = "spark.graft.basebands.dir"
     if (!s.conf.getOption(srcKey).contains(d)) {
@@ -359,7 +348,27 @@ object Dedup {
       graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
       s.conf.set(srcKey, d)
     }
-    val baseBands = s.read.parquet(s.conf.get(dirKey))
+    s.read.parquet(s.conf.get(dirKey))
+  }
+
+  /** Incremental near-dup detection — the INGESTION-TIME dedup shape: new
+    * documents (the delta) are probed against the banded signature index
+    * of the EXISTING corpus (the base), never re-self-joining the whole
+    * corpus. Base/delta membership is the content-addressed hash split
+    * ([[Maintenance.bucketCol]] < 90 = base, ≥ 90 = delta — stands in for
+    * yesterday's corpus vs today's batch). The base index is a
+    * session-materialized parquet artifact ([[baseBandIndex]]), same
+    * discipline as the other indexes: at 100 TB the banded index is
+    * maintained beside the corpus and each ingest batch pays only
+    * sig(delta) + an index probe — work ∝ |delta|, not ∝ |corpus|.
+    * Verification restricts to candidate docs on BOTH sides
+    * ([[verifyJaccard]]), and the (1−0.9⁴)³² ≈ 1.5e-15 per-pair
+    * band-miss bound makes the verified output equal the exhaustive
+    * cross-corpus oracle. */
+  def incrementalDedup(s: SparkSession, d: String, tau: Double = 0.9): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val baseBands = baseBandIndex(s, d, docs)
     val deltaBands = lshBands(sigsOf(docs.where(Maintenance.bucketCol >= 90)), "doc_id", "sig")
     val cands = baseBands.as("x")
       .join(deltaBands.as("y"),
@@ -368,6 +377,68 @@ object Dedup {
     verifyJaccard(cands, docs, charShingles($"text", 12))
       .where($"jac" >= tau)
       .select($"a".as("base_id"), $"b".as("delta_id"), $"jac")
+  }
+
+  /** Incremental near-dup CLUSTERS — the cross-run twin of
+    * [[minhashClusters]] (which recomputes the full CC every run): the
+    * base corpus's cluster labels are a maintained ARTIFACT, and an
+    * ingest batch updates them paying work ∝ |delta|, never re-pairing
+    * the base against itself. Same base/delta split as
+    * [[incrementalDedup]] (content-addressed bucket < 90 / ≥ 90).
+    *
+    * The identity that makes delta ≡ recompute EXACT, not approximate:
+    * LSH candidacy (band-key equality) and the jaccard verification are
+    * both PAIRWISE properties, so the full-corpus pair set partitions
+    * as base-base ∪ base-delta ∪ delta-delta — and CC over
+    * star(base-base) ∪ cross ∪ delta-self has the same components and
+    * the same min labels as CC over the full pair set, because a
+    * component's star edges preserve exactly its connectivity and its
+    * min. The base term is "yesterday's" PUBLISHED labels (star edges
+    * n → cluster_rep, session-materialized parquet like the band
+    * index), the cross term probes the maintained [[baseBandIndex]]
+    * with the delta's bands (work ∝ |delta| bands), the delta term
+    * self-joins those same bands. The final CC also RE-CONVERGES
+    * faster than recompute: base components enter as depth-1 stars, so
+    * rounds scale with the DELTA's merge diameter, not the corpus's.
+    * The oracle is the full-recompute recursive closure (verbatim the
+    * [[minhashClusters]] oracle) — the hash gate IS the
+    * delta ≡ recompute proof, the [[Maintenance.incrementalAgg]]
+    * discipline applied to clustering. */
+  def minhashClustersIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val srcKey = "spark.graft.basestars.src"
+    val dirKey = "spark.graft.basestars.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_base_stars").toString
+      connectedComponents(
+        minhashPairs(docs.where(Maintenance.bucketCol < 90), 0.9)
+          .select($"doc_a".as("a"), $"doc_b".as("b")))
+        .where($"n" =!= $"l") // roots re-derive from the star edges
+        .write.mode("overwrite").parquet(dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    val baseStars = s.read.parquet(s.conf.get(dirKey))
+      .select($"n".as("a"), $"l".as("b"))
+    // delta signatures/bands are computed ONCE and feed BOTH probe shapes
+    // (cross = index probe, self = delta-delta candidates), and the two
+    // candidate sets run through ONE verify join — the naive composition
+    // (incrementalDedup + minhashPairs(delta)) signatures the delta twice
+    // and verifies twice (measured 5.3 → 4.0 s at bench SF)
+    val baseBands = baseBandIndex(s, d, docs)
+    val deltaBands = lshBands(
+      sigsOf(docs.where(Maintenance.bucketCol >= 90)), "doc_id", "sig")
+      .localCheckpoint()
+    val cross = baseBands.as("x")
+      .join(deltaBands.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val cands = cross.union(lshCandidates(deltaBands, "doc_id")).distinct()
+    val newEdges = verifyJaccard(cands, docs, charShingles($"text", 12))
+      .where($"jac" >= 0.9).select($"a", $"b")
+    connectedComponents(baseStars.union(newEdges))
+      .select($"n".as("doc_id"), $"l".as("cluster_rep"))
   }
 
   /** Normalization dedup (the "fuzzy-exact" tier between [[exact]] and
@@ -1841,6 +1912,21 @@ object Dedup {
       SELECT count(*) AS n_exact_pairs, CAST(1 AS BIGINT) AS recall_ok
       FROM (${shingleOracle(0.9, "char12")})""",
     "dedup_minhash_clusters" -> s"""
+      WITH RECURSIVE pairs AS (${shingleOracle(0.9, "char12")}),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      nodes AS (SELECT DISTINCT a AS n FROM edges),
+      reach(n, l) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.n)
+      SELECT n AS doc_id, min(l) AS cluster_rep FROM reach GROUP BY n""",
+    // the full-recompute closure VERBATIM (= the dedup_minhash_clusters
+    // oracle): the engine side assembles the same partition from the
+    // maintained base-star artifact + the delta-bounded probes, so the
+    // hash gate is the delta ≡ recompute proof
+    "dedup_clusters_incremental" -> s"""
       WITH RECURSIVE pairs AS (${shingleOracle(0.9, "char12")}),
       edges AS (
         SELECT doc_a AS a, doc_b AS b FROM pairs

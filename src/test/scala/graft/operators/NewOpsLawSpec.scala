@@ -478,6 +478,23 @@ class NewOpsLawSpec extends SparkSpec {
         s"${c.getLong(1)} vs $sameCell")
   }
 
+  test("dedup_clusters_incremental: incremental labels ≡ full recompute, row for row") {
+    import org.apache.spark.sql.functions.col
+    def labels(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("cluster_rep")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val incr = labels(graft.SparkEntry.queries("dedup_clusters_incremental")(spark, sf))
+    val full = labels(graft.SparkEntry.queries("dedup_minhash_clusters")(spark, sf))
+    assert(incr == full,
+      s"incremental partition diverged from recompute: " +
+        s"${(incr.toSet diff full.toSet).take(3)} vs ${(full.toSet diff incr.toSet).take(3)}")
+    // and the split is non-trivial at the law SF: the delta side exists,
+    // so the identity is exercised across base-star + cross + delta edges
+    val docs = graft.core.Tables.documents(spark, sf)
+    assert(docs.where(Maintenance.bucketCol >= 90).count() > 0,
+      "law premise: the fixture must have a non-empty delta")
+  }
+
   test("ml_knn_classifier: votes replay from the exact top-5 and labels") {
     import org.apache.spark.sql.functions.col
     val got = graft.SparkEntry.queries("ml_knn_classifier")(spark, sf).collect()
