@@ -315,19 +315,41 @@ object TextAnalysis {
     * law runs it on a constructed corpus). Input: (doc_id, text). */
   private[graft] def dedupSpansOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val N = 8
     val toksDf = docs.select($"doc_id", toks($"text").as("tk"))
-    val occ = toksDf.select($"doc_id",
-      posexplode(when(size($"tk") >= N,
-          transform(sequence(lit(0), size($"tk") - N),
-            i => array_join(slice($"tk", i + 1, lit(N)), " ")))
-        .otherwise(array().cast("array<string>"))).as(Seq("pos", "g")))
+    val occ = gramOcc(toksDf)
     val wg = Window.partitionBy($"g")
     val removed = occ
       .withColumn("df", size(collect_set($"doc_id").over(wg)))
       .withColumn("owner", min($"doc_id").over(wg))
       .where($"df" >= 2 && $"doc_id" =!= $"owner")
       .select($"doc_id", $"pos")
+    spanAssembly(toksDf, removed)
+  }
+
+  /** Span-gram length shared by the [[dedupSpans]] family. */
+  private val SpanN = 8
+
+  /** Positional word-[[SpanN]]-gram occurrences of a (doc_id, tk) frame:
+    * (doc_id, pos, g). Docs shorter than [[SpanN]] tokens emit no rows
+    * (the consumers restore them with a left join). */
+  private def gramOcc(toksDf: DataFrame): DataFrame = {
+    val s = toksDf.sparkSession
+    import s.implicits._
+    toksDf.select($"doc_id",
+      posexplode(when(size($"tk") >= SpanN,
+          transform(sequence(lit(0), size($"tk") - SpanN),
+            i => array_join(slice($"tk", i + 1, lit(SpanN)), " ")))
+        .otherwise(array().cast("array<string>"))).as(Seq("pos", "g")))
+  }
+
+  /** Doc-bounded span algebra shared by [[dedupSpansOf]] and
+    * [[dedupSpansIncremental]]: removed (doc_id, pos) gram positions →
+    * covered token windows → merged contiguous spans → cleaned text.
+    * Everything after the per-doc aggregate is array arithmetic; no
+    * per-span rows ever shuffle. */
+  private def spanAssembly(toksDf: DataFrame, removed: DataFrame): DataFrame = {
+    val s = toksDf.sparkSession
+    import s.implicits._
     // per-doc span algebra: covered = sorted distinct union of the removed
     // grams' token windows; a span starts wherever the previous covered
     // index is not adjacent (element_at is 1-based, so at 0-based index i
@@ -335,7 +357,7 @@ object TextAnalysis {
     val perDoc = removed.groupBy($"doc_id").agg(collect_set($"pos").as("ps"))
       .select($"doc_id",
         array_sort(array_distinct(flatten(transform($"ps",
-          p => sequence(p, p + N - 1))))).as("cov"))
+          p => sequence(p, p + SpanN - 1))))).as("cov"))
     val emptyCov = array().cast("array<int>")
     toksDf.join(perDoc, Seq("doc_id"), "left")
       .select($"doc_id",
@@ -349,6 +371,76 @@ object TextAnalysis {
         array_join(filter($"tk",
           (_, i) => !array_contains(coalesce($"cov", emptyCov), i)), " ")
           .as("cleaned"))
+  }
+
+  /** Incremental span-level dedup — the INGESTION-TIME twin of
+    * [[dedupSpans]], with the ownership rule a production pipeline
+    * actually needs: FIRST-SEEN wins (base era before delta era, min
+    * doc_id within an era), so the already-published cleaned base
+    * corpus is INVARIANT under new ingests — yesterday's output is
+    * never rewritten — and each batch emits only the delta's cleaned
+    * rows. ([[dedupSpans]]'s global-min-doc_id owner would let a
+    * low-id delta doc steal ownership and retroactively excise spans
+    * from published base docs.)
+    *
+    * A delta gram occurrence is removed material iff the gram exists
+    * ANYWHERE in the base (owner is base-era, df ≥ 2 globally), or it
+    * is delta-internal boilerplate (≥2 distinct delta docs, not the
+    * min delta doc). The maintained artifact is the base corpus's
+    * DISTINCT GRAM SET — session-materialized parquet like the banded
+    * dedup index; at 100 TB the index carries ShingleHashes 8-byte
+    * gram hashes and is bucketed by that hash, so an ingest batch
+    * shuffles only the delta side of the probe (the src_bucketed_join
+    * discipline). Per batch: delta grams shuffle once (the dupPassages
+    * gram-exchange shape) for the delta-internal profile, probe the
+    * index with one join, and the span algebra is [[spanAssembly]] —
+    * work ∝ |delta| grams, the base is touched only through its index.
+    * Oracle restates the era-aware rule from scratch over the split
+    * corpus; the era-equivalence law in NewOpsLawSpec plants a corpus
+    * where delta ids exceed base ids — there first-seen ≡ global-min,
+    * so the incremental output must equal [[dedupSpansOf]] on the
+    * union, row for row, restricted to the delta. */
+  def dedupSpansIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val srcKey = "spark.graft.basegrams.src"
+    val dirKey = "spark.graft.basegrams.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_base_grams").toString
+      gramSetOf(docs.where(Maintenance.bucketCol < 90))
+        .write.mode("overwrite").parquet(dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    dedupSpansDeltaOf(s.read.parquet(s.conf.get(dirKey)),
+      docs.where(Maintenance.bucketCol >= 90))
+  }
+
+  /** Distinct word-[[SpanN]]-gram set of a (doc_id, text) corpus — the
+    * maintained index [[dedupSpansIncremental]] probes (and the law
+    * spec's planted-base builder). */
+  private[graft] def gramSetOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    gramOcc(docs.select($"doc_id", toks($"text").as("tk")))
+      .select($"g").distinct()
+  }
+
+  /** Delta-shaped core of [[dedupSpansIncremental]] (spec hook: the
+    * era-equivalence law feeds a planted base gram set and delta).
+    * `baseGrams`: one `g` column, the maintained distinct-gram index. */
+  private[graft] def dedupSpansDeltaOf(baseGrams: DataFrame, delta: DataFrame): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val toksDf = delta.select($"doc_id", toks($"text").as("tk"))
+    val wg = Window.partitionBy($"g")
+    val removed = gramOcc(toksDf)
+      .withColumn("ddf", size(collect_set($"doc_id").over(wg)))
+      .withColumn("downer", min($"doc_id").over(wg))
+      .join(baseGrams.select($"g", lit(1).as("inb")), Seq("g"), "left")
+      .where($"inb".isNotNull || ($"ddf" >= 2 && $"doc_id" =!= $"downer"))
+      .select($"doc_id", $"pos")
+    spanAssembly(toksDf, removed)
   }
 
   /** Collocation mining: directional bigram "lift" — how much more often
@@ -1366,6 +1458,53 @@ object TextAnalysis {
         FROM toks t
         LEFT JOIN spans sp USING (doc_id)
         LEFT JOIN cleaned cl USING (doc_id)""",
+
+      // era-aware rule restated from scratch: base-present grams always
+      // remove delta occurrences (owner is base-era); delta-internal
+      // boilerplate falls to the min delta doc — the published base
+      // corpus is invariant, so only delta rows are emitted
+      "text_dedup_spans_incremental" -> s"""
+        WITH bk AS (SELECT doc_id, ${Maintenance.hexBucketSql} AS bkt FROM documents),
+        toks AS (
+          SELECT d.doc_id, string_split(lower(d.text), ' ') AS tk, bk.bkt
+          FROM documents d JOIN bk USING (doc_id)),
+        occ AS (
+          SELECT doc_id, bkt, CAST(i - 1 AS INT) AS pos,
+                 array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS g
+          FROM toks JOIN generate_series(1, 8192) s(i) ON i <= len(tk) - 7),
+        baseg AS (SELECT DISTINCT g FROM occ WHERE bkt < 90),
+        docc AS (SELECT doc_id, pos, g FROM occ WHERE bkt >= 90),
+        prof AS (
+          SELECT g, min(doc_id) AS downer, count(DISTINCT doc_id) AS ddf
+          FROM docc GROUP BY g),
+        removed AS (
+          SELECT d.doc_id, d.pos
+          FROM docc d JOIN prof p USING (g) LEFT JOIN baseg b USING (g)
+          WHERE b.g IS NOT NULL OR (p.ddf >= 2 AND d.doc_id <> p.downer)),
+        cov AS (
+          SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS idx
+          FROM removed, generate_series(0, 7) r(j)),
+        spans AS (
+          SELECT doc_id, count(*) AS removed_tokens,
+                 CAST(sum(new_span) AS BIGINT) AS n_spans
+          FROM (SELECT doc_id, idx,
+                  CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) = idx - 1
+                       THEN 0 ELSE 1 END AS new_span FROM cov) x
+          GROUP BY doc_id),
+        cleaned AS (
+          SELECT t.doc_id, string_agg(t.tk[CAST(i AS INT)], ' ' ORDER BY i) AS cleaned
+          FROM toks t JOIN generate_series(1, 8192) s(i) ON i <= len(t.tk)
+          LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = i - 1
+          WHERE c.idx IS NULL AND t.bkt >= 90
+          GROUP BY t.doc_id)
+        SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+               coalesce(sp.n_spans, 0) AS n_spans,
+               CAST(coalesce(sp.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+               coalesce(cl.cleaned, '') AS cleaned
+        FROM toks t
+        LEFT JOIN spans sp USING (doc_id)
+        LEFT JOIN cleaned cl USING (doc_id)
+        WHERE t.bkt >= 90""",
 
       "text_dup_passages" -> """
         WITH toks AS (

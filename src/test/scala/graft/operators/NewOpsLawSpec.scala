@@ -495,6 +495,43 @@ class NewOpsLawSpec extends SparkSpec {
       "law premise: the fixture must have a non-empty delta")
   }
 
+  test("text_dedup_spans_incremental: era-equivalence — when delta ids exceed base ids, " +
+    "incremental ≡ full recompute on the union, restricted to the delta") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a shared 8-gram passage in the base, copied by one delta doc; a
+    // delta-only boilerplate passage shared by two delta docs; one clean doc
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val boiler = "one two three four five six seven eight"
+    val base = Seq(
+      (1L, s"intro $passage outro xx yy"),
+      (2L, "completely unrelated words nothing shared here at all ok")).toDF("doc_id", "text")
+    val delta = Seq(
+      (1001L, s"copy starts $passage copy ends zz"),
+      (1002L, s"$boiler tail a b c"),
+      (1003L, s"head $boiler q r s"),
+      (1004L, "a fully clean document with no duplicated passages inside it")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("removed_tokens"), col("cleaned")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1)
+    val incr = rows(TextAnalysis.dedupSpansDeltaOf(TextAnalysis.gramSetOf(base), delta))
+    val full = rows(TextAnalysis.dedupSpansOf(spark, base.union(delta))
+      .where(col("doc_id") >= 1000L))
+    // delta ids all exceed base ids, so first-seen ownership ≡ global-min
+    // ownership and the two pipelines must agree row for row
+    assert(incr.toSeq == full.toSeq,
+      s"era split diverged from recompute:\n$incr\nvs\n$full")
+    // and the planted removals actually happened: 1001 loses the base
+    // passage, exactly one of {1002, 1003} keeps the boilerplate
+    val byId = incr.map(r => r._1 -> r).toMap
+    assert(byId(1001L)._3 == 1 && byId(1001L)._4 >= 8, s"${byId(1001L)}")
+    assert(byId(1002L)._4 == 0 && byId(1003L)._4 >= 8, "min delta doc owns the boilerplate")
+    assert(byId(1004L)._3 == 0 && byId(1004L)._4 == 0)
+  }
+
   test("ml_knn_classifier: votes replay from the exact top-5 and labels") {
     import org.apache.spark.sql.functions.col
     val got = graft.SparkEntry.queries("ml_knn_classifier")(spark, sf).collect()
