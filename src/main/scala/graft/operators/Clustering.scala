@@ -118,8 +118,25 @@ object Clustering {
       }
     }
 
-    (withCents(q).select($"vec_id", cid.as("cluster"), array_min(dists).as("d")),
-      cents.map(_.toSeq))
+    (assignTo(q, cents), cents.map(_.toSeq))
+  }
+
+  /** Exact-integer nearest-centroid assignment of any (vec_id, e) frame
+    * against a FIXED centroid matrix — [[lloyd]]'s final assignment,
+    * factored out so index-maintenance consumers ([[indexDelta]]) can
+    * assign an ingest batch against published centroids without
+    * retraining. Same broadcast-1-row-frame shape, same smallest-cid
+    * tie-break, squared-L2 in BIGINT. Returns (vec_id, cluster, d). */
+  private[operators] def assignTo(q: DataFrame, cents: Array[Seq[Long]]): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    val withC = q.crossJoin(broadcast(
+      Seq(Tuple1(cents.map(_.toSeq).toSeq)).toDF("cents")))
+    val dists = transform($"cents",
+      c => aggregate(zip_with($"e", c, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v))
+    val cid = (array_position(dists, array_min(dists)) - 1).cast("bigint")
+    withC.select($"vec_id", cid.as("cluster"), array_min(dists).as("d"))
   }
 
   /** DuckDB replay of the SAME integer algorithm, unrolled per
@@ -128,16 +145,24 @@ object Clustering {
     * row_number argmin ≡ array_position-first tie-break;
     * non-negative-mod floor division ≡ floorDiv (exact BIGINT at any
     * magnitude); coalesce-to-previous ≡ the empty-cluster rule. */
-  private def oracleKmeans: String = {
-    val dist = s"list_sum(list_transform(range(1, ${Dim + 1}), " +
+  /** Squared-L2 between aliases q/c in the generated oracles. */
+  private def kmDist: String =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), " +
       "i -> (q.e[i] - c.e[i]) * (q.e[i] - c.e[i])))"
-    def assign(prev: String, a: String) = s"""
+
+  /** One generated assignment CTE: rows of `src` against centroids
+    * `prev`, QUALIFY-argmin with the smallest-cid tie-break. Shared by
+    * [[oracleKmeans]] and [[oracleIndexDelta]]. */
+  private def kmAssign(src: String, prev: String, a: String) = s"""
       $a AS (
         SELECT vec_id, e, cid, d FROM (
-          SELECT q.vec_id, q.e, c.cid, $dist AS d
-          FROM q CROSS JOIN $prev c) t
+          SELECT q.vec_id, q.e, c.cid, $kmDist AS d
+          FROM $src q CROSS JOIN $prev c) t
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1)"""
-    def update(prev: String, a: String, cur: String) = s"""
+
+  /** One generated centroid-update CTE pair (the floorDiv means +
+    * empty-cluster coalesce). Shared by the training chains. */
+  private def kmUpdate(prev: String, a: String, cur: String) = s"""
       ${a}_sums AS (
         SELECT cid, i.range AS dim, CAST(sum(e[i.range]) AS BIGINT) AS s,
                count(*) AS n
@@ -151,19 +176,32 @@ object Clustering {
                  list((s - ((s % n) + n) % n) // n
                       ORDER BY dim) AS e
           FROM ${a}_sums GROUP BY cid) u ON u.cid = p.cid)"""
-    val head = s"""
-      WITH q AS (
-        SELECT vec_id,
-               list_transform(embedding,
-                 x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS e
-        FROM embeddings),
+
+  /** The full unrolled Lloyd chain (seed c0 → c[Iters]) trained over a
+    * CTE named `q` that the caller's `head` must define. */
+  private def kmTrainChain: String = {
+    val seed = s"""
       c0 AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e
         FROM (SELECT vec_id, e FROM q ORDER BY vec_id LIMIT $K))"""
-    val iters = (1 to Iters).map { it =>
-      assign(s"c${it - 1}", s"a$it") + "," + update(s"c${it - 1}", s"a$it", s"c$it")
+    seed + (1 to Iters).map { it =>
+      kmAssign("q", s"c${it - 1}", s"a$it") + "," +
+        kmUpdate(s"c${it - 1}", s"a$it", s"c$it")
     }.mkString(",", ",", "")
-    head + iters + "," + assign(s"c$Iters", "fa") + s""",
+  }
+
+  /** Quantization CTE over a source relation. */
+  private def kmQuantSql(src: String): String = s"""(
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS e
+        FROM $src)"""
+
+  private def oracleKmeans: String = {
+    def assign(prev: String, a: String) = kmAssign("q", prev, a)
+    val head = s"""
+      WITH q AS ${kmQuantSql("embeddings")},"""
+    head + kmTrainChain + "," + assign(s"c$Iters", "fa") + s""",
       l1 AS (SELECT cid,
                     CAST(list_sum(list_transform(e, v -> abs(v))) AS BIGINT)
                       AS centroid_l1
@@ -351,8 +389,99 @@ object Clustering {
       SELECT CAST(j AS BIGINT) AS dim_idx, CAST(v AS BIGINT) AS loading_ppm
       FROM v$PcaIters"""
 
+  // ---------------------------------------------------------------- simsearch_index_delta
+
+  /** ANN-index MAINTENANCE — the incremental twin for the IVF/simsearch
+    * family, closing the cross-run loop the dedup family already has
+    * (pairs / clusters / spans): centroids trained on the BASE vectors
+    * ([[lloyd]], deterministic) are the PUBLISHED index artifact
+    * (K rows: centroid + per-cell base population/inertia,
+    * session-materialized); an ingest batch only ASSIGNS its vectors
+    * against those fixed centroids ([[assignTo]] — one broadcast-
+    * closure pass over the delta, work ∝ |delta|, the base never
+    * rescanned) and emits per cell: base/delta populations, the
+    * delta's inertia, and DRIFT_PPM — the exact cross-multiplied
+    * integer ratio of delta mean squared distance to base mean squared
+    * distance ((Σd_delta·n_base·10⁶) div (Σd_base·n_delta), DECIMAL(38,0)
+    * against the oracle's HUGEINT since inertia sums are micro²-unit) —
+    * the retrain trigger: a cell whose incoming vectors sit much
+    * farther from its centroid than the training population did is a
+    * cell whose geometry the index no longer represents. Cells the
+    * delta misses emit n_delta = 0 / NULL drift. Base/delta split is
+    * the content-addressed md5(vec_id) % 100 < 90 convention. The
+    * oracle is GENERATED from the same builders as ml_kmeans (train
+    * chain over the base subset, one assignment of the delta), so
+    * K/Iters/Scale changes cannot desynchronize the sides. */
+  def indexDelta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecBucket = Maintenance.md5Hex32Col($"vec_id") % 100
+    val srcKey = "spark.graft.ivfindex.src"
+    val dirKey = "spark.graft.ivfindex.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+      val (assignedBase, cents) = lloyd(quantized(s, d).where(vecBucket < 90))
+      val stats = assignedBase.groupBy($"cluster")
+        .agg(count(lit(1)).as("n_base"), sum($"d").as("sum_d_base"))
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+        .toDF("cluster", "e")
+        .join(stats, Seq("cluster"), "left")
+        .select($"cluster", $"e",
+          coalesce($"n_base", lit(0L)).as("n_base"),
+          coalesce($"sum_d_base", lit(0L)).cast("bigint").as("sum_d_base"))
+        .write.mode("overwrite").parquet(dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    val idx = s.read.parquet(s.conf.get(dirKey)).localCheckpoint()
+    // K×dim bounded driver traffic — the published centroid matrix
+    val cents: Array[Seq[Long]] = idx.orderBy($"cluster")
+      .select($"e").as[Seq[Long]].collect()
+    val del = assignTo(quantized(s, d).where(vecBucket >= 90), cents)
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_delta"), sum($"d").as("sum_d_delta"))
+    idx.join(del, Seq("cluster"), "left")
+      .select($"cluster", $"n_base",
+        coalesce($"n_delta", lit(0L)).as("n_delta"),
+        coalesce($"sum_d_delta", lit(0L)).cast("bigint").as("delta_inertia"),
+        expr("""
+          CASE WHEN coalesce(n_delta, 0) = 0 OR sum_d_base = 0 THEN NULL
+               ELSE CAST(CAST(sum_d_delta AS DECIMAL(38,0)) * n_base * 1000000
+                         div (CAST(sum_d_base AS DECIMAL(38,0)) * n_delta)
+                         AS BIGINT) END""").as("drift_ppm"))
+  }
+
+  private def oracleIndexDelta: String = {
+    val bkt = "(" + Maintenance.md5Hex32Sql("CAST(vec_id AS VARCHAR)") + " % 100)"
+    s"""
+      WITH qall AS ${kmQuantSql("embeddings")},
+      q AS (SELECT * FROM qall WHERE $bkt < 90),
+      qd AS (SELECT * FROM qall WHERE $bkt >= 90),""" +
+      kmTrainChain + "," +
+      kmAssign("q", s"c$Iters", "fb") + "," +
+      kmAssign("qd", s"c$Iters", "fd") + s""",
+      base AS (
+        SELECT cid, count(*) AS n_base, CAST(sum(d) AS BIGINT) AS sum_d_base
+        FROM fb GROUP BY cid),
+      del AS (
+        SELECT cid, count(*) AS n_delta, CAST(sum(d) AS BIGINT) AS sum_d_delta
+        FROM fd GROUP BY cid)
+      SELECT c.cid AS cluster,
+             coalesce(b.n_base, 0) AS n_base,
+             coalesce(dl.n_delta, 0) AS n_delta,
+             coalesce(dl.sum_d_delta, 0) AS delta_inertia,
+             CASE WHEN coalesce(dl.n_delta, 0) = 0 OR coalesce(b.sum_d_base, 0) = 0
+                  THEN NULL
+                  ELSE CAST(CAST(dl.sum_d_delta AS HUGEINT) * b.n_base * 1000000
+                            // (CAST(b.sum_d_base AS HUGEINT) * dl.n_delta)
+                            AS BIGINT) END AS drift_ppm
+      FROM c$Iters c
+      LEFT JOIN base b ON b.cid = c.cid
+      LEFT JOIN del dl ON dl.cid = c.cid"""
+  }
+
   val oracle: Map[String, String] = Map(
     "ml_kmeans" -> oracleKmeans,
     "ml_pca_power" -> oraclePcaPower,
-    "ml_pca_top2" -> oraclePcaTop2)
+    "ml_pca_top2" -> oraclePcaTop2,
+    "simsearch_index_delta" -> oracleIndexDelta)
 }

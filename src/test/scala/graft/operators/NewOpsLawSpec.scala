@@ -532,6 +532,47 @@ class NewOpsLawSpec extends SparkSpec {
     assert(byId(1004L)._3 == 0 && byId(1004L)._4 == 0)
   }
 
+  test("simsearch_index_delta: populations conserve and drift replays from the artifact") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.SparkEntry.queries("simsearch_index_delta")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.length == 4, "one row per published cell")
+    // every vector lands in exactly one cell on exactly one side
+    val total = graft.core.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum + rows.map(_._3).sum == total,
+      "base + delta populations must partition the corpus")
+    // drift is present exactly where the delta reached a trained cell
+    rows.foreach { case (_, nBase, nDelta, dInertia, drift) =>
+      assert((drift.isEmpty) == (nDelta == 0L || nBase == 0L),
+        s"drift nullability contract broke: nBase=$nBase nDelta=$nDelta")
+      if (nDelta == 0L) assert(dInertia == 0L)
+    }
+  }
+
+  test("simsearch_index_delta: a planted far-away batch drives drift_ppm ≫ 10⁶") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // base: a tight cell at the origin (unit jitter); delta: the same
+    // cell's vectors displaced 100× — incoming data the index no longer
+    // represents. drift = delta mean d / base mean d must explode.
+    val dim = 64
+    def vec(offset: Long, jitter: Long) =
+      (0 until dim).map(i => offset + (if (i % 2 == 0) jitter else -jitter)).toArray
+    val base = (1 to 8).map(i => (i.toLong, vec(0L, i.toLong)))
+    val cents = Array(vec(0L, 4L).map(identity): Seq[Long]) // the published centroid
+    def assignedMeanD(rows: Seq[(Long, Array[Long])]) = {
+      val df = rows.toDF("vec_id", "e")
+      val a = graft.operators.Clustering.assignTo(df, cents).collect()
+      a.map(_.getLong(2)).sum / a.length
+    }
+    val baseMean = assignedMeanD(base)
+    val deltaMean = assignedMeanD(base.map { case (id, e) =>
+      (id + 100L, e.map(_ + 1000L)) })
+    assert(deltaMean / math.max(baseMean, 1L) > 100L,
+      s"planted displacement must dominate: base $baseMean delta $deltaMean")
+  }
+
   test("ml_knn_classifier: votes replay from the exact top-5 and labels") {
     import org.apache.spark.sql.functions.col
     val got = graft.SparkEntry.queries("ml_knn_classifier")(spark, sf).collect()
