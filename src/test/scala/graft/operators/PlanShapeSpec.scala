@@ -919,6 +919,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(day"), p)
   }
 
+  test("simsearch_index_delta's batch plan is one delta exchange, broadcast-only joins") {
+    val p = plan("simsearch_index_delta").split("== Initial Plan ==")(0)
+    // the per-batch cost model: ONE hash exchange (the K-row per-cell
+    // aggregate of the assigned delta); the centroid matrix and the
+    // K-row index join ride broadcasts — at 100 TB the ingest batch
+    // never sort-merges or re-shuffles the base
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "the delta assignment must shuffle exactly once (per-cell agg)\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "index maintenance must not sort-merge anything\n" + p)
+  }
+
   test("agg_corr_matrix is one scan into one partial-aggregated reduce") {
     val p = plan("agg_corr_matrix").split("== Initial Plan ==")(0)
     assert("Scan parquet".r.findAllIn(p).size == 1,
