@@ -443,6 +443,61 @@ object TextAnalysis {
     spanAssembly(toksDf, removed)
   }
 
+  /** Token-distribution SHIFT between the base corpus and an ingest
+    * batch — the text-side sibling of `simsearch_index_delta`'s drift
+    * monitor (is today's data still the distribution we trained the
+    * filters/tokenizer on?): TOTAL VARIATION distance between the two
+    * unigram distributions, EXACT in integers via cross-multiplication —
+    * TV = ½ Σ\|c_i/N − d_i/M\| ⇒ tv_ppm = (Σ\|c_i·M − d_i·N\|)·10⁶
+    * div (2·N·M), all DECIMAL(38,0) (per-token products ≤ N·M ≈ 10²⁸ at
+    * 10¹⁴-token sides; the Σ ≤ 2NM, ×10⁶ ≤ 2·10³⁴ — inside 38 digits,
+    * margins stated not assumed) ≡ the oracle's HUGEINT. Output is the
+    * top-10 mover tokens by exact numerator (ties by token — a total
+    * order) with per-token contrib_ppm, each row carrying the global
+    * tv_ppm (the dbscanIvf global-counts convention). TV over KL/JS
+    * because it needs no logs — exact integers end to end, and it is
+    * the metric with the coupling/testing interpretation (max event
+    * probability difference).
+    *
+    * Scale shape: ONE corpus scan (explode → conditional two-sided
+    * counts in one map-side-combined token aggregate — no join of two
+    * profiles), the checkpointed VOCAB-sized profile feeds the totals
+    * probe (2 scalars), the TV aggregate (1 scalar), and the top-10
+    * (TakeOrderedAndProject, plan-pinned) — the corpus is never
+    * rescanned. */
+  def shiftTv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    shiftTvOf(Tables.documents(s, d)
+      .select((Maintenance.bucketCol >= 90).as("isd"),
+        explode(toks($"text")).as("token")))
+  }
+
+  /** Core of [[shiftTv]] over any (isd: boolean, token) frame — the law
+    * spec feeds planted identical / disjoint sides (TV = 0 / 10⁶). */
+  private[graft] def shiftTvOf(tokens: DataFrame): DataFrame = {
+    val s = tokens.sparkSession
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val prof = tokens
+      .groupBy($"token")
+      .agg(sum(when($"isd", 0L).otherwise(1L)).as("n_base"),
+           sum(when($"isd", 1L).otherwise(0L)).as("n_delta"))
+      .localCheckpoint() // totals probe + TV aggregate + top-10 movers
+    val tot = broadcast(prof.agg(
+      sum($"n_base").cast(dec).as("nb"), sum($"n_delta").cast(dec).as("nd")))
+    val c = prof.crossJoin(tot)
+      .withColumn("num",
+        abs($"n_base".cast(dec) * $"nd" - $"n_delta".cast(dec) * $"nb"))
+    val tv = broadcast(c.agg(
+      expr("CAST(sum(num) * 1000000 div (2 * max(nb) * max(nd)) AS BIGINT)")
+        .as("tv_ppm")))
+    c.crossJoin(tv)
+      .sort($"num".desc, $"token".asc).limit(10)
+      .select($"token", $"n_base", $"n_delta",
+        expr("CAST(num * 1000000 div (2 * nb * nd) AS BIGINT)").as("contrib_ppm"),
+        $"tv_ppm")
+  }
+
   /** Collocation mining: directional bigram "lift" — how much more often
     * word w2 follows w1 than independence predicts — in exact integer
     * parts-per-million: lift = (c₁₂·N·10⁶) div (c₁·c₂), with c₁ = w1's
@@ -1458,6 +1513,31 @@ object TextAnalysis {
         FROM toks t
         LEFT JOIN spans sp USING (doc_id)
         LEFT JOIN cleaned cl USING (doc_id)""",
+
+      "text_shift_tv" -> s"""
+        WITH bk AS (SELECT doc_id, ${Maintenance.hexBucketSql} AS bkt FROM documents),
+        tk AS (
+          SELECT (bk.bkt >= 90) AS isd,
+                 unnest(string_split(lower(d.text), ' ')) AS token
+          FROM documents d JOIN bk USING (doc_id)),
+        prof AS (
+          SELECT token,
+                 CAST(sum(CASE WHEN isd THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+                 CAST(sum(CASE WHEN isd THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+          FROM tk GROUP BY token),
+        tot AS (SELECT CAST(sum(n_base) AS HUGEINT) AS nb,
+                       CAST(sum(n_delta) AS HUGEINT) AS nd FROM prof),
+        c AS (
+          SELECT token, n_base, n_delta,
+                 abs(CAST(n_base AS HUGEINT) * nd - CAST(n_delta AS HUGEINT) * nb) AS num,
+                 nb, nd
+          FROM prof, tot),
+        tv AS (SELECT CAST(sum(num) * 1000000 // (2 * max(nb) * max(nd)) AS BIGINT) AS tv_ppm
+               FROM c)
+        SELECT token, n_base, n_delta,
+               CAST(num * 1000000 // (2 * nb * nd) AS BIGINT) AS contrib_ppm,
+               tv.tv_ppm
+        FROM c, tv ORDER BY num DESC, token LIMIT 10""",
 
       // era-aware rule restated from scratch: base-present grams always
       // remove delta occurrences (owner is base-era); delta-internal

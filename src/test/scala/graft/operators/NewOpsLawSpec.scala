@@ -573,6 +573,50 @@ class NewOpsLawSpec extends SparkSpec {
       s"planted displacement must dominate: base $baseMean delta $deltaMean")
   }
 
+  test("text_shift_tv: identical sides give TV = 0, disjoint vocabularies give exactly 10⁶") {
+    import spark.implicits._
+    val words = Seq("a", "b", "c", "a", "b", "a")
+    val same = (words.map(t => (false, t)) ++ words.map(t => (true, t)))
+      .toDF("isd", "token")
+    assert(TextAnalysis.shiftTvOf(same).collect().forall(r =>
+      r.getLong(4) == 0L && r.getLong(3) == 0L), "identical distributions must read 0")
+    val disjoint = (words.map(t => (false, t)) ++
+      Seq("x", "y", "z", "x").map(t => (true, t))).toDF("isd", "token")
+    assert(TextAnalysis.shiftTvOf(disjoint).collect().forall(_.getLong(4) == 1000000L),
+      "disjoint supports are the TV maximum: exactly 1.0")
+  }
+
+  test("text_shift_tv: tv and movers replay from a driver-side count of the raw corpus") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.SparkEntry.queries("text_shift_tv")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 10)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4)
+      (h.foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))) % 100
+    }
+    val (base, delta) = docs.partition { case (id, _) => bucket(id) < 90 }
+    def counts(ds: Array[(Long, String)]) = ds
+      .flatMap(_._2.toLowerCase.split(" ", -1)).groupBy(identity)
+      .map { case (t, a) => t -> BigInt(a.length) }
+    val (cb, cd) = (counts(base), counts(delta))
+    val (nb, nd) = (cb.values.sum, cd.values.sum)
+    val num = (cb.keySet ++ cd.keySet).toSeq.map { t =>
+      t -> ((cb.getOrElse(t, BigInt(0)) * nd) - (cd.getOrElse(t, BigInt(0)) * nb)).abs
+    }.toMap
+    val tvWant = (num.values.sum * 1000000 / (2 * nb * nd)).toLong
+    assert(rows.forall(_._5 == tvWant), s"tv_ppm drifted (want $tvWant)")
+    // the reported movers are exactly the numerator top-10 under the
+    // (num desc, token asc) total order — a deterministic SET
+    val want = num.toSeq.sortBy { case (t, n) => (-n, t) }.take(10).map(_._1)
+    assert(rows.map(_._1).sorted.toSeq == want.sorted,
+      s"movers diverged: ${rows.map(_._1).toSeq} vs $want")
+  }
+
   test("ml_knn_classifier: votes replay from the exact top-5 and labels") {
     import org.apache.spark.sql.functions.col
     val got = graft.SparkEntry.queries("ml_knn_classifier")(spark, sf).collect()
