@@ -25,7 +25,8 @@ import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
   *    `sort.Strings` (azure_util.go:263-267, mr_worker.go:202). Partition
   *    *assignment* parity with FNV is an explicit non-goal (SURVEY §7
   *    risks): merged results are partition-invariant, which the
-  *    PartitionInvarianceSpec property test asserts;
+  *    MRJobSpec (R=3 vs R=7) and MRLawsSpec (merged reduce output
+  *    independent of R) tests assert;
   *  - unlike the reference's in-memory reducer buffer (mr_worker.go:168-209),
   *    Spark's sort-based shuffle spills — this runs at 100 TB where the
   *    reference OOMs.

@@ -1439,7 +1439,7 @@ object Relational {
     * associatively (plain `var_samp`/`corr` over doubles is
     * partial-order dependent and can never hash-match across engines).
     * x = quantity (≤50), y = discount in integer percent (≤10): the
-    * squared sums stay ≪ 2⁶³ at any realistic SF. RelationalSpec derives
+    * squared sums stay ≪ 2⁶³ at any realistic SF. AnalyticsSpec derives
     * corr from these sums and checks it against Spark's own `corr`. */
   def aggMoments(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -3014,7 +3014,9 @@ object Relational {
     * (codegen'd, both engines) scores pairs and `row_number` keeps the
     * minimum per probe. */
   /** The fuzzy join's (probes, candidates) frames — exposed for the
-    * FuzzyJoinSpec recall law and the PlanShapeSpec candidate-plan pin. */
+    * AnalyticsSpec deletion-neighborhood recall-1.0 property, the
+    * ScaleSpec candidate-volume bound, and the PlanShapeSpec
+    * candidate-plan pin. */
   private[graft] def fuzzyFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val parts = Tables.part(s, d)
