@@ -498,6 +498,63 @@ object TextAnalysis {
         $"tv_ppm")
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank over
+    * the word co-occurrence graph, the graph-centrality sibling of
+    * [[rake]]'s degree heuristic: stopword-filtered adjacent-token pairs
+    * form the undirected distinct edge set, and 3 fixed damped rounds of
+    * pr′(w) = 0.15 + 0.85·Σ_{u∈N(w)} pr(u)/deg(u) rank the vocabulary.
+    * EXACT integers throughout (the ml_kmeans replayable-loop
+    * discipline): pr in ppm, each neighbor term pr(u) div deg(u) and
+    * the final (850000·Σ) div 10⁶ are truncating divisions replayed
+    * bit-for-bit by the oracle's `//`. The multiply-sum rides
+    * DECIMAL(38,0) ≡ HUGEINT: Σ_w pr(w) is ~10⁶·|V| (each round
+    * redistributes, never inflates, total mass), so a hub's
+    * 850000·Σ-term reaches ~8.5·10¹⁸ at a 10⁷-word vocabulary —
+    * BIGINT's edge, stated not assumed. Output: top-20 words under the
+    * (pr desc, word asc) total order with degree — deterministic set,
+    * TakeOrderedAndProject.
+    *
+    * Scale shape: one corpus scan → distinct edge set (vocab²-bounded
+    * but co-occurrence-sparse — Σ doc lengths pairs pre-distinct);
+    * each round is one |E|-sized join + one map-side-combined vocab
+    * aggregate, lineage-truncated — the graph_pagerank iteration
+    * economics on the word graph. */
+  def textrank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val stop = StopwordSets.head._2
+    val tkf = filter(toks($"text"), t => t =!= "" && !t.isin(stop.map(lit): _*))
+    val e = Tables.documents(s, d)
+      .select(explode(Dedup.wordShinglesOf(tkf, 2)).as("bg"))
+      .select(split($"bg", " ").getItem(0).as("a"), split($"bg", " ").getItem(1).as("b"))
+      .where($"a" =!= $"b")
+      .select(least($"a", $"b").as("lo"), greatest($"a", $"b").as("hi"))
+      .distinct()
+      .localCheckpoint() // both nbr directions + 3 iteration joins
+    val nbr = e.select($"lo".as("w"), $"hi".as("u"))
+      .union(e.select($"hi".as("w"), $"lo".as("u")))
+      .localCheckpoint()
+    val deg = nbr.groupBy($"w").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nbrDeg = nbr
+      .join(deg.select($"w".as("u"), $"deg".as("du")), Seq("u"))
+      .localCheckpoint() // static per-round probe side
+    var pr = deg.select($"w", lit(1000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = nbrDeg
+        .join(pr.select($"w".as("u"), $"pr".as("pu")), Seq("u"))
+        .groupBy($"w")
+        .agg(sum(expr("pu div du").cast(dec)).as("contrib"))
+      pr = deg.join(contrib, Seq("w"), "left")
+        .select($"w",
+          expr("""CAST(150000 + (850000 * CAST(coalesce(contrib, 0) AS DECIMAL(38,0)))
+                       div 1000000 AS BIGINT)""").as("pr"))
+        .localCheckpoint()
+    }
+    pr.join(deg, Seq("w"))
+      .sort($"pr".desc, $"w".asc).limit(20)
+      .select($"w".as("word"), $"deg".as("degree"), $"pr".as("pr_ppm"))
+  }
+
   /** Collocation mining: directional bigram "lift" — how much more often
     * word w2 follows w1 than independence predicts — in exact integer
     * parts-per-million: lift = (c₁₂·N·10⁶) div (c₁·c₂), with c₁ = w1's
@@ -1600,6 +1657,39 @@ object TextAnalysis {
                  AS BIGINT) AS dup_ppm
         FROM sh JOIN df USING (s)
         GROUP BY doc_id""",
+
+      // generated unrolled replay of the identical integer recurrence
+      // (pr(u) // deg(u) and (850000·Σ) // 10⁶ truncate on both engines;
+      // HUGEINT ≡ the engine's DECIMAL(38,0) multiply-sum)
+      "text_textrank" -> s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                   t -> t <> '' AND NOT list_contains(${stopList("en")}, t)) AS tk
+          FROM documents),
+        adj AS (
+          SELECT least(tk[CAST(i AS INT)], tk[CAST(i AS INT) + 1]) AS lo,
+                 greatest(tk[CAST(i AS INT)], tk[CAST(i AS INT) + 1]) AS hi
+          FROM toks JOIN generate_series(1, 4096) g(i) ON i <= len(tk) - 1
+          WHERE tk[CAST(i AS INT)] <> tk[CAST(i AS INT) + 1]),
+        e AS (SELECT DISTINCT lo, hi FROM adj),
+        nbr AS (SELECT lo AS w, hi AS u FROM e UNION ALL SELECT hi, lo FROM e),
+        deg AS (SELECT w, count(*) AS deg FROM nbr GROUP BY w),
+        pr0 AS (SELECT w, CAST(1000000 AS BIGINT) AS pr FROM deg)${
+          (1 to 3).map { k => s""",
+        c$k AS (
+          SELECT n.w AS w,
+                 CAST(sum(CAST(p.pr AS HUGEINT) // d.deg) AS HUGEINT) AS contrib
+          FROM nbr n JOIN pr${k - 1} p ON p.w = n.u JOIN deg d ON d.w = n.u
+          GROUP BY n.w),
+        pr$k AS (
+          SELECT d.w,
+                 CAST(150000 + (850000 * coalesce(c.contrib, 0)) // 1000000 AS BIGINT) AS pr
+          FROM deg d LEFT JOIN c$k c ON c.w = d.w)"""
+          }.mkString}
+        SELECT p.w AS word, d.deg AS degree, p.pr AS pr_ppm
+        FROM pr3 p JOIN deg d USING (w)
+        ORDER BY p.pr DESC, p.w LIMIT 20""",
 
       "text_collocations" -> s"""
         WITH toks AS (

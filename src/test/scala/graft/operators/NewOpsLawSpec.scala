@@ -617,6 +617,37 @@ class NewOpsLawSpec extends SparkSpec {
       s"movers diverged: ${rows.map(_._1).toSeq} vs $want")
   }
 
+  test("text_textrank: ranks replay from a driver-side graph walk of the raw corpus") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.SparkEntry.queries("text_textrank")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    // damping floor: no rank can fall below the (1-d) term
+    assert(rows.forall(_._3 >= 150000L))
+    val stop = TextAnalysis.StopwordSets.head._2.toSet
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val edges = scala.collection.mutable.Set[(String, String)]()
+    docs.foreach { t =>
+      val tk = t.toLowerCase.split(" ", -1).filter(w => w.nonEmpty && !stop(w))
+      tk.zip(tk.drop(1)).foreach { case (a, b) =>
+        if (a != b) edges += ((if (a < b) a else b, if (a < b) b else a))
+      }
+    }
+    val nbr = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (w, ps) => w -> ps.map(_._2) }
+    val deg = nbr.map { case (w, us) => w -> BigInt(us.length) }
+    var pr = deg.map { case (w, _) => w -> BigInt(1000000) }
+    for (_ <- 1 to 3) pr = deg.map { case (w, _) =>
+      w -> (BigInt(150000) +
+        BigInt(850000) * nbr(w).map(u => pr(u) / deg(u)).sum / BigInt(1000000))
+    }
+    val want = pr.toSeq.sortBy { case (w, p) => (-p, w) }.take(20)
+      .map { case (w, p) => (w, deg(w).toLong, p.toLong) }
+    assert(rows.sortBy(r => (-r._3, r._1)).toSeq == want,
+      s"textrank diverged from the driver replay:\n${rows.toSeq}\nvs\n$want")
+  }
+
   test("ml_knn_classifier: votes replay from the exact top-5 and labels") {
     import org.apache.spark.sql.functions.col
     val got = graft.SparkEntry.queries("ml_knn_classifier")(spark, sf).collect()
