@@ -62,4 +62,31 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty,
       s"oracleSql keys with no registered query: ${orphans.toSeq.sorted.mkString(", ")}")
   }
+
+  /** The round-9/10 phantom-citation class, made structural: docstrings
+    * kept claiming laws "pinned in XSpec" where no such spec existed
+    * (r9: DistRankSpec, a PlanShapeSpec vocab pin; r10: the pca_top2
+    * cos law; r11 audit: three stale names for laws that lived in
+    * renamed specs). A citation the reader cannot follow is worse than
+    * none. Allowlist: identifiers ending in "Spec" that are not test
+    * suites — the engine's own MRSpec class, the reference's
+    * MapReduceSpec Go struct, and Spark's internal
+    * PartialReducerPartitionSpec. */
+  test("every *Spec cited from src/main is an existing test suite (no phantom citations)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val notSuites = Set("MRSpec", "MapReduceSpec", "PartialReducerPartitionSpec")
+    def walk(root: String) = Files.walk(Paths.get(root)).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala")).toSeq
+    val suites = walk("src/test").map(_.getFileName.toString.stripSuffix(".scala")).toSet
+    val cite = """[A-Za-z][A-Za-z0-9]*Spec""".r
+    val phantom = (for {
+      f <- walk("src/main")
+      m <- cite.findAllIn(read(f.toString))
+      if !suites.contains(m) && !notSuites.contains(m)
+    } yield s"$m (${f.getFileName})").distinct
+    assert(phantom.isEmpty,
+      s"docstrings cite test suites that do not exist: ${phantom.sorted.mkString(", ")}" +
+        "\nwrite the law, fix the name, or add a justified allowlist entry")
+  }
 }
