@@ -2559,6 +2559,84 @@ object Relational {
           .cast("bigint").as("t_stat_micro"))
   }
 
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM 2013 — the
+    * industry-standard experiment-sensitivity trick): adjust each
+    * user's post-period metric Y by their PRE-period covariate X,
+    * Ŷ = Y − θ(X − X̄) with θ = cov(X,Y)/var(X), which cuts metric
+    * variance by exactly ρ²(X,Y) without biasing the lift (treatment
+    * is independent of the pre-period). Same arm/cutoff/cents
+    * conventions as [[eventsAb]]/[[eventsDid]] (user_id % 2,
+    * 2024-01-15, round(value·100)).
+    *
+    * Exactness: the [[eventsAb]] discipline — per-user (x, y) cents
+    * from one user-grain aggregate, then ONE map-side-combined moments
+    * row (n, Σx, Σy, Σxy, Σx², Σy², per-arm n/Σx/Σy) in DECIMAL(38,0)
+    * (user-level products ride decimal MULTIPLY, not long — whale-user
+    * totals square past 2⁶³ where per-event cents do not), and every
+    * reported number is ONE shared double expression over those exact
+    * moments, floor-scaled to micro/ppm — identical trees on both
+    * engines, so the floors agree bit-for-bit. var(X) = 0 or
+    * var(Y) = 0 → NULL adjusted outputs (guarded, never arises at the
+    * fixture SFs). θ is POOLED (both arms), the standard CUPED choice.
+    * Reported variance reduction IS ρ²: var(Ŷ) = var(Y)·(1 − ρ²), an
+    * algebraic identity — no second pass over adjusted rows.
+    *
+    * Scale: two exchanges total — the user-grain aggregate (billions
+    * of users = one hash exchange of 3-long rows) and the single-row
+    * moments reduce. */
+  def eventsCuped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutoff = graft.core.Utc.ts("2024-01-15 00:00:00")
+    val users = Tables.events(s, d).where($"event_type" === "purchase")
+      .select(pmod($"user_id", lit(2L)).as("arm"), $"user_id",
+        when($"ts" < lit(cutoff), round($"value" * 100).cast("bigint"))
+          .otherwise(0L).as("xc"),
+        when($"ts" >= lit(cutoff), round($"value" * 100).cast("bigint"))
+          .otherwise(0L).as("yc"))
+      .groupBy($"user_id", $"arm")
+      .agg(sum($"xc").as("x"), sum($"yc").as("y"))
+    cupedOf(users.select($"arm", $"x", $"y"))
+  }
+
+  /** Moments-and-readout core of [[eventsCuped]] over any user-grain
+    * (arm, x, y) frame — the law spec feeds planted frames (X-shift
+    * invariance, zero-covariate degeneration). */
+  private[graft] def cupedOf(users: DataFrame): DataFrame = {
+    val s = users.sparkSession
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = users.agg(
+      count(lit(1)).as("n"),
+      sum($"x").cast(dec).as("sx"), sum($"y").cast(dec).as("sy"),
+      sum($"x".cast(dec) * $"y").as("sxy"),
+      sum($"x".cast(dec) * $"x").as("sx2"),
+      sum($"y".cast(dec) * $"y").as("sy2"),
+      sum(when($"arm" === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when($"arm" === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when($"arm" === 0, $"x").otherwise(0L)).cast(dec).as("sx0"),
+      sum(when($"arm" === 1, $"x").otherwise(0L)).cast(dec).as("sx1"),
+      sum(when($"arm" === 0, $"y").otherwise(0L)).cast(dec).as("sy0"),
+      sum(when($"arm" === 1, $"y").otherwise(0L)).cast(dec).as("sy1"))
+    // shared double sub-expressions (texts must match the oracle verbatim)
+    val covN = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val varxN = "(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val varyN = "(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val lift = """(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))"""
+    val xgap = """(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))"""
+    m.select($"n0", $"n1",
+      expr(s"CAST(floor($lift * 1e6) AS BIGINT)").as("lift_micro"),
+      expr(s"""CAST(CASE WHEN $varxN = 0 THEN NULL
+                ELSE floor($covN / $varxN * 1e6) END AS BIGINT)""").as("theta_micro"),
+      expr(s"""CAST(CASE WHEN $varxN = 0 THEN NULL
+                ELSE floor(($lift - $covN / $varxN * $xgap) * 1e6) END AS BIGINT)""")
+        .as("adj_lift_micro"),
+      expr(s"""CAST(CASE WHEN $varxN = 0 OR $varyN = 0 THEN NULL
+                ELSE floor($covN * $covN / ($varxN * $varyN) * 1e6) END AS BIGINT)""")
+        .as("var_reduction_ppm"))
+  }
+
   /** Higher-order array functions as a first-class surface (transform /
     * filter / exists / forall / aggregate / zip_with) — the per-row
     * array algebra every feature-engineering pass leans on. All native

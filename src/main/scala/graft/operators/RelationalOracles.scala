@@ -419,6 +419,55 @@ object RelationalOracles {
 
     // four conditional-aggregate cells + floor-div ppm means; DiD stated
     // on the quantized means, exactly the engine's rule
+    // double expressions mirror the engine's shared trees VERBATIM
+    // (moments HUGEINT ≡ DECIMAL(38,0); CAST-to-DOUBLE then one
+    // identical arithmetic tree, floor-scaled — the events_ab pattern)
+    "events_cuped" -> """
+      WITH u AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+                             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+                             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id),
+      m AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sx2,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS sy2,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS HUGEINT) AS sx0,
+               CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS HUGEINT) AS sx1,
+               CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS HUGEINT) AS sy0,
+               CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS HUGEINT) AS sy1
+        FROM u)
+      SELECT n0, n1,
+             CAST(floor((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1e6) AS BIGINT) AS lift_micro,
+             CAST(CASE WHEN (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0 THEN NULL
+                  ELSE floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6)
+                  END AS BIGINT) AS theta_micro,
+             CAST(CASE WHEN (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0 THEN NULL
+                  ELSE floor(((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                             - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))) * 1e6)
+                  END AS BIGINT) AS adj_lift_micro,
+             CAST(CASE WHEN (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0
+                         OR (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0 THEN NULL
+                  ELSE floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6)
+                  END AS BIGINT) AS var_reduction_ppm
+      FROM m""",
+
     "events_did" -> """
       WITH p AS (
         SELECT CAST(user_id % 2 AS BIGINT) AS t,

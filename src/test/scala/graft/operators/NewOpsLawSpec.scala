@@ -648,6 +648,61 @@ class NewOpsLawSpec extends SparkSpec {
       s"textrank diverged from the driver replay:\n${rows.toSeq}\nvs\n$want")
   }
 
+  test("events_cuped: X-shift invariance and the zero-variance guard") {
+    import spark.implicits._
+    val base = Seq((0L, 10L, 100L), (0L, 20L, 150L), (1L, 12L, 160L),
+      (1L, 25L, 240L), (0L, 18L, 90L), (1L, 8L, 130L)).toDF("arm", "x", "y")
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect()(0)
+    val r0 = row(Relational.cupedOf(base))
+    // shifting every user's covariate by a constant changes neither the
+    // lift, nor theta (cov and var are shift-free), nor the adjustment
+    val shifted = base.selectExpr("arm", "x + 1000 AS x", "y")
+    val r1 = row(Relational.cupedOf(shifted))
+    for (i <- 2 to 5) assert(r0.getLong(i) == r1.getLong(i),
+      s"col $i not shift-invariant: ${r0.getLong(i)} vs ${r1.getLong(i)}")
+    // a constant covariate has var(X) = 0: adjusted outputs must be NULL,
+    // the raw lift must survive
+    val flat = base.selectExpr("arm", "7 AS x", "y")
+    val rf = row(Relational.cupedOf(flat))
+    assert(!rf.isNullAt(2) && rf.isNullAt(3) && rf.isNullAt(4) && rf.isNullAt(5))
+    assert(rf.getLong(2) == r0.getLong(2), "raw lift must not depend on X")
+  }
+
+  test("events_cuped: the full readout replays from a driver-side moment pass") {
+    import org.apache.spark.sql.functions.col
+    val r = graft.SparkEntry.queries("events_cuped")(spark, sf).collect()(0)
+    val cutoff = graft.core.Utc.ts("2024-01-15 00:00:00").getTime
+    val per = graft.core.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value")).collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1).getTime, math.round(x.getDouble(2) * 100)))
+      .groupBy(_._1).map { case (uid, es) =>
+        (uid % 2,
+          BigInt(es.filter(_._2 < cutoff).map(_._3).sum),
+          BigInt(es.filter(_._2 >= cutoff).map(_._3).sum))
+      }.toSeq
+    val n = per.length.toDouble
+    val sx = per.map(_._2).sum; val sy = per.map(_._3).sum
+    val sxy = per.map(u => u._2 * u._3).sum
+    val sx2 = per.map(u => u._2 * u._2).sum; val sy2 = per.map(u => u._3 * u._3).sum
+    def arm(a: Long) = per.filter(_._1 == a)
+    val (n0, n1) = (arm(0).length.toDouble, arm(1).length.toDouble)
+    val lift = arm(1).map(_._3).sum.toDouble / n1 - arm(0).map(_._3).sum.toDouble / n0
+    val xgap = arm(1).map(_._2).sum.toDouble / n1 - arm(0).map(_._2).sum.toDouble / n0
+    val cov = n * sxy.toDouble - sx.toDouble * sy.toDouble
+    val varx = n * sx2.toDouble - sx.toDouble * sx.toDouble
+    val vary = n * sy2.toDouble - sy.toDouble * sy.toDouble
+    assert(r.getLong(0) == arm(0).length && r.getLong(1) == arm(1).length)
+    assert(r.getLong(2) == math.floor(lift * 1e6).toLong, "lift drifted")
+    assert(r.getLong(3) == math.floor(cov / varx * 1e6).toLong, "theta drifted")
+    assert(r.getLong(4) == math.floor((lift - cov / varx * xgap) * 1e6).toLong,
+      "adjusted lift drifted")
+    assert(r.getLong(5) == math.floor(cov * cov / (varx * vary) * 1e6).toLong,
+      "variance reduction (rho^2) drifted")
+    // and CUPED earned its keep at the law SF: some reduction, lift sign kept
+    assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000L)
+  }
+
   test("ml_knn_classifier: votes replay from the exact top-5 and labels") {
     import org.apache.spark.sql.functions.col
     val got = graft.SparkEntry.queries("ml_knn_classifier")(spark, sf).collect()
