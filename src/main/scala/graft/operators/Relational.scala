@@ -2559,6 +2559,41 @@ object Relational {
           .cast("bigint").as("t_stat_micro"))
   }
 
+  /** Sample-ratio mismatch check (SRM — the A/B randomization health
+    * gate every experimentation platform runs BEFORE reading any
+    * metric; Fabijan et al. 2019): under a 50/50 split the one-degree
+    * chi-square statistic is (n0 − n1)²/(n0 + n1), and a value past
+    * 3.841459 (95th percentile of χ²₁) means the assignment itself is
+    * broken — nothing downstream (events_ab, events_cuped,
+    * events_did) is interpretable. EXACT integers end to end: the
+    * statistic is emitted as ((n0−n1)²·10⁶) div (n0+n1) micro-units
+    * (DECIMAL(38,0) — (n0−n1)²·10⁶ wraps BIGINT past ~3·10⁶ users of
+    * pure imbalance, and user counts at 100 TB do), and the verdict is
+    * the cross-multiplied integer rule (n0−n1)²·10⁶ < 3841459·(n0+n1)
+    * — no division, no doubles, both engines state the identical
+    * comparison. Per-arm USER counts (not event counts — SRM is about
+    * the unit of randomization), same arm convention as
+    * [[eventsAb]]/[[eventsCuped]]. One distinct-user aggregate → one
+    * 1-row reduce. */
+  def eventsSrm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables.events(s, d)
+      .select(pmod($"user_id", lit(2L)).as("arm"), $"user_id")
+      .distinct()
+      .agg(
+        sum(when($"arm" === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("n1"))
+      .select($"n0", $"n1",
+        expr("""CAST(CASE WHEN n0 + n1 = 0 THEN NULL
+                 ELSE (CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n1) * 1000000)
+                      div (n0 + n1) END AS BIGINT)""").as("chi2_micro"),
+        expr("""CAST(CASE WHEN n0 + n1 = 0 THEN NULL
+                 ELSE CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n1) * 1000000
+                      < CAST(3841459 AS DECIMAL(38,0)) * (n0 + n1) END AS BIGINT)""")
+          .as("srm_ok"))
+  }
+
   /** CUPED variance-reduced A/B readout (Deng et al., WSDM 2013 — the
     * industry-standard experiment-sensitivity trick): adjust each
     * user's post-period metric Y by their PRE-period covariate X,

@@ -419,6 +419,21 @@ object RelationalOracles {
 
     // four conditional-aggregate cells + floor-div ppm means; DiD stated
     // on the quantized means, exactly the engine's rule
+    "events_srm" -> """
+      WITH u AS (SELECT DISTINCT user_id % 2 AS arm, user_id FROM events),
+      m AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM u)
+      SELECT n0, n1,
+             CAST(CASE WHEN n0 + n1 = 0 THEN NULL
+                  ELSE (CAST(n0 - n1 AS HUGEINT) * (n0 - n1) * 1000000) // (n0 + n1)
+                  END AS BIGINT) AS chi2_micro,
+             CAST(CASE WHEN n0 + n1 = 0 THEN NULL
+                  ELSE CAST(n0 - n1 AS HUGEINT) * (n0 - n1) * 1000000
+                       < CAST(3841459 AS HUGEINT) * (n0 + n1) END AS BIGINT) AS srm_ok
+      FROM m""",
+
     // double expressions mirror the engine's shared trees VERBATIM
     // (moments HUGEINT ≡ DECIMAL(38,0); CAST-to-DOUBLE then one
     // identical arithmetic tree, floor-scaled — the events_ab pattern)

@@ -703,6 +703,21 @@ class NewOpsLawSpec extends SparkSpec {
     assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000L)
   }
 
+  test("events_srm: the chi-square and verdict replay from a driver-side user count") {
+    import org.apache.spark.sql.functions.col
+    val r = graft.SparkEntry.queries("events_srm")(spark, sf).collect()(0)
+    val users = graft.core.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0))
+    val n0 = users.count(_ % 2 == 0).toLong; val n1 = users.count(_ % 2 == 1).toLong
+    assert(r.getLong(0) == n0 && r.getLong(1) == n1)
+    val d = BigInt(n0 - n1)
+    assert(r.getLong(2) == (d * d * 1000000 / (n0 + n1)).toLong, "chi2 drifted")
+    assert(r.getLong(3) == (if (d * d * 1000000 < BigInt(3841459) * (n0 + n1)) 1L else 0L),
+      "verdict must be the cross-multiplied 3.841459 rule")
+    // the fixture's content-addressed split is healthy by construction
+    assert(r.getLong(3) == 1L, "fixture split should pass SRM")
+  }
+
   test("ml_knn_classifier: votes replay from the exact top-5 and labels") {
     import org.apache.spark.sql.functions.col
     val got = graft.SparkEntry.queries("ml_knn_classifier")(spark, sf).collect()
