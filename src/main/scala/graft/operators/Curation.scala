@@ -449,7 +449,7 @@ object Curation {
         ng AS (
           SELECT DISTINCT doc_id,
                  array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 4], ' ') AS g
-          FROM base JOIN generate_series(1, 4096) gs(i) ON i <= len(tk) - 4),
+          FROM base JOIN generate_series(1, ${TextAnalysis.MaxDocTokens}) gs(i) ON i <= len(tk) - 4),
         ev AS (SELECT DISTINCT g FROM ng WHERE doc_id < $EvalDocs)
         SELECT doc_id,
                CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
@@ -525,7 +525,7 @@ object Curation {
         bistat AS (
           SELECT doc_id, count(*) AS nb, count(DISTINCT g) AS nbd FROM (
             SELECT doc_id, tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS g
-            FROM base JOIN generate_series(1, 4096) gs(i) ON i <= len(tk) - 1)
+            FROM base JOIN generate_series(1, ${TextAnalysis.MaxDocTokens}) gs(i) ON i <= len(tk) - 1)
           GROUP BY doc_id),
         feat AS (
           SELECT b.doc_id, n_chars, len(tk) AS n_toks,

@@ -1484,14 +1484,14 @@ object Dedup {
   private def shingleOracle(tau: Double, kind: String): String = {
     val shingleSql = kind match {
       case "char12" =>
-        """SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 12) AS s
+        s"""SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 12) AS s
            FROM (SELECT doc_id, lower(text) AS t FROM documents) d
-           JOIN generate_series(1, 4096) g(i) ON i <= length(t) - 11"""
+           JOIN generate_series(1, ${TextAnalysis.MaxDocChars}) g(i) ON i <= length(t) - 11"""
       case "word3" =>
-        """SELECT DISTINCT doc_id,
+        s"""SELECT DISTINCT doc_id,
                   array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS s
            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) d
-           JOIN generate_series(1, 4096) g(i) ON i <= len(toks) - 2"""
+           JOIN generate_series(1, ${TextAnalysis.MaxDocTokens}) g(i) ON i <= len(toks) - 2"""
     }
     s"""
       WITH sh AS ($shingleSql),
@@ -1782,7 +1782,7 @@ object Dedup {
         -- Spark shingles the full text, so a longer-doc fixture must raise it
         SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 12) AS s
         FROM (SELECT doc_id, lower(text) AS t FROM documents) d
-        JOIN generate_series(1, 4096) g(i) ON i <= length(t) - 11),
+        JOIN generate_series(1, ${TextAnalysis.MaxDocChars}) g(i) ON i <= length(t) - 11),
       bk AS MATERIALIZED (
         SELECT doc_id, ${Maintenance.hexBucketSql} AS bkt FROM documents),
       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1890,7 +1890,7 @@ object Dedup {
         SELECT DISTINCT doc_id,
                array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS s
         FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) d
-        JOIN generate_series(1, 4096) g(i) ON i <= len(toks) - 2),
+        JOIN generate_series(1, ${TextAnalysis.MaxDocTokens}) g(i) ON i <= len(toks) - 2),
       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       shf AS (
         SELECT doc_id, s FROM (

@@ -2610,9 +2610,10 @@ object Relational {
     * totals square past 2⁶³ where per-event cents do not), and every
     * reported number is ONE shared double expression over those exact
     * moments, floor-scaled to micro/ppm — identical trees on both
-    * engines, so the floors agree bit-for-bit. var(X) = 0 or
-    * var(Y) = 0 → NULL adjusted outputs (guarded, never arises at the
-    * fixture SFs). θ is POOLED (both arms), the standard CUPED choice.
+    * engines, so the floors agree bit-for-bit. var(X) = 0, var(Y) = 0,
+    * or an EMPTY ARM (n0 = 0 or n1 = 0) → NULL for the outputs they
+    * degenerate (guarded on both engines, never arises at the fixture
+    * SFs). θ is POOLED (both arms), the standard CUPED choice.
     * Reported variance reduction IS ρ²: var(Ŷ) = var(Y)·(1 − ρ²), an
     * algebraic identity — no second pass over adjusted rows.
     *
@@ -2660,11 +2661,16 @@ object Relational {
                    - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))"""
     val xgap = """(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
                    - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))"""
+    // empty-arm guard (ADVICE r11): an arm with zero purchase users makes
+    // the per-arm means Infinity/NaN and floor(Inf)->BIGINT diverges
+    // across engines (Spark NULL vs DuckDB error) — both engines state
+    // the NULL verdict explicitly, like the var(X)=0 guard below
     m.select($"n0", $"n1",
-      expr(s"CAST(floor($lift * 1e6) AS BIGINT)").as("lift_micro"),
+      expr(s"""CAST(CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+                ELSE floor($lift * 1e6) END AS BIGINT)""").as("lift_micro"),
       expr(s"""CAST(CASE WHEN $varxN = 0 THEN NULL
                 ELSE floor($covN / $varxN * 1e6) END AS BIGINT)""").as("theta_micro"),
-      expr(s"""CAST(CASE WHEN $varxN = 0 THEN NULL
+      expr(s"""CAST(CASE WHEN n0 = 0 OR n1 = 0 OR $varxN = 0 THEN NULL
                 ELSE floor(($lift - $covN / $varxN * $xgap) * 1e6) END AS BIGINT)""")
         .as("adj_lift_micro"),
       expr(s"""CAST(CASE WHEN $varxN = 0 OR $varyN = 0 THEN NULL

@@ -460,13 +460,14 @@ object RelationalOracles {
                CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS HUGEINT) AS sy1
         FROM u)
       SELECT n0, n1,
-             CAST(floor((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-                   - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1e6) AS BIGINT) AS lift_micro,
+             CAST(CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+                  ELSE floor((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1e6) END AS BIGINT) AS lift_micro,
              CAST(CASE WHEN (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0 THEN NULL
                   ELSE floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                              / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6)
                   END AS BIGINT) AS theta_micro,
-             CAST(CASE WHEN (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0 THEN NULL
+             CAST(CASE WHEN n0 = 0 OR n1 = 0 OR (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0 THEN NULL
                   ELSE floor(((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
                    - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))
                              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))

@@ -27,6 +27,20 @@ object TextAnalysis {
   // structural, not copy-pasted)
   private[operators] def toks(text: Column): Column = split(lower(text), " ")
 
+  /** FIXTURE CONTRACT (ADVICE r11): every fixture document stays under
+    * these token/char lengths — measured max 100 tokens / 577 chars at
+    * sf0.1, ≥14× margin. The DuckDB oracles replay per-position token and
+    * character walks through a generate_series join, which needs a
+    * CONSTANT series bound; the engine side walks unbounded arrays, so a
+    * regenerated corpus crossing the bound would silently desynchronize
+    * oracle shingle/edge sets from the engine and hash-fail for a
+    * fixture-size (not algorithmic) reason. Every text oracle derives its
+    * series bound from THESE constants and `FixtureContractSpec` asserts
+    * the fixture obeys them, so a crossing fails loudly at the named
+    * contract instead of mysteriously at a hash gate. */
+  val MaxDocTokens = 4096
+  val MaxDocChars = 8192
+
   private[operators] def hitCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(lit): _*)))
 
@@ -488,13 +502,19 @@ object TextAnalysis {
     val c = prof.crossJoin(tot)
       .withColumn("num",
         abs($"n_base".cast(dec) * $"nd" - $"n_delta".cast(dec) * $"nb"))
+    // empty-side guard (the events_srm denominator discipline): an
+    // all-base or all-delta split would integer-divide by zero — NULL
+    // under Spark's non-ANSI div, an ERROR under DuckDB's // — so both
+    // engines state the NULL verdict explicitly and stay aligned
     val tv = broadcast(c.agg(
-      expr("CAST(sum(num) * 1000000 div (2 * max(nb) * max(nd)) AS BIGINT)")
+      expr("""CAST(CASE WHEN max(nb) = 0 OR max(nd) = 0 THEN NULL
+               ELSE sum(num) * 1000000 div (2 * max(nb) * max(nd)) END AS BIGINT)""")
         .as("tv_ppm")))
     c.crossJoin(tv)
       .sort($"num".desc, $"token".asc).limit(10)
       .select($"token", $"n_base", $"n_delta",
-        expr("CAST(num * 1000000 div (2 * nb * nd) AS BIGINT)").as("contrib_ppm"),
+        expr("""CAST(CASE WHEN nb = 0 OR nd = 0 THEN NULL
+                 ELSE num * 1000000 div (2 * nb * nd) END AS BIGINT)""").as("contrib_ppm"),
         $"tv_ppm")
   }
 
@@ -1292,13 +1312,13 @@ object TextAnalysis {
                  AS chunk_text
         FROM c JOIN generate_series(0, 4096) gs(i) ON i < nc""",
 
-      "text_inverted_index" -> """
+      "text_inverted_index" -> s"""
         WITH tk AS (
           SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
           FROM documents),
         g AS (
           SELECT DISTINCT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS gram
-          FROM tk JOIN generate_series(1, 4096) gs(i) ON i <= len(t) - 1),
+          FROM tk JOIN generate_series(1, $MaxDocTokens) gs(i) ON i <= len(t) - 1),
         r AS (
           SELECT gram, doc_id,
                  row_number() OVER (PARTITION BY gram ORDER BY doc_id) AS rk
@@ -1308,7 +1328,7 @@ object TextAnalysis {
                  AS postings_head
         FROM r GROUP BY gram HAVING count(*) >= 2""",
 
-      "text_repetition" -> """
+      "text_repetition" -> s"""
         WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         topf AS (
           SELECT doc_id, max(c) AS maxc FROM (
@@ -1318,7 +1338,7 @@ object TextAnalysis {
         bistat AS (
           SELECT doc_id, count(*) AS nb, count(DISTINCT g) AS nbd FROM (
             SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS g
-            FROM tk JOIN generate_series(1, 4096) gs(i) ON i <= len(t) - 1)
+            FROM tk JOIN generate_series(1, $MaxDocTokens) gs(i) ON i <= len(t) - 1)
           GROUP BY doc_id)
         SELECT tk.doc_id, len(t) AS n_toks,
                round(COALESCE(1.0 - CAST(nbd AS DOUBLE) / nb, 0.0), 6) AS dup_bigram_frac,
@@ -1473,13 +1493,13 @@ object TextAnalysis {
                      regexp_extract_all(lower(text), '${BpePattern.replace("'", "''")}') AS segs
               FROM documents) t""",
 
-      "text_winnow" -> """
+      "text_winnow" -> s"""
         WITH h AS (
           SELECT doc_id, i,
                  md5(substr(t, CAST(i AS INT), 8)) AS hh,
                  length(t) - 7 AS n
           FROM (SELECT doc_id, lower(text) AS t FROM documents) d
-          JOIN generate_series(1, 8192) g(i) ON i <= length(t) - 7
+          JOIN generate_series(1, $MaxDocChars) g(i) ON i <= length(t) - 7
           WHERE length(t) >= 11),
         w AS (
           SELECT doc_id, i, n,
@@ -1504,13 +1524,13 @@ object TextAnalysis {
                         AS BIGINT)) // max(n) AS BIGINT) AS entropy_unat
         FROM x GROUP BY doc_id""",
 
-      "text_bigram_lm" -> """
+      "text_bigram_lm" -> s"""
         WITH toks AS (
           SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
           FROM documents),
         g AS (
           SELECT doc_id, tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS bg
-          FROM toks JOIN generate_series(1, 4096) g(i) ON i <= len(tk) - 1),
+          FROM toks JOIN generate_series(1, $MaxDocTokens) g(i) ON i <= len(tk) - 1),
         tfb AS (SELECT doc_id, bg, count(*) AS tf FROM g GROUP BY 1, 2),
         cnt AS (SELECT bg, sum(tf) AS cb FROM tfb GROUP BY 1),
         lft AS (SELECT string_split(bg, ' ')[1] AS w1, bg, cb,
@@ -1534,13 +1554,13 @@ object TextAnalysis {
                CAST(1 AS BIGINT) AS recovered_ok
         FROM documents""",
 
-      "text_dedup_spans" -> """
+      "text_dedup_spans" -> s"""
         WITH toks AS (
           SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
         occ AS (
           SELECT doc_id, CAST(i - 1 AS INT) AS pos,
                  array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS g
-          FROM toks JOIN generate_series(1, 8192) s(i) ON i <= len(tk) - 7),
+          FROM toks JOIN generate_series(1, $MaxDocTokens) s(i) ON i <= len(tk) - 7),
         prof AS (
           SELECT g, min(doc_id) AS owner FROM occ
           GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
@@ -1559,7 +1579,7 @@ object TextAnalysis {
           GROUP BY doc_id),
         cleaned AS (
           SELECT t.doc_id, string_agg(t.tk[CAST(i AS INT)], ' ' ORDER BY i) AS cleaned
-          FROM toks t JOIN generate_series(1, 8192) s(i) ON i <= len(t.tk)
+          FROM toks t JOIN generate_series(1, $MaxDocTokens) s(i) ON i <= len(t.tk)
           LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = i - 1
           WHERE c.idx IS NULL
           GROUP BY t.doc_id)
@@ -1589,10 +1609,12 @@ object TextAnalysis {
                  abs(CAST(n_base AS HUGEINT) * nd - CAST(n_delta AS HUGEINT) * nb) AS num,
                  nb, nd
           FROM prof, tot),
-        tv AS (SELECT CAST(sum(num) * 1000000 // (2 * max(nb) * max(nd)) AS BIGINT) AS tv_ppm
+        tv AS (SELECT CAST(CASE WHEN max(nb) = 0 OR max(nd) = 0 THEN NULL
+                      ELSE sum(num) * 1000000 // (2 * max(nb) * max(nd)) END AS BIGINT) AS tv_ppm
                FROM c)
         SELECT token, n_base, n_delta,
-               CAST(num * 1000000 // (2 * nb * nd) AS BIGINT) AS contrib_ppm,
+               CAST(CASE WHEN nb = 0 OR nd = 0 THEN NULL
+                    ELSE num * 1000000 // (2 * nb * nd) END AS BIGINT) AS contrib_ppm,
                tv.tv_ppm
         FROM c, tv ORDER BY num DESC, token LIMIT 10""",
 
@@ -1608,7 +1630,7 @@ object TextAnalysis {
         occ AS (
           SELECT doc_id, bkt, CAST(i - 1 AS INT) AS pos,
                  array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS g
-          FROM toks JOIN generate_series(1, 8192) s(i) ON i <= len(tk) - 7),
+          FROM toks JOIN generate_series(1, $MaxDocTokens) s(i) ON i <= len(tk) - 7),
         baseg AS (SELECT DISTINCT g FROM occ WHERE bkt < 90),
         docc AS (SELECT doc_id, pos, g FROM occ WHERE bkt >= 90),
         prof AS (
@@ -1630,7 +1652,7 @@ object TextAnalysis {
           GROUP BY doc_id),
         cleaned AS (
           SELECT t.doc_id, string_agg(t.tk[CAST(i AS INT)], ' ' ORDER BY i) AS cleaned
-          FROM toks t JOIN generate_series(1, 8192) s(i) ON i <= len(t.tk)
+          FROM toks t JOIN generate_series(1, $MaxDocTokens) s(i) ON i <= len(t.tk)
           LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = i - 1
           WHERE c.idx IS NULL AND t.bkt >= 90
           GROUP BY t.doc_id)
@@ -1643,13 +1665,13 @@ object TextAnalysis {
         LEFT JOIN cleaned cl USING (doc_id)
         WHERE t.bkt >= 90""",
 
-      "text_dup_passages" -> """
+      "text_dup_passages" -> s"""
         WITH toks AS (
           SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
         sh AS (
           SELECT DISTINCT doc_id,
                  array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS s
-          FROM toks JOIN generate_series(1, 4096) g(i) ON i <= len(tk) - 7),
+          FROM toks JOIN generate_series(1, $MaxDocTokens) g(i) ON i <= len(tk) - 7),
         df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
         SELECT doc_id, count(*) AS n_shingles,
                CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
@@ -1670,7 +1692,7 @@ object TextAnalysis {
         adj AS (
           SELECT least(tk[CAST(i AS INT)], tk[CAST(i AS INT) + 1]) AS lo,
                  greatest(tk[CAST(i AS INT)], tk[CAST(i AS INT) + 1]) AS hi
-          FROM toks JOIN generate_series(1, 4096) g(i) ON i <= len(tk) - 1
+          FROM toks JOIN generate_series(1, $MaxDocTokens) g(i) ON i <= len(tk) - 1
           WHERE tk[CAST(i AS INT)] <> tk[CAST(i AS INT) + 1]),
         e AS (SELECT DISTINCT lo, hi FROM adj),
         nbr AS (SELECT lo AS w, hi AS u FROM e UNION ALL SELECT hi, lo FROM e),
@@ -1699,7 +1721,7 @@ object TextAnalysis {
           FROM documents),
         g AS (
           SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
-          FROM toks JOIN generate_series(1, 4096) g(i) ON i <= len(tk) - 1),
+          FROM toks JOIN generate_series(1, $MaxDocTokens) g(i) ON i <= len(tk) - 1),
         big AS (SELECT w1, w2, count(*) AS n FROM g GROUP BY 1, 2),
         lft AS (SELECT w1, sum(n) AS cx FROM big GROUP BY 1),
         rgt AS (SELECT w2, sum(n) AS cy FROM big GROUP BY 1),
@@ -1718,7 +1740,7 @@ object TextAnalysis {
           FROM documents),
         grams AS (
           SELECT tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS bigram
-          FROM toks JOIN generate_series(1, 4096) g(i) ON i <= len(tk) - 1)
+          FROM toks JOIN generate_series(1, $MaxDocTokens) g(i) ON i <= len(tk) - 1)
         SELECT bigram, count(*) AS n FROM grams
         GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""",
 

@@ -28,11 +28,24 @@ def read(p):
 
 
 entry = read("src/main/scala/graft/SparkEntry.scala")
+# Region = `def queries` .. `def oracleSql` (the member that always
+# follows it), NOT the first '\n  )': a multi-line entry closing at
+# two-space indent would silently truncate the key set and turn the
+# gate false-green for everything registered after the cut (ADVICE r11).
 qstart = entry.index("def queries")
-qend = entry.index("\n  )", qstart)
+qend = entry.index("def oracleSql", qstart)
 keys = set(re.findall(r'^\s*"([a-z0-9_]+)"\s*->', entry[qstart:qend], re.M))
 if not keys:
     sys.exit("no keys extracted from SparkEntry.queries — script regex broke")
+# Cross-check: SparkEntry holds literal `"key" ->` registrations ONLY
+# inside the queries map (oracleSql is assembled from per-module maps),
+# so a whole-file scan must agree — a mismatch means the region cut or
+# the file layout changed and the extraction can no longer be trusted.
+whole = set(re.findall(r'^\s*"([a-z0-9_]+)"\s*->', entry, re.M))
+if whole != keys:
+    sys.exit(
+        "key-extraction cross-check failed: region scan and whole-file scan "
+        f"disagree ({sorted(whole ^ keys)}) — fix the extractor before trusting the gate")
 
 failures = []
 
