@@ -139,6 +139,110 @@ object Dedup {
       .distinct()
   }
 
+  /** Population cap on one (band_id, band_key) bucket in the LABEL-path
+    * candidate generators ([[lshCandidatesCapped]]/[[lshCrossCapped]]) —
+    * the repo-wide bucketed-self-join skew discipline ([[ContainDfCap]] /
+    * [[Multimodal.PhashBucketCap]] / [[DbscanCellCap]]) applied to the
+    * last banded generator that shipped without it (round-11 verdict
+    * item 1). The uncapped cousin shape measured 100× runtime at 10×
+    * data on planted R-cliques (SCALE.md) — a boilerplate-heavy crawl's
+    * mega-cliques are that regime, and they land on single tasks. */
+  val MinhashBandCap = 512
+
+  /** Capped candidate generator for the LABEL-contract consumers
+    * ([[minhashClusters]] → `dedup_minhash_clusters`/`dedup_keep_list`/
+    * `curate_dup_weights`, and [[minhashClustersIncremental]]): per
+    * (band_id, band_key) bucket, under-cap buckets emit all pairs
+    * exactly as [[lshCandidates]]; an over-cap bucket emits a verified
+    * STAR from its min member — (min, other) for every other member —
+    * instead of its quadratic all-pairs set.
+    *
+    * Why a star and not the phash DROP or the dbscan SUB-BUCKET: the
+    * label keys consume CONNECTIVITY (connected components), not the
+    * pair set, and a star preserves a bucket's connectivity EXACTLY
+    * whenever its members verify against the bucket min — which is
+    * precisely the dup-boilerplate mega-clique regime the cap exists
+    * for (all pairwise jac ≈ 1 ⇒ every star edge passes the jac ≥ τ
+    * verify ⇒ same components, same min labels as exhaustive). Dropping
+    * would shatter the mega-clique into singletons (the keep-list would
+    * keep every boilerplate copy!); sub-bucketing would split it into
+    * ⌈pop/cap⌉ disconnected sub-cliques. The star is why the oracle
+    * LEGITIMATELY remains the full-recompute closure — no capped
+    * restatement needed (nor possible: band keys are xxhash64-derived
+    * and cannot be replayed in DuckDB, unlike phash's arithmetic bands).
+    *
+    * Residual contract gap, stated: a qualifying pair loses its DIRECT
+    * edge only if EVERY band the two agree on is over-cap AND the pair
+    * fails to reconnect through verified star/cold edges — a bucket of
+    * > cap members sharing a 4-slot signature whose members are NOT
+    * near-dups of the bucket min. The planted mega-clique law
+    * (NewOpsLawSpec) proves label ≡ exhaustive in the hot regime; at
+    * the fixture SFs no bucket crosses the cap (AdversarialBoundSpec
+    * prints populations), so the hash gate runs this code in the cold
+    * regime where it is bit-identical to the uncapped generator.
+    *
+    * Scale bound: per-task pair work ≤ cap²/2 per cold bucket and
+    * pop − 1 per hot bucket — LINEAR in any hot bucket's population,
+    * so no band key can concentrate super-linear work on one task. */
+  def lshCandidatesCapped(bandsIn: DataFrame, idCol: String,
+                          cap: Int = MinhashBandCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band_id", "band_key")
+    val b = bandsIn
+      .withColumn("pop", count(lit(1)).over(w))
+      .withColumn("mn", min(col(idCol)).over(w))
+      .localCheckpoint(eager = false) // both cold sides + the hot stars
+    val cold = b.where(col("pop") <= cap)
+    val coldPairs = cold.as("x").join(cold.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+    val hotStars = b.where(col("pop") > cap && col(idCol) =!= col("mn"))
+      .select(col("mn").as("a"), col(idCol).as("b"))
+    coldPairs.union(hotStars).distinct()
+  }
+
+  /** The [[lshCandidatesCapped]] discipline for the incremental cluster
+    * maintenance CROSS probe (base band index × delta bands): bucket
+    * population is counted over the UNION of both sides (a bucket hot
+    * only together is still hot), cold buckets emit the exact base×delta
+    * cross as before, and a hot bucket stars the DELTA members plus the
+    * MIN base member from the set's min — the delta members attach to
+    * the base component through one verified edge instead of
+    * |base ∩ bucket| × |delta ∩ bucket| pairs, and the hot-bucket batch
+    * work stays ∝ |delta ∩ bucket| + 1 (never ∝ the base population:
+    * base-internal connectivity is already published in the maintained
+    * star artifact). */
+  def lshCrossCapped(baseBands: DataFrame, deltaBands: DataFrame,
+                     cap: Int = MinhashBandCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band_id", "band_key")
+    val u = baseBands
+      .select(col("doc_id"), col("band_id"), col("band_key"), lit(false).as("isd"))
+      .union(deltaBands
+        .select(col("doc_id"), col("band_id"), col("band_key"), lit(true).as("isd")))
+      .withColumn("pop", count(lit(1)).over(w))
+      .localCheckpoint(eager = false) // cold cross sides + hot star set
+    val cold = u.where(col("pop") <= cap)
+    val coldCross = cold.where(!col("isd")).as("x")
+      .join(cold.where(col("isd")).as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val hot = u.where(col("pop") > cap)
+    val hotSet = hot.where(col("isd"))
+      .select(col("band_id"), col("band_key"), col("doc_id"))
+      .union(hot.where(!col("isd"))
+        .groupBy(col("band_id"), col("band_key"))
+        .agg(min(col("doc_id")).as("doc_id")))
+    val hotStars = hotSet
+      .withColumn("mn", min(col("doc_id")).over(w))
+      .where(col("doc_id") =!= col("mn"))
+      .select(col("mn").as("a"), col("doc_id").as("b"))
+    coldCross.union(hotStars).distinct()
+  }
+
   /** Exact Jaccard for given (a,b) pairs over a raw (doc_id, text, …)
     * frame. `shingles` (an expression over the frame's columns) is
     * evaluated ABOVE the candidate-doc semi-join — Catalyst leaves
@@ -270,19 +374,49 @@ object Dedup {
       .union(e.select(col("lo"), col("lo")).distinct().toDF("n", "l"))
   }
 
-  /** Near-dup CLUSTERS (the actual dedup operation): MinHash-LSH pairs →
-    * connected components → (doc_id, cluster_rep = min doc id of the
-    * component). A pipeline keeps rows where doc_id == cluster_rep.
-    * Consumes the session-shared pairs artifact ([[minhashLshShared]]):
-    * clustering is a DOWNSTREAM op over the pairs output — in a 100 TB
-    * pipeline the pair set is materialized once and both the pair report
-    * and the clustering read it, rather than re-running
-    * signature+LSH+verify per consumer (dedup_minhash itself still
-    * measures the full pipeline fresh). */
+  /** Session-materialized CAPPED verified EDGE artifact — the edge list
+    * the LABEL keys cluster over, built through [[lshCandidatesCapped]]
+    * (population-capped band join) + the jac ≥ 0.9 verify, memoized to a
+    * temp parquet per (session, dir) exactly like [[minhashLshShared]].
+    * Kept SEPARATE from the pairs artifact on purpose: the pairs keys
+    * (`dedup_minhash`, the graph_* family, simhash's recall denominator)
+    * publish the exhaustive verified PAIR SET — output-quadratic on
+    * dup-cliques BY CONTRACT — while the label keys need connectivity
+    * and get the linear-on-hot-buckets capped generator. At the fixture
+    * SFs no bucket crosses [[MinhashBandCap]], so the two artifacts hold
+    * identical edge sets and the full-recompute oracles stay the gate. */
+  def minhashEdgesShared(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val srcKey = "spark.graft.minhashedges.src"
+    val dirKey = "spark.graft.minhashedges.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_minhash_edges").toString
+      val docs = Tables.documents(s, d)
+      val cands = lshCandidatesCapped(lshBands(sigsOf(docs), "doc_id", "sig"), "doc_id")
+      verifyJaccard(cands, docs, charShingles($"text", 12))
+        .where($"jac" >= 0.9).select($"a", $"b")
+        .write.mode("overwrite").parquet(dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    s.read.parquet(s.conf.get(dirKey))
+  }
+
+  /** Near-dup CLUSTERS (the actual dedup operation): population-capped
+    * MinHash-LSH candidate edges → jac ≥ 0.9 verify → connected
+    * components → (doc_id, cluster_rep = min doc id of the component).
+    * A pipeline keeps rows where doc_id == cluster_rep. Consumes the
+    * session-shared capped EDGE artifact ([[minhashEdgesShared]]):
+    * clustering is a DOWNSTREAM op over a published edge list — in a
+    * 100 TB pipeline the edges are materialized once and every label
+    * consumer (clusters, keep-list, weights) reads them rather than
+    * re-running signature+LSH+verify per consumer. The cap story —
+    * why hot band buckets contribute verified STARS and why the
+    * exhaustive-closure oracle remains the right contract — lives at
+    * [[lshCandidatesCapped]]. */
   def minhashClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val edges = minhashLshShared(s, d).select($"doc_a".as("a"), $"doc_b".as("b"))
-    connectedComponents(edges)
+    connectedComponents(minhashEdgesShared(s, d))
       .select($"n".as("doc_id"), $"l".as("cluster_rep"))
   }
 
@@ -292,7 +426,8 @@ object Dedup {
     * mass, the Lee et al. "Deduplicating Training Data" loss-weighting
     * recipe): weight_ppm = 10⁶ div |dedup_group|, exact integers.
     * Cluster membership is [[minhashClusters]] over the session-shared
-    * pair artifact; unclustered docs form singleton groups (weight 1).
+    * capped edge artifact; unclustered docs form singleton groups
+    * (weight 1).
     * Scale shape: one left join of the corpus id column against the
     * clustered-docs frame, a map-side-combined group-size aggregate,
     * and a shuffle join back on the group key (sizes are |groups|-
@@ -395,11 +530,23 @@ object Dedup {
     * component's star edges preserve exactly its connectivity and its
     * min. The base term is "yesterday's" PUBLISHED labels (star edges
     * n → cluster_rep, session-materialized parquet like the band
-    * index), the cross term probes the maintained [[baseBandIndex]]
-    * with the delta's bands (work ∝ |delta| bands), the delta term
-    * self-joins those same bands. The final CC also RE-CONVERGES
-    * faster than recompute: base components enter as depth-1 stars, so
-    * rounds scale with the DELTA's merge diameter, not the corpus's.
+    * index, built by the SAME capped label pipeline as
+    * [[minhashClusters]]), the cross term probes the maintained
+    * [[baseBandIndex]] with the delta's bands through
+    * [[lshCrossCapped]] (work ∝ |delta| bands; a hot band bucket costs
+    * its delta membership + one attach edge, never its base
+    * population), the delta term self-joins those same bands through
+    * [[lshCandidatesCapped]].
+    *
+    * The CC itself is FRONTIER-RESTRICTED (round-11 verdict item 4):
+    * the published star artifact is not re-ingested wholesale — the new
+    * edges' endpoints look up their published labels (one slim probe of
+    * the artifact), only the star edges of components those labels name
+    * enter the fixpoint, and every untouched component's labels pass
+    * through verbatim (members from their star rows, roots from the
+    * distinct label set). Batch CC work is ∝ touched components, so the
+    * per-batch cost decouples from the clustered-corpus size — the
+    * previous shape re-converged over ALL base stars every batch.
     * The oracle is the full-recompute recursive closure (verbatim the
     * [[minhashClusters]] oracle) — the hash gate IS the
     * delta ≡ recompute proof, the [[Maintenance.incrementalAgg]]
@@ -411,16 +558,21 @@ object Dedup {
     val dirKey = "spark.graft.basestars.dir"
     if (!s.conf.getOption(srcKey).contains(d)) {
       val dir = java.nio.file.Files.createTempDirectory("graft_base_stars").toString
+      // yesterday's PUBLISHED labels are the output of the capped label
+      // pipeline on the base corpus (same generator the full-corpus
+      // minhashClusters runs), so base and incremental stay one contract
+      val base = docs.where(Maintenance.bucketCol < 90)
+      val baseCands =
+        lshCandidatesCapped(lshBands(sigsOf(base), "doc_id", "sig"), "doc_id")
       connectedComponents(
-        minhashPairs(docs.where(Maintenance.bucketCol < 90), 0.9)
-          .select($"doc_a".as("a"), $"doc_b".as("b")))
+        verifyJaccard(baseCands, base, charShingles($"text", 12))
+          .where($"jac" >= 0.9).select($"a", $"b"))
         .where($"n" =!= $"l") // roots re-derive from the star edges
         .write.mode("overwrite").parquet(dir)
       graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
       s.conf.set(srcKey, d)
     }
-    val baseStars = s.read.parquet(s.conf.get(dirKey))
-      .select($"n".as("a"), $"l".as("b"))
+    val baseStars = s.read.parquet(s.conf.get(dirKey)) // (n, l), n ≠ l
     // delta signatures/bands are computed ONCE and feed BOTH probe shapes
     // (cross = index probe, self = delta-delta candidates), and the two
     // candidate sets run through ONE verify join — the naive composition
@@ -430,15 +582,32 @@ object Dedup {
     val deltaBands = lshBands(
       sigsOf(docs.where(Maintenance.bucketCol >= 90)), "doc_id", "sig")
       .localCheckpoint()
-    val cross = baseBands.as("x")
-      .join(deltaBands.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    val cands = cross.union(lshCandidates(deltaBands, "doc_id")).distinct()
+    val cands = lshCrossCapped(baseBands, deltaBands)
+      .union(lshCandidatesCapped(deltaBands, "doc_id")).distinct()
     val newEdges = verifyJaccard(cands, docs, charShingles($"text", 12))
       .where($"jac" >= 0.9).select($"a", $"b")
-    connectedComponents(baseStars.union(newEdges))
-      .select($"n".as("doc_id"), $"l".as("cluster_rep"))
+      .localCheckpoint(eager = false) // frontier detection + CC input
+    // FRONTIER restriction (round-11 verdict item 4): only components
+    // actually touched by a cross/delta edge enter the CC; every other
+    // published label passes through untouched. Batch CC work is then
+    // ∝ |touched components| + |delta edges|, decoupled from the base
+    // corpus — the star artifact itself is scanned, but only by two slim
+    // broadcast-probe joins (endpoint-label lookup rides the same scan
+    // shape), never iterated by the CC fixpoint rounds.
+    val ends = newEdges.select($"a".as("n"))
+      .union(newEdges.select($"b".as("n"))).distinct()
+    val endLabels = broadcast(
+      ends.join(baseStars.withColumnRenamed("l", "bl"), Seq("n"), "left")
+        .select(coalesce($"bl", $"n").as("l")).distinct()
+        .localCheckpoint(eager = false)) // semi + anti probes share it
+    val frontierStars = baseStars.join(endLabels, Seq("l"), "left_semi")
+    val untouched = baseStars.join(endLabels, Seq("l"), "left_anti")
+      .localCheckpoint(eager = false) // member rows + root self-rows
+    val cc = connectedComponents(
+      frontierStars.select($"n".as("a"), $"l".as("b")).union(newEdges))
+    cc.select($"n".as("doc_id"), $"l".as("cluster_rep"))
+      .union(untouched.select($"n".as("doc_id"), $"l".as("cluster_rep")))
+      .union(untouched.select($"l", $"l").distinct().toDF("doc_id", "cluster_rep"))
   }
 
   /** Normalization dedup (the "fuzzy-exact" tier between [[exact]] and

@@ -343,6 +343,100 @@ object TextAnalysis {
   /** Span-gram length shared by the [[dedupSpans]] family. */
   private val SpanN = 8
 
+  /** Character window for [[dedupSubstring]] — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * ExactSubstr length threshold, in characters: a duplicated run must
+    * span ≥ this many consecutive characters to be excised. */
+  val SubstrN = 50
+
+  /** CHARACTER-exact substring dedup — the byte-level rung below
+    * [[dedupSpans]]'s word-8-gram tier (the Lee et al. 2022 ExactSubstr
+    * class). Realized as positional char-[[SubstrN]]-grams instead of a
+    * suffix array: a character position lies in a ≥ [[SubstrN]]-char
+    * cross-doc duplicated run IFF some length-[[SubstrN]] window through
+    * it has df ≥ 2 (every long duplicated run is exactly the union of
+    * its length-[[SubstrN]] windows; shorter shared runs produce no
+    * fully-duplicated window) — the same cover set the suffix-array scan
+    * yields, from one relational exchange. Ownership matches
+    * [[dedupSpans]]: the minimum doc_id containing a window keeps every
+    * occurrence, later docs' occurrences are removed material. Operates
+    * on RAW text (no lowercasing): this tier is byte-exact by intent.
+    *
+    * Shape — hash-prefilter then exact-confirm (the join_bloom
+    * candidate discipline, which is what makes this affordable at
+    * 100 TB): the full positional exchange carries only (doc_id, pos,
+    * xxhash64(window)) — 8-byte keys, never the 50-char strings — and a
+    * map-side-combined profile keeps the hash buckets with ≥2 distinct
+    * docs. Only those candidate positions (∝ true duplicated material,
+    * a tiny fraction of the corpus) regenerate their exact strings from
+    * the doc text (one doc_id join) and pay the string exchange for the
+    * exact df/owner window — so hash collisions can only ADD candidates,
+    * never change the answer, and the output stays bit-exact against
+    * the all-string oracle. Removed positions aggregate per doc; span
+    * merging/cleaning is doc-bounded array arithmetic (O(len·|cov|)
+    * probes, bounded by doc length²). Empty and short docs survive via
+    * the left join (no windows ⇒ nothing removed ⇒ cleaned = text).
+    * Measured at the synthetic decade: the all-string one-exchange
+    * shape ran 4.3 s → 43.5 s at sf0.1 → sf1 (the string shuffle IS the
+    * cost); this shape's big exchange is fixed-width. */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    dedupSubstringOf(Tables.documents(s, d))
+
+  /** Corpus-shaped core of [[dedupSubstring]] (spec hook: the planted
+    * over/under-threshold law runs it on a constructed corpus). */
+  private[graft] def dedupSubstringOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs.select($"doc_id", $"text")
+    // stage 1: fixed-width positional exchange — (doc_id, pos, h)
+    val occH = base.select($"doc_id",
+      posexplode(when(length($"text") >= SubstrN,
+          transform(sequence(lit(1), length($"text") - (SubstrN - 1)),
+            i => xxhash64($"text".substr(i, lit(SubstrN)))))
+        .otherwise(array().cast("array<bigint>"))).as(Seq("p0", "h")))
+      .select($"doc_id", ($"p0" + 1).cast("int").as("pos"), $"h")
+      // consumed twice (profile + semi probe): checkpointing the
+      // fixed-width rows beats recomputing the substr+hash explode
+      // (measured 6.4 vs 8.7 s at sf0.1 — generation, not I/O, dominates)
+      .localCheckpoint(eager = false)
+    val hotH = occH.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("hdf"))
+      .where($"hdf" >= 2).select($"h")
+    // stage 2: exact strings for CANDIDATE positions only
+    val cand = occH.join(hotH, Seq("h"), "left_semi")
+      .join(base, Seq("doc_id"))
+      .select($"doc_id", $"pos", expr(s"substring(text, pos, $SubstrN)").as("g"))
+    val wg = Window.partitionBy($"g")
+    val removed = cand
+      .withColumn("df", size(collect_set($"doc_id").over(wg)))
+      .withColumn("owner", min($"doc_id").over(wg))
+      .where($"df" >= 2 && $"doc_id" =!= $"owner")
+      .select($"doc_id", $"pos")
+    val perDoc = removed.groupBy($"doc_id").agg(collect_set($"pos").as("ps"))
+      .select($"doc_id",
+        array_sort(array_distinct(flatten(transform($"ps",
+          p => sequence(p, p + SubstrN - 1))))).as("cov"))
+    val emptyCov = array().cast("array<int>")
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        length($"text").cast("bigint").as("n_chars"),
+        // span starts wherever the previous covered index is not adjacent
+        // (the spanAssembly trick: at i = 0 the left disjunct decides)
+        size(filter(coalesce($"cov", emptyCov),
+          (x, i) => (i === 0) || (x =!= element_at($"cov", greatest(i, lit(1))) + 1)))
+          .cast("bigint").as("n_spans"),
+        coalesce(size($"cov"), lit(0)).cast("bigint").as("removed_chars"),
+        // uncovered characters rejoined; sequence(1, x) descends for
+        // x < 1, so empty docs short-circuit
+        array_join(filter(
+          when(length($"text") >= 1,
+            transform(sequence(lit(1), length($"text")),
+              i => $"text".substr(i, lit(1))))
+          .otherwise(array().cast("array<string>")),
+          (_, i) => !array_contains(coalesce($"cov", emptyCov), i + 1)), "")
+          .as("cleaned"))
+  }
+
   /** Positional word-[[SpanN]]-gram occurrences of a (doc_id, tk) frame:
     * (doc_id, pos, g). Docs shorter than [[SpanN]] tokens emit no rows
     * (the consumers restore them with a left join). */
@@ -1553,6 +1647,45 @@ object TextAnalysis {
                CAST(11 AS BIGINT) AS n_tags,
                CAST(1 AS BIGINT) AS recovered_ok
         FROM documents""",
+
+      // char-window replay of the ExactSubstr rule: a position is covered
+      // iff some length-50 window through it has df >= 2 and the doc is
+      // not the window's min owner — prototyped against an independent
+      // python reference before landing
+      "text_dedup_substring" -> s"""
+        WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        occ AS (
+          SELECT doc_id, CAST(i AS INT) AS pos,
+                 substr(text, CAST(i AS INT), $SubstrN) AS g
+          FROM t JOIN generate_series(1, $MaxDocChars) s(i)
+            ON i <= len - ${SubstrN - 1}),
+        prof AS (SELECT g, min(doc_id) AS owner, count(DISTINCT doc_id) AS df
+                 FROM occ GROUP BY g),
+        removed AS (
+          SELECT o.doc_id, o.pos FROM occ o JOIN prof p USING (g)
+          WHERE p.df >= 2 AND o.doc_id <> p.owner),
+        cov AS (SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS idx
+                FROM removed, generate_series(0, ${SubstrN - 1}) r(j)),
+        spans AS (
+          SELECT doc_id, count(*) AS removed_chars,
+                 CAST(sum(new_span) AS BIGINT) AS n_spans
+          FROM (SELECT doc_id, idx,
+                  CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) = idx - 1
+                       THEN 0 ELSE 1 END AS new_span FROM cov) x
+          GROUP BY doc_id),
+        cleaned AS (
+          SELECT t.doc_id,
+                 string_agg(substr(t.text, CAST(i AS INT), 1), '' ORDER BY i) AS cleaned
+          FROM t JOIN generate_series(1, $MaxDocChars) s(i) ON i <= len
+          LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = i
+          WHERE c.idx IS NULL
+          GROUP BY t.doc_id)
+        SELECT t.doc_id, CAST(t.len AS BIGINT) AS n_chars,
+               coalesce(sp.n_spans, 0) AS n_spans,
+               CAST(coalesce(sp.removed_chars, 0) AS BIGINT) AS removed_chars,
+               coalesce(cl.cleaned, '') AS cleaned
+        FROM t LEFT JOIN spans sp USING (doc_id)
+        LEFT JOIN cleaned cl USING (doc_id)""",
 
       "text_dedup_spans" -> s"""
         WITH toks AS (

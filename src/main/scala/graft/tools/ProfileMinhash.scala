@@ -39,10 +39,35 @@ object ProfileMinhash {
     val bands = Dedup.lshBands(withSig, "doc_id", "sig")
     time("shingle+sig+bands")(bands.count())
 
-    val cands = Dedup.lshCandidates(bands, "doc_id")
-    time("..+cands")(cands.count())
+    // the MinhashBandCap cold-regime premise: max (band_id, band_key)
+    // population vs the production cap, + the capped generator's count
+    // BEFORE the uncapped one (on an adversarial corpus the uncapped join
+    // is the quadratic blowup being demonstrated — let the cheap numbers
+    // land first; SPARK_GRAFT_PROFILE_SKIP_UNCAPPED skips it entirely)
+    time("max band pop")(bands.groupBy("band_id", "band_key").count()
+      .agg(max("count")).head.getLong(0) + s" (cap ${Dedup.MinhashBandCap})")
+    time("..+cands capped")(Dedup.lshCandidatesCapped(bands, "doc_id").count())
 
-    time("full minhashPairs")(Dedup.minhashLsh(spark, d).count())
+    if (!sys.env.contains("SPARK_GRAFT_PROFILE_SKIP_UNCAPPED")) {
+      val cands = Dedup.lshCandidates(bands, "doc_id")
+      time("..+cands")(cands.count())
+    }
+
+    // On an adversarial (planted-clique) corpus the UNCAPPED verify stage
+    // is the quadratic blowup being demonstrated — skip it there and
+    // time the capped LABEL pipeline end-to-end instead.
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_CANDS_ONLY")) {
+      time("capped labels e2e") {
+        import org.apache.spark.sql.functions.col
+        Dedup.connectedComponents(
+          Dedup.verifyJaccard(Dedup.lshCandidatesCapped(bands, "doc_id"),
+              docsRaw, Dedup.charShingles(col("text"), 12))
+            .where(col("jac") >= 0.9)
+            .select(col("a"), col("b"))).count()
+      }
+    } else {
+      time("full minhashPairs")(Dedup.minhashLsh(spark, d).count())
+    }
     spark.stop()
   }
 }

@@ -14,11 +14,11 @@ import org.apache.spark.sql.functions._
 class FixtureContractSpec extends SparkSpec {
   test("fixture docs stay well under the declared oracle series bounds") {
     import spark.implicits._
-    val m = Tables.documents(spark, sf)
+    val m = graft.core.Tables.documents(spark, sf)
       .select(max(length($"text")).as("mc"),
               max(size(split(lower($"text"), " "))).as("mt"))
       .head()
-    val (mc, mt) = (m.getAs[Int]("mc"), m.getAs[Int]("mt"))
+    val (mc, mt) = (m.getInt(0), m.getInt(1))
     assert(mt <= TextAnalysis.MaxDocTokens / 2,
       s"fixture max tokens $mt is inside 2x of MaxDocTokens " +
         s"${TextAnalysis.MaxDocTokens} - regenerated corpus is about to " +

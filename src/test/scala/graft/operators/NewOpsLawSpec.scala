@@ -922,4 +922,142 @@ class NewOpsLawSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  // ---- MinhashBandCap laws (round-12): the LABEL-path band cap --------
+
+  /** Builds a planted near-dup clique: `m` docs sharing a ~700-char base
+    * of UNIQUE tokens (repeats would collapse the DISTINCT shingle set)
+    * plus a tiny per-doc suffix; pairwise char-12-shingle jaccard ≈
+    * 708/(708 + 2·15) ≈ 0.96 — comfortably over 0.9 — so the ≥0.9 graph
+    * is a clique and its exhaustive CC label is the min id for every
+    * member. `suffix = false` plants VERBATIM copies (jac = 1, every
+    * band bucket shared by all m — the boilerplate regime). */
+  private def plantedClique(m: Int, idOffset: Long = 0L, tag: String = "alpha",
+                            suffix: Boolean = true) = {
+    import spark.implicits._
+    val base = (1 to 80).map(i => f"$tag$i%03d").mkString(" ")
+    (1 to m).map(i =>
+      (idOffset + i, if (suffix) s"$base x$i" else base)).toDF("doc_id", "text")
+  }
+
+  test("lshCandidatesCapped: a mega-clique over the PRODUCTION cap emits " +
+    "linear star candidates and the exact exhaustive labels") {
+    import org.apache.spark.sql.functions.col
+    val m = Dedup.MinhashBandCap + 38 // 550 > every bucket's cap
+    // VERBATIM copies: every band bucket holds all 550 — the boilerplate
+    // regime (real crawls plant exactly this; suffixes would scatter ~23%
+    // of members into cold per-band buckets and dodge the production cap)
+    val docs = plantedClique(m, suffix = false).localCheckpoint()
+    val bands = Dedup.lshBands(Dedup.sigsOf(docs), "doc_id", "sig")
+      .localCheckpoint()
+    val capped = Dedup.lshCandidatesCapped(bands, "doc_id").localCheckpoint()
+    val cappedN = capped.count()
+    val uncappedN = Dedup.lshCandidates(bands, "doc_id").count()
+    // linear vs quadratic: ≤ one star edge per (band, member) vs m(m-1)/2
+    assert(cappedN <= 32L * (m - 1),
+      s"capped candidates $cappedN exceed the 32·(m-1) star bound")
+    assert(uncappedN > (m.toLong * (m - 1)) / 4,
+      s"uncapped candidates $uncappedN — clique premise broke, re-derive")
+    assert(cappedN * 8 < uncappedN,
+      s"cap bought < 8x on a planted mega-clique ($cappedN vs $uncappedN)")
+    // every star edge verifies (clique-through-min premise) and CC labels
+    // every member 1 — EXACTLY the exhaustive full-recompute answer
+    import spark.implicits._
+    val edges = Dedup.verifyJaccard(capped, docs,
+      Dedup.charShingles(col("text"), 12))
+    assert(edges.where(col("jac") < 0.9).isEmpty,
+      "a planted-clique star edge failed verification — clique premise broke")
+    val labels = Dedup.connectedComponents(edges.select($"a", $"b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == m && labels.forall(_._2 == 1L),
+      "capped labels must equal the exhaustive closure's (all -> doc 1)")
+  }
+
+  test("lshCandidatesCapped: mixed hot/cold graph — labels ≡ uncapped labels") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 40-clique (hot at cap=8) + a separate cold 2-clique + a singleton
+    val docs = plantedClique(40)
+      .union(plantedClique(2, 9000L, tag = "omega"))
+      .union(Seq((9500L, "a lone document with nothing like it anywhere near"))
+        .toDF("doc_id", "text"))
+      .localCheckpoint()
+    val bands = Dedup.lshBands(Dedup.sigsOf(docs), "doc_id", "sig")
+      .localCheckpoint()
+    def labelsOf(cands: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(
+        Dedup.verifyJaccard(cands, docs, Dedup.charShingles(col("text"), 12))
+          .where(col("jac") >= 0.9).select($"a", $"b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedCands = Dedup.lshCandidatesCapped(bands, "doc_id", cap = 8).localCheckpoint()
+    val uncappedCands = Dedup.lshCandidates(bands, "doc_id").localCheckpoint()
+    val capped = labelsOf(cappedCands)
+    val uncapped = labelsOf(uncappedCands)
+    assert(capped == uncapped,
+      s"capped/uncapped label drift: ${(capped diff uncapped) ++ (uncapped diff capped)}")
+    // the hot regime actually engaged, and the cold 2-clique survived it
+    assert(cappedCands.count() < uncappedCands.count(),
+      "cap=8 did not engage on a 40-clique — premise broke")
+    assert(capped.contains((9002L, 9001L)), "cold 2-clique must cluster")
+  }
+
+  test("lshCrossCapped: hot bucket stars delta members from the set min " +
+    "plus one base attach edge; cold bucket keeps the exact cross") {
+    import spark.implicits._
+    val baseBands = (100L to 139L).map(i => (i, 0, 7L))
+      .toDF("doc_id", "band_id", "band_key")
+    val deltaBands = ((1000L to 1009L).map(i => (i, 0, 7L)) ++
+      (2000L to 2019L).map(i => (i, 1, 9L)))
+      .toDF("doc_id", "band_id", "band_key")
+    // hot combined bucket (50 > 8): star = (min base = 100) -> each delta
+    val hot = Dedup.lshCrossCapped(baseBands, deltaBands, cap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantHot = (1000L to 1009L).map(d => (100L, d)).toSet ++
+      (2001L to 2019L).map(d => (2000L, d)).toSet // delta-only hot bucket
+    assert(hot == wantHot, s"hot star shape wrong: $hot")
+    // cold (cap=100): the exact base x delta cross for the shared bucket
+    val cold = Dedup.lshCrossCapped(baseBands, deltaBands, cap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantCold = (for (b <- 100L to 139L; d <- 1000L to 1009L) yield (b, d)).toSet
+    assert(cold == wantCold, s"cold cross shape wrong: size ${cold.size}")
+  }
+
+  test("text_dedup_substring: over-threshold planted run excised from the " +
+    "non-owner only; sub-threshold shared run survives everywhere") {
+    import spark.implicits._
+    val shared = (1 to 16).map(i => f"dup$i%02d").mkString(" ") // 16·5+15 = 95 chars ≥ 50
+    val small = "tiny shared bit below the window size" // 37 chars < 50
+    val docs = Seq(
+      (1L, s"owner prefix text $shared and an owner tail"),
+      (2L, s"later document leading words $shared trailing remainder"),
+      (3L, s"unrelated body entirely $small plus padding that is unique here"),
+      (4L, s"another unrelated text with $small and different padding words")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSubstringOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // owner (min doc 1) keeps everything
+    assert(out(1L)._2 == 0 && out(1L)._3 == 0, s"owner lost material: ${out(1L)}")
+    // doc 2 loses exactly one span covering the shared run's window union
+    assert(out(2L)._2 == 1, s"doc 2 spans: ${out(2L)}")
+    assert(out(2L)._3 >= shared.length, s"doc 2 removed_chars: ${out(2L)}")
+    assert(!out(2L)._4.contains("dup01"), "shared run must be excised from doc 2")
+    // sub-threshold shared run survives in BOTH docs 3 and 4
+    assert(out(3L)._3 == 0 && out(4L)._3 == 0,
+      s"sub-threshold run was excised: ${out(3L)} ${out(4L)}")
+    assert(out(3L)._4.contains(small) && out(4L)._4.contains(small))
+    // removed chars reconcile with the cleaned length
+    out.foreach { case (id, (n, _, rm, cl)) =>
+      assert(cl.length == n - rm, s"doc $id cleaned length mismatch")
+    }
+  }
+
+  test("dedup_clusters_incremental: frontier-restricted batch ≡ full recompute") {
+    val full = Dedup.minhashClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Dedup.minhashClustersIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full,
+      s"delta ≠ recompute: ${(inc diff full) ++ (full diff inc)}")
+  }
 }

@@ -19,11 +19,27 @@ Each replica r in 1..R-1 is the base fixture with:
 region/nation are dimension tables with fixed public cardinality and are
 copied as-is. Usage:
   python3 tools/gen_sf.py /root/testdata/sf0.1 /tmp/sf1 10
+
+ADVERSARIAL MODE (--adversarial as 4th arg): document TEXT is replicated
+VERBATIM (keys still offset) — every base document becomes an R-sized
+duplicate CLIQUE in EVERY similarity space at once (char shingles →
+MinHash bands, bag-of-words → SimHash, word n-grams → containment/
+jaccard, pHash payload bytes). This is the boilerplate-mega-clique
+regime the banded generators' population caps exist for: any UNCAPPED
+bucketed self-join goes quadratic in R on this corpus (the permute-
+without-retag variant of this regime measured 100x runtime at 10x data
+for the then-uncapped simhash join, SCALE.md). AdversarialBoundSpec
+asserts the capped generators' candidate-bound theorems on a small
+committed fixture built by this flag; embeddings are also copied
+verbatim in this mode (planted duplicate vectors for the embedding
+generators). Usage:
+  python3 tools/gen_sf.py /root/testdata/sf0.001 /tmp/adv 40 --adversarial
 """
 import sys
 import duckdb
 
 src, dst, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
+ADVERSARIAL = len(sys.argv) > 4 and sys.argv[4] == "--adversarial"
 con = duckdb.connect()
 import os
 os.makedirs(dst, exist_ok=True)
@@ -112,7 +128,16 @@ FROM '{src}/events.parquet'""")
 # near-dup structure survives (similar docs get similar keys and the
 # same retag positions). The outer SELECT recomputes n_chars from the
 # rewritten text (the retag lengthens it ~4%).
-gen("documents", """
+if ADVERSARIAL:
+    # verbatim text replicas: R-cliques in every similarity space
+    gen("documents", """
+SELECT doc_id + {r} * {O_DOC} AS doc_id, text, lang, source, n_chars
+FROM '{src}/documents.parquet'""")
+    gen("embeddings", """
+SELECT vec_id + {r} * {O_VEC} AS vec_id, embedding, label
+FROM '{src}/embeddings.parquet'""")
+else:
+    gen("documents", """
 SELECT doc_id, text, lang, source,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM (
@@ -130,8 +155,8 @@ SELECT doc_id + {r} * {O_DOC} AS doc_id,
        lang, source, n_chars AS n_chars_orig
 FROM '{src}/documents.parquet') t""")
 
-# rotate embedding dimensions by r (norm-preserving)
-gen("embeddings", """
+    # rotate embedding dimensions by r (norm-preserving)
+    gen("embeddings", """
 SELECT vec_id + {r} * {O_VEC} AS vec_id,
        CASE WHEN {r} = 0 THEN embedding
             ELSE CAST(list_concat(embedding[(1 + {r} % 64):], embedding[1:({r} % 64)])
