@@ -412,12 +412,22 @@ object TextAnalysis {
       .withColumn("owner", min($"doc_id").over(wg))
       .where($"df" >= 2 && $"doc_id" =!= $"owner")
       .select($"doc_id", $"pos")
+    charSpanAssembly(base, removed)
+  }
+
+  /** Doc-bounded CHAR-span algebra shared by [[dedupSubstringOf]] and
+    * [[dedupSubstringIncremental]] — the character twin of
+    * [[spanAssembly]]: removed (doc_id, pos) window positions → covered
+    * char indexes → merged contiguous spans → cleaned text. */
+  private def charSpanAssembly(docsBase: DataFrame, removed: DataFrame): DataFrame = {
+    val s = docsBase.sparkSession
+    import s.implicits._
     val perDoc = removed.groupBy($"doc_id").agg(collect_set($"pos").as("ps"))
       .select($"doc_id",
         array_sort(array_distinct(flatten(transform($"ps",
           p => sequence(p, p + SubstrN - 1))))).as("cov"))
     val emptyCov = array().cast("array<int>")
-    base.join(perDoc, Seq("doc_id"), "left")
+    docsBase.join(perDoc, Seq("doc_id"), "left")
       .select($"doc_id",
         length($"text").cast("bigint").as("n_chars"),
         // span starts wherever the previous covered index is not adjacent
@@ -435,6 +445,82 @@ object TextAnalysis {
           .otherwise(array().cast("array<string>")),
           (_, i) => !array_contains(coalesce($"cov", emptyCov), i + 1)), "")
           .as("cleaned"))
+  }
+
+  /** Positional char-[[SubstrN]]-window STRING occurrences of a
+    * (doc_id, text) frame: (doc_id, pos, g), 1-based char positions —
+    * the delta-side probe shape for [[dedupSubstringIncremental]]. */
+  private def substrOcc(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id",
+      posexplode(when(length($"text") >= SubstrN,
+          transform(sequence(lit(1), length($"text") - (SubstrN - 1)),
+            i => $"text".substr(i, lit(SubstrN))))
+        .otherwise(array().cast("array<string>"))).as(Seq("p0", "g")))
+      .select($"doc_id", ($"p0" + 1).cast("int").as("pos"), $"g")
+  }
+
+  /** Distinct char-[[SubstrN]]-window set of a (doc_id, text) corpus —
+    * the maintained index [[dedupSubstringIncremental]] probes (and the
+    * law spec's planted-base builder). */
+  private[graft] def substrGramSetOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    substrOcc(docs.select($"doc_id", $"text")).select($"g").distinct()
+  }
+
+  /** Delta-shaped core of [[dedupSubstringIncremental]] (spec hook: the
+    * era-equivalence law feeds a planted base window set and delta).
+    * `baseGrams`: one `g` column, the maintained distinct-window index. */
+  private[graft] def dedupSubstringDeltaOf(baseGrams: DataFrame, delta: DataFrame): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val base = delta.select($"doc_id", $"text")
+    val wg = Window.partitionBy($"g")
+    val removed = substrOcc(base)
+      .withColumn("ddf", size(collect_set($"doc_id").over(wg)))
+      .withColumn("downer", min($"doc_id").over(wg))
+      .join(baseGrams.select($"g", lit(1).as("inb")), Seq("g"), "left")
+      .where($"inb".isNotNull || ($"ddf" >= 2 && $"doc_id" =!= $"downer"))
+      .select($"doc_id", $"pos")
+    charSpanAssembly(base, removed)
+  }
+
+  /** Incremental CHARACTER-exact substring dedup — the ingestion-time
+    * twin of [[dedupSubstring]] with the [[dedupSpansIncremental]]
+    * ownership rule (FIRST-SEEN wins: base era before delta era, min
+    * doc_id within an era), so the published byte-exact cleaned base
+    * corpus is INVARIANT under ingests. A delta window occurrence is
+    * removed material iff the window exists ANYWHERE in the base (one
+    * probe of the maintained distinct-window index,
+    * session-materialized parquet) or is delta-internal boilerplate
+    * (≥2 distinct delta docs, not the min delta doc). Per batch: one
+    * delta window exchange + one index probe + the doc-bounded char
+    * span algebra — work ∝ |delta| chars; the base is touched only
+    * through its index (at 100 TB the index carries 8-byte window
+    * hashes bucketed by hash with exact-string confirm on the
+    * candidate subset — the [[dedupSubstring]] prefilter discipline
+    * applied to the probe; the fixture-scale path carries strings,
+    * like the word-tier index). Oracle restates the era-aware rule
+    * from scratch over the split corpus; the era-equivalence law
+    * plants delta ids above base ids — there first-seen ≡ global-min,
+    * so the incremental output must equal [[dedupSubstringOf]] on the
+    * union, row for row, restricted to the delta. */
+  def dedupSubstringIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val srcKey = "spark.graft.basesubstr.src"
+    val dirKey = "spark.graft.basesubstr.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_base_substr").toString
+      substrGramSetOf(docs.where(Maintenance.bucketCol < 90))
+        .write.mode("overwrite").parquet(dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    dedupSubstringDeltaOf(s.read.parquet(s.conf.get(dirKey)),
+      docs.where(Maintenance.bucketCol >= 90))
   }
 
   /** Positional word-[[SpanN]]-gram occurrences of a (doc_id, tk) frame:
@@ -1686,6 +1772,52 @@ object TextAnalysis {
                coalesce(cl.cleaned, '') AS cleaned
         FROM t LEFT JOIN spans sp USING (doc_id)
         LEFT JOIN cleaned cl USING (doc_id)""",
+
+      // era-aware char-window rule restated from scratch (the
+      // text_dedup_spans_incremental pattern at the character tier):
+      // base-present windows always remove delta occurrences, delta-
+      // internal boilerplate falls to the min delta doc; only delta
+      // rows are emitted (the published base corpus is invariant)
+      "text_dedup_substring_incremental" -> s"""
+        WITH bk AS (SELECT doc_id, ${Maintenance.hexBucketSql} AS bkt FROM documents),
+        t AS (SELECT d.doc_id, d.text, length(d.text) AS len, bk.bkt
+              FROM documents d JOIN bk USING (doc_id)),
+        occ AS (
+          SELECT doc_id, bkt, CAST(i AS INT) AS pos,
+                 substr(text, CAST(i AS INT), $SubstrN) AS g
+          FROM t JOIN generate_series(1, $MaxDocChars) s(i)
+            ON i <= len - ${SubstrN - 1}),
+        baseg AS (SELECT DISTINCT g FROM occ WHERE bkt < 90),
+        docc AS (SELECT doc_id, pos, g FROM occ WHERE bkt >= 90),
+        prof AS (SELECT g, min(doc_id) AS downer, count(DISTINCT doc_id) AS ddf
+                 FROM docc GROUP BY g),
+        removed AS (
+          SELECT d.doc_id, d.pos
+          FROM docc d JOIN prof p USING (g) LEFT JOIN baseg b USING (g)
+          WHERE b.g IS NOT NULL OR (p.ddf >= 2 AND d.doc_id <> p.downer)),
+        cov AS (SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS idx
+                FROM removed, generate_series(0, ${SubstrN - 1}) r(j)),
+        spans AS (
+          SELECT doc_id, count(*) AS removed_chars,
+                 CAST(sum(new_span) AS BIGINT) AS n_spans
+          FROM (SELECT doc_id, idx,
+                  CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) = idx - 1
+                       THEN 0 ELSE 1 END AS new_span FROM cov) x
+          GROUP BY doc_id),
+        cleaned AS (
+          SELECT t.doc_id,
+                 string_agg(substr(t.text, CAST(i AS INT), 1), '' ORDER BY i) AS cleaned
+          FROM t JOIN generate_series(1, $MaxDocChars) s(i) ON i <= len
+          LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = i
+          WHERE c.idx IS NULL AND t.bkt >= 90
+          GROUP BY t.doc_id)
+        SELECT t.doc_id, CAST(t.len AS BIGINT) AS n_chars,
+               coalesce(sp.n_spans, 0) AS n_spans,
+               CAST(coalesce(sp.removed_chars, 0) AS BIGINT) AS removed_chars,
+               coalesce(cl.cleaned, '') AS cleaned
+        FROM t LEFT JOIN spans sp USING (doc_id)
+        LEFT JOIN cleaned cl USING (doc_id)
+        WHERE t.bkt >= 90""",
 
       "text_dedup_spans" -> s"""
         WITH toks AS (

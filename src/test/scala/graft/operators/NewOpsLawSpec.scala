@@ -1052,6 +1052,40 @@ class NewOpsLawSpec extends SparkSpec {
     }
   }
 
+  test("text_dedup_substring_incremental: era-equivalence — when delta ids " +
+    "exceed base ids, incremental ≡ full recompute on the union (delta rows)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a shared ≥50-char run in the base, copied by one delta doc; a
+    // delta-only ≥50-char boilerplate shared by two delta docs; a clean doc
+    val run = (1 to 12).map(i => f"base$i%02d").mkString(" ") // 12·7-1 = 83 chars
+    val boiler = (1 to 12).map(i => f"boil$i%02d").mkString(" ")
+    val base = Seq(
+      (1L, s"intro text $run and an outro"),
+      (2L, "completely unrelated words nothing shared here at all ok")).toDF("doc_id", "text")
+    val delta = Seq(
+      (1001L, s"copy starts $run copy ends"),
+      (1002L, s"$boiler tail words"),
+      (1003L, s"leading $boiler trailing"),
+      (1004L, "a fully clean document with no duplicated runs inside it at all")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1)
+    val incr = rows(TextAnalysis.dedupSubstringDeltaOf(
+      TextAnalysis.substrGramSetOf(base), delta))
+    val full = rows(TextAnalysis.dedupSubstringOf(base.union(delta))
+      .where(col("doc_id") >= 1000L))
+    assert(incr.toSeq == full.toSeq,
+      s"era split diverged from recompute:\n${incr.toSeq}\nvs\n${full.toSeq}")
+    // and the rule actually fired: 1001 loses the base run, 1003 loses the
+    // delta boilerplate (1002 = min delta owner keeps it), 1004 untouched
+    val m = incr.map(r => r._1 -> r).toMap
+    assert(m(1001L)._4 >= run.length && m(1003L)._4 >= boiler.length)
+    assert(m(1002L)._4 == 0 && m(1004L)._4 == 0)
+  }
+
   test("dedup_clusters_incremental: frontier-restricted batch ≡ full recompute") {
     val full = Dedup.minhashClusters(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
