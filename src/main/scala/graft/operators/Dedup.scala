@@ -891,6 +891,132 @@ object Dedup {
         $"cv".isNotNull.cast("bigint").as("on_cycle"))
   }
 
+  /** Synchronous rounds for [[labelPropagation]] — mirrored by the
+    * oracle's unrolled CTE chain (one counts + one argmax CTE per round). */
+  val LpaRounds = 3
+
+  /** Label-propagation COMMUNITIES (Raghavan et al. 2007) over the
+    * undirected 1-NN graph — the modularity-seeking refinement of
+    * [[wcc]]: where WCC answers "what is reachable" (a single bridge
+    * edge merges two dense families), LPA answers "what is DENSE" —
+    * each node adopts its neighbors' most frequent label, so a
+    * bridge's one vote loses to a clique's many and template families
+    * stay separate communities inside one weak component. That is the
+    * curation readout that decides merge-vs-inspect at the family
+    * level ([[kcore]] triages vertices, [[commonNeighbors]] edges;
+    * this labels whole families).
+    *
+    * DETERMINISTIC by construction where textbook LPA is not: updates
+    * are SYNCHRONOUS (round r+1 reads only round r's labels — no
+    * update-order dependence) and ties break to the MIN label, so the
+    * result is a pure function of the graph and both engines replay it
+    * bit-exactly. Fixed [[LpaRounds]] rounds (the [[kcore]] bounded-
+    * rounds discipline: the hash gate is well-defined whether or not
+    * the propagation has converged; AnalyticsSpec asserts fixture
+    * convergence). Per round: one label join shuffling (edge, label)
+    * ids + two map-side-combinable aggregates — count per (node,
+    * label), then struct-min argmax (count desc, label asc) — lineage
+    * truncated per round ([[pagerankOf]]'s discipline). At 100 TB:
+    * R bounded edge-sized exchanges, no driver traffic at all. */
+  def labelPropagation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val und = undirect(SimSearch.knnGraphShared(s, d, k = 1)
+      .select($"q_id".as("a"), $"n_id".as("b")))
+    lpaOnUnd(und).select($"v".as("vec_id"), $"lbl".as("community"))
+  }
+
+  /** Both directions of a pair frame, deduped — the shared edge shape
+    * [[lpaOnUnd]] and [[modularityOf]] consume (node = `a`, neighbor =
+    * `b`; every vertex appears on the `a` side). */
+  private[graft] def undirect(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.select($"a", $"b")
+      .union(pairs.select($"b".as("a"), $"a".as("b")))
+      .distinct().localCheckpoint()
+  }
+
+  /** Core over an undirected edge frame — the declared query,
+    * [[modularityOf]], and AnalyticsSpec's driver-replay law all drive
+    * this path. Labels init to the node id. */
+  private[graft] def lpaOnUnd(und: DataFrame): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    var lbl = und.select($"a".as("v")).distinct().select($"v", $"v".as("lbl"))
+    for (_ <- 1 to LpaRounds) {
+      lbl = und
+        .join(lbl.select($"v".as("bv"), $"lbl"), $"b" === $"bv")
+        .groupBy($"a", $"lbl").agg(count(lit(1)).as("c"))
+        .groupBy($"a")
+        .agg(min(struct((-$"c").as("nc"), $"lbl".as("l"))).as("m"))
+        .select($"a".as("v"), $"m.l".as("lbl"))
+        .localCheckpoint()
+    }
+    lbl
+  }
+
+  /** Newman MODULARITY of the [[labelPropagation]] partition, per
+    * community and in exact integer ppm — the quality readout that says
+    * whether the community structure is real before a pipeline acts on
+    * it (Q ≈ 0: the partition is no better than random wiring; the
+    * conventional "has structure" bar is Q > 0.3). Per community c:
+    *
+    *   q_ppm(c) = intra2(c)·10⁶ div M2  −  deg_total(c)²·10⁶ div M2²
+    *
+    * where intra2 counts both directions of intra-community edges and
+    * M2 = 2m is the directed edge count — the textbook
+    * Q = Σ_c [m_c/m − (D_c/2m)²] with every division a truncating
+    * integer div, so per-community rows are order-independent under any
+    * partitioning and the oracle replays them bit-exactly (the
+    * [[pagerankOf]] integer-exactness argument; doubles summed across
+    * partitions could never hash-match). deg_total² and M2² live in
+    * DECIMAL(38,0) ≡ DuckDB HUGEINT — BIGINT squares wrap past
+    * ~3·10⁹ edges, exactly the 100 TB regime ([[MlFeatures.evalAuc]]'s
+    * midrank lesson). ΣQ_c ≤ 10⁶ and the single-community partition
+    * gives exactly 0 (both law-checked). Work: the LPA rounds plus two
+    * edge-sized joins against the node-sized label frame; no driver
+    * traffic. */
+  def modularity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    modularityOf(SimSearch.knnGraphShared(s, d, k = 1)
+      .select($"q_id".as("a"), $"n_id".as("b")))
+  }
+
+  /** Core over any (a, b) pair frame; labels come from [[lpaOnUnd]].
+    * AnalyticsSpec's closed-form laws drive [[modularityOnUnd]] directly
+    * with planted partitions. */
+  def modularityOf(pairs: DataFrame): DataFrame = {
+    val und = undirect(pairs)
+    modularityOnUnd(und, lpaOnUnd(und))
+  }
+
+  /** Modularity of ANY (v, lbl) partition of an undirected edge frame. */
+  private[graft] def modularityOnUnd(und: DataFrame, comm: DataFrame): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val labels = comm.localCheckpoint()
+    val deg = und.groupBy($"a").agg(count(lit(1)).as("dg"))
+    val m2 = broadcast(und.agg(count(lit(1)).cast(dec).as("m2")))
+    val intra = und
+      .join(labels.select($"v".as("av"), $"lbl".as("ca")), $"a" === $"av")
+      .join(labels.select($"v".as("bv"), $"lbl".as("cb")), $"b" === $"bv")
+      .where($"ca" === $"cb")
+      .groupBy($"ca").agg(count(lit(1)).as("intra2"))
+      .select($"ca".as("community"), $"intra2")
+    deg.join(labels, deg("a") === labels("v"))
+      .groupBy($"lbl")
+      .agg(sum($"dg").as("deg_total"), count(lit(1)).as("n_nodes"))
+      .select($"lbl".as("community"), $"n_nodes", $"deg_total")
+      .join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("intra2"))
+      .crossJoin(m2)
+      .select($"community", $"n_nodes", $"intra2", $"deg_total",
+        expr("""CAST(CAST(intra2 AS DECIMAL(38,0)) * 1000000 div m2
+                - CAST(deg_total AS DECIMAL(38,0)) * deg_total * 1000000
+                  div (m2 * m2) AS BIGINT)""").as("q_ppm"))
+  }
+
   /** Neighborhood overlap per near-dup pair — the classic link-prediction
     * / community-strength signal: for each edge (a, b), the count of
     * common neighbors and the Jaccard of the two neighborhoods in exact
@@ -1771,6 +1897,64 @@ object Dedup {
   /** [[pagerank]]'s oracle: the same integer power iteration, unrolled as
     * one CTE per round (DuckDB's recursive CTEs are UNION-semantics
     * fixpoints, unusable for a fixed-iteration-count recurrence). */
+  /** Shared 1-NN undirected-edge CTE prefix for the LPA-family oracles —
+    * the graph_wcc edge rule verbatim (cosine desc, neighbor-id
+    * tiebreak at k = 1), undirected by symmetric UNION-dedup. */
+  private def oneNnUndCte: String = """edges AS MATERIALIZED (
+        SELECT q_id AS a, n_id AS b FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])) DESC,
+                            e.vec_id ASC) AS rk
+          FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id) t
+        WHERE rk <= 1),
+      und AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b, a FROM edges)"""
+
+  /** [[LpaRounds]] unrolled synchronous rounds: counts CTE + argmax CTE
+    * per round — row_number (count desc, label asc) ≡ the engine's
+    * struct-min (-count, label). */
+  private def lpaRoundsCte: String =
+    (1 to LpaRounds).map { i =>
+      s"""s$i AS (
+        SELECT u.a AS v, l.lbl, count(*) AS c
+        FROM und u JOIN l${i - 1} l ON l.v = u.b GROUP BY 1, 2),
+      l$i AS (
+        SELECT v, lbl FROM (
+          SELECT v, lbl, row_number() OVER (
+            PARTITION BY v ORDER BY c DESC, lbl ASC) AS rk FROM s$i) t
+        WHERE rk = 1)"""
+    }.mkString(",\n      ")
+
+  private def lpaOracle: String = s"""
+      WITH $oneNnUndCte,
+      l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM und),
+      $lpaRoundsCte
+      SELECT v AS vec_id, lbl AS community FROM l$LpaRounds"""
+
+  private def modularityOracle: String = s"""
+      WITH $oneNnUndCte,
+      l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM und),
+      $lpaRoundsCte,
+      m2 AS (SELECT CAST(count(*) AS HUGEINT) AS m2 FROM und),
+      deg AS (SELECT a AS v, count(*) AS dg FROM und GROUP BY 1),
+      intra AS (
+        SELECT ca.lbl AS community, count(*) AS intra2
+        FROM und u
+        JOIN l$LpaRounds ca ON ca.v = u.a
+        JOIN l$LpaRounds cb ON cb.v = u.b
+        WHERE ca.lbl = cb.lbl GROUP BY 1),
+      dtot AS (
+        SELECT l.lbl AS community, CAST(sum(dg) AS BIGINT) AS deg_total,
+               count(*) AS n_nodes
+        FROM deg JOIN l$LpaRounds l ON l.v = deg.v GROUP BY 1)
+      SELECT d.community, n_nodes, coalesce(i.intra2, 0) AS intra2, deg_total,
+             CAST(CAST(coalesce(i.intra2, 0) AS HUGEINT) * 1000000 // m2
+                - CAST(deg_total AS HUGEINT) * deg_total * 1000000 // (m2 * m2)
+               AS BIGINT) AS q_ppm
+      FROM dtot d LEFT JOIN intra i USING (community) CROSS JOIN m2"""
+
   private def pagerankOracle: String = {
     val iters = (1 to PagerankIters).map { i =>
       s"""s$i AS (
@@ -1944,6 +2128,8 @@ object Dedup {
     "graph_pagerank" -> pagerankOracle,
     "graph_hits" -> hitsOracle,
     "graph_shortest_paths" -> bfsOracle,
+    "graph_label_propagation" -> lpaOracle,
+    "graph_modularity" -> modularityOracle,
     // the DEFINITION of WCC: undirected transitive closure (recursive
     // CTE, UNION-dedup fixpoint), component = min over the reachable
     // set — independent of the engine's label-propagation algorithm.

@@ -109,6 +109,81 @@ object SimSearch {
     s.read.parquet(s.conf.get(dirKey))
   }
 
+  /** Greedy steps / candidate-pool size for [[mmrTopK]] — both mirrored
+    * by the oracle's unrolled CTE chain. */
+  val MmrK = 5
+  val MmrPool = 20
+
+  /** MMR-DIVERSIFIED top-k (Carbonell & Goldstein 1998) — the retrieval
+    * shape plain `simsearch_topk` gets wrong on a near-dup corpus: the
+    * exact top-5 of a query sitting in a duplicate clique is five copies
+    * of the same document. Maximal Marginal Relevance re-ranks a
+    * candidate pool greedily, step t picking
+    *
+    *   argmax over unselected d:  rel(q,d) − max_{s ∈ selected} sim(d,s)
+    *
+    * (λ = 1/2 — relevance and redundancy equally weighted, folded into
+    * one SUBTRACTION so cross-engine agreement needs no constant
+    * multiply) with ties broken by neighbor id, seeded with the exact
+    * rank-1 neighbor. The training-data reading: "sample k diverse
+    * exemplars near this probe", the selection rule semantic dedup
+    * applies at retrieval time instead of corpus time.
+    *
+    * DETERMINISTIC: every step is a pure argmax over scores both engines
+    * compute from the same float vectors ([[bruteTopK]]'s rank-
+    * determinism class), so the (q_id, n_id, step) triple — selection
+    * ORDER included — is hash-compared, not just the set.
+    *
+    * Scale: the corpus is touched ONCE (the [[bruteTopK]] broadcast-
+    * query scan) to cut the |Q|×[[MmrPool]] pool; the greedy loop runs
+    * entirely on pool-sized frames — |Q|·P² pairwise sims computed once,
+    * then [[MmrK]] bounded rounds of (anti-join + max-aggregate +
+    * per-query argmax) over ≤ |Q|·P rows, lineage-truncated. At 100 TB
+    * the re-rank cost is independent of corpus size — that is MMR's
+    * whole production appeal. */
+  def mmrTopK(s: SparkSession, d: String): DataFrame =
+    mmrOf(Tables.embeddings(s, d))
+
+  /** Core over any (vec_id, embedding) frame — the declared query and
+    * SimSearchSpec's planted-clique diversification law both drive this
+    * path. */
+  private[graft] def mmrOf(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    VectorFunctions.register(s)
+    val queries = e.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+    val pool = e.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        VectorFunctions.cosine($"q_emb", $"embedding").as("cos"),
+        $"embedding".as("n_emb"))
+      .withColumn("rk", row_number().over(w)).where($"rk" <= MmrPool)
+      .localCheckpoint()
+    val pp = pool.as("x").join(pool.as("y"),
+        col("x.q_id") === col("y.q_id") && col("x.n_id") =!= col("y.n_id"))
+      .select(col("x.q_id").as("q_id"), col("x.n_id").as("a"),
+        col("y.n_id").as("b"),
+        VectorFunctions.cosine(col("x.n_emb"), col("y.n_emb")).as("sim"))
+      .localCheckpoint()
+    val rel = pool.select($"q_id", $"n_id", $"cos".as("rel"), $"rk")
+    var sel = rel.where($"rk" === 1)
+      .select($"q_id", $"n_id", lit(1L).as("step"))
+    for (t <- 2 to MmrK) {
+      val pen = pp.join(sel.select($"q_id", $"n_id".as("b")), Seq("q_id", "b"))
+        .groupBy($"q_id", $"a").agg(max($"sim").as("pen"))
+        .select($"q_id", $"a".as("n_id"), $"pen")
+      val cand = rel.join(sel.select($"q_id", $"n_id"), Seq("q_id", "n_id"), "left_anti")
+        .join(pen, Seq("q_id", "n_id"))
+        .select($"q_id", $"n_id", ($"rel" - $"pen").as("score"))
+      val ww = Window.partitionBy($"q_id").orderBy($"score".desc, $"n_id".asc)
+      val next = cand.withColumn("r", row_number().over(ww)).where($"r" === 1)
+        .select($"q_id", $"n_id", lit(t.toLong).as("step"))
+      sel = sel.unionAll(next).localCheckpoint()
+    }
+    sel
+  }
+
   /** Multi-table MULTIPROBE LSH approximate top-k (scale path; see class
     * doc): corpus + queries bucketed into L tables × b-bit signatures;
     * each query probes its own bucket PLUS the b hamming-1 neighbor
@@ -252,9 +327,26 @@ object SimSearch {
     * and the ground-truth builder; [[knnGraphLsh]] is the 100 TB path.
     * Deterministic: rank output, ties by neighbor id; cosine is the
     * bit-parity [[graft.functions.FloatVecDot]] kernel, so the oracle's
-    * full-graph window replay hash-matches. */
+    * full-graph window replay hash-matches.
+    *
+    * B is the PARALLELISM knob, not a semantic one (the pair cover and
+    * the result are B-invariant): B must track the session's task slots
+    * and grow with the corpus at cluster scale. Round 12 raised the
+    * default 8 → 32 (the bench rig's slot count) AND pinned the
+    * parallelism with an explicit repartition of the candidate side —
+    * measured at the sf1 decade (20k vectors, ~4·10⁸ scored pairs), the
+    * planner broadcast the exploded probe side and streamed the corpus
+    * from its ONE file partition, so the join plus the partial
+    * WindowGroupLimit sort of the full pair stream ran in a single task
+    * (~18 min wall, one RUNNABLE executor in jstack while 31 cores
+    * idled). Input-file partitioning is an accident of fixture layout,
+    * never a parallelism contract: the 6 MB bj exchange on the slim
+    * corpus side spreads the quadratic join work B-wide under EITHER
+    * join strategy (any stream partitioning parallelizes a broadcast
+    * join; bj co-partitions a shuffle join), and the partial
+    * window-group-limit then sorts B slices concurrently. */
   def knnGraph(s: SparkSession, d: String, k: Int = KnnGraphK,
-      blocks: Int = 8): DataFrame = {
+      blocks: Int = 32): DataFrame = {
     import s.implicits._
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
@@ -262,6 +354,7 @@ object SimSearch {
       explode(sequence(lit(0L), lit(blocks - 1L))).as("bj"))
     val cands = e.select($"vec_id".as("n_id"), $"embedding".as("n_emb"),
       pmod($"vec_id", lit(blocks.toLong)).as("bj"))
+      .repartition(blocks, $"bj")
     val scored = probes.join(cands, Seq("bj")).where($"q_id" =!= $"n_id")
       .select($"q_id", $"n_id", VectorFunctions.cosine($"q_emb", $"n_emb").as("cos"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
@@ -688,7 +781,56 @@ object SimSearch {
         ($"pred_lang" === $"true_lang").cast("bigint").as("correct"))
   }
 
+  /** Unrolled greedy MMR replay: pool + pairwise sims once, then one
+    * (penalty, candidate, argmax, accumulate) CTE quartet per step —
+    * row_number (score desc, id asc) ≡ the engine's windowed argmax. */
+  private def mmrOracle: String = {
+    val steps = (2 to MmrK).map { t =>
+      s"""pen$t AS (
+        SELECT p.q_id, p.a AS n_id, max(p.sim) AS pen
+        FROM pp p JOIN acc${t - 1} s ON s.q_id = p.q_id AND s.n_id = p.b
+        GROUP BY 1, 2),
+      cand$t AS (
+        SELECT c.q_id, c.n_id, c.rel - p.pen AS score
+        FROM pool c
+        JOIN pen$t p ON p.q_id = c.q_id AND p.n_id = c.n_id
+        LEFT JOIN acc${t - 1} s ON s.q_id = c.q_id AND s.n_id = c.n_id
+        WHERE s.n_id IS NULL),
+      sel$t AS (
+        SELECT q_id, n_id, CAST($t AS BIGINT) AS step FROM (
+          SELECT q_id, n_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS r
+          FROM cand$t) t WHERE r = 1),
+      acc$t AS (SELECT * FROM acc${t - 1} UNION ALL SELECT * FROM sel$t)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH scored AS MATERIALIZED (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) AS rel,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(e.embedding AS DOUBLE[])) DESC,
+                          e.vec_id ASC) AS rk
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < $NumQueries),
+      pool AS MATERIALIZED (SELECT * FROM scored WHERE rk <= $MmrPool),
+      pp AS MATERIALIZED (
+        SELECT x.q_id, x.n_id AS a, y.n_id AS b,
+               list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])) AS sim
+        FROM pool x
+        JOIN pool y ON x.q_id = y.q_id AND x.n_id <> y.n_id
+        JOIN embeddings ea ON ea.vec_id = x.n_id
+        JOIN embeddings eb ON eb.vec_id = y.n_id),
+      acc1 AS (SELECT q_id, n_id, CAST(1 AS BIGINT) AS step FROM pool WHERE rk = 1),
+      $steps
+      SELECT q_id, n_id, step FROM acc$MmrK"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "simsearch_mmr" -> mmrOracle,
     // the definition restated: exact top-5 window, label join, majority
     // vote with the same (votes, nearest, lang) tie rule
     "ml_knn_classifier" -> s"""

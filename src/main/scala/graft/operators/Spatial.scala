@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Spatial operators (SURVEY.md §2.3 D/J extension, round 12): the
+  * grid-bucketed radius self-join — the geospatial sibling of the banded
+  * dedup candidate generators. A training-data pipeline meets this shape
+  * whenever records carry coordinates (store/user co-location, crawl
+  * geo-dedup, POI conflation): "all pairs within radius R" is quadratic
+  * done naively, and the production fix is exactly the LSH discipline —
+  * a lossless cell cover generates candidates, an exact predicate
+  * confirms.
+  *
+  * EXACT-INTEGER geometry: coordinates live in integer MICRO-DEGREES and
+  * the radius predicate is squared planar distance dx² + dy² ≤ R² in
+  * BIGINT (µ°² products ≤ ~10¹⁶, no overflow; the small-radius
+  * equirectangular approximation, stated rather than hidden — haversine
+  * doubles could never hash-match across engines). Points are staged
+  * deterministically from the customer table as jittered clusters around
+  * 57 synthetic city centers, all placed inside ±60° lat / ±179° lon so
+  * no antimeridian/pole wrap exists BY CONSTRUCTION (the planar contract;
+  * a production deployment near ±180° shifts longitudes first).
+  *
+  * The reference has no spatial surface (its one workload is word count,
+  * /root/reference/client/scripts/mapper.py:13); this extends the
+  * declared engine surface the way the dedup/simsearch families do.
+  */
+object Spatial {
+
+  /** Radius in micro-degrees (~550 m in latitude terms) — R² is the
+    * exact predicate bound; the CELL size equals R so the 3×3 neighbor
+    * cover is lossless (proof in [[radiusJoin]]). */
+  val RadiusMicroDeg = 5000L
+  val CellMicroDeg = RadiusMicroDeg
+
+  /** Deterministic point staging over the customer table: 57 city
+    * centers pseudo-placed from the city id, per-customer jitter of
+    * ±10000 µ° around the home center — clusters with real in-radius
+    * pairs at every SF, all coordinates exact BIGINT micro-degrees.
+    * Mirrored verbatim by the oracle's staging CTE. */
+  private[graft] def stagedPoints(customers: DataFrame): DataFrame = {
+    val s = customers.sparkSession
+    import s.implicits._
+    customers.select($"c_custkey".cast("long").as("pid"))
+      .withColumn("city", $"pid" % 57L)
+      .select($"pid",
+        (lit(-60000000L) + ($"city" * 2147483L) % 120000001L
+          + ($"pid" * 7919L) % 20001L - 10000L).as("lat"),
+        (lit(-179000000L) + ($"city" * 71234567L) % 358000001L
+          + ($"pid" * 104729L) % 20001L - 10000L).as("lon"))
+  }
+
+  /** All point pairs within [[RadiusMicroDeg]] (canonical pid_a < pid_b,
+    * exact squared distance emitted) via the GRID CELL cover:
+    *
+    *  - home cell = (glat div CELL, glon div CELL) on pole-shifted
+    *    non-negative coordinates (truncating `div` ≡ floor there, and ≡
+    *    DuckDB `//` — the repo-wide negative-div discipline);
+    *  - the probe side replicates each point to its 3×3 cell
+    *    neighborhood; candidates meet on a cell EQUI-join — never a
+    *    cross join;
+    *  - LOSSLESS: |dx| ≤ R and |dy| ≤ R (Chebyshev ⊇ Euclidean ball),
+    *    and CELL = R means two coordinates within R sit in the same or
+    *    adjacent cells — every qualifying pair survives candidate
+    *    generation, so the exact confirm makes the result equal the
+    *    quadratic oracle (the ngram prefix-filter losslessness argument
+    *    in grid form; planted boundary-pair law in AnalyticsSpec);
+    *  - pairs found through multiple shared cells dedup on the pair key
+    *    AFTER the cheap integer confirm (candidates are slim 5-long
+    *    rows; a pair is confirmed at most 2× before distinct).
+    *
+    * Scale: the exchange shuffles (pid, lat, lon, cell) ids only — 9×
+    * the corpus on the probe side, 1× on the home side; per-cell work is
+    * population² within a 3×3 neighborhood, the density the CELL size
+    * knob controls at deployment (the DbscanCellCap sizing lever —
+    * a pairs CONTRACT is output-quadratic on a dense cell by definition,
+    * the dedup_minhash boundary restated). Output is the pair list with
+    * its exact d2 — the downstream conflation/dedup verdict input. */
+  def radiusJoin(s: SparkSession, d: String): DataFrame =
+    radiusJoinOf(stagedPoints(Tables.customer(s, d)))
+
+  /** Core over any (pid, lat, lon) micro-degree frame — the declared
+    * query and the planted boundary-pair law both drive this path. */
+  private[graft] def radiusJoinOf(pts0: DataFrame): DataFrame = {
+    val s = pts0.sparkSession
+    import s.implicits._
+    val r2 = RadiusMicroDeg * RadiusMicroDeg
+    val pts = pts0.select($"pid", $"lat", $"lon",
+      expr(s"(lat + 90000000) div $CellMicroDeg").as("cx"),
+      expr(s"(lon + 180000000) div $CellMicroDeg").as("cy"))
+    val home = pts.select($"pid".as("pid_b"), $"lat".as("lat_b"),
+      $"lon".as("lon_b"), $"cx", $"cy")
+    val offs = Seq(-1L, 0L, 1L)
+    val probe = pts
+      .withColumn("dx", explode(array(offs.map(lit(_)): _*)))
+      .withColumn("dy", explode(array(offs.map(lit(_)): _*)))
+      .select($"pid".as("pid_a"), $"lat".as("lat_a"), $"lon".as("lon_a"),
+        ($"cx" + $"dx").as("cx"), ($"cy" + $"dy").as("cy"))
+    probe.join(home, Seq("cx", "cy"))
+      .where($"pid_a" < $"pid_b")
+      .select($"pid_a", $"pid_b",
+        (($"lat_a" - $"lat_b") * ($"lat_a" - $"lat_b")
+          + ($"lon_a" - $"lon_b") * ($"lon_a" - $"lon_b")).as("d2"))
+      .where($"d2" <= r2)
+      .distinct()
+  }
+
+  /** Staging CTE shared by the oracle — the engine rule restated in SQL
+    * (all-BIGINT arithmetic; DuckDB would overflow 32-bit products). */
+  private def stagedPointsSql: String = """
+      pts AS MATERIALIZED (
+        SELECT CAST(c_custkey AS BIGINT) AS pid,
+               -60000000 + (CAST(c_custkey AS BIGINT) % 57) * 2147483 % 120000001
+                 + CAST(c_custkey AS BIGINT) * 7919 % 20001 - 10000 AS lat,
+               -179000000 + (CAST(c_custkey AS BIGINT) % 57) * 71234567 % 358000001
+                 + CAST(c_custkey AS BIGINT) * 104729 % 20001 - 10000 AS lon
+        FROM customer)"""
+
+  val oracle: Map[String, String] = Map(
+    // the DEFINITION: quadratic self-join under the same exact integer
+    // predicate — the grid cover must be invisible in the result
+    "join_spatial_radius" -> s"""
+      WITH $stagedPointsSql
+      SELECT a.pid AS pid_a, b.pid AS pid_b,
+             (a.lat - b.lat) * (a.lat - b.lat)
+               + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+      FROM pts a JOIN pts b ON a.pid < b.pid
+      WHERE (a.lat - b.lat) * (a.lat - b.lat)
+              + (a.lon - b.lon) * (a.lon - b.lon)
+            <= ${RadiusMicroDeg * RadiusMicroDeg}""")
+}

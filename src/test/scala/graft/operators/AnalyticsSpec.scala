@@ -695,6 +695,113 @@ class AnalyticsSpec extends SparkSpec {
     assert(degs.forall(_ >= Dedup.KcoreK))
   }
 
+  test("lpa: a bridge edge does NOT merge two planted cliques (where WCC would)") {
+    import spark.implicits._
+    // two K4s joined by the single edge 4–10: reachability says one
+    // component, density says two communities — the bridge's one vote
+    // loses to each clique's three
+    val k4s = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L))
+    val bridged = (k4s :+ (4L, 10L)).toDF("a", "b")
+    val comm = Dedup.lpaOnUnd(Dedup.undirect(bridged))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+    val cc = Dedup.connectedComponents(bridged.select($"a", $"b"))
+      .collect().map(_.getLong(1)).distinct
+    assert(cc.length == 1, "WCC must see ONE component across the bridge")
+  }
+
+  test("lpa: the fixture run replays the synchronous min-tie rule exactly (driver reference)") {
+    import spark.implicits._
+    val und = Dedup.undirect(graft.operators.SimSearch.knnGraphShared(spark, sf, k = 1)
+      .select($"q_id".as("a"), $"n_id".as("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = und.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var lbl = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to Dedup.LpaRounds) {
+      lbl = adj.map { case (v, ns) =>
+        val cnt = ns.groupBy(lbl).map { case (l, g) => l -> g.length }
+        v -> cnt.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = Dedup.labelPropagation(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lbl)
+  }
+
+  test("modularity: the single-community partition scores exactly zero") {
+    import spark.implicits._
+    val und = Dedup.undirect(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (1L, 3L)).toDF("a", "b"))
+    val one = und.select($"a".as("v")).distinct().select($"v", lit(0L).as("lbl"))
+    val row = Dedup.modularityOnUnd(und, one).collect()
+    assert(row.length == 1 && row.head.getLong(4) == 0L)
+  }
+
+  test("modularity: two disconnected K4s under their clique labels score 1/4 + 1/4") {
+    import spark.implicits._
+    val k4s = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L))
+    val und = Dedup.undirect(k4s.toDF("a", "b"))
+    // LPA itself recovers the cliques, and each contributes exactly
+    // 12·10⁶÷24 − 12²·10⁶÷24² = 250000: the textbook Q = 1/2 split
+    val rows = Dedup.modularityOnUnd(und, Dedup.lpaOnUnd(und))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(rows == Set((1L, 4L, 12L, 12L, 250000L), (10L, 4L, 12L, 12L, 250000L)))
+  }
+
+  test("spatial radius join: cell-boundary pairs survive the grid cover, just-outside pairs don't") {
+    import spark.implicits._
+    // (0,0)–(5000,0) sit in DIFFERENT lat cells at exactly d2 = R²
+    // (boundary INCLUSIVE — only the neighbor probe can find them);
+    // (2000,102000)–(-1500,98500) is an in-radius pair across a cell
+    // CORNER (cells differ in BOTH axes → only the diagonal offset finds
+    // it, d2 = 2·3500² = 24500000); (5001,300000)–(0,300000) is 1 µ°
+    // outside R and must be confirmed away
+    val pts = Seq(
+      (1L, 0L, 0L),
+      (2L, 5000L, 0L),                           // boundary: d2 = R²
+      (3L, 5001L, 200000L),                      // isolated (far in lon)
+      (4L, 2000L, 102000L), (5L, -1500L, 98500L), // diagonal corner pair
+      (6L, 5001L, 300000L), (7L, 0L, 300000L)    // 1 µ° outside R
+    ).toDF("pid", "lat", "lon")
+    val got = Spatial.radiusJoinOf(pts).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 25000000L, (4L, 5L) -> 24500000L))
+  }
+
+  test("spatial radius join: fixture run equals the quadratic driver replay (cover losslessness)") {
+    val pts = Spatial.stagedPoints(Tables.customer(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val r2 = Spatial.RadiusMicroDeg * Spatial.RadiusMicroDeg
+    val want = (for {
+      (a, la, lo) <- pts; (b, lb, lob) <- pts if a < b
+      d2 = (la - lb) * (la - lb) + (lo - lob) * (lo - lob) if d2 <= r2
+    } yield ((a, b), d2)).toMap
+    val got = Spatial.radiusJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("modularity: fixture contributions are bounded (each ≤ 10⁶, Σ ≤ 10⁶) and degrees conserve") {
+    val rows = Dedup.modularity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val qs = rows.map(_.getLong(4))
+    assert(qs.forall(_ <= 1000000L) && qs.sum <= 1000000L)
+    // Σ deg_total = 2m = Σ intra2 + cross edges; Σ n_nodes = graph nodes
+    val m2 = rows.map(_.getLong(3)).sum
+    assert(rows.map(_.getLong(2)).sum <= m2)
+    import spark.implicits._
+    val nv = Dedup.undirect(graft.operators.SimSearch.knnGraphShared(spark, sf, k = 1)
+      .select($"q_id".as("a"), $"n_id".as("b")))
+      .select($"a").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nv)
+  }
+
   test("weighted median: matches the brute-force definition in every priority group") {
     val got = Relational.aggWeightedMedian(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -86,4 +86,38 @@ class SimSearchSpec extends SparkSpec {
     assert(row.getLong(1) == 1L, "kNN-graph LSH recall fell below the declared floor")
     assert(exactGraph.nonEmpty)
   }
+
+  test("MMR breaks up a planted duplicate clique that plain top-k would return verbatim") {
+    import spark.implicits._
+    // query 0 plus a 3-copy duplicate clique (21,22,23), one diverse
+    // near-neighbor (24), one off-topic vector (25). Exact top-k order:
+    // 21,22,23,24,25 — three copies first. MMR must interleave: after
+    // picking 21, the copies carry penalty sim=1.0 and the DIVERSE 24
+    // wins step 2.
+    val dup = Array(0.9f, 0.1f, 0f, 0f)
+    val e = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      21L -> dup, 22L -> dup, 23L -> dup,
+      24L -> Array(0.8f, 0f, 0.3f, 0f),
+      25L -> Array(0f, 1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val got = SimSearch.mmrOf(e).collect()
+      .map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 21L, 2L -> 24L, 3L -> 22L, 4L -> 23L, 5L -> 25L))
+  }
+
+  test("MMR fixture invariants: step 1 is the exact rank-1, steps are 1..K, picks come from the pool") {
+    val rows = SimSearch.mmrTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == SimSearch.NumQueries)
+    val exactRank = SimSearch.bruteTopK(spark, sf, k = SimSearch.MmrPool).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rank1 = exactRank.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    val poolByQ = exactRank.groupBy(_._1).map { case (q, es) => q -> es.map(_._2).toSet }
+    for ((q, sel) <- byQ) {
+      assert(sel.map(_._3).sorted.toSeq == (1L to SimSearch.MmrK.toLong))
+      assert(sel.find(_._3 == 1L).get._2 == rank1(q), s"step 1 of q=$q is not the exact rank-1")
+      assert(sel.map(_._2).toSet.subsetOf(poolByQ(q)), s"q=$q picked outside the pool")
+    }
+  }
 }
