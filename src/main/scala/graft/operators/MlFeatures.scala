@@ -439,8 +439,165 @@ object MlFeatures {
     head + rounds + "\n      " + out
   }
 
+  /** Depth-2 CART classification tree (Breiman et al. 1984) over the
+    * three domain-bounded lineitem measures — the single-tree sibling
+    * of [[boostedStumps]]'s regression ensemble: a root split and two
+    * child splits chosen by exact GINI impurity reduction, four leaves
+    * with majority-class predictions.
+    *
+    * The label is PLANTED (the staged-fixture discipline — the fixture's
+    * columns are mutually independent, so no honest learnable target
+    * exists in the raw data): y = qty_cents + orderkey-keyed zero-mean
+    * noise (±1200) > 2550 — quantity carries the signal, disc/tax are
+    * distractors, and the noise band makes the boundary leaves impure.
+    * The tree must RECOVER the planted boundary: root and both child
+    * splits land on qty, boundary leaves are impure, outer leaves are
+    * near-pure, and the leaf predictions differ (0,0,1,1) —
+    * all law-checked, and the oracle replays the staging verbatim.
+    *
+    * Exactness contract (the boostedStumps discipline applied to
+    * classification): per-node split gain is equivalent to maximizing
+    * Σ_child (p_c² + (n_c − p_c)²) / n_c over exact integer class
+    * moments (p = positives; minimizing weighted Gini drops the
+    * constant Σ n_c), computed as ONE identical double expression on
+    * both engines from exact integers (squares ride BigInt/HUGEINT —
+    * p² wraps BIGINT past ~3·10⁹ positives, the evalAuc magnitude),
+    * ties broken (feature ASC, threshold ASC); leaf predictions are
+    * pure integer majority votes (2·pos > n, tie → 0). The whole tree
+    * REPLAYS bit-for-bit and the oracle is a GENERATED unrolled DuckDB
+    * program: root search, child datasets conditioned through the
+    * chosen split via CASE-on-feature, child searches, leaf aggregates.
+    *
+    * Scale shape: candidate thresholds are the bounded feature DOMAINS
+    * (≤70 profile rows per node however large the corpus), so the tree
+    * costs THREE fact-sized map-side-combined (value → n, pos)
+    * aggregates — root, left child, right child — each a conditioned
+    * scan of the same checkpointed frame; the split search itself runs
+    * on collected ≤70-row profiles (the kmeans-centroid class of
+    * driver traffic) and LEAF stats fall out of the child profiles'
+    * prefix sums, no fourth pass. Degenerate unsplittable nodes
+    * REQUIRE-fail loudly (fixture contract: 50/11/9-value domains
+    * always split at depth ≤ 2) rather than silently diverging from
+    * the oracle. */
+  def decisionTree(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, d).select(
+      round($"l_discount" * 100).cast("bigint").as("disc"),
+      round($"l_quantity" * 100).cast("bigint").as("qty"),
+      round($"l_tax" * 100).cast("bigint").as("tax"),
+      (round($"l_quantity" * 100).cast("bigint")
+        + $"l_orderkey".cast("bigint") * 7919L % 2400L - 1200L > 2550L)
+        .cast("bigint").as("y"))
+      .localCheckpoint() // re-scanned by the three node profiles
+    // collected per-feature class profile → best (f, v, nl, pl, nr, pr)
+    def splitSearch(df: DataFrame): (String, Long, Long, BigInt, Long, BigInt) = {
+      val profiles = BoostFeatures.map { f =>
+        f -> df.groupBy(col(f).as("v"))
+          .agg(count(lit(1)).as("n"), sum($"y").as("p"))
+          .collect()
+          .map(x => (x.getLong(0), x.getLong(1), BigInt(x.getLong(2))))
+          .sortBy(_._1)
+      }
+      val nTot = profiles.head._2.map(_._2).sum
+      val pTot = profiles.head._2.map(_._3).sum
+      val candidates = profiles.flatMap { case (f, prof) =>
+        prof.scanLeft(("", 0L, 0L, BigInt(0))) { case ((_, _, nl, pl), (v, n, pv)) =>
+          (f, v, nl + n, pl + pv)
+        }.drop(1).dropRight(1)
+          .map { case (_, v, nl, pl) =>
+            val (nr, pr) = (nTot - nl, pTot - pl)
+            val (ql, qr) = (BigInt(nl) - pl, BigInt(nr) - pr)
+            val score = (pl * pl + ql * ql).toDouble / nl +
+              (pr * pr + qr * qr).toDouble / nr
+            (f, v, nl, pl, nr, pr, score)
+          }
+      }
+      require(candidates.nonEmpty, "degenerate node: no splittable feature")
+      val (f, v, nl, pl, nr, pr, _) =
+        candidates.minBy { case (f, v, _, _, _, _, g) => (-g, f, v) }
+      (f, v, nl, pl, nr, pr)
+    }
+    val (rf, rv, rnl, rpl, rnr, rpr) = splitSearch(base)
+    val left = base.where(col(rf) <= rv).localCheckpoint()
+    val right = base.where(col(rf) > rv).localCheckpoint()
+    val (lf, lv, lnl, lpl, _, _) = splitSearch(left)
+    val (rf2, rv2, rnl2, rpl2, _, _) = splitSearch(right)
+    def leaf(path: String, cf: String, cv: Long, n: Long, p: BigInt) =
+      (path, rf, rv, cf, cv, n, p.toLong,
+        if (BigInt(2) * p > BigInt(n)) 1L else 0L)
+    Seq(
+      leaf("LL", lf, lv, lnl, lpl),
+      leaf("LR", lf, lv, rnl - lnl, rpl - lpl),
+      leaf("RL", rf2, rv2, rnl2, rpl2),
+      leaf("RR", rf2, rv2, rnr - rnl2, rpr - rpl2)
+    ).toDF("path", "root_feature", "root_threshold", "feature",
+      "threshold", "n", "n_pos", "pred")
+  }
+
+  /** Generated DuckDB replay of [[decisionTree]]: one
+    * cand/pref/tot/best CTE quartet per node (root, then each child
+    * conditioned through the chosen root split via CASE-on-feature),
+    * leaves re-aggregated from the child datasets — an independent
+    * derivation of the stats the engine reads off its prefix sums. */
+  private def oracleDecisionTree: String = {
+    def featCase(alias: String): String =
+      s"(CASE $alias.f WHEN 'disc' THEN disc WHEN 'qty' THEN qty ELSE tax END)"
+    def search(node: String, from: String): String = {
+      val cands = BoostFeatures.map(f =>
+        s"""SELECT '$f' AS f, $f AS v, count(*) AS n,
+               CAST(sum(y) AS HUGEINT) AS p FROM $from GROUP BY 2""")
+        .mkString("\n          UNION ALL ")
+      s"""
+      cand$node AS ($cands),
+      pref$node AS (
+        SELECT f, v,
+               sum(n) OVER (PARTITION BY f ORDER BY v) AS nl,
+               sum(p) OVER (PARTITION BY f ORDER BY v) AS pl
+        FROM cand$node),
+      tot$node AS (SELECT count(*) AS n, CAST(sum(y) AS HUGEINT) AS p FROM $from),
+      best$node AS (
+        SELECT f, v, nl, pl, t.n - nl AS nr, t.p - pl AS pr
+        FROM pref$node, tot$node t
+        WHERE nl > 0 AND t.n - nl > 0
+        QUALIFY row_number() OVER (ORDER BY
+          CAST(CAST(pl AS HUGEINT)*pl + CAST(nl-pl AS HUGEINT)*(nl-pl) AS DOUBLE)/nl
+          + CAST(CAST(t.p-pl AS HUGEINT)*(t.p-pl)
+                 + CAST(t.n-nl-(t.p-pl) AS HUGEINT)*(t.n-nl-(t.p-pl)) AS DOUBLE)
+            /(t.n-nl) DESC, f ASC, v ASC) = 1)"""
+    }
+    def leafOut(path: String, from: String, node: String, cmp: String): String =
+      s"""SELECT '$path' AS path,
+             (SELECT f FROM bestT) AS root_feature,
+             (SELECT CAST(v AS BIGINT) FROM bestT) AS root_threshold,
+             b.f AS feature, CAST(b.v AS BIGINT) AS threshold,
+             count(*) AS n, CAST(sum(d.y) AS BIGINT) AS n_pos,
+             CAST(CASE WHEN 2 * sum(d.y) > count(*) THEN 1 ELSE 0 END AS BIGINT) AS pred
+      FROM $from d, best$node b
+      WHERE ${featCase("b")} $cmp b.v
+      GROUP BY b.f, b.v"""
+    s"""
+      WITH d0 AS (
+        SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+               CAST(round(l_tax * 100) AS BIGINT) AS tax,
+               CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                    + CAST(l_orderkey AS BIGINT) * 7919 % 2400 - 1200 > 2550
+                 AS BIGINT) AS y
+        FROM lineitem),
+      ${search("T", "d0")},
+      dL AS (SELECT d0.* FROM d0, bestT b WHERE ${featCase("b")} <= b.v),
+      dR AS (SELECT d0.* FROM d0, bestT b WHERE ${featCase("b")} > b.v),
+      ${search("L", "dL")},
+      ${search("R", "dR")}
+      ${leafOut("LL", "dL", "L", "<=")}
+      UNION ALL ${leafOut("LR", "dL", "L", ">")}
+      UNION ALL ${leafOut("RL", "dR", "R", "<=")}
+      UNION ALL ${leafOut("RR", "dR", "R", ">")}"""
+  }
+
   val oracle: Map[String, String] = Map(
     "ml_boosted_stumps" -> oracleBoostedStumps,
+    "ml_decision_tree" -> oracleDecisionTree,
 
     "ml_calibration_bins" -> """
       WITH t AS (

@@ -107,6 +107,56 @@ object Spatial {
       .distinct()
   }
 
+  /** INGESTION-TIME twin of [[radiusJoin]] (the cross-run incremental
+    * discipline of `dedup_incremental`/`dedup_clusters_incremental`
+    * applied to geometry): the published corpus's points are a
+    * MAINTAINED CELL INDEX (session-materialized parquet — at 100 TB a
+    * versioned table bucketed by cell), and an ingest batch asks "which
+    * new points collide with published points within R?" by probing
+    * ONLY the delta's 3×3 cell neighborhoods against the index —
+    * per-batch work ∝ |delta| cells touched, decoupled from the corpus
+    * size. The corpus split is content-addressed (md5(pid) mod 100,
+    * base < 90 / delta ≥ 90 — the dedup_incremental rule), each cross
+    * pair meets EXACTLY once (only the delta side replicates to
+    * neighbors; home cells are unique), so no dedup pass exists at all.
+    * The oracle is the from-scratch quadratic cross join over the same
+    * split — the hash gate IS the incremental ≡ recompute proof — and
+    * AnalyticsSpec pins the output against the full [[radiusJoinOf]]
+    * run restricted to cross-bucket pairs. */
+  def radiusJoinIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val r2 = RadiusMicroDeg * RadiusMicroDeg
+    val pts = stagedPoints(Tables.customer(s, d))
+      .withColumn("bkt", Maintenance.md5Hex32Col($"pid") % 100)
+      .select($"pid", $"lat", $"lon", $"bkt",
+        expr(s"(lat + 90000000) div $CellMicroDeg").as("cx"),
+        expr(s"(lon + 180000000) div $CellMicroDeg").as("cy"))
+    // maintained base-corpus cell index: built once per (session, dir)
+    val srcKey = "spark.graft.spatialidx.src"
+    val dirKey = "spark.graft.spatialidx.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_spatial_idx").toString
+      pts.where($"bkt" < 90)
+        .select($"pid".as("base_id"), $"lat".as("lat_b"), $"lon".as("lon_b"),
+          $"cx", $"cy")
+        .write.mode("overwrite").parquet(dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    val baseIdx = s.read.parquet(s.conf.get(dirKey))
+    val offs = Seq(-1L, 0L, 1L)
+    val probe = pts.where($"bkt" >= 90)
+      .withColumn("dx", explode(array(offs.map(lit(_)): _*)))
+      .withColumn("dy", explode(array(offs.map(lit(_)): _*)))
+      .select($"pid".as("delta_id"), $"lat".as("lat_d"), $"lon".as("lon_d"),
+        ($"cx" + $"dx").as("cx"), ($"cy" + $"dy").as("cy"))
+    probe.join(baseIdx, Seq("cx", "cy"))
+      .select($"base_id", $"delta_id",
+        (($"lat_d" - $"lat_b") * ($"lat_d" - $"lat_b")
+          + ($"lon_d" - $"lon_b") * ($"lon_d" - $"lon_b")).as("d2"))
+      .where($"d2" <= r2)
+  }
+
   /** Staging CTE shared by the oracle — the engine rule restated in SQL
     * (all-BIGINT arithmetic; DuckDB would overflow 32-bit products). */
   private def stagedPointsSql: String = """
@@ -129,5 +179,20 @@ object Spatial {
       FROM pts a JOIN pts b ON a.pid < b.pid
       WHERE (a.lat - b.lat) * (a.lat - b.lat)
               + (a.lon - b.lon) * (a.lon - b.lon)
+            <= ${RadiusMicroDeg * RadiusMicroDeg}""",
+
+    // the from-scratch recompute over the content-addressed split —
+    // the hash gate IS the incremental ≡ recompute proof
+    "join_spatial_radius_incremental" -> s"""
+      WITH $stagedPointsSql,
+      pb AS (SELECT pid, lat, lon,
+                    (${Maintenance.md5Hex32Sql("CAST(pid AS VARCHAR)")} % 100) AS bkt
+             FROM pts)
+      SELECT b.pid AS base_id, d.pid AS delta_id,
+             (d.lat - b.lat) * (d.lat - b.lat)
+               + (d.lon - b.lon) * (d.lon - b.lon) AS d2
+      FROM pb b JOIN pb d ON b.bkt < 90 AND d.bkt >= 90
+      WHERE (d.lat - b.lat) * (d.lat - b.lat)
+              + (d.lon - b.lon) * (d.lon - b.lon)
             <= ${RadiusMicroDeg * RadiusMicroDeg}""")
 }

@@ -787,6 +787,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("spatial incremental probe equals the full join restricted to cross-bucket pairs") {
+    import spark.implicits._
+    val bkt = Spatial.stagedPoints(Tables.customer(spark, sf))
+      .select($"pid", (Maintenance.md5Hex32Col($"pid") % 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full run, reoriented: keep pairs with exactly one delta-era pid,
+    // emit (base_id, delta_id, d2)
+    val want = Spatial.radiusJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .flatMap { case (a, b, d2) =>
+        (bkt(a) < 90, bkt(b) < 90) match {
+          case (true, false) => Some(((a, b), d2))
+          case (false, true) => Some(((b, a), d2))
+          case _ => None
+        }
+      }.toMap
+    val got = Spatial.radiusJoinIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(want.nonEmpty && got == want)
+  }
+
   test("modularity: fixture contributions are bounded (each ≤ 10⁶, Σ ≤ 10⁶) and degrees conserve") {
     val rows = Dedup.modularity(spark, sf).collect()
     assert(rows.nonEmpty)

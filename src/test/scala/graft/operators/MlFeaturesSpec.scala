@@ -136,4 +136,40 @@ class MlFeaturesSpec extends SparkSpec {
     }
     assert(got.map(_._2).sliding(2).forall(w => w(0) <= w(1)), "percentiles must be monotone")
   }
+
+  test("ml_decision_tree recovers the planted qty boundary and improves purity") {
+    import org.apache.spark.sql.functions._
+    val rows = MlFeatures.decisionTree(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(rows.keySet == Set("LL", "LR", "RL", "RR"))
+    // planted recovery: the signal feature wins every split, and the
+    // root threshold sits inside the noise band around the planted cut
+    rows.values.foreach { case (rf, rv, cf, _, _, _, _) =>
+      assert(rf == "qty" && cf == "qty")
+      assert(math.abs(rv - 2550L) <= 1200L, s"root threshold $rv outside the noise band")
+    }
+    // majority predictions split exactly at the boundary: below-left
+    // leaves say 0, above-right leaves say 1 (and match the 2p>n rule)
+    assert(Seq("LL", "LR", "RL", "RR").map(rows(_)._7) == Seq(0L, 0L, 1L, 1L))
+    rows.values.foreach { case (_, _, _, _, n, p, pred) =>
+      assert(pred == (if (2 * p > n) 1L else 0L))
+    }
+    // the four leaves PARTITION the corpus: counts and positives conserve
+    val base = graft.core.Tables.lineitem(spark, sf).select(
+      (round(col("l_quantity") * 100).cast("bigint")
+        + col("l_orderkey").cast("bigint") * 7919L % 2400L - 1200L > 2550L)
+        .cast("bigint").as("y"))
+      .agg(count(lit(1)), sum(col("y"))).head()
+    assert(rows.values.map(_._5).sum == base.getLong(0))
+    assert(rows.values.map(_._6).sum == base.getLong(1))
+    // splitting helped: weighted leaf Gini strictly below the root's
+    def gini(n: Long, p: Long): Double = {
+      val (pd, nd) = (p.toDouble / n, n.toDouble)
+      2 * pd * (1 - pd) * nd
+    }
+    val leafG = rows.values.map { case (_, _, _, _, n, p, _) => gini(n, p) }.sum
+    val rootG = gini(base.getLong(0), base.getLong(1))
+    assert(leafG < rootG, s"leaf Gini $leafG must beat root $rootG")
+  }
 }

@@ -627,6 +627,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("spatial radius pairs meet on the cell equi-join — no cartesian") {
+    // all-pairs-within-R must ride the (cx, cy) grid key; a nested-loop
+    // pairing would be corpus-quadratic at every cell density
+    val df = graft.operators.Spatial.radiusJoin(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("exact kNN graph pairs meet on the slot equi-join — no cartesian") {
     // every-vector-vs-every-vector must ride the blocked slot key, never
     // a nested-loop pairing (the broadcast-cross shape caps at one task)
