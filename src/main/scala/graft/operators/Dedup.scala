@@ -1530,7 +1530,16 @@ object Dedup {
     * on an equi-key with B² distinct values: each cell is an
     * (n/B)×(n/B) in-memory compare, B²-way parallel, and B scales the
     * cell size down independently of cluster memory. Still O(n²) compute
-    * — intrinsic to an EXACT all-pairs result. */
+    * — intrinsic to an EXACT all-pairs result.
+    *
+    * Round 12: the B²-way parallelism is PINNED with an explicit
+    * (bi, bj) repartition of the streamed side — the knnGraph lesson
+    * (input-file partitioning is never a parallelism contract): both
+    * sides derive from the raw embeddings scan, whose fixture layout is
+    * ONE parquet partition, so a planner that broadcasts one side runs
+    * the whole O(n²) compare in a single task regardless of B (measured
+    * on knnGraph's cousin shape: 18 min single-task at the sf1 decade).
+    * The repartition is a slim 4-column exchange and is result-invariant. */
   def embeddingExactPairs(e: DataFrame, tau: Double, blocks: Int = 8): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
@@ -1540,6 +1549,7 @@ object Dedup {
       explode(slots).as("bj"), $"vec_id".as("va"), $"embedding".as("ea"))
     val right = e.select(explode(slots).as("bi"),
       pmod($"vec_id", lit(blocks.toLong)).as("bj"), $"vec_id".as("vb"), $"embedding".as("eb"))
+      .repartition(col("bi"), col("bj"))
     left.join(right, Seq("bi", "bj"))
       .where($"va" < $"vb")
       .select($"va".as("vec_a"), $"vb".as("vec_b"),
