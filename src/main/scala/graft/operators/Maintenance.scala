@@ -605,7 +605,118 @@ object Maintenance {
         size(array_distinct(flatten(collect_list($"days")))).cast("bigint").as("n_days"))
   }
 
+  /** COMMIT-LOG TIME TRAVEL (the lakehouse transaction-log mechanism —
+    * Delta/Iceberg's jars are absent in this sandbox, so the PROTOCOL is
+    * implemented from first principles over plain parquet): the table is
+    * a MAINTAINED artifact of immutable commit files plus a JSON log —
+    * v0 = the base snapshot, v1 = an upsert/insert commit, v2 = a
+    * delete+reprice commit (the `upsert`/`snapshotDiff` staging rules,
+    * now as a SEQUENCE) — and a version-addressed read reconstructs the
+    * table AS OF v by MERGE-ON-READ: union the log's files with
+    * version ≤ v, keep each key's highest-version row (one map-side-
+    * combinable struct-max aggregate — the exchange shuffles slim keyed
+    * rows), drop delete tombstones. The declared query emits the
+    * (version, n_rows, sum_cents) summary AS OF every version from one
+    * session, proving reads are version-addressed rather than
+    * latest-only; the oracle recomputes each version ANALYTICALLY from
+    * the staging rules — the log/merge machinery must be invisible in
+    * the result. MaintenanceSpec additionally pins that an AS-OF-v read
+    * never opens files of later commits (`inputFiles` law — the
+    * log-pruning contract that makes time travel O(live files), not
+    * O(history)). At 100 TB: commits are the unit of retention/audit,
+    * merge-on-read amortizes via periodic compaction (`maint_compact`),
+    * and the per-key argmax is the same one-exchange profile as
+    * dedup_exact. */
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val srcKey = "spark.graft.timetravel.src"
+    val dirKey = "spark.graft.timetravel.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_timetravel").toString
+      val base = Tables.orders(s, d).select($"o_orderkey".as("k"),
+        $"o_orderstatus".as("status"),
+        round($"o_totalprice" * 100).cast("bigint").as("cents"))
+      // v0: the base snapshot, all rows upserts
+      base.select($"k", $"status", $"cents",
+        lit(0L).as("version"), lit("upsert").as("op"))
+        .write.mode("overwrite").parquet(s"$dir/v0")
+      // v1: reprice %10==0 (+100, status U) and clone-insert %7==0
+      base.where($"k" % 10 === 0)
+        .select($"k", lit("U").as("status"), ($"cents" + 100L).as("cents"))
+        .unionByName(base.where($"k" % 7 === 0)
+          .select(($"k" + 10000000L).as("k"), lit("N").as("status"), $"cents"))
+        .select($"k", $"status", $"cents", lit(1L).as("version"), lit("upsert").as("op"))
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      // v2: delete %97==0; reprice %10==3 (+250) where not deleted —
+      // deletes WIN on overlap, stated in both engines
+      val v1state = timeTravelAsOf(s, Seq(s"$dir/v0", s"$dir/v1"))
+      v1state.where($"k" % 97 === 0)
+        .select($"k", lit(null).cast("string").as("status"),
+          lit(null).cast("bigint").as("cents"),
+          lit(2L).as("version"), lit("delete").as("op"))
+        .unionByName(v1state.where($"k" % 97 =!= 0 && $"k" % 10 === 3)
+          .select($"k", $"status", ($"cents" + 250L).as("cents"),
+            lit(2L).as("version"), lit("upsert").as("op")))
+        .write.mode("overwrite").parquet(s"$dir/v2")
+      // the commit log: one JSON line per version listing its file
+      val log = (0 to 2).map(v => s"""{"version": $v, "file": "v$v"}""").mkString("\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_log.json"), log)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    val dir = s.conf.get(dirKey)
+    // version-addressed reads DRIVE OFF THE LOG: parse it (bounded —
+    // one line per commit), prune to files ≤ v, merge-on-read
+    val files = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/_log.json"))
+      .split("\n").map { line =>
+        val v = "\"version\": (\\d+)".r.findFirstMatchIn(line).get.group(1).toLong
+        val f = "\"file\": \"([^\"]+)\"".r.findFirstMatchIn(line).get.group(1)
+        v -> s"$dir/$f"
+      }.sortBy(_._1)
+    (0L to 2L).map { v =>
+      timeTravelAsOf(s, files.filter(_._1 <= v).map(_._2))
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_cents"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Merge-on-read reconstruction over commit files: per key keep the
+    * highest-version row (struct-max — versions are unique per key by
+    * the commit rules, so the argmax is total), then drop tombstones. */
+  private[operators] def timeTravelAsOf(s: SparkSession, files: Seq[String]): DataFrame = {
+    import s.implicits._
+    s.read.parquet(files: _*)
+      .groupBy($"k")
+      .agg(max(struct($"version", $"op", $"status", $"cents")).as("m"))
+      .where($"m.op" === "upsert")
+      .select($"k", $"m.status".as("status"), $"m.cents".as("cents"))
+  }
+
   val oracle: Map[String, String] = Map(
+    // analytic recompute of every version from the staging rules — the
+    // engine's log/merge-on-read machinery must be invisible here
+    "maint_time_travel" -> """
+      WITH v0 AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      v1 AS (
+        SELECT k,
+               CASE WHEN k % 10 = 0 THEN 'U' ELSE status END AS status,
+               cents + CASE WHEN k % 10 = 0 THEN 100 ELSE 0 END AS cents
+        FROM v0
+        UNION ALL
+        SELECT k + 10000000, 'N', cents FROM v0 WHERE k % 7 = 0),
+      v2 AS (
+        SELECT k, status,
+               cents + CASE WHEN k % 10 = 3 THEN 250 ELSE 0 END AS cents
+        FROM v1 WHERE k % 97 <> 0)
+      SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents FROM v0
+      UNION ALL
+      SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM v1
+      UNION ALL
+      SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2""",
     "maint_incremental_agg" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -168,4 +168,27 @@ class MaintenanceSpec extends SparkSpec {
         org.apache.spark.sql.functions.lit(10L)) === 7).count()
     assert(survivors === 0L)
   }
+
+  test("time travel: v0 is the base snapshot and an as-of read never opens later commit files") {
+    import org.apache.spark.sql.functions._
+    val rows = Maintenance.timeTravel(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L))
+    // AS OF 0 must equal the base table exactly — later commits invisible
+    val base = graft.core.Tables.orders(spark, sf)
+      .agg(count(lit(1)), sum(round(col("o_totalprice") * 100).cast("bigint"))).head()
+    assert(rows(0L) == ((base.getLong(0), base.getLong(1))))
+    // v1 adds inserts (rows grow); v2 deletes (rows shrink vs v1)
+    assert(rows(1L)._1 > rows(0L)._1 && rows(2L)._1 < rows(1L)._1)
+    // log-pruning contract: reconstructing AS OF 1 must not open v2's
+    // files — time travel is O(files ≤ v), not O(history)
+    val dir = spark.conf.get("spark.graft.timetravel.dir")
+    val opened = Maintenance.timeTravelAsOf(spark, Seq(s"$dir/v0", s"$dir/v1")).inputFiles
+    assert(opened.nonEmpty && !opened.exists(_.contains("/v2/")))
+    // merge-on-read reconciliation: a repriced key reads back with v1's
+    // value, and a v2-deleted key is absent from AS OF 2
+    val asOf2 = Maintenance.timeTravelAsOf(spark,
+      Seq(s"$dir/v0", s"$dir/v1", s"$dir/v2"))
+    assert(asOf2.where(col("k") % 97 === 0).count() == 0L)
+  }
 }
