@@ -912,8 +912,13 @@ object Dedup {
     * result is a pure function of the graph and both engines replay it
     * bit-exactly. Fixed [[LpaRounds]] rounds (the [[kcore]] bounded-
     * rounds discipline: the hash gate is well-defined whether or not
-    * the propagation has converged; AnalyticsSpec asserts fixture
-    * convergence). Per round: one label join shuffling (edge, label)
+    * the propagation has converged — and on the near-uniform fixture's
+    * 1-NN graph it has NOT: synchronous LPA 2-cycles on bipartite-like
+    * structures, the oscillation Raghavan et al. §3 note, which is
+    * exactly WHY the round count is part of the declared contract
+    * rather than a run-until-stable loop; where real community
+    * structure exists the planted-clique law shows convergence inside
+    * the budget). Per round: one label join shuffling (edge, label)
     * ids + two map-side-combinable aggregates — count per (node,
     * label), then struct-min argmax (count desc, label asc) — lineage
     * truncated per round ([[pagerankOf]]'s discipline). At 100 TB:
@@ -939,11 +944,11 @@ object Dedup {
   /** Core over an undirected edge frame — the declared query,
     * [[modularityOf]], and AnalyticsSpec's driver-replay law all drive
     * this path. Labels init to the node id. */
-  private[graft] def lpaOnUnd(und: DataFrame): DataFrame = {
+  private[graft] def lpaOnUnd(und: DataFrame, rounds: Int = LpaRounds): DataFrame = {
     val s = und.sparkSession
     import s.implicits._
     var lbl = und.select($"a".as("v")).distinct().select($"v", $"v".as("lbl"))
-    for (_ <- 1 to LpaRounds) {
+    for (_ <- 1 to rounds) {
       lbl = und
         .join(lbl.select($"v".as("bv"), $"lbl"), $"b" === $"bv")
         .groupBy($"a", $"lbl").agg(count(lit(1)).as("c"))

@@ -713,6 +713,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(cc.length == 1, "WCC must see ONE component across the bridge")
   }
 
+  test("lpa: planted structure converges inside the round budget; fixed rounds stay the contract") {
+    import spark.implicits._
+    // on the bridged K4s one extra round is a no-op — where real
+    // community structure exists the budget suffices. (On the
+    // near-uniform fixture 1-NN graph synchronous LPA 2-CYCLES —
+    // Raghavan et al. §3's bipartite oscillation — which is why the
+    // declared contract is a FIXED round count, never run-until-stable.)
+    val k4s = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L))
+    val und = Dedup.undirect((k4s :+ (4L, 10L)).toDF("a", "b"))
+    def run(r: Int) = Dedup.lpaOnUnd(und, r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(Dedup.LpaRounds) == run(Dedup.LpaRounds + 1))
+  }
+
   test("lpa: the fixture run replays the synchronous min-tie rule exactly (driver reference)") {
     import spark.implicits._
     val und = Dedup.undirect(graft.operators.SimSearch.knnGraphShared(spark, sf, k = 1)
