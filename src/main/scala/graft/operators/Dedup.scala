@@ -1554,7 +1554,10 @@ object Dedup {
       explode(slots).as("bj"), $"vec_id".as("va"), $"embedding".as("ea"))
     val right = e.select(explode(slots).as("bi"),
       pmod($"vec_id", lit(blocks.toLong)).as("bj"), $"vec_id".as("vb"), $"embedding".as("eb"))
-      .repartition(col("bi"), col("bj"))
+      // 4·B² bins for B² keys: exact-bin-count hashing leaves ~1/e of
+      // bins holding zero keys and others 2-4 (ADVICE r12, the knnGraph
+      // sibling) — over-provisioning restores ~B²-way task spread
+      .repartition(4 * blocks * blocks, col("bi"), col("bj"))
     left.join(right, Seq("bi", "bj"))
       .where($"va" < $"vb")
       .select($"va".as("vec_a"), $"vb".as("vec_b"),
@@ -1909,9 +1912,6 @@ object Dedup {
       JOIN a$HitsIters a ON a.v = n.v"""
   }
 
-  /** [[pagerank]]'s oracle: the same integer power iteration, unrolled as
-    * one CTE per round (DuckDB's recursive CTEs are UNION-semantics
-    * fixpoints, unusable for a fixed-iteration-count recurrence). */
   /** Shared 1-NN undirected-edge CTE prefix for the LPA-family oracles —
     * the graph_wcc edge rule verbatim (cosine desc, neighbor-id
     * tiebreak at k = 1), undirected by symmetric UNION-dedup. */
@@ -1970,6 +1970,9 @@ object Dedup {
                AS BIGINT) AS q_ppm
       FROM dtot d LEFT JOIN intra i USING (community) CROSS JOIN m2"""
 
+  /** [[pagerank]]'s oracle: the same integer power iteration, unrolled as
+    * one CTE per round (DuckDB's recursive CTEs are UNION-semantics
+    * fixpoints, unusable for a fixed-iteration-count recurrence). */
   private def pagerankOracle: String = {
     val iters = (1 to PagerankIters).map { i =>
       s"""s$i AS (

@@ -640,11 +640,18 @@ object Maintenance {
       base.select($"k", $"status", $"cents",
         lit(0L).as("version"), lit("upsert").as("op"))
         .write.mode("overwrite").parquet(s"$dir/v0")
-      // v1: reprice %10==0 (+100, status U) and clone-insert %7==0
+      // v1: reprice %10==0 (+100, status U) and clone-insert %7==0.
+      // The insert-key offset is DERIVED as max(k)+1 (one bounded driver
+      // scalar at staging time, the gen_sf stride discipline) — a fixed
+      // constant collided with base keys past key ~10M (SF ≳ 1.7),
+      // silently turning inserts into overwrites while the oracle's
+      // analytic v1 kept both rows (ADVICE r12). The oracle derives the
+      // same offset from the same max.
+      val off = base.agg(max($"k")).head().getLong(0) + 1L
       base.where($"k" % 10 === 0)
         .select($"k", lit("U").as("status"), ($"cents" + 100L).as("cents"))
         .unionByName(base.where($"k" % 7 === 0)
-          .select(($"k" + 10000000L).as("k"), lit("N").as("status"), $"cents"))
+          .select(($"k" + off).as("k"), lit("N").as("status"), $"cents"))
         .select($"k", $"status", $"cents", lit(1L).as("version"), lit("upsert").as("op"))
         .write.mode("overwrite").parquet(s"$dir/v1")
       // v2: delete %97==0; reprice %10==3 (+250) where not deleted —
@@ -706,7 +713,8 @@ object Maintenance {
                cents + CASE WHEN k % 10 = 0 THEN 100 ELSE 0 END AS cents
         FROM v0
         UNION ALL
-        SELECT k + 10000000, 'N', cents FROM v0 WHERE k % 7 = 0),
+        SELECT k + (SELECT max(k) + 1 FROM v0), 'N', cents
+        FROM v0 WHERE k % 7 = 0),
       v2 AS (
         SELECT k, status,
                cents + CASE WHEN k % 10 = 3 THEN 250 ELSE 0 END AS cents

@@ -352,9 +352,13 @@ object SimSearch {
     val e = Tables.embeddings(s, d)
     val probes = e.select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
       explode(sequence(lit(0L), lit(blocks - 1L))).as("bj"))
+    // 4x partitions as keys: hashing B keys into exactly B bins leaves
+    // ~1/e of them empty (balls-in-bins), so tasks carry 2-4 blocks and
+    // effective parallelism drops to ~B·(1-1/e); over-provisioning bins
+    // makes key collisions rare and each block its own task (ADVICE r12)
     val cands = e.select($"vec_id".as("n_id"), $"embedding".as("n_emb"),
       pmod($"vec_id", lit(blocks.toLong)).as("bj"))
-      .repartition(blocks, $"bj")
+      .repartition(4 * blocks, $"bj")
     val scored = probes.join(cands, Seq("bj")).where($"q_id" =!= $"n_id")
       .select($"q_id", $"n_id", VectorFunctions.cosine($"q_emb", $"n_emb").as("cos"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
