@@ -157,6 +157,150 @@ object Spatial {
       .where($"d2" <= r2)
   }
 
+  /** Population cap on one grid CELL in the LABEL-path candidate
+    * generator ([[cappedCandidates]]) — the [[Dedup.MinhashBandCap]]
+    * discipline applied to geometry. The regime it targets is the
+    * geo-dedup classic: a default-coordinate artifact ((0,0) island), a
+    * stadium, or a geocoder that snaps a whole city to one point puts
+    * 10⁵–10⁷ records in ONE cell, and an uncapped cell self-join goes
+    * quadratic on a single task. An over-cap cell contributes verified
+    * STAR edges (cell-min → member, exact d² ≤ R² confirm) instead of
+    * its pair set — linear in the cell population — and the star
+    * preserves the cell's connectivity EXACTLY whenever members are
+    * within R of the cell min, which is precisely the
+    * everything-at-one-point regime the cap exists for. Residual
+    * contract gap, stated (the [[Dedup.lshCandidatesCapped]] one in
+    * grid form): a within-R pair straddling two cells loses its direct
+    * edge when either cell is hot and neither cell-min reaches across;
+    * AdversarialBoundSpec's planted dense-city law pins labels ≡
+    * full-recompute in the hot regime, and the fixture-premise test
+    * pins that no testdata cell crosses the cap — the hash gate runs
+    * this code where it is bit-identical to the uncapped generator. */
+  val SpatialCellCap = 512
+
+  /** Home-cell annotation shared by the capped generator: per point its
+    * grid cell, the cell population, and the cell's min member (id +
+    * coordinates via one struct-min — the star center). */
+  private[graft] def withCellStats(pts0: DataFrame): DataFrame = {
+    val s = pts0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cx", "cy")
+    pts0.select($"pid", $"lat", $"lon",
+        expr(s"(lat + 90000000) div $CellMicroDeg").as("cx"),
+        expr(s"(lon + 180000000) div $CellMicroDeg").as("cy"))
+      .withColumn("pop", count(lit(1)).over(w))
+      .withColumn("mns", min(struct($"pid", $"lat", $"lon")).over(w))
+  }
+
+  /** Population-capped candidate generator for the LABEL contract
+    * ([[clusters]] → `spatial_clusters`): per grid cell,
+    *
+    *  - cold cell (pop ≤ cap): exactly the [[radiusJoinOf]] candidates —
+    *    all same-cell pairs, plus all cross pairs against adjacent cold
+    *    cells (each unordered adjacent cell pair enumerated ONCE via the
+    *    4-offset half cover);
+    *  - hot cell (pop > cap): a STAR from the cell min — (min, member)
+    *    for every other member — instead of the pop²/2 same-cell set,
+    *    PLUS boundary stars: every neighbor cell's min probes the hot
+    *    cell's members, and the hot cell's min probes every neighbor's
+    *    members, so two cells with ≥ 1 hot member set exchange
+    *    O(pop + pop') star candidates, never pop·pop'.
+    *
+    * Per-task work is ≤ 9·cap² per cold cell and LINEAR in any hot
+    * cell's population — no cell can concentrate super-linear work on
+    * one task (the executable per-cell bound theorem lives in
+    * AdversarialBoundSpec). Candidates carry both endpoints'
+    * coordinates; [[spatialEdges]] confirms d² ≤ R² exactly, so every
+    * emitted edge is TRUE — the cap can only omit redundant candidates,
+    * never fabricate edges. */
+  private[graft] def cappedCandidates(pts0: DataFrame, cap: Int): DataFrame = {
+    val s = pts0.sparkSession
+    import s.implicits._
+    val pts = withCellStats(pts0).localCheckpoint(eager = false)
+    val cold = pts.where($"pop" <= cap)
+    val hot = pts.where($"pop" > cap)
+    def pairCols = Seq(
+      col("x.pid").as("pid_a"), col("x.lat").as("lat_a"), col("x.lon").as("lon_a"),
+      col("y.pid").as("pid_b"), col("y.lat").as("lat_b"), col("y.lon").as("lon_b"))
+    val sameCold = cold.as("x").join(cold.as("y"),
+        col("x.cx") === col("y.cx") && col("x.cy") === col("y.cy") &&
+          col("x.pid") < col("y.pid"))
+      .select(pairCols: _*)
+    val sameHot = hot.where($"pid" =!= $"mns.pid")
+      .select($"mns.pid".as("pid_a"), $"mns.lat".as("lat_a"), $"mns.lon".as("lon_a"),
+        $"pid".as("pid_b"), $"lat".as("lat_b"), $"lon".as("lon_b"))
+    val halfOffs = Seq((1L, 0L), (0L, 1L), (1L, 1L), (1L, -1L))
+    val probeCold = cold
+      .withColumn("o", explode(array(halfOffs.map { case (dx, dy) =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)))
+      .select($"pid", $"lat", $"lon",
+        ($"cx" + $"o.dx").as("cx"), ($"cy" + $"o.dy").as("cy"))
+    val crossCold = probeCold.as("x").join(cold.as("y"),
+        col("x.cx") === col("y.cx") && col("x.cy") === col("y.cy"))
+      .select(pairCols: _*)
+    // one row per cell: its min member + population (for the star probes)
+    // mns/pop are cell-constant; min/max (not first) keeps the aggregate
+    // deterministic under any partitioning
+    val cells = pts.groupBy($"cx", $"cy")
+      .agg(min($"mns").as("m"), max($"pop").as("pop"))
+      .localCheckpoint(eager = false)
+    val allOffs = for { dx <- -1L to 1L; dy <- -1L to 1L
+                        if !(dx == 0L && dy == 0L) } yield (dx, dy)
+    def probeOf(src: DataFrame) = src
+      .withColumn("o", explode(array(allOffs.map { case (dx, dy) =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)))
+      .select($"m.pid".as("pid"), $"m.lat".as("lat"), $"m.lon".as("lon"),
+        ($"cx" + $"o.dx").as("cx"), ($"cy" + $"o.dy").as("cy"))
+    // every cell's min probes hot neighbors' members; hot cells' mins
+    // probe ALL neighbors' members — both directions of the boundary star
+    val starsIntoHot = probeOf(cells).as("x").join(hot.as("y"),
+        col("x.cx") === col("y.cx") && col("x.cy") === col("y.cy"))
+      .select(pairCols: _*)
+    val starsFromHot = probeOf(cells.where($"pop" > cap)).as("x").join(pts.as("y"),
+        col("x.cx") === col("y.cx") && col("x.cy") === col("y.cy"))
+      .select(pairCols: _*)
+    sameCold.union(sameHot).union(crossCold)
+      .union(starsIntoHot).union(starsFromHot)
+  }
+
+  /** Verified in-radius EDGE set over the capped candidates: exact
+    * BIGINT d² ≤ R² confirm, canonical (a < b), deduped. Every edge is
+    * a true within-R pair; at fixture SFs no cell crosses the cap
+    * (premise test), so this equals the full [[radiusJoinOf]] pair set
+    * and the full-recompute closure oracle is the legitimate gate. */
+  private[graft] def spatialEdges(pts0: DataFrame,
+      cap: Int = SpatialCellCap): DataFrame = {
+    val s = pts0.sparkSession
+    import s.implicits._
+    val r2 = RadiusMicroDeg * RadiusMicroDeg
+    cappedCandidates(pts0, cap)
+      .where($"pid_a" =!= $"pid_b" &&
+        ($"lat_a" - $"lat_b") * ($"lat_a" - $"lat_b")
+          + ($"lon_a" - $"lon_b") * ($"lon_a" - $"lon_b") <= r2)
+      .select(least($"pid_a", $"pid_b").as("a"),
+        greatest($"pid_a", $"pid_b").as("b"))
+      .distinct()
+  }
+
+  /** The spatial LABEL CONTRACT (round-12 verdict item 1 — the
+    * conflation/cluster verdict, the `dedup_minhash` →
+    * `dedup_minhash_clusters` progression in grid form): connected
+    * components over the verified in-radius edge set → (pid,
+    * cluster_rep = component-min pid). This is the rung that decouples
+    * the operator's OUTPUT from the pairs contract's quadratic growth —
+    * `join_spatial_radius` emits 42× the pairs at 10× the data
+    * (SCALE.md), while the label verdict emits one row per clustered
+    * point whatever the local density, and the per-cell star cap keeps
+    * the candidate stage linear in any pathological cell's population
+    * (the (0,0)-island geo-dedup trap). Oracle: the from-scratch
+    * recursive closure over the quadratic radius self-join. */
+  def clusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.connectedComponents(spatialEdges(stagedPoints(Tables.customer(s, d))))
+      .select($"n".as("pid"), $"l".as("cluster_rep"))
+  }
+
   /** Staging CTE shared by the oracle — the engine rule restated in SQL
     * (all-BIGINT arithmetic; DuckDB would overflow 32-bit products). */
   private def stagedPointsSql: String = """
@@ -180,6 +324,27 @@ object Spatial {
       WHERE (a.lat - b.lat) * (a.lat - b.lat)
               + (a.lon - b.lon) * (a.lon - b.lon)
             <= ${RadiusMicroDeg * RadiusMicroDeg}""",
+
+    // the full-recompute closure: quadratic radius self-join → symmetric
+    // edges → recursive reachability → component-min labels. The engine's
+    // grid cover, cell cap, and CC machinery must be invisible here.
+    "spatial_clusters" -> s"""
+      WITH RECURSIVE $stagedPointsSql,
+      pairs AS MATERIALIZED (
+        SELECT a.pid AS pa, b.pid AS pb
+        FROM pts a JOIN pts b ON a.pid < b.pid
+        WHERE (a.lat - b.lat) * (a.lat - b.lat)
+                + (a.lon - b.lon) * (a.lon - b.lon)
+              <= ${RadiusMicroDeg * RadiusMicroDeg}),
+      edges AS (
+        SELECT pa AS a, pb AS b FROM pairs
+        UNION SELECT pb, pa FROM pairs),
+      nodes AS (SELECT DISTINCT a AS n FROM edges),
+      reach(n, l) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.n)
+      SELECT n AS pid, min(l) AS cluster_rep FROM reach GROUP BY n""",
 
     // the from-scratch recompute over the content-addressed split —
     // the hash gate IS the incremental ≡ recompute proof

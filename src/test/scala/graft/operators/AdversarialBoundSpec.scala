@@ -82,6 +82,157 @@ class AdversarialBoundSpec extends SparkSpec {
     }
   }
 
+  // ---- round-13: the star-cap COLLISION regime, executable ------------
+  // The residual gap SCALE.md states for lshCandidatesCapped: a bucket of
+  // > cap docs sharing a 4-slot band signature WITHOUT being near-dups of
+  // the bucket min. There the star edges FAIL the jac >= 0.9 verify
+  // (correct — they are not near-dups), and a genuinely qualifying pair
+  // that co-occurs in that bucket loses its direct edge; the design's
+  // claim is that such a pair reconnects through another, cold band
+  // (near-dups agree on MANY bands; colliders flood few). This test
+  // PLANTS that exact corpus and asserts capped labels ≡ full recompute.
+  test("star-cap collision regime: an over-cap band bucket of NON-near-dups " +
+    "fails its star verifies, and the qualifying pair still reconnects — " +
+    "capped labels ≡ full-recompute labels") {
+    import spark.implicits._
+    val cap = 64
+    // 200 chaff docs: a shared ~720-char core of unique tokens plus a
+    // ~45-char per-doc suffix -> pairwise char-12 jaccard ~0.86 (below
+    // the 0.9 verify), while most minhash band slots draw their minima
+    // from the core -> most bands collide all chaff into ONE bucket.
+    val core = (1 to 80).map(i => f"col$i%04d").mkString(" ")
+    // seeded-random suffix tokens: structured per-doc ids (f"u$i...")
+    // share enough 12-char windows across docs to push pairwise jaccard
+    // to 0.91 — ABOVE the verify bar, collapsing the fixture into a real
+    // near-dup clique (measured; random letters land at ~0.856)
+    val rnd = new scala.util.Random(1313L)
+    def rtok() = (1 to 8).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val chaff = (1L to 200L).map { i =>
+      val suffix = (1 to 6).map(_ => rtok()).mkString(" ")
+      (i, s"$core $suffix")
+    }
+    // the qualifying pair: core + a shared 5-token block + tiny distinct
+    // tails -> jac(a,b) ~0.997 >= 0.9, jac(pair, chaff) ~0.86 < 0.9
+    val w = (1 to 5).map(_ => rtok()).mkString(" ")
+    val pair = Seq((9001L, s"$core $w ya"), (9002L, s"$core $w yb"))
+    val docs = (chaff ++ pair).toDF("doc_id", "text").localCheckpoint()
+    val bands = Dedup.lshBands(Dedup.sigsOf(docs), "doc_id", "sig")
+      .localCheckpoint()
+    // premise 1: the collision regime is PRESENT — a bucket over cap...
+    val buckets = bands.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("pop"), collect_list("doc_id").as("ids"))
+      .localCheckpoint()
+    val maxPop = buckets.agg(max("pop")).head().getLong(0)
+    assert(maxPop > cap, s"no over-cap bucket planted (max pop $maxPop)")
+    // ...and the qualifying pair co-occurs in >= 1 HOT bucket (so its
+    // direct edge IS lost there — the gap regime, not a vacuous fixture)
+    val hotWithPair = buckets.where(col("pop") > cap &&
+      array_contains(col("ids"), 9001L) && array_contains(col("ids"), 9002L))
+      .count()
+    assert(hotWithPair >= 1,
+      "pair never lands in a hot bucket — fixture misses the gap regime")
+    // ...and they also share >= 1 COLD bucket (the reconnection channel)
+    val coldWithPair = buckets.where(col("pop") <= cap &&
+      array_contains(col("ids"), 9001L) && array_contains(col("ids"), 9002L))
+      .count()
+    assert(coldWithPair >= 1,
+      "pair shares no cold band — reconnection channel missing, re-seed")
+    // capped pipeline: stars of hot buckets all FAIL verify (their
+    // members are not near-dups of the bucket min), so the verified edge
+    // set must be exactly the qualifying pair
+    val cappedEdges = Dedup.verifyJaccard(
+        Dedup.lshCandidatesCapped(bands, "doc_id", cap),
+        docs, Dedup.charShingles(col("text"), 12))
+      .where(col("jac") >= 0.9).select($"a", $"b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedEdges == Set((9001L, 9002L)),
+      s"capped verified edges $cappedEdges != {(9001,9002)} — either a " +
+        "star verified (chaff too similar) or the pair edge was lost")
+    // THE LAW: capped labels ≡ the uncapped full-recompute closure
+    val fullEdges = Dedup.verifyJaccard(
+        Dedup.lshCandidates(bands, "doc_id"),
+        docs, Dedup.charShingles(col("text"), 12))
+      .where(col("jac") >= 0.9).select($"a", $"b")
+    val lblCapped = Dedup.connectedComponents(
+        spark.createDataFrame(cappedEdges.toSeq).toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lblFull = Dedup.connectedComponents(fullEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lblCapped == lblFull && lblFull == Map(9001L -> 9001L, 9002L -> 9001L),
+      s"collision-regime labels diverged: capped $lblCapped vs full $lblFull")
+  }
+
+  // ---- round-13: the spatial label contract's planted dense city ------
+  // The grid-cell sibling of the minhash laws: a city of points all
+  // within R of each other (a true spatial clique) concentrated into a
+  // handful of over-cap cells, plus planted boundary satellites. The cap
+  // must (a) respect the per-cell candidate bound theorem, (b) leave the
+  // cluster labels EXACTLY equal to the from-scratch quadratic closure
+  // (every star edge verifies in the dense regime), (c) engage for real
+  // (hot cells present).
+  test("spatial dense-city law: per-cell candidate bound holds and capped " +
+    "labels ≡ full-recompute labels on a planted over-cap city") {
+    import spark.implicits._
+    val cap = 64
+    // 600 points jittered ±1700 µ° around a CELL CORNER (0,0): max
+    // planar distance = sqrt(3400² + 3400²) = 4808 < R=5000, so ALL
+    // pairs are within R (true clique), and the corner placement spreads
+    // them over 4 cells of ~150 each — every city cell is over cap.
+    val city = (1L to 600L).map { i =>
+      (i, (i * 7919L) % 3401L - 1700L, (i * 104729L) % 3401L - 1700L)
+    }
+    // satellites: a pair at EXACTLY R (edge), a pair at R+1 µ° in one
+    // axis (no edge), one isolated point
+    val sats = Seq(
+      (10001L, 1000000L, 1000000L), (10002L, 1005000L, 1000000L),
+      (10003L, 2000000L, 2000000L), (10004L, 2005001L, 2000000L),
+      (10005L, 3000000L, 3000000L))
+    val pts = (city ++ sats).toDF("pid", "lat", "lon").localCheckpoint()
+    // hot regime present
+    val cells = Spatial.withCellStats(pts)
+      .select($"cx", $"cy", $"pop").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells.values.count(_ > cap) >= 2,
+      s"dense city failed to plant >= 2 hot cells: pops ${cells.values.toSeq.sorted}")
+    // executable per-cell bound theorem: cold cell pairs are quadratic in
+    // (capped) pops, hot involvement is linear — the capped generator may
+    // never exceed the sum
+    var bound = 0L
+    for ((_, p) <- cells) bound += (if (p <= cap) p * (p - 1) / 2 else p - 1)
+    for (Seq(c1, c2) <- cells.keys.toSeq.sortBy(identity).combinations(2)
+         if math.abs(c1._1 - c2._1) <= 1 && math.abs(c1._2 - c2._2) <= 1) {
+      val (pa, pb) = (cells(c1), cells(c2))
+      if (pa <= cap && pb <= cap) bound += pa * pb
+      else {
+        if (pa > cap) bound += pa + pb // c1's min sweeps c2, c2's min sweeps c1
+        if (pb > cap) bound += pa + pb
+      }
+    }
+    val nCand = Spatial.cappedCandidates(pts, cap).count()
+    assert(nCand <= bound,
+      s"capped candidates $nCand exceed the per-cell bound theorem $bound")
+    // and the cap actually bought the quadratic off: the uncapped
+    // candidate volume is >= the city's pair count
+    assert(nCand * 4 <= 600L * 599 / 2,
+      s"cap bought < 4x vs the city's quadratic pair set ($nCand)")
+    // THE LAW: capped labels ≡ from-scratch quadratic closure labels
+    val lblCapped = Dedup.connectedComponents(Spatial.spatialEdges(pts, cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lblFull = Dedup.connectedComponents(
+        Spatial.radiusJoinOf(pts).select($"pid_a".as("a"), $"pid_b".as("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lblCapped == lblFull,
+      s"dense-city labels diverged (capped ${lblCapped.size} vs full ${lblFull.size} rows)")
+    // the city is ONE cluster labeled by its min member; the exact-R
+    // satellite pair clusters; the R+1 pair and the isolate do not
+    assert((1L to 600L).forall(i => lblFull.get(i).contains(1L)),
+      "dense city failed to collapse to one label")
+    assert(lblFull.get(10001L).contains(10001L) && lblFull.get(10002L).contains(10001L),
+      "exact-R satellite pair must cluster")
+    assert(!lblFull.contains(10003L) && !lblFull.contains(10005L),
+      "R+1 pair / isolate must stay unclustered")
+  }
+
   test("testdata premise: no band bucket crosses the production cap, so " +
     "the hash gates run the capped code in its capped ≡ uncapped regime") {
     val maxPop = Dedup.lshBands(
@@ -93,6 +244,18 @@ class AdversarialBoundSpec extends SparkSpec {
         s"${Dedup.MinhashBandCap}: the full-recompute oracles for the " +
         "label keys now exercise the hot-star path — re-derive the " +
         "fixture or re-measure before trusting the gate (sf0.01/sf0.1 " +
+        "premises are recorded in SCALE.md)")
+  }
+
+  test("testdata premise: no staged-point grid cell crosses SpatialCellCap, " +
+    "so spatial_clusters' hash gate runs capped ≡ uncapped") {
+    val maxPop = Spatial.withCellStats(
+        Spatial.stagedPoints(graft.core.Tables.customer(spark, sf)))
+      .agg(max("pop")).head().getLong(0)
+    assert(maxPop <= Spatial.SpatialCellCap,
+      s"a fixture cell ($maxPop points) crossed SpatialCellCap " +
+        s"${Spatial.SpatialCellCap} — the full-closure oracle now " +
+        "exercises the hot-star path; re-derive (sf0.01/sf0.1/sf1 " +
         "premises are recorded in SCALE.md)")
   }
 }
