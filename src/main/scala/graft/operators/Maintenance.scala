@@ -627,59 +627,82 @@ object Maintenance {
     * merge-on-read amortizes via periodic compaction (`maint_compact`),
     * and the per-key argmax is the same one-exchange profile as
     * dedup_exact. */
-  def timeTravel(s: SparkSession, d: String): DataFrame = {
+  /** Stages the 3-commit artifact (v0/v1/v2 parquet + `_log.json`) into
+    * `dir` — shared by [[timeTravel]], [[cdfVersions]] (same artifact)
+    * and [[vacuum]] (its OWN copy, because vacuum physically deletes
+    * commit files and must never corrupt the artifact the other keys
+    * read in the same session). */
+  private def stageCommitLog(s: SparkSession, d: String, dir: String): Unit = {
     import s.implicits._
+    val base = Tables.orders(s, d).select($"o_orderkey".as("k"),
+      $"o_orderstatus".as("status"),
+      round($"o_totalprice" * 100).cast("bigint").as("cents"))
+    // v0: the base snapshot, all rows upserts
+    base.select($"k", $"status", $"cents",
+      lit(0L).as("version"), lit("upsert").as("op"))
+      .write.mode("overwrite").parquet(s"$dir/v0")
+    // v1: reprice %10==0 (+100, status U) and clone-insert %7==0.
+    // The insert-key offset is DERIVED as max(k)+1 (one bounded driver
+    // scalar at staging time, the gen_sf stride discipline) — a fixed
+    // constant collided with base keys past key ~10M (SF ≳ 1.7),
+    // silently turning inserts into overwrites while the oracle's
+    // analytic v1 kept both rows (ADVICE r12). The oracle derives the
+    // same offset from the same max.
+    val off = base.agg(max($"k")).head().getLong(0) + 1L
+    base.where($"k" % 10 === 0)
+      .select($"k", lit("U").as("status"), ($"cents" + 100L).as("cents"))
+      .unionByName(base.where($"k" % 7 === 0)
+        .select(($"k" + off).as("k"), lit("N").as("status"), $"cents"))
+      .select($"k", $"status", $"cents", lit(1L).as("version"), lit("upsert").as("op"))
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    // v2: delete %97==0; reprice %10==3 (+250) where not deleted —
+    // deletes WIN on overlap, stated in both engines
+    val v1state = timeTravelAsOf(s, Seq(s"$dir/v0", s"$dir/v1"))
+    v1state.where($"k" % 97 === 0)
+      .select($"k", lit(null).cast("string").as("status"),
+        lit(null).cast("bigint").as("cents"),
+        lit(2L).as("version"), lit("delete").as("op"))
+      .unionByName(v1state.where($"k" % 97 =!= 0 && $"k" % 10 === 3)
+        .select($"k", $"status", ($"cents" + 250L).as("cents"),
+          lit(2L).as("version"), lit("upsert").as("op")))
+      .write.mode("overwrite").parquet(s"$dir/v2")
+    // the commit log: one JSON line per version listing its file
+    val log = (0 to 2).map(v => s"""{"version": $v, "file": "v$v"}""").mkString("\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_log.json"), log)
+  }
+
+  /** Session-memoized commit-log artifact shared by [[timeTravel]] and
+    * [[cdfVersions]]; returns the artifact dir. */
+  private def ensureCommitLog(s: SparkSession, d: String): String = {
     val srcKey = "spark.graft.timetravel.src"
     val dirKey = "spark.graft.timetravel.dir"
     if (!s.conf.getOption(srcKey).contains(d)) {
       val dir = java.nio.file.Files.createTempDirectory("graft_timetravel").toString
-      val base = Tables.orders(s, d).select($"o_orderkey".as("k"),
-        $"o_orderstatus".as("status"),
-        round($"o_totalprice" * 100).cast("bigint").as("cents"))
-      // v0: the base snapshot, all rows upserts
-      base.select($"k", $"status", $"cents",
-        lit(0L).as("version"), lit("upsert").as("op"))
-        .write.mode("overwrite").parquet(s"$dir/v0")
-      // v1: reprice %10==0 (+100, status U) and clone-insert %7==0.
-      // The insert-key offset is DERIVED as max(k)+1 (one bounded driver
-      // scalar at staging time, the gen_sf stride discipline) — a fixed
-      // constant collided with base keys past key ~10M (SF ≳ 1.7),
-      // silently turning inserts into overwrites while the oracle's
-      // analytic v1 kept both rows (ADVICE r12). The oracle derives the
-      // same offset from the same max.
-      val off = base.agg(max($"k")).head().getLong(0) + 1L
-      base.where($"k" % 10 === 0)
-        .select($"k", lit("U").as("status"), ($"cents" + 100L).as("cents"))
-        .unionByName(base.where($"k" % 7 === 0)
-          .select(($"k" + off).as("k"), lit("N").as("status"), $"cents"))
-        .select($"k", $"status", $"cents", lit(1L).as("version"), lit("upsert").as("op"))
-        .write.mode("overwrite").parquet(s"$dir/v1")
-      // v2: delete %97==0; reprice %10==3 (+250) where not deleted —
-      // deletes WIN on overlap, stated in both engines
-      val v1state = timeTravelAsOf(s, Seq(s"$dir/v0", s"$dir/v1"))
-      v1state.where($"k" % 97 === 0)
-        .select($"k", lit(null).cast("string").as("status"),
-          lit(null).cast("bigint").as("cents"),
-          lit(2L).as("version"), lit("delete").as("op"))
-        .unionByName(v1state.where($"k" % 97 =!= 0 && $"k" % 10 === 3)
-          .select($"k", $"status", ($"cents" + 250L).as("cents"),
-            lit(2L).as("version"), lit("upsert").as("op")))
-        .write.mode("overwrite").parquet(s"$dir/v2")
-      // the commit log: one JSON line per version listing its file
-      val log = (0 to 2).map(v => s"""{"version": $v, "file": "v$v"}""").mkString("\n")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_log.json"), log)
+      stageCommitLog(s, d, dir)
       graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
       s.conf.set(srcKey, d)
     }
-    val dir = s.conf.get(dirKey)
-    // version-addressed reads DRIVE OFF THE LOG: parse it (bounded —
-    // one line per commit), prune to files ≤ v, merge-on-read
-    val files = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/_log.json"))
-      .split("\n").map { line =>
+    s.conf.get(dirKey)
+  }
+
+  /** Parses `_log.json` (bounded — one line per commit) into sorted
+    * (version, absolute file path). The log, never a directory listing,
+    * is the source of truth — exactly the Delta/Iceberg protocol rule
+    * that makes reads immune to uncommitted/garbage files. */
+  private[operators] def readLog(dir: String): Seq[(Long, String)] =
+    java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/_log.json"))
+      .split("\n").toSeq.map { line =>
         val v = "\"version\": (\\d+)".r.findFirstMatchIn(line).get.group(1).toLong
         val f = "\"file\": \"([^\"]+)\"".r.findFirstMatchIn(line).get.group(1)
         v -> s"$dir/$f"
       }.sortBy(_._1)
+
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = ensureCommitLog(s, d)
+    // version-addressed reads DRIVE OFF THE LOG: prune to files ≤ v,
+    // merge-on-read
+    val files = readLog(dir)
     (0L to 2L).map { v =>
       timeTravelAsOf(s, files.filter(_._1 <= v).map(_._2))
         .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
@@ -697,6 +720,105 @@ object Maintenance {
       .agg(max(struct($"version", $"op", $"status", $"cents")).as("m"))
       .where($"m.op" === "upsert")
       .select($"k", $"m.status".as("status"), $"m.cents".as("cents"))
+  }
+
+  /** CHANGE DATA FEED between commit-log versions (the Delta CDF /
+    * Iceberg changelog read, wired through the same `_log.json` +
+    * commit files as [[timeTravel]]): for each version v, the row-level
+    * changes v introduced — (version, k, change ∈ insert|update|delete,
+    * pre_cents, post_cents). The commit file IS the change set; the
+    * only extra work is classifying insert-vs-update and attaching the
+    * pre-image, and that join is KEY-PRUNED: the prior state is
+    * merge-on-read over files < v SEMI-JOINED to the commit's keys
+    * BEFORE the per-key argmax, so per-version work is ∝ |commit| (the
+    * files < v scan is pruned to commit keys at the scan-side join,
+    * never reconstructing the full table) — the property that makes CDF
+    * consumable incrementally at 100 TB where "diff two snapshots"
+    * ([[snapshotDiff]]) re-reads the world. Oracle: the analytic change
+    * sets from the staging rules — log, pruning, and merge machinery
+    * must be invisible. */
+  def cdfVersions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = ensureCommitLog(s, d)
+    val files = readLog(dir)
+    (1L to 2L).map { v =>
+      val commit = s.read.parquet(files.filter(_._1 == v).map(_._2): _*)
+      val keys = commit.select($"k").distinct()
+      val pre = s.read.parquet(files.filter(_._1 < v).map(_._2): _*)
+        .join(keys, Seq("k"), "left_semi")
+        .groupBy($"k")
+        .agg(max(struct($"version", $"op", $"status", $"cents")).as("m"))
+        .where($"m.op" === "upsert")
+        .select($"k", $"m.cents".as("pre_cents"))
+      commit.join(pre, Seq("k"), "left")
+        .select(lit(v).as("version"), $"k",
+          when($"op" === "delete", lit("delete"))
+            .when($"pre_cents".isNull, lit("insert"))
+            .otherwise(lit("update")).as("change"),
+          $"pre_cents",
+          when($"op" === "delete", lit(null).cast("bigint"))
+            .otherwise($"cents").as("post_cents"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** CHECKPOINT + VACUUM under a retention horizon (the lakehouse
+    * retention protocol over the same commit-log shape — Delta's
+    * `VACUUM` after checkpointing, Iceberg's `expire_snapshots`): on its
+    * OWN staged copy of the artifact (vacuum deletes files; the shared
+    * copy must stay intact for [[timeTravel]]/[[cdfVersions]]), the
+    * maintenance pass (1) MATERIALIZES the merge-on-read state as of the
+    * horizon h = 1 into a checkpoint commit (rows re-tagged version h —
+    * compact: tombstones are resolved away, merge-on-read above the
+    * checkpoint still works because later commits carry higher
+    * versions), (2) REWRITES the log to [checkpoint@h] + commits > h,
+    * (3) physically DELETES every file strictly below the horizon. Reads
+    * as of v ≥ h still reconstruct bit-identically (the declared query
+    * emits the v1/v2 summaries, hash-gated against the same analytic
+    * recompute as [[timeTravel]]); reads below the horizon are GONE by
+    * contract — that is what retention means. MaintenanceSpec pins the
+    * inverted inputFiles law: post-vacuum reads open ONLY the checkpoint
+    * (+ later commits), and the sub-horizon files no longer exist on
+    * disk. At 100 TB this pass is the storage-cost lever: history is
+    * bounded by the horizon, and the checkpoint keeps as-of reads
+    * O(live files), not O(all history ever written). */
+  def vacuum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val srcKey = "spark.graft.vacuum.src"
+    val dirKey = "spark.graft.vacuum.dir"
+    val horizon = 1L
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
+      stageCommitLog(s, d, dir)
+      val files = readLog(dir)
+      // (1) checkpoint: the state as of the horizon, re-tagged version h
+      timeTravelAsOf(s, files.filter(_._1 <= horizon).map(_._2))
+        .select($"k", $"status", $"cents",
+          lit(horizon).as("version"), lit("upsert").as("op"))
+        .write.mode("overwrite").parquet(s"$dir/ckpt$horizon")
+      // (2) rewrite the log: checkpoint@h + commits > h
+      val log = (s"""{"version": $horizon, "file": "ckpt$horizon"}""" +:
+        files.filter(_._1 > horizon).map { case (v, _) =>
+          s"""{"version": $v, "file": "v$v"}""" }).mkString("\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_log.json"), log)
+      // (3) delete every commit file strictly below the horizon
+      files.filter(_._1 < horizon).foreach { case (_, path) =>
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
+      }
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    val dir = s.conf.get(dirKey)
+    val files = readLog(dir)
+    (horizon to 2L).map { v =>
+      timeTravelAsOf(s, files.filter(_._1 <= v).map(_._2))
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_cents"))
+    }.reduce(_ unionByName _)
   }
 
   val oracle: Map[String, String] = Map(
@@ -725,6 +847,57 @@ object Maintenance {
       SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM v1
       UNION ALL
       SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2""",
+    // post-vacuum reads at/above the horizon must equal the analytic
+    // recompute — checkpoint, log rewrite, and file deletion invisible
+    "maint_vacuum" -> """
+      WITH v0 AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      v1 AS (
+        SELECT k,
+               CASE WHEN k % 10 = 0 THEN 'U' ELSE status END AS status,
+               cents + CASE WHEN k % 10 = 0 THEN 100 ELSE 0 END AS cents
+        FROM v0
+        UNION ALL
+        SELECT k + (SELECT max(k) + 1 FROM v0), 'N', cents
+        FROM v0 WHERE k % 7 = 0),
+      v2 AS (
+        SELECT k, status,
+               cents + CASE WHEN k % 10 = 3 THEN 250 ELSE 0 END AS cents
+        FROM v1 WHERE k % 97 <> 0)
+      SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents FROM v1
+      UNION ALL
+      SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2""",
+    // the analytic change sets from the staging rules: v1 reprices
+    // (update) + clone-inserts, v2 deletes + repricess the survivors
+    "maint_cdf_versions" -> """
+      WITH v0 AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      v1 AS (
+        SELECT k,
+               CASE WHEN k % 10 = 0 THEN 'U' ELSE status END AS status,
+               cents + CASE WHEN k % 10 = 0 THEN 100 ELSE 0 END AS cents
+        FROM v0
+        UNION ALL
+        SELECT k + (SELECT max(k) + 1 FROM v0), 'N', cents
+        FROM v0 WHERE k % 7 = 0)
+      SELECT CAST(1 AS BIGINT) AS version, k, 'update' AS change,
+             cents AS pre_cents, cents + 100 AS post_cents
+      FROM v0 WHERE k % 10 = 0
+      UNION ALL
+      SELECT 1, k + (SELECT max(k) + 1 FROM v0), 'insert',
+             CAST(NULL AS BIGINT), cents
+      FROM v0 WHERE k % 7 = 0
+      UNION ALL
+      SELECT 2, k, 'delete', cents, CAST(NULL AS BIGINT)
+      FROM v1 WHERE k % 97 = 0
+      UNION ALL
+      SELECT 2, k, 'update', cents, cents + 250
+      FROM v1 WHERE k % 97 <> 0 AND k % 10 = 3""",
     "maint_incremental_agg" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

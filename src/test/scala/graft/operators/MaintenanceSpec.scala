@@ -191,4 +191,58 @@ class MaintenanceSpec extends SparkSpec {
       Seq(s"$dir/v0", s"$dir/v1", s"$dir/v2"))
     assert(asOf2.where(col("k") % 97 === 0).count() == 0L)
   }
+
+  test("vacuum: sub-horizon files are gone, post-vacuum reads open only " +
+    "the checkpoint (+ later commits) and still reconstruct exactly") {
+    import org.apache.spark.sql.functions._
+    // vacuumed reads must equal the UN-vacuumed artifact's v1/v2 rows
+    val before = Maintenance.timeTravel(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val after = Maintenance.vacuum(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(after.keySet == Set(1L, 2L))
+    assert(after(1L) == before(1L) && after(2L) == before(2L),
+      s"retained versions drifted under vacuum: $after vs $before")
+    val dir = spark.conf.get("spark.graft.vacuum.dir")
+    // retention is PHYSICAL: the sub-horizon commit file no longer exists
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/v0")),
+      "v0 survived vacuum — retention deleted nothing")
+    // inverted inputFiles law: an as-of-2 read off the vacuumed log
+    // opens ONLY checkpoint + v2 files — never a sub-horizon path
+    val opened = Maintenance.timeTravelAsOf(spark,
+      Seq(s"$dir/ckpt1", s"$dir/v2")).inputFiles
+    assert(opened.nonEmpty && opened.forall(f =>
+      f.contains("/ckpt1/") || f.contains("/v2/")), opened.mkString(","))
+    // and the checkpoint is COMPACT: tombstones were resolved away
+    assert(spark.read.parquet(s"$dir/ckpt1")
+      .where(col("op") === "delete").count() == 0L)
+  }
+
+  test("cdf: change feed reconciles consecutive version states (counts " +
+    "and cents-mass) and classifies inserts/updates/deletes correctly") {
+    import org.apache.spark.sql.functions._
+    val tt = Maintenance.timeTravel(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cdf = Maintenance.cdfVersions(spark, sf)
+      .groupBy(col("version"), col("change"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("post_cents"), lit(0L))
+          - coalesce(col("pre_cents"), lit(0L))).as("dcents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    for (v <- 1L to 2L) {
+      val ins = cdf.getOrElse((v, "insert"), (0L, 0L))
+      val del = cdf.getOrElse((v, "delete"), (0L, 0L))
+      val upd = cdf.getOrElse((v, "update"), (0L, 0L))
+      // row-count conservation: |state v| = |state v-1| + inserts - deletes
+      assert(tt(v)._1 == tt(v - 1)._1 + ins._1 - del._1,
+        s"v$v row conservation broke: $tt vs $cdf")
+      // cents-mass conservation: Σcents(v) = Σcents(v-1) + Σ(post - pre)
+      assert(tt(v)._2 == tt(v - 1)._2 + ins._2 + del._2 + upd._2,
+        s"v$v cents conservation broke")
+    }
+    // v1 has no deletes; v2 has no inserts (the staging rules)
+    assert(!cdf.contains((1L, "delete")) && !cdf.contains((2L, "insert")))
+  }
 }
