@@ -78,6 +78,35 @@ object BenchDelta {
           "UNTRUSTWORTHY; only min-rep ratios are meaningful on this run)")
     } else println("run health: unknown (no pass-order reps in artifact — pre-round-10 format)")
 
+    // contention adjudication from DATA (round-13 artifacts carry
+    // telemetry): per-rep (cpu_cores burned by this process, loadavg at
+    // rep end) per query, plus per-pass process-CPU + loadavg. A rep
+    // whose loadavg exceeds the process's own core burn by > 4 cores was
+    // sharing the machine with ~4+ external runnable threads — the label
+    // r12's judge had to infer from 4-130x spikes is now computed.
+    val telRe = ("""\"([A-Za-z0-9_]+)\"\s*:\s*\{\"median\":[^}]*""" +
+      """\"cpu_cores\":\[(-?[0-9.,\-]+)\],\"load\":\[(-?[0-9.,\-]+)\]""").r
+    val telSeqs = telRe.findAllMatchIn(benchText).map { m =>
+      m.group(1) -> (m.group(2).split(",").map(_.toDouble).toSeq,
+        m.group(3).split(",").map(_.toDouble).toSeq)
+    }.toMap
+    val telMulti = telSeqs.filter { case (_, (c, l)) =>
+      c.nonEmpty && c.size == l.size && c.forall(_ >= 0) && l.forall(_ >= 0) }
+    if (telMulti.nonEmpty) {
+      val nPasses = telMulti.values.map(_._1.size).max
+      for (p <- 0 until nPasses) {
+        val reps = telMulti.values.toSeq.collect {
+          case (c, l) if c.size > p => (c(p), l(p)) }
+        val contended = reps.count { case (c, l) => l - c > 4.0 }
+        val pctC = 100.0 * contended / math.max(1, reps.size)
+        val lbl = if (pctC > 30) "CONTENDED" else "clean"
+        val avgExt = reps.map { case (c, l) => math.max(0.0, l - c) }.sum / math.max(1, reps.size)
+        println(f"pass ${p + 1}: $lbl — $contended/${reps.size} reps ($pctC%.0f%%) with external load > 4 cores; avg external ${avgExt}%.1f cores")
+      }
+      println("  (a >2x min-rep flag on a pass labeled CONTENDED above is " +
+        "environmental unless it reproduces on a clean pass)")
+    } else println("contention telemetry: absent (pre-round-13 artifact)")
+
     val med = mapOf("queries")
     // pre-round-7 artifacts have no "min" map — fall back to medians so the
     // tool still reads historical bench_out.json files
