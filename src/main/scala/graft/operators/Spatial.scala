@@ -301,6 +301,104 @@ object Spatial {
       .select($"n".as("pid"), $"l".as("cluster_rep"))
   }
 
+  /** INGESTION-TIME maintenance of the spatial labels (the
+    * `dedup_clusters_incremental` discipline applied to geometry —
+    * completing the pairs → labels → maintained-labels progression the
+    * dedup family walked in rounds 11→12): yesterday's PUBLISHED labels
+    * are the star edges of the capped label pipeline run on the base
+    * corpus (the same [[spatialEdges]] generator [[clusters]] runs, so
+    * base and incremental stay ONE contract), materialized beside a
+    * cell index carrying per-cell stats; an ingest batch (content-
+    * addressed md5(pid) split, base < 90 / delta ≥ 90) probes ONLY its
+    * 3×3 cell neighborhoods:
+    *
+    *  - cross probes against COLD index cells join all cell members; a
+    *    HOT cell (pop > [[SpatialCellCap]]) is probed through its MIN
+    *    member only — the delta attaches to the published component by
+    *    one verified edge instead of |cell| of them (the
+    *    [[Dedup.lshCrossCapped]] attach rule in grid form), so per-batch
+    *    cross work ≤ 9·cap + 9 candidates per delta point;
+    *  - delta-internal edges come from [[spatialEdges]] on the delta
+    *    alone (capped within the batch);
+    *  - the CC is FRONTIER-RESTRICTED: only published components
+    *    actually touched by a cross/delta edge enter the fixpoint,
+    *    untouched labels pass through untouched — batch work ∝
+    *    |touched| + |delta edges|, decoupled from the corpus.
+    *
+    * Oracle: the SAME from-scratch closure as `spatial_clusters` — the
+    * hash gate IS the incremental ≡ recompute proof. */
+  def clustersIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val r2 = RadiusMicroDeg * RadiusMicroDeg
+    val cap = SpatialCellCap
+    val pts = stagedPoints(Tables.customer(s, d))
+      .withColumn("bkt", Maintenance.md5Hex32Col($"pid") % 100)
+      .localCheckpoint(eager = false) // base staging + delta probes
+    val base = pts.where($"bkt" < 90).select($"pid", $"lat", $"lon")
+    val srcKey = "spark.graft.spatialstars.src"
+    val dirKey = "spark.graft.spatialstars.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_spatial_stars").toString
+      Dedup.connectedComponents(spatialEdges(base))
+        .where($"n" =!= $"l") // roots re-derive from the star edges
+        .write.mode("overwrite").parquet(s"$dir/stars")
+      withCellStats(base)
+        .select($"pid".as("base_id"), $"lat".as("lat_b"), $"lon".as("lon_b"),
+          $"cx", $"cy", $"pop", $"mns")
+        .write.mode("overwrite").parquet(s"$dir/idx")
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    val dir = s.conf.get(dirKey)
+    val baseStars = s.read.parquet(s"$dir/stars") // (n, l), n ≠ l
+    val idx = s.read.parquet(s"$dir/idx")
+    val delta = pts.where($"bkt" >= 90).select($"pid", $"lat", $"lon")
+    val newEdges = crossProbeEdges(delta, idx, cap).union(spatialEdges(delta, cap))
+      .localCheckpoint(eager = false) // frontier detection + CC input
+    // frontier restriction — the minhashClustersIncremental shape
+    val ends = newEdges.select($"a".as("n"))
+      .union(newEdges.select($"b".as("n"))).distinct()
+    val endLabels = broadcast(
+      ends.join(baseStars.withColumnRenamed("l", "bl"), Seq("n"), "left")
+        .select(coalesce($"bl", $"n").as("l")).distinct()
+        .localCheckpoint(eager = false)) // semi + anti probes share it
+    val frontierStars = baseStars.join(endLabels, Seq("l"), "left_semi")
+    val untouched = baseStars.join(endLabels, Seq("l"), "left_anti")
+      .localCheckpoint(eager = false) // member rows + root self-rows
+    val cc = Dedup.connectedComponents(
+      frontierStars.select($"n".as("a"), $"l".as("b")).union(newEdges))
+    cc.select($"n".as("pid"), $"l".as("cluster_rep"))
+      .union(untouched.select($"n".as("pid"), $"l".as("cluster_rep")))
+      .union(untouched.select($"l", $"l").distinct().toDF("pid", "cluster_rep"))
+  }
+
+  /** The capped CROSS probe of [[clustersIncremental]], unit-shaped for
+    * the planted law: delta points replicate to their 3×3 neighborhoods
+    * and meet the maintained index on a cell equi-join — COLD index
+    * cells (pop ≤ cap) expose all members, a HOT cell is probed through
+    * its MIN member only (one verified attach edge per delta point, the
+    * [[Dedup.lshCrossCapped]] rule) — then the exact d² ≤ R² confirm.
+    * Output (a = base_id, b = delta pid). */
+  private[graft] def crossProbeEdges(delta: DataFrame, idx: DataFrame,
+      cap: Int): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val r2 = RadiusMicroDeg * RadiusMicroDeg
+    val offs = Seq(-1L, 0L, 1L)
+    val probe = delta
+      .withColumn("dx", explode(array(offs.map(lit(_)): _*)))
+      .withColumn("dy", explode(array(offs.map(lit(_)): _*)))
+      .select($"pid".as("pid_d"), $"lat".as("lat_d"), $"lon".as("lon_d"),
+        (expr(s"(lat + 90000000) div $CellMicroDeg") + $"dx").as("cx"),
+        (expr(s"(lon + 180000000) div $CellMicroDeg") + $"dy").as("cy"))
+    val probeTargets = idx.where($"pop" <= cap)
+      .union(idx.where($"pop" > cap && $"base_id" === $"mns.pid"))
+    probe.join(probeTargets, Seq("cx", "cy"))
+      .where(($"lat_d" - $"lat_b") * ($"lat_d" - $"lat_b")
+        + ($"lon_d" - $"lon_b") * ($"lon_d" - $"lon_b") <= r2)
+      .select($"base_id".as("a"), $"pid_d".as("b"))
+  }
+
   /** Staging CTE shared by the oracle — the engine rule restated in SQL
     * (all-BIGINT arithmetic; DuckDB would overflow 32-bit products). */
   private def stagedPointsSql: String = """
@@ -329,6 +427,27 @@ object Spatial {
     // edges → recursive reachability → component-min labels. The engine's
     // grid cover, cell cap, and CC machinery must be invisible here.
     "spatial_clusters" -> s"""
+      WITH RECURSIVE $stagedPointsSql,
+      pairs AS MATERIALIZED (
+        SELECT a.pid AS pa, b.pid AS pb
+        FROM pts a JOIN pts b ON a.pid < b.pid
+        WHERE (a.lat - b.lat) * (a.lat - b.lat)
+                + (a.lon - b.lon) * (a.lon - b.lon)
+              <= ${RadiusMicroDeg * RadiusMicroDeg}),
+      edges AS (
+        SELECT pa AS a, pb AS b FROM pairs
+        UNION SELECT pb, pa FROM pairs),
+      nodes AS (SELECT DISTINCT a AS n FROM edges),
+      reach(n, l) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.n)
+      SELECT n AS pid, min(l) AS cluster_rep FROM reach GROUP BY n""",
+
+    // the SAME from-scratch closure as spatial_clusters: the engine
+    // assembles it from the published star artifact + delta-bounded
+    // probes, so the hash gate IS the incremental ≡ recompute proof
+    "spatial_clusters_incremental" -> s"""
       WITH RECURSIVE $stagedPointsSql,
       pairs AS MATERIALIZED (
         SELECT a.pid AS pa, b.pid AS pb

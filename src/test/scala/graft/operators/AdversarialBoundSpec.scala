@@ -247,6 +247,36 @@ class AdversarialBoundSpec extends SparkSpec {
         "premises are recorded in SCALE.md)")
   }
 
+  test("incremental cross probe: a hot index cell is attached through its " +
+    "min member only (linear), a cold cell through all in-radius members") {
+    import spark.implicits._
+    val cap = 8
+    // hot base cell: 12 points clustered near (0,0) within a cell (all
+    // within R of each other and of the delta probe); cold base cell: 3
+    // points near (1000000, 1000000); one far point no probe reaches
+    val hot = (1L to 12L).map(i => (i, 100L + i * 50L, 100L + i * 37L))
+    val cold = (21L to 23L).map(i => (i, 1000000L + i * 10L, 1000000L))
+    val far = Seq((31L, 50000000L, 50000000L))
+    val base = (hot ++ cold ++ far).toDF("pid", "lat", "lon")
+    val idx = Spatial.withCellStats(base)
+      .select($"pid".as("base_id"), $"lat".as("lat_b"), $"lon".as("lon_b"),
+        $"cx", $"cy", $"pop", $"mns")
+    // two delta points: one within R of both planted cells' regions? no —
+    // one next to the hot cell, one next to the cold cell
+    val delta = Seq((101L, 500L, 500L), (102L, 1000200L, 1000000L))
+      .toDF("pid", "lat", "lon")
+    val edges = Spatial.crossProbeEdges(delta, idx, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot cell (pop 12 > 8): delta 101 attaches through base min = 1 ONLY
+    assert(edges.filter(_._2 == 101L) == Set((1L, 101L)),
+      s"hot-cell attach must be the min member only: ${edges.filter(_._2 == 101L)}")
+    // cold cell (pop 3): delta 102 meets every in-radius member
+    assert(edges.filter(_._2 == 102L) == Set((21L, 102L), (22L, 102L), (23L, 102L)),
+      s"cold-cell probe lost members: ${edges.filter(_._2 == 102L)}")
+    // the far point is never probed
+    assert(!edges.exists(_._1 == 31L))
+  }
+
   test("testdata premise: no staged-point grid cell crosses SpatialCellCap, " +
     "so spatial_clusters' hash gate runs capped ≡ uncapped") {
     val maxPop = Spatial.withCellStats(
