@@ -821,6 +821,63 @@ object Maintenance {
     }.reduce(_ unionByName _)
   }
 
+  /** RESTORE TO VERSION (Delta `RESTORE TABLE ... VERSION AS OF` /
+    * Iceberg rollback — the fourth and last rung of the commit-log
+    * protocol after time travel, CDF, and vacuum): restoring to v = 1
+    * appends a NEW commit v3 containing exactly the ANTI-DIFF between
+    * the current state (as of 2) and the target state (as of 1) —
+    * upserts for keys whose target row is missing or different in the
+    * current state (un-deleting v2's tombstoned keys, un-repricing its
+    * updates), tombstones for keys the target lacks — so history is
+    * preserved (time travel to v2 still works; restore is a forward
+    * commit, never a rewrite) and the restore WRITE is ∝ |diff|, never
+    * a table copy (MaintenanceSpec pins |v3 commit| = |changed keys|,
+    * and that post-restore state ≡ the v1 state exactly). Runs on its
+    * OWN artifact copy (it appends a commit; the shared artifact must
+    * stay 3-commit for the other keys). The declared query emits the
+    * (version, n_rows, sum_cents) summaries as of v2 and v3 — v3 must
+    * hash-match the ANALYTIC V1 recompute, making "restore ≡ the state
+    * it names" the oracle-gated contract. */
+  def restore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val srcKey = "spark.graft.restore.src"
+    val dirKey = "spark.graft.restore.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_restore").toString
+      stageCommitLog(s, d, dir)
+      val files = readLog(dir)
+      val tgt = timeTravelAsOf(s, files.filter(_._1 <= 1L).map(_._2))
+        .select($"k", $"status".as("t_status"), $"cents".as("t_cents"),
+          lit(true).as("in_t"))
+      val cur = timeTravelAsOf(s, files.filter(_._1 <= 2L).map(_._2))
+        .select($"k", $"status".as("c_status"), $"cents".as("c_cents"),
+          lit(true).as("in_c"))
+      val diff = tgt.join(cur, Seq("k"), "full")
+      diff.where($"in_t" &&
+          (coalesce(!$"in_c", lit(true)) || $"t_cents" =!= $"c_cents" ||
+            $"t_status" =!= $"c_status"))
+        .select($"k", $"t_status".as("status"), $"t_cents".as("cents"),
+          lit(3L).as("version"), lit("upsert").as("op"))
+        .unionByName(diff.where($"in_c" && coalesce(!$"in_t", lit(true)))
+          .select($"k", lit(null).cast("string").as("status"),
+            lit(null).cast("bigint").as("cents"),
+            lit(3L).as("version"), lit("delete").as("op")))
+        .write.mode("overwrite").parquet(s"$dir/v3")
+      val log = (files.map { case (v, _) => s"""{"version": $v, "file": "v$v"}""" } :+
+        s"""{"version": 3, "file": "v3"}""").mkString("\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_log.json"), log)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    val dir = s.conf.get(dirKey)
+    val files = readLog(dir)
+    (2L to 3L).map { v =>
+      timeTravelAsOf(s, files.filter(_._1 <= v).map(_._2))
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_cents"))
+    }.reduce(_ unionByName _)
+  }
+
   val oracle: Map[String, String] = Map(
     // analytic recompute of every version from the staging rules — the
     // engine's log/merge-on-read machinery must be invisible here
@@ -870,6 +927,29 @@ object Maintenance {
              CAST(sum(cents) AS BIGINT) AS sum_cents FROM v1
       UNION ALL
       SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2""",
+    // restore-to-v1 appends an anti-diff commit: v3's state must equal
+    // the ANALYTIC v1 recompute while v2 stays reconstructable
+    "maint_restore" -> """
+      WITH v0 AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      v1 AS (
+        SELECT k,
+               CASE WHEN k % 10 = 0 THEN 'U' ELSE status END AS status,
+               cents + CASE WHEN k % 10 = 0 THEN 100 ELSE 0 END AS cents
+        FROM v0
+        UNION ALL
+        SELECT k + (SELECT max(k) + 1 FROM v0), 'N', cents
+        FROM v0 WHERE k % 7 = 0),
+      v2 AS (
+        SELECT k, status,
+               cents + CASE WHEN k % 10 = 3 THEN 250 ELSE 0 END AS cents
+        FROM v1 WHERE k % 97 <> 0)
+      SELECT CAST(2 AS BIGINT) AS version, count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents FROM v2
+      UNION ALL
+      SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM v1""",
     // the analytic change sets from the staging rules: v1 reprices
     // (update) + clone-inserts, v2 deletes + repricess the survivors
     "maint_cdf_versions" -> """

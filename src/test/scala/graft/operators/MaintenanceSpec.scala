@@ -245,4 +245,30 @@ class MaintenanceSpec extends SparkSpec {
     // v1 has no deletes; v2 has no inserts (the staging rules)
     assert(!cdf.contains((1L, "delete")) && !cdf.contains((2L, "insert")))
   }
+
+  test("restore: the anti-diff commit is minimal (∝ changed keys, never " +
+    "a table copy), history survives, and the restored state ≡ as-of-1") {
+    import org.apache.spark.sql.functions._
+    val rows = Maintenance.restore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val tt = Maintenance.timeTravel(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // restored summary equals v1's; v2's still reconstructs (history kept)
+    assert(rows(3L) == tt(1L) && rows(2L) == tt(2L))
+    val dir = spark.conf.get("spark.graft.restore.dir")
+    // minimality: |v3 commit| = keys v2 deleted + keys v2 repriced — the
+    // exact changed-key count, a strict fraction of the table
+    val v3 = spark.read.parquet(s"$dir/v3")
+    val expected = Maintenance.timeTravelAsOf(spark, Seq(s"$dir/v0", s"$dir/v1"))
+      .where(col("k") % 97 === 0 || (col("k") % 97 =!= 0 && col("k") % 10 === 3))
+      .count()
+    assert(v3.count() == expected,
+      s"anti-diff commit has ${v3.count()} rows, expected $expected changed keys")
+    assert(v3.count() * 4 < tt(1L)._1, "restore wrote a near-table-copy")
+    // exactness: merge-on-read over all four commits ≡ as-of-1, row-level
+    val restored = Maintenance.timeTravelAsOf(spark,
+      Seq(s"$dir/v0", s"$dir/v1", s"$dir/v2", s"$dir/v3"))
+    val asOf1 = Maintenance.timeTravelAsOf(spark, Seq(s"$dir/v0", s"$dir/v1"))
+    assert(restored.exceptAll(asOf1).isEmpty && asOf1.exceptAll(restored).isEmpty)
+  }
 }
