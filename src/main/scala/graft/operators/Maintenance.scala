@@ -605,28 +605,6 @@ object Maintenance {
         size(array_distinct(flatten(collect_list($"days")))).cast("bigint").as("n_days"))
   }
 
-  /** COMMIT-LOG TIME TRAVEL (the lakehouse transaction-log mechanism —
-    * Delta/Iceberg's jars are absent in this sandbox, so the PROTOCOL is
-    * implemented from first principles over plain parquet): the table is
-    * a MAINTAINED artifact of immutable commit files plus a JSON log —
-    * v0 = the base snapshot, v1 = an upsert/insert commit, v2 = a
-    * delete+reprice commit (the `upsert`/`snapshotDiff` staging rules,
-    * now as a SEQUENCE) — and a version-addressed read reconstructs the
-    * table AS OF v by MERGE-ON-READ: union the log's files with
-    * version ≤ v, keep each key's highest-version row (one map-side-
-    * combinable struct-max aggregate — the exchange shuffles slim keyed
-    * rows), drop delete tombstones. The declared query emits the
-    * (version, n_rows, sum_cents) summary AS OF every version from one
-    * session, proving reads are version-addressed rather than
-    * latest-only; the oracle recomputes each version ANALYTICALLY from
-    * the staging rules — the log/merge machinery must be invisible in
-    * the result. MaintenanceSpec additionally pins that an AS-OF-v read
-    * never opens files of later commits (`inputFiles` law — the
-    * log-pruning contract that makes time travel O(live files), not
-    * O(history)). At 100 TB: commits are the unit of retention/audit,
-    * merge-on-read amortizes via periodic compaction (`maint_compact`),
-    * and the per-key argmax is the same one-exchange profile as
-    * dedup_exact. */
   /** Stages the 3-commit artifact (v0/v1/v2 parquet + `_log.json`) into
     * `dir` — shared by [[timeTravel]], [[cdfVersions]] (same artifact)
     * and [[vacuum]] (its OWN copy, because vacuum physically deletes
@@ -697,6 +675,28 @@ object Maintenance {
         v -> s"$dir/$f"
       }.sortBy(_._1)
 
+  /** COMMIT-LOG TIME TRAVEL (the lakehouse transaction-log mechanism —
+    * Delta/Iceberg's jars are absent in this sandbox, so the PROTOCOL is
+    * implemented from first principles over plain parquet): the table is
+    * a MAINTAINED artifact of immutable commit files plus a JSON log —
+    * v0 = the base snapshot, v1 = an upsert/insert commit, v2 = a
+    * delete+reprice commit (the `upsert`/`snapshotDiff` staging rules,
+    * now as a SEQUENCE) — and a version-addressed read reconstructs the
+    * table AS OF v by MERGE-ON-READ: union the log's files with
+    * version ≤ v, keep each key's highest-version row (one map-side-
+    * combinable struct-max aggregate — the exchange shuffles slim keyed
+    * rows), drop delete tombstones. The declared query emits the
+    * (version, n_rows, sum_cents) summary AS OF every version from one
+    * session, proving reads are version-addressed rather than
+    * latest-only; the oracle recomputes each version ANALYTICALLY from
+    * the staging rules — the log/merge machinery must be invisible in
+    * the result. MaintenanceSpec additionally pins that an AS-OF-v read
+    * never opens files of later commits (`inputFiles` law — the
+    * log-pruning contract that makes time travel O(live files), not
+    * O(history)). At 100 TB: commits are the unit of retention/audit,
+    * merge-on-read amortizes via periodic compaction (`maint_compact`),
+    * and the per-key argmax is the same one-exchange profile as
+    * dedup_exact. */
   def timeTravel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dir = ensureCommitLog(s, d)
@@ -771,7 +771,9 @@ object Maintenance {
     * compact: tombstones are resolved away, merge-on-read above the
     * checkpoint still works because later commits carry higher
     * versions), (2) REWRITES the log to [checkpoint@h] + commits > h,
-    * (3) physically DELETES every file strictly below the horizon. Reads
+    * (3) physically DELETES every file the rewritten log no longer
+    * references (version ≤ h — the checkpoint supersedes the horizon
+    * commit itself). Reads
     * as of v ≥ h still reconstruct bit-identically (the declared query
     * emits the v1/v2 summaries, hash-gated against the same analytic
     * recompute as [[timeTravel]]); reads below the horizon are GONE by
@@ -795,13 +797,21 @@ object Maintenance {
         .select($"k", $"status", $"cents",
           lit(horizon).as("version"), lit("upsert").as("op"))
         .write.mode("overwrite").parquet(s"$dir/ckpt$horizon")
-      // (2) rewrite the log: checkpoint@h + commits > h
+      // (2) rewrite the log: checkpoint@h + commits > h, PRESERVING the
+      // parsed file names (regenerating "v$v" from version numbers would
+      // corrupt a log whose entries already carry non-v$v names — e.g. a
+      // previously vacuumed artifact's checkpoint; round-13 review)
       val log = (s"""{"version": $horizon, "file": "ckpt$horizon"}""" +:
-        files.filter(_._1 > horizon).map { case (v, _) =>
-          s"""{"version": $v, "file": "v$v"}""" }).mkString("\n")
+        files.filter(_._1 > horizon).map { case (v, path) =>
+          s"""{"version": $v, "file": "${path.stripPrefix(s"$dir/")}"}""" })
+        .mkString("\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_log.json"), log)
-      // (3) delete every commit file strictly below the horizon
-      files.filter(_._1 < horizon).foreach { case (_, path) =>
+      // (3) delete every file the rewritten log no longer references —
+      // version ≤ h, INCLUDING the horizon commit the checkpoint
+      // supersedes (deleting only < h left a full commit of retained
+      // garbage per vacuum, round-13 review; Delta/Iceberg delete all
+      // unreferenced files)
+      files.filter(_._1 <= horizon).foreach { case (_, path) =>
         val p = java.nio.file.Paths.get(path)
         if (java.nio.file.Files.exists(p)) {
           import scala.jdk.CollectionConverters._
@@ -852,18 +862,25 @@ object Maintenance {
       val cur = timeTravelAsOf(s, files.filter(_._1 <= 2L).map(_._2))
         .select($"k", $"status".as("c_status"), $"cents".as("c_cents"),
           lit(true).as("in_c"))
+      // in_t/in_c are lit(true) on their own side and NULL on a
+      // full-join miss — isNull/isNotNull state the membership intent
+      // directly (the three-valued coalesce(!x, true) trick was
+      // edit-fragile, round-13 review)
       val diff = tgt.join(cur, Seq("k"), "full")
-      diff.where($"in_t" &&
-          (coalesce(!$"in_c", lit(true)) || $"t_cents" =!= $"c_cents" ||
+      diff.where($"in_t".isNotNull &&
+          ($"in_c".isNull || $"t_cents" =!= $"c_cents" ||
             $"t_status" =!= $"c_status"))
         .select($"k", $"t_status".as("status"), $"t_cents".as("cents"),
           lit(3L).as("version"), lit("upsert").as("op"))
-        .unionByName(diff.where($"in_c" && coalesce(!$"in_t", lit(true)))
+        .unionByName(diff.where($"in_c".isNotNull && $"in_t".isNull)
           .select($"k", lit(null).cast("string").as("status"),
             lit(null).cast("bigint").as("cents"),
             lit(3L).as("version"), lit("delete").as("op")))
         .write.mode("overwrite").parquet(s"$dir/v3")
-      val log = (files.map { case (v, _) => s"""{"version": $v, "file": "v$v"}""" } :+
+      // preserve the parsed file names when appending (see vacuum's
+      // log-rewrite note)
+      val log = (files.map { case (v, path) =>
+        s"""{"version": $v, "file": "${path.stripPrefix(s"$dir/")}"}""" } :+
         s"""{"version": 3, "file": "v3"}""").mkString("\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_log.json"), log)
       graft.core.SessionArtifacts.resetDir(s, dirKey, dir)

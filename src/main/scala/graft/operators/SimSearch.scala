@@ -98,8 +98,12 @@ object SimSearch {
     * ground-truth set is computed once and versioned, not re-scored per
     * evaluation. */
   def bruteTopKShared(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val srcKey = "spark.graft.brutetopk.src"
-    val dirKey = "spark.graft.brutetopk.dir"
+    // conf keys are PER K: a single shared slot made the k=20 MMR pool
+    // and the k=5 recall twins evict each other every bench pass, each
+    // eviction re-running the most expensive scan in the family (the
+    // brute all-pairs top-k) — round-13 review finding
+    val srcKey = s"spark.graft.brutetopk.k$k.src"
+    val dirKey = s"spark.graft.brutetopk.k$k.dir"
     if (!s.conf.getOption(srcKey).contains(s"$d#$k")) {
       val dir = java.nio.file.Files.createTempDirectory("graft_brute_topk").toString
       bruteTopK(s, d, k).write.mode("overwrite").parquet(dir)
@@ -168,11 +172,15 @@ object SimSearch {
     * exact brute pool, [[mmrAnn]] the IVF pool. The stage itself never
     * touches the corpus — |Q|·P² pairwise sims once, then [[MmrK]]
     * bounded argmax rounds on ≤ |Q|·P rows — which is the "MMR is a
-    * pool → pool operator" claim made executable. */
-  private[graft] def mmrGreedy(pool0: DataFrame): DataFrame = {
+    * pool → pool operator" claim made executable. Callers that have
+    * already materialized the pool (mmrAnn reuses it for its flag
+    * aggregates) pass `precheckpointed = true` to skip the second
+    * copy. */
+  private[graft] def mmrGreedy(pool0: DataFrame,
+      precheckpointed: Boolean = false): DataFrame = {
     val s = pool0.sparkSession
     import s.implicits._
-    val pool = pool0.localCheckpoint()
+    val pool = if (precheckpointed) pool0 else pool0.localCheckpoint()
     val pp = pool.as("x").join(pool.as("y"),
         col("x.q_id") === col("y.q_id") && col("x.n_id") =!= col("y.n_id"))
       .select(col("x.q_id").as("q_id"), col("x.n_id").as("a"),
@@ -331,7 +339,7 @@ object SimSearch {
         $"embedding".as("n_emb"))
       .withColumn("rk", row_number().over(w)).where($"rk" <= MmrPool)
       .localCheckpoint()
-    val annSel = mmrGreedy(pool).localCheckpoint()
+    val annSel = mmrGreedy(pool, precheckpointed = true).localCheckpoint()
     val exactSel = mmrOf(e).localCheckpoint()
     val exactPool = bruteTopKShared(s, d, MmrPool).select($"q_id", $"n_id")
     val nQ = exactSel.agg(count_distinct($"q_id").as("n_queries"))

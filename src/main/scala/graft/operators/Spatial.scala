@@ -391,8 +391,9 @@ object Spatial {
       .select($"pid".as("pid_d"), $"lat".as("lat_d"), $"lon".as("lon_d"),
         (expr(s"(lat + 90000000) div $CellMicroDeg") + $"dx").as("cx"),
         (expr(s"(lon + 180000000) div $CellMicroDeg") + $"dy").as("cy"))
-    val probeTargets = idx.where($"pop" <= cap)
-      .union(idx.where($"pop" > cap && $"base_id" === $"mns.pid"))
+    // one disjunctive scan of the index (the branches are disjoint on
+    // pop; a filter-union pair scanned the corpus-sized index twice)
+    val probeTargets = idx.where($"pop" <= cap || $"base_id" === $"mns.pid")
     probe.join(probeTargets, Seq("cx", "cy"))
       .where(($"lat_d" - $"lat_b") * ($"lat_d" - $"lat_b")
         + ($"lon_d" - $"lon_b") * ($"lon_d" - $"lon_b") <= r2)

@@ -79,11 +79,13 @@ object BenchDelta {
     } else println("run health: unknown (no pass-order reps in artifact — pre-round-10 format)")
 
     // contention adjudication from DATA (round-13 artifacts carry
-    // telemetry): per-rep (cpu_cores burned by this process, loadavg at
-    // rep end) per query, plus per-pass process-CPU + loadavg. A rep
-    // whose loadavg exceeds the process's own core burn by > 4 cores was
-    // sharing the machine with ~4+ external runnable threads — the label
-    // r12's judge had to infer from 4-130x spikes is now computed.
+    // telemetry): per-rep loadavg at rep end per query, plus per-pass
+    // process-CPU cores. loadavg is a ~1-min EWMA that INCLUDES this
+    // process's own burn, so the external estimate compares the
+    // pass-average loadavg against the pass-level sustained core burn
+    // (cpu_sec/wall) — comparing against a short rep's instantaneous
+    // cores would count the bench's own just-finished heavy queries as
+    // "external" and false-label idle-machine passes CONTENDED.
     val telRe = ("""\"([A-Za-z0-9_]+)\"\s*:\s*\{\"median\":[^}]*""" +
       """\"cpu_cores\":\[(-?[0-9.,\-]+)\],\"load\":\[(-?[0-9.,\-]+)\]""").r
     val telSeqs = telRe.findAllMatchIn(benchText).map { m =>
@@ -92,16 +94,19 @@ object BenchDelta {
     }.toMap
     val telMulti = telSeqs.filter { case (_, (c, l)) =>
       c.nonEmpty && c.size == l.size && c.forall(_ >= 0) && l.forall(_ >= 0) }
+    // per-pass sustained core burn from the passes array
+    val passCores = """"pass":(\d+)[^}]*"cpu_cores":(-?[0-9.]+)""".r
+      .findAllMatchIn(benchText)
+      .map(m => m.group(1).toInt -> m.group(2).toDouble).toMap
     if (telMulti.nonEmpty) {
       val nPasses = telMulti.values.map(_._1.size).max
       for (p <- 0 until nPasses) {
-        val reps = telMulti.values.toSeq.collect {
-          case (c, l) if c.size > p => (c(p), l(p)) }
-        val contended = reps.count { case (c, l) => l - c > 4.0 }
-        val pctC = 100.0 * contended / math.max(1, reps.size)
-        val lbl = if (pctC > 30) "CONTENDED" else "clean"
-        val avgExt = reps.map { case (c, l) => math.max(0.0, l - c) }.sum / math.max(1, reps.size)
-        println(f"pass ${p + 1}: $lbl — $contended/${reps.size} reps ($pctC%.0f%%) with external load > 4 cores; avg external ${avgExt}%.1f cores")
+        val loads = telMulti.values.toSeq.collect { case (c, l) if l.size > p => l(p) }
+        val own = passCores.getOrElse(p + 1, -1.0)
+        val avgLoad = loads.sum / math.max(1, loads.size)
+        val ext = if (own < 0) -1.0 else math.max(0.0, avgLoad - own)
+        val lbl = if (ext > 4.0) "CONTENDED" else if (ext < 0) "unknown" else "clean"
+        println(f"pass ${p + 1}: $lbl — avg loadavg $avgLoad%.1f vs own sustained $own%.1f cores => ~$ext%.1f external cores")
       }
       println("  (a >2x min-rep flag on a pass labeled CONTENDED above is " +
         "environmental unless it reproduces on a clean pass)")

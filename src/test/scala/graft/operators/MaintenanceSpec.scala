@@ -204,9 +204,13 @@ class MaintenanceSpec extends SparkSpec {
     assert(after(1L) == before(1L) && after(2L) == before(2L),
       s"retained versions drifted under vacuum: $after vs $before")
     val dir = spark.conf.get("spark.graft.vacuum.dir")
-    // retention is PHYSICAL: the sub-horizon commit file no longer exists
+    // retention is PHYSICAL: every file the rewritten log no longer
+    // references is gone — v0 (below the horizon) AND v1 (superseded by
+    // the checkpoint)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/v0")),
       "v0 survived vacuum — retention deleted nothing")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/v1")),
+      "v1 survived vacuum — the checkpoint-superseded commit is retained garbage")
     // inverted inputFiles law: an as-of-2 read off the vacuumed log
     // opens ONLY checkpoint + v2 files — never a sub-horizon path
     val opened = Maintenance.timeTravelAsOf(spark,
