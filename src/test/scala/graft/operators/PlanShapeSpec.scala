@@ -948,4 +948,19 @@ class PlanShapeSpec extends SparkSpec {
       "the full matrix must cost ONE pass over lineitem\n" + p)
     assert(p.contains("partial_"), "map-side partial aggregation expected\n" + p)
   }
+
+  test("spatial candidate generation meets on cell EQUI-joins — never a " +
+    "cartesian or nested-loop product") {
+    // the radius pairs key AND the capped label-path edge generator: the
+    // grid cover's whole point is that candidates meet on (cx, cy)
+    // equality, so any cartesian/BNLJ in these plans means the cover
+    // degraded to all-pairs — the 100 TB failure mode
+    val p1 = plan("join_spatial_radius")
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"), p1)
+    val df = Spatial.spatialEdges(
+      Spatial.stagedPoints(graft.core.Tables.customer(spark, sf)))
+    df.collect()
+    val p2 = df.queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"), p2)
+  }
 }
