@@ -109,6 +109,17 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.getLines().next().split(" ")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
+    // (total, steal) jiffies from the aggregate /proc/stat cpu line: a
+    // VM losing physical CPU to the hypervisor shows low loadavg AND low
+    // own-core burn — steal% is the signal that adjudicates the uniform
+    // ~2x-slower-everything run loadavg cannot (observed round 13)
+    def statJiffies: (Long, Long) = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (f.sum, if (f.length > 7) f(7) else 0L)
+      } finally src.close()
+    } catch { case _: Throwable => (-1L, -1L) }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // untimed warmup PASS: one-time setup (table/index writes, cache
@@ -132,13 +143,14 @@ object Bench {
     // sorted) lets BenchDelta self-adjudicate healthy vs degraded instead
     // of a judge rebuilding the evidence by hand.
     // pass record: (pass, startMs, endMs, total, loadStart, loadEnd,
-    // cpuSecThisProcess)
-    val passMeta =
-      scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Double, Double, Double, Double)]()
+    // cpuSecThisProcess, stealPct)
+    val passMeta = scala.collection.mutable
+      .ArrayBuffer[(Int, Long, Long, Double, Double, Double, Double, Double)]()
     for (p <- 1 to reps) {
       val pStart = System.currentTimeMillis()
       val pLoad0 = load1
       val pCpu0 = cpuNanos
+      val (pJif0, pSteal0) = statJiffies
       var pTotal = 0.0
       for ((name, fn) <- selected if !errors.contains(name)) {
         val t0 = System.nanoTime()
@@ -155,7 +167,12 @@ object Bench {
         }
       }
       val pCpu = if (pCpu0 < 0) -1.0 else (cpuNanos - pCpu0) / 1e9
-      passMeta += ((p, pStart, System.currentTimeMillis(), pTotal, pLoad0, load1, pCpu))
+      val (pJif1, pSteal1) = statJiffies
+      val stealPct =
+        if (pJif0 < 0 || pJif1 <= pJif0) -1.0
+        else 100.0 * (pSteal1 - pSteal0) / (pJif1 - pJif0)
+      passMeta += ((p, pStart, System.currentTimeMillis(), pTotal,
+        pLoad0, load1, pCpu, stealPct))
     }
     // any errored pass disqualifies the query from the aggregate: a query
     // both timed and errored would silently inflate-or-deflate the total
@@ -207,10 +224,10 @@ object Bench {
       val loadArr = tel.map(t => f"${t._2}%.1f").mkString("[", ",", "]")
       f"""${jstr(k)}:{"median":${med(ts)}%.3f,"min":${mn(ts)}%.3f,"spread":${sp(ts)}%.3f,"reps":$repsArr,"cpu_cores":$coresArr,"load":$loadArr}"""
     }.mkString(",\n")
-    val passesJson = passMeta.map { case (p, st, en, tot, l0, l1, cpu) =>
+    val passesJson = passMeta.map { case (p, st, en, tot, l0, l1, cpu, steal) =>
       val wall = (en - st) / 1000.0
       val cores = if (cpu < 0 || wall <= 0) -1.0 else cpu / wall
-      f"""{"pass":$p,"start_epoch_ms":$st,"end_epoch_ms":$en,"total":$tot%.3f,"load_start":$l0%.1f,"load_end":$l1%.1f,"cpu_sec":$cpu%.1f,"cpu_cores":$cores%.1f}"""
+      f"""{"pass":$p,"start_epoch_ms":$st,"end_epoch_ms":$en,"total":$tot%.3f,"load_start":$l0%.1f,"load_end":$l1%.1f,"cpu_sec":$cpu%.1f,"cpu_cores":$cores%.1f,"steal_pct":$steal%.1f}"""
     }.mkString("[", ",", "]")
     val fileJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"reps":$reps,"sf":${jstr(sfDir)},"interleaved_passes":true,"passes":$passesJson,"errors":$errJson,

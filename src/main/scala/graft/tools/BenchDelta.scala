@@ -94,8 +94,16 @@ object BenchDelta {
     }.toMap
     val telMulti = telSeqs.filter { case (_, (c, l)) =>
       c.nonEmpty && c.size == l.size && c.forall(_ >= 0) && l.forall(_ >= 0) }
-    // per-pass sustained core burn from the passes array
+    // per-pass sustained core burn + hypervisor steal from the passes
+    // array. Two distinct contention signatures: external RUNNABLE
+    // threads (loadavg >> own cores) and hypervisor STEAL (low loadavg,
+    // low own cores, uniform slowdown — steal% is the only direct
+    // witness; observed in round 13 as a 40%-slower run with clean
+    // loadavg).
     val passCores = """"pass":(\d+)[^}]*"cpu_cores":(-?[0-9.]+)""".r
+      .findAllMatchIn(benchText)
+      .map(m => m.group(1).toInt -> m.group(2).toDouble).toMap
+    val passSteal = """"pass":(\d+)[^}]*"steal_pct":(-?[0-9.]+)""".r
       .findAllMatchIn(benchText)
       .map(m => m.group(1).toInt -> m.group(2).toDouble).toMap
     if (telMulti.nonEmpty) {
@@ -103,10 +111,13 @@ object BenchDelta {
       for (p <- 0 until nPasses) {
         val loads = telMulti.values.toSeq.collect { case (c, l) if l.size > p => l(p) }
         val own = passCores.getOrElse(p + 1, -1.0)
+        val steal = passSteal.getOrElse(p + 1, -1.0)
         val avgLoad = loads.sum / math.max(1, loads.size)
         val ext = if (own < 0) -1.0 else math.max(0.0, avgLoad - own)
-        val lbl = if (ext > 4.0) "CONTENDED" else if (ext < 0) "unknown" else "clean"
-        println(f"pass ${p + 1}: $lbl — avg loadavg $avgLoad%.1f vs own sustained $own%.1f cores => ~$ext%.1f external cores")
+        val lbl = if (ext > 4.0 || steal > 10.0) "CONTENDED"
+          else if (ext < 0) "unknown" else "clean"
+        val stealTxt = if (steal < 0) "" else f", steal $steal%.1f%%"
+        println(f"pass ${p + 1}: $lbl — avg loadavg $avgLoad%.1f vs own sustained $own%.1f cores => ~$ext%.1f external cores$stealTxt")
       }
       println("  (a >2x min-rep flag on a pass labeled CONTENDED above is " +
         "environmental unless it reproduces on a clean pass)")
