@@ -65,8 +65,33 @@ import org.apache.spark.sql.SparkSession
   * clean/CONTENDED from this data, so environmental adjudication (r12's
   * 316..988 s pass spread with 4-130x single-rep spikes) no longer
   * rests on judge inference.
+  *
+  * Round-14: TIMEOUT-PROOF (BENCH_r13 died at the driver's wall-clock
+  * kill with rc=124 and NOTHING parseable — the artifact was written
+  * once at the end). Two changes: (a) bench_out.json is flushed
+  * incrementally — after the warmup pass, after every timed pass, and
+  * every [[FlushEvery]] queries within a pass — carrying
+  * `"partial":true` + `"passes_done"` until the final write, so a kill
+  * at ANY point leaves the full per-query record of everything measured
+  * so far; (b) a `"partial":true` stdout contract line is printed after EVERY
+  * completed pass, so the driver's last-parseable-line tail read
+  * yields totals from the completed passes even when the process never
+  * reaches the final line. A partial artifact reports min/median over
+  * the reps that finished (1 pass → that pass's time) — explicitly
+  * labeled so no one mistakes it for the 3-pass record.
   */
 object Bench {
+  /** In-pass artifact flush cadence (round-14 timeout-proofing). */
+  val FlushEvery = 40
+
+  /** Scope a log4j2 ERROR level to the window-exec logger (Verify shares
+    * it): harness-only — library callers keep Spark's default logging. */
+  private[graft] def silenceWindowWarnings(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -80,6 +105,12 @@ object Bench {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the bounded-frame windows (documented per-site: profile-sized or
+    // post-limit frames) each emit a known-benign "No Partition Defined"
+    // WARN; at 320 keys x 4 passes the flood is 100% of the driver's
+    // ~2 kB stdout-tail capture, pushing real diagnostics out (round-13
+    // verdict). Silence that one logger for the harness only.
+    silenceWindowWarnings()
     // SPARK_GRAFT_ONLY=q1,q2 — iterate on a subset without paying for all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -112,21 +143,23 @@ object Bench {
     // (total, steal) jiffies from the aggregate /proc/stat cpu line: a
     // VM losing physical CPU to the hypervisor shows low loadavg AND low
     // own-core burn — steal% is the signal that adjudicates the uniform
-    // ~2x-slower-everything run loadavg cannot (observed round 13)
+    // ~2x-slower-everything run loadavg cannot (observed round 13).
+    // Total = first 8 fields (user..steal) ONLY: modern kernels already
+    // fold guest/guest_nice (fields 9-10) into user/nice, so summing all
+    // fields double-counts guest time and systematically under-reports
+    // steal% on guest-running hosts (ADVICE r14).
     def statJiffies: (Long, Long) = try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
         val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        (f.sum, if (f.length > 7) f(7) else 0L)
+        (f.take(8).sum, if (f.length > 7) f(7) else 0L)
       } finally src.close()
     } catch { case _: Throwable => (-1L, -1L) }
+    // recorded in the artifact so BenchDelta can scale its external-cores
+    // CONTENDED threshold to THIS machine instead of an absolute constant
+    val hostCores = Runtime.getRuntime.availableProcessors
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // untimed warmup PASS: one-time setup (table/index writes, cache
-    // population, codegen) lands here; a real failure recurs timed below
-    selected.foreach { case (_, fn) =>
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-    }
     // reps INTERLEAVED timed passes: pass p times every query once, so a
     // contention burst inflates at most one pass of any given query and
     // the min across passes stays clean (see scaladoc)
@@ -146,6 +179,104 @@ object Bench {
     // cpuSecThisProcess, stealPct)
     val passMeta = scala.collection.mutable
       .ArrayBuffer[(Int, Long, Long, Double, Double, Double, Double, Double)]()
+
+    // ------------------------------------------------ artifact emission
+    // (hoisted ahead of the pass loop so PARTIAL flushes reuse the exact
+    // same serialization the final write uses — round-14 timeout-proofing)
+    // escape backslash/quote and blank ALL control chars (<0x20) — an
+    // exception message embedding raw bytes must not break the JSON line
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .map(c => if (c < ' ') ' ' else c) + "\""
+    def med(ts: Seq[Double]) = if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2)
+    def mn(ts: Seq[Double]) = if (ts.isEmpty) -1.0 else ts.min
+    def sp(ts: Seq[Double]) = if (ts.isEmpty) 0.0 else ts.max - ts.min
+    // any errored pass disqualifies the query from the aggregate: a query
+    // both timed and errored would silently inflate-or-deflate the total
+    // (reps stay in pass order; stats sort internally)
+    def results: Seq[(String, Seq[Double])] = selected.map { case (name, _) =>
+      if (errors.contains(name)) (name, Seq.empty[Double])
+      else (name, byQuery(name): Seq[Double])
+    }
+    // subset runs (SPARK_GRAFT_ONLY) land in a separate file so an
+    // iterate-on-two-queries run can never clobber the committed
+    // full-table artifact with a partial one — and the stdout pointer
+    // must name the file THIS run actually wrote
+    val outFile = if (only.isDefined) "bench_out_partial.json" else "bench_out.json"
+    // stdout contract: ONE SHORT JSON line that survives the driver's
+    // 2000-char tail capture intact — totals + error COUNT + pointer.
+    // The full error map (up to 200 chars of message per failed query)
+    // lives only in the artifact file: a 10-query regression would emit
+    // >2 KB of error text and re-create the very truncation this short
+    // line exists to prevent. Stdout carries at most 5 error KEYS.
+    // partial=true lines are printed after every completed pass (the
+    // driver reads the LAST parseable line, so a wall-clock kill midway
+    // through pass p still yields pass p-1's totals, explicitly labeled).
+    def contractLine(partial: Boolean, passesDone: Int): String = {
+      val rs = results
+      val total = rs.collect { case (_, ts) if ts.nonEmpty => med(ts) }.sum
+      val totalMin = rs.collect { case (_, ts) if ts.nonEmpty => mn(ts) }.sum
+      val nOk = rs.count(_._2.nonEmpty)
+      val errKeys = errors.keys.take(5).map(jstr).mkString("[", ",", "]")
+      val passTotals = passMeta.map(p => f"${p._4}%.3f").mkString("[", ",", "]")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"reps":$reps,"partial":$partial,"passes_done":$passesDone,"host_cores":$hostCores,"sf":${jstr(sfDir)},"n_queries":$nOk,"n_errors":${errors.size},"error_keys":$errKeys,"pass_totals":$passTotals,"queries_file":${jstr(outFile)}}"""
+    }
+    // untruncated record: MULTI-LINE JSON, one self-contained line per
+    // query carrying median/min/spread AND every per-pass rep — a
+    // truncated tail of this file still parses line-by-line. This file
+    // (not stdout) carries the full error map with messages. Written via
+    // tmp-file + ATOMIC_MOVE so a kill mid-flush can never leave a
+    // truncated artifact where a complete earlier flush stood.
+    def writeArtifact(partial: Boolean, passesDone: Int): Unit = {
+      val rs = results
+      def jmap(f: Seq[Double] => Double) = rs
+        .map { case (k, ts) => jstr(k) + ":" + f"${f(ts)}%.3f" }
+        .mkString("{", ",", "}")
+      val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+      val total = rs.collect { case (_, ts) if ts.nonEmpty => med(ts) }.sum
+      val totalMin = rs.collect { case (_, ts) if ts.nonEmpty => mn(ts) }.sum
+      val perQuery = rs.map { case (k, ts) =>
+        val repsArr = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+        // per-rep telemetry rides each query line: cores this process
+        // burned during the rep + loadavg at rep end — a rep with
+        // load >> cpu_cores was externally contended, adjudicable from data
+        val tel = if (ts.isEmpty) Vector.empty else telQuery.getOrElse(k, Vector.empty)
+        val coresArr = tel.map(t => f"${t._1}%.1f").mkString("[", ",", "]")
+        val loadArr = tel.map(t => f"${t._2}%.1f").mkString("[", ",", "]")
+        f"""${jstr(k)}:{"median":${med(ts)}%.3f,"min":${mn(ts)}%.3f,"spread":${sp(ts)}%.3f,"reps":$repsArr,"cpu_cores":$coresArr,"load":$loadArr}"""
+      }.mkString(",\n")
+      val passesJson = passMeta.map { case (p, st, en, tot, l0, l1, cpu, steal) =>
+        val wall = (en - st) / 1000.0
+        val cores = if (cpu < 0 || wall <= 0) -1.0 else cpu / wall
+        f"""{"pass":$p,"start_epoch_ms":$st,"end_epoch_ms":$en,"total":$tot%.3f,"load_start":$l0%.1f,"load_end":$l1%.1f,"cpu_sec":$cpu%.1f,"cpu_cores":$cores%.1f,"steal_pct":$steal%.1f}"""
+      }.mkString("[", ",", "]")
+      val fileJson =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"reps":$reps,"partial":$partial,"passes_done":$passesDone,"host_cores":$hostCores,"sf":${jstr(sfDir)},"interleaved_passes":true,"passes":$passesJson,"errors":$errJson,
+"per_query":{
+$perQuery
+},
+"min":${jmap(mn)},
+"queries":${jmap(med)},
+"spread":${jmap(sp)}}"""
+      val tmp = java.nio.file.Paths.get(outFile + ".tmp")
+      java.nio.file.Files.write(tmp, (fileJson + "\n").getBytes("UTF-8"))
+      try java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outFile),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: Throwable =>
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outFile),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+    // untimed warmup PASS: one-time setup (table/index writes, cache
+    // population, codegen) lands here; a real failure recurs timed below
+    selected.foreach { case (_, fn) =>
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
+    writeArtifact(partial = true, passesDone = 0)
+
+    var sinceFlush = 0
     for (p <- 1 to reps) {
       val pStart = System.currentTimeMillis()
       val pLoad0 = load1
@@ -165,6 +296,15 @@ object Bench {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
+        sinceFlush += 1
+        // in-pass flush: a kill between passes loses at most FlushEvery
+        // queries' reps, never the run (passes_done counts COMPLETED
+        // passes; queries already visited this pass carry one extra rep)
+        if (sinceFlush >= FlushEvery) {
+          sinceFlush = 0
+          try writeArtifact(partial = true, passesDone = p - 1)
+          catch { case _: Throwable => () }
+        }
       }
       val pCpu = if (pCpu0 < 0) -1.0 else (cpuNanos - pCpu0) / 1e9
       val (pJif1, pSteal1) = statJiffies
@@ -173,72 +313,11 @@ object Bench {
         else 100.0 * (pSteal1 - pSteal0) / (pJif1 - pJif0)
       passMeta += ((p, pStart, System.currentTimeMillis(), pTotal,
         pLoad0, load1, pCpu, stealPct))
+      writeArtifact(partial = p < reps, passesDone = p)
+      // the partial contract line: killed mid-pass-(p+1), the driver's
+      // last-parseable-line read still yields pass p's totals
+      if (p < reps) println(contractLine(partial = true, passesDone = p))
     }
-    // any errored pass disqualifies the query from the aggregate: a query
-    // both timed and errored would silently inflate-or-deflate the total
-    // (reps stay in pass order; stats sort internally)
-    val results: Seq[(String, Seq[Double])] = selected.map { case (name, _) =>
-      if (errors.contains(name)) (name, Seq.empty[Double])
-      else (name, byQuery(name): Seq[Double])
-    }
-    // escape backslash/quote and blank ALL control chars (<0x20) — an
-    // exception message embedding raw bytes must not break the JSON line
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .map(c => if (c < ' ') ' ' else c) + "\""
-    def med(ts: Seq[Double]) = if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2)
-    def mn(ts: Seq[Double]) = if (ts.isEmpty) -1.0 else ts.min
-    def sp(ts: Seq[Double]) = if (ts.isEmpty) 0.0 else ts.max - ts.min
-    def jmap(f: Seq[Double] => Double) = results
-      .map { case (k, ts) => jstr(k) + ":" + f"${f(ts)}%.3f" }
-      .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, ts) if ts.nonEmpty => med(ts) }.sum
-    val totalMin = results.collect { case (_, ts) if ts.nonEmpty => mn(ts) }.sum
-    val nOk = results.count(_._2.nonEmpty)
-    // subset runs (SPARK_GRAFT_ONLY) land in a separate file so an
-    // iterate-on-two-queries run can never clobber the committed
-    // full-table artifact with a partial one — and the stdout pointer
-    // must name the file THIS run actually wrote
-    val outFile = if (only.isDefined) "bench_out_partial.json" else "bench_out.json"
-    // stdout contract: ONE SHORT JSON line that survives the driver's
-    // 2000-char tail capture intact — totals + error COUNT + pointer.
-    // The full error map (up to 200 chars of message per failed query)
-    // lives only in the artifact file: a 10-query regression would emit
-    // >2 KB of error text and re-create the very truncation this short
-    // line exists to prevent. Stdout carries at most 5 error KEYS.
-    val errKeys = errors.keys.take(5).map(jstr).mkString("[", ",", "]")
-    val passTotals = passMeta.map(p => f"${p._4}%.3f").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"reps":$reps,"sf":${jstr(sfDir)},"n_queries":$nOk,"n_errors":${errors.size},"error_keys":$errKeys,"pass_totals":$passTotals,"queries_file":${jstr(outFile)}}"""
-    // untruncated record: MULTI-LINE JSON, one self-contained line per
-    // query carrying median/min/spread AND every per-pass rep — a
-    // truncated tail of this file still parses line-by-line. This file
-    // (not stdout) carries the full error map with messages.
-    val perQuery = results.map { case (k, ts) =>
-      val repsArr = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
-      // per-rep telemetry rides each query line: cores this process
-      // burned during the rep + loadavg at rep end — a rep with
-      // load >> cpu_cores was externally contended, adjudicable from data
-      val tel = if (ts.isEmpty) Vector.empty else telQuery.getOrElse(k, Vector.empty)
-      val coresArr = tel.map(t => f"${t._1}%.1f").mkString("[", ",", "]")
-      val loadArr = tel.map(t => f"${t._2}%.1f").mkString("[", ",", "]")
-      f"""${jstr(k)}:{"median":${med(ts)}%.3f,"min":${mn(ts)}%.3f,"spread":${sp(ts)}%.3f,"reps":$repsArr,"cpu_cores":$coresArr,"load":$loadArr}"""
-    }.mkString(",\n")
-    val passesJson = passMeta.map { case (p, st, en, tot, l0, l1, cpu, steal) =>
-      val wall = (en - st) / 1000.0
-      val cores = if (cpu < 0 || wall <= 0) -1.0 else cpu / wall
-      f"""{"pass":$p,"start_epoch_ms":$st,"end_epoch_ms":$en,"total":$tot%.3f,"load_start":$l0%.1f,"load_end":$l1%.1f,"cpu_sec":$cpu%.1f,"cpu_cores":$cores%.1f,"steal_pct":$steal%.1f}"""
-    }.mkString("[", ",", "]")
-    val fileJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"reps":$reps,"sf":${jstr(sfDir)},"interleaved_passes":true,"passes":$passesJson,"errors":$errJson,
-"per_query":{
-$perQuery
-},
-"min":${jmap(mn)},
-"queries":${jmap(med)},
-"spread":${jmap(sp)}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (fileJson + "\n").getBytes("UTF-8"))
     // sweep session-scoped artifact dirs/caches before exit: the
     // in-session memo bounding caps live copies at one per call-site,
     // and this drops that last copy so a finished run leaves no temp
@@ -253,7 +332,7 @@ $perQuery
     // right after anyway)
     try spark.stop()
     catch { case _: Throwable => () }
-    println(line)
+    println(contractLine(partial = false, passesDone = reps))
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -22,6 +22,9 @@ object Verify {
         .map(p => Map("spark.buffer.pageSize" -> p)).getOrElse(Map.empty[String, String]))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // keep the driver's small stdout-tail capture free of the known-benign
+    // bounded-frame window warnings (round-14; see Bench scaladoc)
+    Bench.silenceWindowWarnings()
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q1,q2 — dump (and list oracle SQL for) a subset;
     // unset for the driver's full run. oracle_sql.json is filtered to the

@@ -815,8 +815,13 @@ object Maintenance {
         val p = java.nio.file.Paths.get(path)
         if (java.nio.file.Files.exists(p)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          // Files.walk holds a directory fd until closed (try/finally, the
+          // SessionArtifacts.deleteIfArtifactDir pattern) — vacuuming many
+          // commits must not leak one fd per deleted directory
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.foreach(java.nio.file.Files.delete)
+          finally walk.close()
         }
       }
       graft.core.SessionArtifacts.resetDir(s, dirKey, dir)

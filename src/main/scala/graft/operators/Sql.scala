@@ -621,11 +621,19 @@ object Sql {
     * identically — plus one `percentile_cont` midpoint. Exact-cents
     * discipline: disc percentiles are BIGINT cents end-to-end; the cont
     * interpolation runs on integer-valued doubles, whose midpoints are
-    * exactly representable, so the double compare is still bitwise. The
-    * plan is one partial/final hash aggregate pair per group — unlike
-    * the rank-window `agg_percentile` formulation, no global sort and no
-    * per-group row_number pass; at 100 TB this is the cheaper shape
-    * whenever only the quantile values (not the ranked rows) are needed. */
+    * exactly representable, so the double compare is still bitwise.
+    *
+    * MEMORY MODEL (round-14 doc fix): Spark's ordered-set aggregates are
+    * BUFFERING — each percentile_disc/cont accumulates EVERY group value
+    * in its aggregation buffer and sorts at eval, so per-task memory is
+    * O(rows/group). Fine here (3 return flags × bench-SF rows), and the
+    * one-hash-aggregate plan avoids `agg_percentile`'s global rank
+    * window — but at 100 TB with ~33 B rows per flag the buffer is the
+    * job. For unbounded groups the scale-safe exact shape is
+    * `agg_percentile_exact`'s DistRank (distributed order statistics —
+    * no task ever buffers a group), and the cheap approximate shape is
+    * `agg_approx_percentile`'s sketch. This key exists for the SQL:2003
+    * WITHIN GROUP surface, not as the large-group plan. */
   def percentileDisc(s: SparkSession, d: String): DataFrame = {
     registerViews(s, d)
     s.sql("""

@@ -106,6 +106,15 @@ object BenchDelta {
     val passSteal = """"pass":(\d+)[^}]*"steal_pct":(-?[0-9.]+)""".r
       .findAllMatchIn(benchText)
       .map(m => m.group(1).toInt -> m.group(2).toDouble).toMap
+    // external-cores threshold scales to the RECORDING machine's core
+    // count (host_cores, in round-14+ artifacts): ~4 external cores is
+    // catastrophic on a 4-core box and noise on 64 — 12.5% of cores
+    // (4 on the 32-core rig, preserving the historical gate there),
+    // floored at 2 so tiny rigs still flag. Older artifacts without
+    // host_cores fall back to the absolute 4.0. (ADVICE r14)
+    val hostCores = """"host_cores":(\d+)""".r
+      .findFirstMatchIn(benchText).map(_.group(1).toInt)
+    val extGate = hostCores.map(c => math.max(2.0, 0.125 * c)).getOrElse(4.0)
     if (telMulti.nonEmpty) {
       val nPasses = telMulti.values.map(_._1.size).max
       for (p <- 0 until nPasses) {
@@ -114,10 +123,13 @@ object BenchDelta {
         val steal = passSteal.getOrElse(p + 1, -1.0)
         val avgLoad = loads.sum / math.max(1, loads.size)
         val ext = if (own < 0) -1.0 else math.max(0.0, avgLoad - own)
-        val lbl = if (ext > 4.0 || steal > 10.0) "CONTENDED"
+        val lbl = if (ext > extGate || steal > 10.0) "CONTENDED"
           else if (ext < 0) "unknown" else "clean"
         val stealTxt = if (steal < 0) "" else f", steal $steal%.1f%%"
-        println(f"pass ${p + 1}: $lbl — avg loadavg $avgLoad%.1f vs own sustained $own%.1f cores => ~$ext%.1f external cores$stealTxt")
+        // the 1-min loadavg EWMA lags ~1 min: pass 1 inherits whatever was
+        // runnable BEFORE the run started, so its label can be stale high
+        val ewmaTxt = if (p == 0) " [pass-1 caveat: 1-min EWMA may carry pre-run load]" else ""
+        println(f"pass ${p + 1}: $lbl — avg loadavg $avgLoad%.1f vs own sustained $own%.1f cores => ~$ext%.1f external cores (gate $extGate%.1f)$stealTxt$ewmaTxt")
       }
       println("  (a >2x min-rep flag on a pass labeled CONTENDED above is " +
         "environmental unless it reproduces on a clean pass)")
