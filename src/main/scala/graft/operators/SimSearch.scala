@@ -279,7 +279,7 @@ object SimSearch {
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf_lists").toString
       VectorFunctions.register(s)
       val e = Tables.embeddings(s, d)
-      val centroids = ivfCentroids(e)
+      val centroids = ivfCentroidsShared(s, d)
       e.join(broadcast(centroids))
         .select($"vec_id", $"embedding", $"c_id",
           VectorFunctions.cosine($"embedding", $"c_emb").as("c_cos"))
@@ -294,13 +294,35 @@ object SimSearch {
   }
 
   /** Deterministic coarse-quantizer draw shared by the index build and
-    * the probe side (O(C) on the driver however large the corpus). */
+    * the probe side (O(C) on the driver however large the corpus) — the
+    * TRAINING step; probes read [[ivfCentroidsShared]], never this. */
   private def ivfCentroids(e: DataFrame): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     e.orderBy(pmod(xxhash64($"vec_id"), lit(1000003L)).asc, $"vec_id".asc)
       .limit(NumCentroids)
       .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+  }
+
+  /** Session-materialized COARSE CENTROIDS (C rows) persisted beside the
+    * inverted lists: the draw is O(C) output but its TakeOrdered input is
+    * a corpus-wide scan, and before round 14 every probe-side invocation
+    * (ivfCands → ivf_recall/ivfpq/mmr_ann) re-ran it — so the "per-query
+    * work is corpus-independent once the artifact exists" claim held for
+    * the lists but not the quantizer (ADVICE r14). A production store
+    * publishes the quantizer WITH the index; probes now scan C parquet
+    * rows (floats round-trip parquet bit-exact, so assignments and
+    * probe rankings are unchanged). */
+  private def ivfCentroidsShared(s: SparkSession, d: String): DataFrame = {
+    val srcKey = "spark.graft.ivfcents.src"
+    val dirKey = "spark.graft.ivfcents.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cents").toString
+      ivfCentroids(Tables.embeddings(s, d)).write.mode("overwrite").parquet(dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    s.read.parquet(s.conf.get(dirKey))
   }
 
   /** IVF candidate generation shared by [[ivfTopK]] and [[mmrAnn]]'s
@@ -311,12 +333,12 @@ object SimSearch {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
     val lists = ivfListsShared(s, d)
-    // the query side scores only the 20-row fixed batch against the C
-    // centroids (filter pushed to the scan) and probes its nprobe
-    // nearest lists — per-query work is independent of the corpus once
-    // the index artifact exists
+    // the query side scores only the 20-row fixed batch (filter pushed
+    // to the scan) against the C-row PERSISTED quantizer — with both the
+    // lists and the centroids artifact-backed (round 14), per-query work
+    // really is independent of the corpus once the index exists
     val probes = e.where($"vec_id" < NumQueries)
-      .join(broadcast(ivfCentroids(e)))
+      .join(broadcast(ivfCentroidsShared(s, d)))
       .select($"vec_id", $"embedding", $"c_id",
         VectorFunctions.cosine($"embedding", $"c_emb").as("c_cos"))
       .withColumn("pr", row_number().over(
@@ -677,14 +699,16 @@ object SimSearch {
     * index (vec_id, j, c_idx, c_norm2_micro). Like [[ivfListsShared]],
     * this is the artifact a production store builds once per ingest and
     * scans per query; before round 13 every pq/ivfpq invocation
-    * re-encoded the corpus. The query ADC tables stay per-call (a
-    * 2,560-row broadcast off the 20-row query scan). */
+    * re-encoded the corpus. The query ADC tables stay per-call — a
+    * 2,560-row broadcast off the 20-row query scan and the 128-row
+    * [[pqCodebookShared]] artifact (round 14: previously the per-call
+    * table build re-ran the codebook draw's corpus scan). */
   private def pqCodesShared(s: SparkSession, d: String): DataFrame = {
     val srcKey = "spark.graft.pqcodes.src"
     val dirKey = "spark.graft.pqcodes.dir"
     if (!s.conf.getOption(srcKey).contains(d)) {
       val dir = java.nio.file.Files.createTempDirectory("graft_pq_codes").toString
-      pqIndex(Tables.embeddings(s, d))._1
+      pqCodesOf(Tables.embeddings(s, d), pqCodebookShared(s, d))
         .write.mode("overwrite").parquet(dir)
       graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
       s.conf.set(srcKey, d)
@@ -692,31 +716,62 @@ object SimSearch {
     s.read.parquet(s.conf.get(dirKey))
   }
 
-  /** The PQ index pair shared by [[pqTopKOf]] and [[ivfPqTopK]]: corpus
-    * CODES (vec_id, j, c_idx, c_norm2_micro — the 8-byte-per-vector
-    * compressed scan side) and the fixed query batch's ADC lookup
-    * tables (q_id, j, c_idx, qdot_micro — a 2,560-row broadcast). */
-  private def pqIndex(e: DataFrame): (DataFrame, DataFrame) = {
+  /** Per-row subspace split: (j, 8-float slice) × [[PqSub]] of the
+    * `embedding` column — shared by training, encode, and query sides. */
+  private def pqSubs = {
+    val w = 64 / PqSub
+    posexplode(transform(sequence(lit(0), lit(PqSub - 1)),
+      j => slice(col("embedding"), j * w + 1, lit(w))))
+  }
+
+  /** The [[PqCent]]-row codebook draw (j, c_idx, c_sub, c_norm2_micro) —
+    * TRAINING: its TakeOrdered input is a corpus-wide scan, so probes
+    * read [[pqCodebookShared]], never this (a seeded per-subspace
+    * k-means drops in unchanged; the index structure is what's
+    * exercised). */
+  private def pqCodebookOf(e: DataFrame): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     VectorFunctions.register(s)
-    val w = 64 / PqSub
-    def subs = posexplode(transform(sequence(lit(0), lit(PqSub - 1)),
-      j => slice($"embedding", j * w + 1, lit(w))))
-    val codebook = e
-      .orderBy(pmod(xxhash64($"vec_id"), lit(999983L)).asc, $"vec_id".asc)
+    e.orderBy(pmod(xxhash64($"vec_id"), lit(999983L)).asc, $"vec_id".asc)
       .limit(PqCent)
       .withColumn("c_idx",
         row_number().over(Window.orderBy($"vec_id".asc)) - 1) // 16 rows
-      .select($"c_idx", subs.as(Seq("j", "c_sub")))
+      .select($"c_idx", pqSubs.as(Seq("j", "c_sub")))
       .select($"j", $"c_idx", $"c_sub",
         round(VectorFunctions.vecDot($"c_sub", $"c_sub") * 1e6).cast("bigint")
           .as("c_norm2_micro"))
-    val cb = broadcast(codebook)
-    val corpusSub = e.select($"vec_id", subs.as(Seq("j", "sub")))
-    // encode: per (vec, j) the nearest centroid, plus its ‖c‖² share of
-    // the reconstructed norm
-    val codes = corpusSub.join(cb, "j")
+  }
+
+  /** Session-materialized PQ CODEBOOK ([[PqSub]]×[[PqCent]] = 128 rows)
+    * persisted beside the codes: before round 14 every pq/ivfpq probe
+    * re-ran the codebook draw's corpus scan to build its ADC tables even
+    * though the codes themselves were artifact-backed (ADVICE r14). A
+    * production store publishes codebook + codes together; the per-query
+    * ADC table build now scans 128 codebook rows plus the 20-row pruned
+    * query batch. Floats round-trip parquet bit-exact → identical codes
+    * and ADC scores. */
+  private def pqCodebookShared(s: SparkSession, d: String): DataFrame = {
+    val srcKey = "spark.graft.pqcodebook.src"
+    val dirKey = "spark.graft.pqcodebook.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pq_codebook").toString
+      pqCodebookOf(Tables.embeddings(s, d)).write.mode("overwrite").parquet(dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    s.read.parquet(s.conf.get(dirKey))
+  }
+
+  /** ENCODE against a given codebook: per (vec, j) the nearest centroid,
+    * plus its ‖c‖² share of the reconstructed norm —
+    * (vec_id, j, c_idx, c_norm2_micro), the 8-byte-per-vector scan side. */
+  private def pqCodesOf(e: DataFrame, cb: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    VectorFunctions.register(s)
+    e.select($"vec_id", pqSubs.as(Seq("j", "sub")))
+      .join(broadcast(cb), "j")
       .select($"vec_id", $"j", $"c_idx", $"c_norm2_micro",
         ($"c_norm2_micro" - lit(2e6) * VectorFunctions.vecDot($"sub", $"c_sub"))
           .as("adist"))
@@ -726,13 +781,30 @@ object SimSearch {
       .select($"vec_id", $"j",
         $"best".getField("c_idx").as("c_idx"),
         $"best".getField("c_norm2_micro").as("c_norm2_micro"))
-    // ADC tables for the fixed exact-query batch
-    val qtab = corpusSub.where($"vec_id" < NumQueries)
-      .join(cb, "j")
+  }
+
+  /** ADC lookup tables for the fixed exact-query batch against a given
+    * codebook — (q_id, j, c_idx, qdot_micro), a 2,560-row broadcast; the
+    * corpus scan is pruned to vec_id < [[NumQueries]]. */
+  private def pqQueryTabOf(e: DataFrame, cb: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    VectorFunctions.register(s)
+    e.where($"vec_id" < NumQueries)
+      .select($"vec_id", pqSubs.as(Seq("j", "sub")))
+      .join(broadcast(cb), "j")
       .select($"vec_id".as("q_id"), $"j", $"c_idx",
         round(VectorFunctions.vecDot($"sub", $"c_sub") * 1e6).cast("bigint")
           .as("qdot_micro"))
-    (codes, qtab)
+  }
+
+  /** The INLINE PQ index pair (codebook trained in the same plan) —
+    * kept for [[pqTopKOf]]'s self-contained path; the artifact-backed
+    * keys pair [[pqCodesShared]] with [[pqQueryTabOf]] over
+    * [[pqCodebookShared]]. */
+  private def pqIndex(e: DataFrame): (DataFrame, DataFrame) = {
+    val cb = pqCodebookOf(e)
+    (pqCodesOf(e, cb), pqQueryTabOf(e, cb))
   }
 
   /** ADC shortlist → exact re-rank (the production PQ deployment: the
@@ -777,7 +849,7 @@ object SimSearch {
     val e = Tables.embeddings(s, d)
     val cands = ivfCands(s, d, nprobe).select($"q_id", $"n_id")
     val codes = pqCodesShared(s, d)
-    val qtab = pqIndex(e)._2
+    val qtab = pqQueryTabOf(e, pqCodebookShared(s, d))
     val scored = codes
       .join(cands.withColumnRenamed("n_id", "vec_id"), Seq("vec_id"))
       .join(broadcast(qtab), Seq("q_id", "j", "c_idx"))
@@ -807,7 +879,8 @@ object SimSearch {
 
   def pqTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(s, d)
-    pqAdcTopK(e, pqCodesShared(s, d), pqIndex(e)._2, k)
+    pqAdcTopK(e, pqCodesShared(s, d),
+      pqQueryTabOf(e, pqCodebookShared(s, d)), k)
   }
 
   /** PQ recall vs the shared exact top-k, same contract as [[lshRecall]].
