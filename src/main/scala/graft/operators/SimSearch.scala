@@ -263,15 +263,19 @@ object SimSearch {
       .select($"q_id", $"n_id", $"rk".cast("bigint").as("rk"))
   }
 
-  /** Session-materialized IVF INVERTED LISTS — (vec_id, c_id, embedding),
-    * every corpus vector assigned to its nearest coarse centroid. This
-    * IS the index artifact: at 100 TB the inverted file is BUILT once
-    * per ingest (the `simsearch_index_delta` key maintains exactly this
-    * artifact incrementally) and probed by every query after, so the
-    * per-query cost the ivf keys measure is the PROBE, not an index
-    * rebuild (round 13 — previously each of ivf_recall / ivfpq / mmr_ann
-    * re-scored corpus×C per invocation). */
-  private def ivfListsShared(s: SparkSession, d: String): DataFrame = {
+  /** Session-materialized IVF INVERTED LISTS — (vec_id, c_id, c_id2,
+    * embedding): every corpus vector assigned to its nearest coarse
+    * centroid, PLUS its second-nearest (round 14 — multi-assignment:
+    * computed from the same scored frame at build time for free, it is
+    * what `dedup_semantic_ann`'s cell probe spills into; the query-side
+    * ivf keys keep probing nprobe lists of the primary assignment).
+    * This IS the index artifact: at 100 TB the inverted file is BUILT
+    * once per ingest (the `simsearch_index_delta` key maintains the
+    * same published-index contract incrementally) and probed by every
+    * query after, so the per-query cost the ivf keys measure is the
+    * PROBE, not an index rebuild (round 13 — previously each of
+    * ivf_recall / ivfpq / mmr_ann re-scored corpus×C per invocation). */
+  private[operators] def ivfListsShared(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val srcKey = "spark.graft.ivflists.src"
     val dirKey = "spark.graft.ivflists.dir"
@@ -280,11 +284,18 @@ object SimSearch {
       VectorFunctions.register(s)
       val e = Tables.embeddings(s, d)
       val centroids = ivfCentroidsShared(s, d)
+      val w = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
       e.join(broadcast(centroids))
         .select($"vec_id", $"embedding", $"c_id",
           VectorFunctions.cosine($"embedding", $"c_emb").as("c_cos"))
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= 2)
         .groupBy($"vec_id")
-        .agg(max_by($"c_id", struct($"c_cos", -$"c_id")).as("c_id"),
+        // rk-ordered: min_by = the nearest cell (same highest-cos /
+        // smallest-c_id tiebreak as the round-13 max_by build), max_by =
+        // the second-nearest (C = 32 >= 2, so both always exist)
+        .agg(min_by($"c_id", $"rk").as("c_id"),
+             max_by($"c_id", $"rk").as("c_id2"),
              first($"embedding").as("embedding"))
         .write.mode("overwrite").parquet(dir)
       graft.core.SessionArtifacts.resetDir(s, dirKey, dir)

@@ -1094,4 +1094,50 @@ class NewOpsLawSpec extends SparkSpec {
     assert(inc == full,
       s"delta ≠ recompute: ${(inc diff full) ++ (full diff inc)}")
   }
+  test("dedup_semantic_ann: over-cap cell stars keep mega-clique labels " +
+    "≡ uncapped, unverified chaff stays singleton, work stays linear") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cap = 8
+    // planted IVF-lists frame: a 30-member IDENTICAL-embedding clique
+    // (the pasted-boilerplate regime the cap exists for) and 20 chaff
+    // vectors in the SAME cell that are orthogonal to everything — the
+    // cell is hot (pop 50 > cap) WITHOUT the chaff being near-dups of
+    // the cell min (the AdversarialBoundSpec:94 collision regime)
+    val dim = 64
+    val dupVec = Array.tabulate(dim)(j => if (j == 0) 1f else 0f)
+    val rows =
+      (0 until 30).map(i => (100L + i, 7L, 8L, dupVec)) ++
+      (0 until 20).map(i => (300L + i, 7L, 8L,
+        Array.tabulate(dim)(j => if (j == 10 + i) 1f else 0f))) ++
+      // two cold singleton cells for the untouched-cold-path premise
+      (0 until 2).map(i => (500L + i, 60L + i, 70L + i,
+        Array.tabulate(dim)(j => if (j == 40 + i) 1f else 0f)))
+    val lists = rows.toDF("vec_id", "c_id", "c_id2", "embedding")
+    def labelsOf(c: Int): Map[Long, Long] =
+      Dedup.connectedComponents(
+          Dedup.semanticAnnPairs(lists, tau = 0.45, cap = c)
+            .select(col("vec_a").as("a"), col("vec_b").as("b")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // work bound: the hot cell emits pop-1 = 49 star CANDIDATES (both
+    // assignment slots dedup to the same star), the verify keeps only
+    // the 29 true clique edges — never the 50*49/2 quadratic set
+    val capped = Dedup.semanticAnnPairs(lists, tau = 0.45, cap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.size == 29, s"expected the 29 verified star edges, got ${capped.size}")
+    assert(capped.forall { case (a, b) => a == 100L && b > 100L && b < 130L })
+    // label law: capped ≡ uncapped — the clique collapses to its min
+    // either way (identical members all verify against the cell min);
+    // chaff and cold singletons never appear in any component
+    val cl = labelsOf(cap)
+    val un = labelsOf(Int.MaxValue)
+    assert(cl == un, s"capped labels diverged: ${(cl.toSet diff un.toSet) ++ (un.toSet diff cl.toSet)}")
+    assert((100L until 130L).forall(v => cl(v) == 100L))
+    assert(!cl.keySet.exists(_ >= 300L), "chaff/singletons must stay unclustered")
+    // and the uncapped generator really was quadratic where the cap is
+    // linear: 29 star edges vs the 435-pair clique closure
+    val uncappedPairs = Dedup.semanticAnnPairs(lists, tau = 0.45, cap = Int.MaxValue).count()
+    assert(uncappedPairs == 435L, s"uncapped should be the full 30-clique, got $uncappedPairs")
+  }
+
 }
