@@ -900,6 +900,138 @@ object Maintenance {
     }.reduce(_ unionByName _)
   }
 
+  /** Append one commit to `_log.json` IFF the log's latest version still
+    * equals `expectedParent` — the optimistic-concurrency commit gate
+    * (Delta's putIfAbsent-of-`v.json` / Iceberg's swap-metadata CAS,
+    * enacted over the plain-parquet log): a writer that raced and lost
+    * sees the advanced head and must NOT append. Returns whether the
+    * commit landed; a failed attempt leaves log AND files untouched
+    * (the rows frame is only written after the check — no orphan commit
+    * files from losers). */
+  private def tryCommit(s: SparkSession, dir: String, expectedParent: Long,
+      rows: DataFrame): Boolean = {
+    val files = readLog(dir)
+    val latest = files.map(_._1).max
+    if (latest != expectedParent) false
+    else {
+      val v = expectedParent + 1
+      rows.write.mode("overwrite").parquet(s"$dir/v$v")
+      // preserve parsed names when appending (the vacuum log-rewrite rule)
+      val log = (files.map { case (pv, path) =>
+        s"""{"version": $pv, "file": "${path.stripPrefix(s"$dir/")}"}""" } :+
+        s"""{"version": $v, "file": "v$v"}""").mkString("\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_log.json"), log)
+      true
+    }
+  }
+
+  /** The two OCC writer transactions — each derives its WRITE SET from
+    * the snapshot it read (repricing live keys), which is what makes the
+    * stale write set wrong after a conflicting commit: on the overlap,
+    * rows computed from v2 carry v2's cents and would silently undo the
+    * winner's update if blindly re-stamped (lost update). Shared with
+    * MaintenanceSpec's laws. */
+  private[operators] def occWriterA(state: DataFrame): DataFrame = {
+    val s = state.sparkSession; import s.implicits._
+    state.where($"k" % 11 === 5)
+      .select($"k", $"status", ($"cents" + 70L).as("cents"))
+  }
+  private[operators] def occWriterB(state: DataFrame): DataFrame = {
+    val s = state.sparkSession; import s.implicits._
+    state.where($"k" % 3 === 1)
+      .select($"k", $"status", ($"cents" + 30L).as("cents"))
+  }
+
+  /** OPTIMISTIC CONCURRENCY — commit-protocol rung 5 (round-13 verdict
+    * item 6), completing the single-writer quartet (time travel / CDF /
+    * vacuum / restore) with the multi-writer rule every lakehouse log
+    * lives by: writers never lock, they COMMIT-OR-RETRY.
+    *
+    * The enactment (staged once per session, like every commit-log
+    * artifact; deterministic interleaving — the PROTOCOL is the subject,
+    * not a thread race): writers A and B both snapshot version 2 of the
+    * staged log. A commits first — its expected-parent CAS sees head=2
+    * and lands v3. B attempts with the same expected parent, sees
+    * head=3, and its attempt MUST fail without touching log or files
+    * (a lost race leaves no orphans). B then adjudicates: its write set
+    * OVERLAPS v3's committed keys (k ≡ 5 mod 11 ∧ k ≡ 1 mod 3 — a real
+    * row conflict, not just a version clash), so a blind rebase —
+    * re-stamping the stale rows as v4 — would silently undo A's +70 on
+    * every overlap key (the lost update OCC exists to prevent; the
+    * MaintenanceSpec law measures exactly that 70-cent divergence). B
+    * therefore RE-EXECUTES its transaction against the v3 snapshot and
+    * commits v4 at expected parent 3. Emitted: the (version, n_rows,
+    * sum_cents) summary AS OF v2/v3/v4 plus the protocol counters
+    * (n_attempts=3, n_conflicts=1) and the SQL-replayable overlap-key
+    * count — the oracle replays all three states ANALYTICALLY from the
+    * staging + writer rules, so serializability (final state ≡ A then B
+    * applied sequentially) is what the hash gate asserts.
+    *
+    * At 100 TB: the CAS is one conditional metadata put per commit
+    * (never data-sized), conflict adjudication is a key-pruned
+    * anti-join of the loser's write set against ONLY the commits it
+    * raced with (work ∝ |write set| + |concurrent commits|, never
+    * O(table)), and the retry re-reads just the keys its transaction
+    * touches. Own artifact copy — this op appends commits and must not
+    * mutate the log the time-travel/CDF keys read (the vacuum isolation
+    * rule). */
+  def concurrentWriters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val srcKey = "spark.graft.occ.src"
+    val dirKey = "spark.graft.occ.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_occ").toString
+      stageCommitLog(s, d, dir)
+      val files = readLog(dir)
+      val parent = files.map(_._1).max // 2 — BOTH writers snapshot here
+      val snap = timeTravelAsOf(s, files.filter(_._1 <= parent).map(_._2))
+        .localCheckpoint() // both writers + the overlap probe read it
+      var attempts = 0L
+      var conflicts = 0L
+      // writer A: prepares from v2, CAS at expected parent 2 → lands v3
+      attempts += 1
+      val aLanded = tryCommit(s, dir, parent, occWriterA(snap)
+        .select($"k", $"status", $"cents",
+          lit(parent + 1).as("version"), lit("upsert").as("op")))
+      require(aLanded, "writer A raced nobody and must land v3")
+      // writer B: STALE attempt from the same snapshot at the same
+      // expected parent — the head moved, the CAS must refuse
+      attempts += 1
+      val staleB = occWriterB(snap)
+      if (!tryCommit(s, dir, parent, staleB
+          .select($"k", $"status", $"cents",
+            lit(parent + 1).as("version"), lit("upsert").as("op")))) {
+        conflicts += 1
+        // adjudicate + RETRY: re-read the advanced snapshot, re-execute
+        val files3 = readLog(dir)
+        val snap3 = timeTravelAsOf(s, files3.map(_._2))
+        attempts += 1
+        require(tryCommit(s, dir, parent + 1, occWriterB(snap3)
+          .select($"k", $"status", $"cents",
+            lit(parent + 2).as("version"), lit("upsert").as("op"))),
+          "writer B retried against the current head and must land v4")
+      }
+      // the conflict is a ROW conflict, not just a version clash: B's
+      // write set intersects A's committed keys (replayable count)
+      val overlap = staleB.select($"k")
+        .join(occWriterA(snap).select($"k"), Seq("k"), "left_semi")
+        .count()
+      Seq((attempts, conflicts, overlap))
+        .toDF("n_attempts", "n_conflicts", "n_overlap_keys")
+        .write.mode("overwrite").parquet(s"$dir/meta")
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    val dir = s.conf.get(dirKey)
+    val files = readLog(dir)
+    val meta = s.read.parquet(s"$dir/meta")
+    (2L to 4L).map { v =>
+      timeTravelAsOf(s, files.filter(_._1 <= v).map(_._2))
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_cents"))
+    }.reduce(_ unionByName _).crossJoin(meta) // 1-row scalar attach
+  }
+
   val oracle: Map[String, String] = Map(
     // analytic recompute of every version from the staging rules — the
     // engine's log/merge-on-read machinery must be invisible here
@@ -926,6 +1058,50 @@ object Maintenance {
       SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM v1
       UNION ALL
       SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2""",
+    // OCC serializability: the final state must equal A-then-B applied
+    // SEQUENTIALLY to the analytic v2 (the retry re-executed on A's
+    // snapshot, so no lost update), and the protocol counters replay as
+    // constants — 3 attempts, 1 conflict, the modular overlap count
+    "maint_concurrent" -> """
+      WITH v0 AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      v1 AS (
+        SELECT k,
+               CASE WHEN k % 10 = 0 THEN 'U' ELSE status END AS status,
+               cents + CASE WHEN k % 10 = 0 THEN 100 ELSE 0 END AS cents
+        FROM v0
+        UNION ALL
+        SELECT k + (SELECT max(k) + 1 FROM v0), 'N', cents
+        FROM v0 WHERE k % 7 = 0),
+      v2 AS (
+        SELECT k, status,
+               cents + CASE WHEN k % 10 = 3 THEN 250 ELSE 0 END AS cents
+        FROM v1 WHERE k % 97 <> 0),
+      v3 AS (
+        SELECT k, status,
+               cents + CASE WHEN k % 11 = 5 THEN 70 ELSE 0 END AS cents
+        FROM v2),
+      v4 AS (
+        SELECT k, status,
+               cents + CASE WHEN k % 3 = 1 THEN 30 ELSE 0 END AS cents
+        FROM v3),
+      meta AS (
+        SELECT CAST(3 AS BIGINT) AS n_attempts,
+               CAST(1 AS BIGINT) AS n_conflicts,
+               (SELECT count(*) FROM v2 WHERE k % 11 = 5 AND k % 3 = 1)
+                 AS n_overlap_keys)
+      SELECT v.version, v.n_rows, v.sum_cents,
+             m.n_attempts, m.n_conflicts, m.n_overlap_keys
+      FROM (
+        SELECT CAST(2 AS BIGINT) AS version, count(*) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS sum_cents FROM v2
+        UNION ALL
+        SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM v3
+        UNION ALL
+        SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM v4) v
+      CROSS JOIN meta m""",
     // post-vacuum reads at/above the horizon must equal the analytic
     // recompute — checkpoint, log rewrite, and file deletion invisible
     "maint_vacuum" -> """

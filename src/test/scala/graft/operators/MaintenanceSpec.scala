@@ -275,4 +275,45 @@ class MaintenanceSpec extends SparkSpec {
     val asOf1 = Maintenance.timeTravelAsOf(spark, Seq(s"$dir/v0", s"$dir/v1"))
     assert(restored.exceptAll(asOf1).isEmpty && asOf1.exceptAll(restored).isEmpty)
   }
+  test("occ: the losing writer's stale attempt leaves no trace, the " +
+    "retry closes the lost-update gap, and the final state is serial") {
+    import org.apache.spark.sql.functions._
+    val rows = Maintenance.concurrentWriters(spark, sf).collect()
+    // protocol counters: 3 attempts (A, B-stale, B-retry), exactly 1
+    // conflict, and a NONEMPTY row overlap — the conflict was real
+    assert(rows.forall(r => r.getLong(3) == 3L && r.getLong(4) == 1L))
+    val overlap = rows.head.getLong(5)
+    assert(overlap > 0L, "premise broke: writer write-sets no longer overlap")
+    val byV = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byV.keySet == Set(2L, 3L, 4L))
+    val dir = spark.conf.get("spark.graft.occ.dir")
+    // no orphans from the loser: the log holds exactly v0..v4 once each,
+    // and every commit file it names exists
+    val log = Maintenance.readLog(dir)
+    assert(log.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    log.foreach { case (_, f) =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f)), f) }
+    // the lost update, quantified: B's STALE rows (computed from the v2
+    // snapshot) differ from its COMMITTED v4 rows on exactly the overlap
+    // keys, each short by A's +70 — re-stamping them would have undone A
+    def files(v: Long) = log.filter(_._1 <= v).map(_._2)
+    val snap2 = Maintenance.timeTravelAsOf(spark, files(2L))
+    val stale = Maintenance.occWriterB(snap2)
+      .select(col("k"), col("cents").as("stale_cents"))
+    val committed = spark.read.parquet(s"$dir/v4")
+      .select(col("k"), col("cents").as("v4_cents"))
+    val diff = stale.join(committed, "k")
+      .where(col("v4_cents") =!= col("stale_cents"))
+    assert(diff.count() == overlap, "divergence must be exactly the overlap")
+    assert(diff.where(col("v4_cents") - col("stale_cents") =!= 70L).count() == 0L)
+    // serializability: merge-on-read over all five commits equals A then
+    // B applied sequentially to the as-of-2 state, row-level
+    val serial = snap2.withColumn("cents",
+        col("cents") + when(col("k") % 11 === 5, 70L).otherwise(0L))
+      .withColumn("cents",
+        col("cents") + when(col("k") % 3 === 1, 30L).otherwise(0L))
+    val finalState = Maintenance.timeTravelAsOf(spark, files(4L))
+    assert(finalState.exceptAll(serial).isEmpty && serial.exceptAll(finalState).isEmpty)
+  }
+
 }
