@@ -543,6 +543,131 @@ object SimSearch {
     s.read.parquet(s.conf.get(dirKey))
   }
 
+  /** Beam width and hop rounds for [[graphAnnTopK]] — fixed so the
+    * search is deterministic and the oracle-facing recall floor has a
+    * fixed parametrization (GraphAnnProbe measures these). */
+  val GraphAnnBeam = 32
+  val GraphAnnRounds = 5
+  /** Partition count of the navigable-graph artifact: hops prune the
+    * adjacency scan to the frontier's buckets (bounded driver collect of
+    * ≤ this many bucket ids per round). */
+  val GraphAnnBuckets = 64
+
+  /** Session-materialized NAVIGABLE GRAPH — the graph-ANN index family
+    * (NSW/HNSW class), rendered Spark-first: the exact k-NN graph
+    * artifact ([[knnGraphShared]]) SYMMETRIZED (undirected degree ~2k —
+    * NSW's navigability premise), each edge carrying its destination's
+    * embedding INLINE (a graph-ANN node owns its vector; hops must
+    * never rejoin the corpus), written partitioned by
+    * pmod(src, [[GraphAnnBuckets]]) so a beam-search hop reads ONLY the
+    * frontier's partitions. Built once per (session, corpus) like every
+    * index artifact. */
+  private[operators] def graphAnnIndexShared(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val srcKey = "spark.graft.graphann.src"
+    val dirKey = "spark.graft.graphann.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_graph_ann").toString
+      val g = knnGraphShared(s, d, KnnGraphK).select($"q_id", $"n_id")
+      val und = g.select($"q_id".as("src"), $"n_id".as("dst"))
+        .unionByName(g.select($"n_id".as("src"), $"q_id".as("dst")))
+        .distinct()
+      val e = Tables.embeddings(s, d)
+      und.join(e.select($"vec_id".as("dst"), $"embedding".as("dst_emb")), "dst")
+        .withColumn("bucket", pmod($"src", lit(GraphAnnBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
+      s.conf.set(srcKey, d)
+    }
+    s.read.parquet(s.conf.get(dirKey))
+  }
+
+  /** GRAPH-ANN BEAM SEARCH over the navigable-graph artifact — the
+    * NSW/HNSW search semantics (greedy best-first from fixed entry
+    * points, beam-bounded) as bounded-round dataflow: every query keeps
+    * its [[GraphAnnBeam]] best-so-far; each of the [[GraphAnnRounds]]
+    * rounds expands ALL frontier nodes' neighbors at once (the batch
+    * rendition of the sequential candidate pop), scores them against the
+    * query, and re-trims to the beam. Entry points are [[NumCentroids]]
+    * hash-drawn seeds — the same deterministic draw as the IVF coarse
+    * quantizer, playing HNSW's upper-layer role of spreading starts
+    * across the space.
+    *
+    * The BEAM STATE lives on the driver — ≤ |Q|·beam slim (q, n, cos)
+    * triples BY CONSTRUCTION (it is the search frontier, not data; the
+    * bounded-collect class, like the K×dim centroid folds), which is
+    * exactly what an HNSW searcher's candidate heap is. Each round is
+    * then ONE distributed action: the hop scan, PARTITION-PRUNED to the
+    * frontier's buckets, joined against the broadcast frontier and the
+    * broadcast query batch — the frontier's adjacency lists are read,
+    * not the graph; neighbor embeddings ride the edges, so nothing
+    * rejoins the corpus; the top-beam merge is a driver-side fold over
+    * ≤ |Q|·beam·2k rows. Honest 100 TB note (SCALE.md): unlike the IVF
+    * probe, hop I/O tracks frontier LOCALITY, not a fixed nprobe/C
+    * fraction — graph-ANN is a random-access structure, and this
+    * partition-pruned rendition is as close as scan-oriented dataflow
+    * gets; it exists as the family's semantics + recall evidence, with
+    * IVF/IVFPQ as the recommended scale path. */
+  def graphAnnTopK(s: SparkSession, d: String, k: Int = 5,
+      beam: Int = GraphAnnBeam, rounds: Int = GraphAnnRounds): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val adj = graphAnnIndexShared(s, d)
+    val e = Tables.embeddings(s, d)
+    val queries = e.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    // deterministic beam order: cos desc, ties by neighbor id
+    def topBeam(cand: Seq[(Long, Long, Double)], width: Int) = cand
+      .groupBy(x => (x._1, x._2)).values.map(_.head).toSeq // dedup (q, n)
+      .groupBy(_._1).values.flatMap(
+        _.sortBy(x => (-x._3, x._2)).take(width)).toSeq
+    // entry points: the C hash-drawn quantizer seeds (HNSW's upper
+    // layer role — spread the starts), scored in one action
+    var best = topBeam(
+      broadcast(queries).crossJoin(broadcast(ivfCentroidsShared(s, d)
+          .select($"c_id".as("n_id"), $"c_emb".as("n_emb"))))
+        .select($"q_id", $"n_id",
+          VectorFunctions.cosine($"q_emb", $"n_emb").as("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq,
+      beam)
+    for (_ <- 1 to rounds) {
+      val buckets = best.map(_._2 % GraphAnnBuckets).distinct
+      val frontier = best.map(x => (x._1, x._2)).toDF("q_id", "src")
+      val hops = adj.where($"bucket".isin(buckets: _*))
+        .join(broadcast(frontier), Seq("src"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select($"q_id", $"dst".as("n_id"),
+          VectorFunctions.cosine($"q_emb", $"dst_emb").as("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      best = topBeam(best ++ hops, beam)
+    }
+    topBeam(best.filter(x => x._1 != x._2), k)
+      .groupBy(_._1).values.flatMap(_.sortBy(x => (-x._3, x._2)).zipWithIndex
+        .map { case ((q, n, _), i) => (q, n, (i + 1).toLong) }).toSeq
+      .toDF("q_id", "n_id", "rk")
+  }
+
+  /** Global recall floor of graph-ANN beam search vs the exact top-k —
+    * the [[lshRecall]] contract. Floor ratcheted from measurement
+    * (graft.tools.GraphAnnProbe, fixed beam-32 / 5-round / C-seed
+    * parametrization): global recall 0.87 / 0.90 / 0.60 at
+    * sf0.001/0.01/0.1, and the probe's T/beam sweep shows why the
+    * operating point sits there (T4→T5 and beam 16→32 each buy ~0.1+
+    * at sf0.1). Recall falls with corpus growth at FIXED degree k=3 —
+    * the measured argument for why production graph indexes grow degree
+    * (HNSW's M) with scale, stated in SCALE.md. Floor 0.45 ≈ 0.75× the
+    * min measured. */
+  def graphAnnRecall(s: SparkSession, d: String, k: Int = 5,
+      floor: Double = 0.45): DataFrame = {
+    import s.implicits._
+    val exact = bruteTopKShared(s, d, k)
+    exact.agg(count_distinct($"q_id").as("n_queries"))
+      .crossJoin(Dedup.recallCounts(exact.select($"q_id", $"n_id"),
+        graphAnnTopK(s, d, k).select($"q_id", $"n_id"), Seq("q_id", "n_id")))
+      .select($"n_queries",
+        ($"n_found" >= $"n_exact" * floor).cast("long").as("recall_ok"))
+  }
+
   /** LSH-bucketed approximate k-NN graph — the scale path for
     * [[knnGraph]]: candidate pairs are SAME-BUCKET pairs per hash table
     * (bucket-local quadratic, never corpus-quadratic — at 100 TB the
@@ -1235,6 +1360,14 @@ object SimSearch {
       FROM embeddings WHERE vec_id < $NumQueries""",
 
     "simsearch_quantized_recall" -> s"""
+      SELECT count(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
+      FROM embeddings WHERE vec_id < $NumQueries""",
+
+    // graph-ANN beam search: the bound is the output (recall-twin
+    // discipline); the navigable graph's hash-drawn seeds and xxhash64
+    // draws cannot replay in DuckDB, so the oracle anchors n_queries
+    // and asserts the floor flag constant-true
+    "simsearch_graph_ann" -> s"""
       SELECT count(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
       FROM embeddings WHERE vec_id < $NumQueries""",
 

@@ -120,4 +120,28 @@ class SimSearchSpec extends SparkSpec {
       assert(sel.map(_._2).toSet.subsetOf(poolByQ(q)), s"q=$q picked outside the pool")
     }
   }
+  test("graph-ANN: hops buy recall (T5 > T1), results are true graph-or-seed " +
+    "nodes, and ranks are a clean 1..k per query") {
+    import spark.implicits._
+    def got(rounds: Int): Set[(Long, Long)] =
+      SimSearch.graphAnnTopK(spark, sf, rounds = rounds)
+        .select($"q_id", $"n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SimSearch.bruteTopKShared(spark, sf).select($"q_id", $"n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = (exact & got(1)).size
+    val rT = (exact & got(SimSearch.GraphAnnRounds)).size
+    // navigability: walking the graph must find neighbors the seed
+    // scoring alone cannot — the whole point of the index
+    assert(rT > r1, s"hops bought nothing: T1=$r1, T${SimSearch.GraphAnnRounds}=$rT")
+    val res = SimSearch.graphAnnTopK(spark, sf).collect()
+    // ranks are a permutation of 1..k per query
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.map(_.getLong(2)).sorted.sameElements(1L to 5L)))
+    // no fabricated ids: every result is a corpus vector and never the query
+    val ids = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(res.forall(r => ids.contains(r.getLong(1)) && r.getLong(1) != r.getLong(0)))
+  }
+
 }
