@@ -963,4 +963,18 @@ class PlanShapeSpec extends SparkSpec {
     val p2 = df.queryExecution.executedPlan.toString
     assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"), p2)
   }
+  test("dedup_semantic_ann's candidate stage is cell equi-joins only " +
+    "(never cartesian) and verifies through the codegen cosine kernel") {
+    // plan the ANN pair generator directly (the declared key's summary
+    // reduces it away): hot-path discipline for the 100 TB probe
+    val lists = SimSearch.ivfListsShared(spark, sf)
+    val pairs = Dedup.semanticAnnPairs(lists, tau = 0.45)
+    pairs.collect()
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the cell probe must be equi-joins only\n" + p)
+    assert(p.contains("vec_dot"),
+      "the verify must run the codegen FloatVecDot kernel\n" + p)
+  }
+
 }
