@@ -505,10 +505,16 @@ object SimSearch {
     * join; bj co-partitions a shuffle join), and the partial
     * window-group-limit then sorts B slices concurrently. */
   def knnGraph(s: SparkSession, d: String, k: Int = KnnGraphK,
+      blocks: Int = 32): DataFrame =
+    knnGraphOf(Tables.embeddings(s, d), k, blocks)
+
+  /** [[knnGraph]] over any (vec_id, embedding) frame — the incremental
+    * graph index builds its BASE graph from the base split. */
+  private[operators] def knnGraphOf(e: DataFrame, k: Int = KnnGraphK,
       blocks: Int = 32): DataFrame = {
+    val s = e.sparkSession
     import s.implicits._
     VectorFunctions.register(s)
-    val e = Tables.embeddings(s, d)
     val probes = e.select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
       explode(sequence(lit(0L), lit(blocks - 1L))).as("bj"))
     // 4x partitions as keys: hashing B keys into exactly B bins leaves
@@ -568,14 +574,8 @@ object SimSearch {
     val dirKey = "spark.graft.graphann.dir"
     if (!s.conf.getOption(srcKey).contains(d)) {
       val dir = java.nio.file.Files.createTempDirectory("graft_graph_ann").toString
-      val g = knnGraphShared(s, d, KnnGraphK).select($"q_id", $"n_id")
-      val und = g.select($"q_id".as("src"), $"n_id".as("dst"))
-        .unionByName(g.select($"n_id".as("src"), $"q_id".as("dst")))
-        .distinct()
-      val e = Tables.embeddings(s, d)
-      und.join(e.select($"vec_id".as("dst"), $"embedding".as("dst_emb")), "dst")
-        .withColumn("bucket", pmod($"src", lit(GraphAnnBuckets.toLong)))
-        .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      writeNavigable(knnGraphShared(s, d, KnnGraphK).select($"q_id", $"n_id"),
+        Tables.embeddings(s, d), dir)
       graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
       s.conf.set(srcKey, d)
     }
@@ -611,21 +611,33 @@ object SimSearch {
   def graphAnnTopK(s: SparkSession, d: String, k: Int = 5,
       beam: Int = GraphAnnBeam, rounds: Int = GraphAnnRounds): DataFrame = {
     import s.implicits._
-    VectorFunctions.register(s)
-    val adj = graphAnnIndexShared(s, d)
     val e = Tables.embeddings(s, d)
     val queries = e.where($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val seeds = ivfCentroidsShared(s, d)
+      .select($"c_id".as("n_id"), $"c_emb".as("n_emb"))
+    graphAnnSearch(graphAnnIndexShared(s, d), queries, seeds, k, beam, rounds)
+  }
+
+  /** The beam-search core, generic over (adjacency, queries, seeds) —
+    * shared by [[graphAnnTopK]] (the fixed query batch over the
+    * full-corpus graph) and [[graphAnnIncremental]] (delta vectors over
+    * the BASE graph — HNSW's insert path IS a search). Returns
+    * (q_id, n_id, rk), self-pairs excluded, ranks 1..k. */
+  private def graphAnnSearch(adj: DataFrame, queries: DataFrame,
+      seeds: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
+    val s = adj.sparkSession
+    import s.implicits._
+    VectorFunctions.register(s)
     // deterministic beam order: cos desc, ties by neighbor id
     def topBeam(cand: Seq[(Long, Long, Double)], width: Int) = cand
       .groupBy(x => (x._1, x._2)).values.map(_.head).toSeq // dedup (q, n)
       .groupBy(_._1).values.flatMap(
         _.sortBy(x => (-x._3, x._2)).take(width)).toSeq
-    // entry points: the C hash-drawn quantizer seeds (HNSW's upper
-    // layer role — spread the starts), scored in one action
+    // entry points (HNSW's upper layer role — spread the starts),
+    // scored in one action
     var best = topBeam(
-      broadcast(queries).crossJoin(broadcast(ivfCentroidsShared(s, d)
-          .select($"c_id".as("n_id"), $"c_emb".as("n_emb"))))
+      broadcast(queries).crossJoin(broadcast(seeds))
         .select($"q_id", $"n_id",
           VectorFunctions.cosine($"q_emb", $"n_emb").as("cos"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq,
@@ -657,6 +669,126 @@ object SimSearch {
     * the measured argument for why production graph indexes grow degree
     * (HNSW's M) with scale, stated in SCALE.md. Floor 0.45 ≈ 0.75× the
     * min measured. */
+  /** Symmetrized, embedding-carrying, bucket-partitioned adjacency of a
+    * directed kNN edge list — the navigable-graph layout shared by the
+    * full index and the incremental twin's BASE index. */
+  private def writeNavigable(g: DataFrame, emb: DataFrame, dir: String): Unit = {
+    val s = g.sparkSession
+    import s.implicits._
+    val und = g.select($"q_id".as("src"), $"n_id".as("dst"))
+      .unionByName(g.select($"n_id".as("src"), $"q_id".as("dst")))
+      .distinct()
+    und.join(emb.select($"vec_id".as("dst"), $"embedding".as("dst_emb")), "dst")
+      .withColumn("bucket", pmod($"src", lit(GraphAnnBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+  }
+
+  /** The incremental twin's BASE index pair — navigable graph over the
+    * base split (md5 bucket < 90, the content-addressed convention) plus
+    * its hash-drawn entry seeds, both session-materialized: the insert
+    * path must read PUBLISHED structures only (re-deriving seeds per
+    * call would re-scan the base — the quantizer-artifact lesson,
+    * ADVICE r14). */
+  private def graphAnnBaseShared(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val srcKey = "spark.graft.graphann.base.src"
+    val adjKey = "spark.graft.graphann.base.adj.dir"
+    val seedKey = "spark.graft.graphann.base.seeds.dir"
+    if (!s.conf.getOption(srcKey).contains(d)) {
+      val adjDir = java.nio.file.Files.createTempDirectory("graft_graph_ann_base").toString
+      val seedDir = java.nio.file.Files.createTempDirectory("graft_graph_ann_seeds").toString
+      val baseE = Tables.embeddings(s, d)
+        .where(Maintenance.md5Hex32Col($"vec_id") % 100 < 90)
+      writeNavigable(knnGraphOf(baseE, KnnGraphK), baseE, adjDir)
+      baseE.orderBy(pmod(xxhash64($"vec_id"), lit(1000003L)).asc, $"vec_id".asc)
+        .limit(NumCentroids)
+        .select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
+        .write.mode("overwrite").parquet(seedDir)
+      graft.core.SessionArtifacts.resetDir(s, adjKey, adjDir)
+      graft.core.SessionArtifacts.resetDir(s, seedKey, seedDir)
+      s.conf.set(srcKey, d)
+    }
+    (s.read.parquet(s.conf.get(adjKey)), s.read.parquet(s.conf.get(seedKey)))
+  }
+
+  /** INCREMENTAL GRAPH-ANN — the maintained-artifact twin every index
+    * family carries (dedup/spatial/IVF all have one; the graph family
+    * now does too), and it is HNSW's OWN insert algorithm: a new vector
+    * finds its neighbors BY SEARCHING the existing graph, then links to
+    * its top-k — insert work ∝ |batch| beam searches, the base never
+    * rescanned (the beam state is |batch|·beam driver triples; the hop
+    * scans are partition-pruned base adjacency). The maintained graph is
+    * base edges ∪ the inserted edges symmetrized.
+    *
+    * Emitted contract (recall-twin discipline): SQL-replayable anchors
+    * (n_base / n_delta from the md5 split, n_edges_inserted = n_delta ×
+    * [[KnnGraphK]] — every insert links exactly k edges) plus
+    * `edge_recall_ok`, asserting the searched-for neighbor lists retain
+    * ≥ floor of the delta's EXACT base top-k (the audit side is a
+    * |delta|-broadcast brute scan — ground truth, not the production
+    * path). Floor ratcheted from measurement (graft.tools.GraphAnnProbe:
+    * insert-edge recall 145/183 = 0.79 / 144/183 = 0.79 / 291/714 = 0.41
+    * at sf0.001/0.01/0.1 — it tracks search recall, same fixed-degree
+    * navigability falloff as [[graphAnnRecall]]) → 0.30 ≈ 0.75× the min
+    * measured. */
+  def graphAnnIncremental(s: SparkSession, d: String,
+      floor: Double = 0.30): DataFrame = {
+    import s.implicits._
+    graphAnnInsertCounts(s, d)
+      .select($"n_base", $"n_delta", $"n_edges_inserted",
+        ($"n_found" >= $"n_exact" * floor).cast("long").as("edge_recall_ok"))
+  }
+
+  /** The counts behind [[graphAnnIncremental]]'s flag, factored out so
+    * GraphAnnProbe can print the raw insert-edge recall for floor
+    * ratcheting: (n_base, n_delta, n_edges_inserted, n_exact, n_found). */
+  /** The insert searches' result — (q_id = delta node, n_id = base
+    * neighbor, rk): the new nodes' edge lists. Exposed for the spec's
+    * neighbors-are-base-nodes law. */
+  private[operators] def graphAnnInsertedEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val delta = Tables.embeddings(s, d)
+      .where(Maintenance.md5Hex32Col($"vec_id") % 100 >= 90)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val (adjBase, seeds) = graphAnnBaseShared(s, d)
+    graphAnnSearch(adjBase, delta, seeds,
+      KnnGraphK, GraphAnnBeam, GraphAnnRounds)
+  }
+
+  private[graft] def graphAnnInsertCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val vb = Maintenance.md5Hex32Col($"vec_id") % 100
+    val delta = e.where(vb >= 90)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val inserted = graphAnnInsertedEdges(s, d)
+      .localCheckpoint() // two consumers: recall + the edge count
+    // audit side: the delta's exact base top-k (broadcast the batch,
+    // scan the base once — ground truth for the bound, not the insert).
+    // The |base|×|delta| expansion must not ride the fixture's ONE
+    // parquet partition through the broadcast join (the knnGraph
+    // single-task lesson, SCALE.md "Repartition-pin re-records"): pin
+    // the streamed side's parallelism with a slim explicit exchange —
+    // measured at the sf1 decade, 121 → ~20 s for the counts pass
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+    val exactIns = e.where(vb < 90)
+      .select($"vec_id", $"embedding")
+      .repartition(128, pmod($"vec_id", lit(128L)))
+      .join(broadcast(delta))
+      .select($"q_id", $"vec_id".as("n_id"),
+        VectorFunctions.cosine($"q_emb", $"embedding").as("cos"))
+      .withColumn("rk", row_number().over(w)).where($"rk" <= KnnGraphK)
+      .select($"q_id", $"n_id")
+    e.agg(
+        sum((vb < 90).cast("bigint")).as("n_base"),
+        sum((vb >= 90).cast("bigint")).as("n_delta"))
+      .crossJoin(inserted.agg(count(lit(1)).as("n_edges_inserted")))
+      .crossJoin(Dedup.recallCounts(exactIns,
+        inserted.select($"q_id", $"n_id"), Seq("q_id", "n_id")))
+  }
+
   def graphAnnRecall(s: SparkSession, d: String, k: Int = 5,
       floor: Double = 0.45): DataFrame = {
     import s.implicits._
@@ -1370,6 +1502,19 @@ object SimSearch {
     "simsearch_graph_ann" -> s"""
       SELECT count(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
       FROM embeddings WHERE vec_id < $NumQueries""",
+
+    // incremental insert: the md5 split and the exactly-k-edges-per-
+    // insert invariant replay analytically; the recall flag is the bound
+    "simsearch_graph_ann_incremental" -> s"""
+      WITH b AS (
+        SELECT vec_id,
+               (${Maintenance.md5Hex32Sql("CAST(vec_id AS VARCHAR)")} % 100) AS bk
+        FROM embeddings)
+      SELECT (SELECT count(*) FROM b WHERE bk < 90) AS n_base,
+             (SELECT count(*) FROM b WHERE bk >= 90) AS n_delta,
+             (SELECT count(*) * $KnnGraphK FROM b WHERE bk >= 90)
+               AS n_edges_inserted,
+             CAST(1 AS BIGINT) AS edge_recall_ok""",
 
     "simsearch_pq_recall" -> s"""
       SELECT count(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok

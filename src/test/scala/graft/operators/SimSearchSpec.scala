@@ -144,4 +144,30 @@ class SimSearchSpec extends SparkSpec {
     assert(res.forall(r => ids.contains(r.getLong(1)) && r.getLong(1) != r.getLong(0)))
   }
 
+  test("graph-ANN insert: every delta node links exactly k BASE nodes " +
+    "(never another delta or itself) and the split conserves the corpus") {
+    import spark.implicits._
+    val counts = SimSearch.graphAnnInsertCounts(spark, sf).head()
+    val (nBase, nDelta, nEdges) = (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+    val nAll = graft.core.Tables.embeddings(spark, sf).count()
+    assert(nBase + nDelta == nAll && nDelta > 0, s"split broke: $nBase + $nDelta != $nAll")
+    assert(nEdges == nDelta * SimSearch.KnnGraphK,
+      s"every insert must link exactly k edges: $nEdges != $nDelta * ${SimSearch.KnnGraphK}")
+    // the inserted neighbors come from the PUBLISHED base graph only —
+    // every edge is delta → base (never delta-delta, never self): the
+    // insert path may not link nodes the index has not published yet
+    val vb = org.apache.spark.sql.functions.expr(
+      "cast(conv(substring(md5(cast(cast(vec_id as string) as binary)), 1, 8), 16, 10) as bigint) % 100")
+    val baseIds = graft.core.Tables.embeddings(spark, sf)
+      .where(vb < 90).select($"vec_id").collect().map(_.getLong(0)).toSet
+    val deltaIds = graft.core.Tables.embeddings(spark, sf)
+      .where(vb >= 90).select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert((baseIds & deltaIds).isEmpty)
+    val edges = SimSearch.graphAnnInsertedEdges(spark, sf)
+      .select($"q_id", $"n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (q, n) => deltaIds.contains(q) && baseIds.contains(n) },
+      "every inserted edge must run delta -> base")
+  }
+
 }
