@@ -717,8 +717,10 @@ object SimSearch {
     * finds its neighbors BY SEARCHING the existing graph, then links to
     * its top-k — insert work ∝ |batch| beam searches, the base never
     * rescanned (the beam state is |batch|·beam driver triples; the hop
-    * scans are partition-pruned base adjacency). The maintained graph is
-    * base edges ∪ the inserted edges symmetrized.
+    * scans are partition-pruned base adjacency). The emitted edge lists
+    * ARE the maintenance delta: appending them (symmetrized) to the
+    * base adjacency is the same bucket-partitioned write the base index
+    * used — ∝ |batch|·k rows, a [[writeNavigable]] call away.
     *
     * Emitted contract (recall-twin discipline): SQL-replayable anchors
     * (n_base / n_delta from the md5 split, n_edges_inserted = n_delta ×
