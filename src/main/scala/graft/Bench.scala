@@ -18,12 +18,8 @@ import org.apache.spark.sql.SparkSession
   * scan+compute+format cost.
   *
   * Methodology (round-8 structure — interleaved passes):
-  *  - one UNTIMED warmup query first (session/JIT init), then one full
-  *    UNTIMED warmup PASS over every query: one-time setup — bucketed
-  *    table and index writes, session-scoped persisted LSH indexes,
-  *    first-codegen — lands here, so the timed passes measure the steady
-  *    state a long-lived session actually runs at;
-  *  - then SPARK_GRAFT_REPS (default 3) TIMED FULL PASSES over the whole
+  *  - one UNTIMED warmup query first (session/JIT init), then
+  *    SPARK_GRAFT_REPS (default 3) TIMED FULL PASSES over the whole
   *    suite, each pass visiting every query once in sorted order; a
   *    query's reps are its time in each pass, and the reported MIN is the
   *    min ACROSS passes. Round 7 ran the reps back-to-back per query, so
@@ -34,13 +30,52 @@ import org.apache.spark.sql.SparkSession
   *    to survive into a query's min, contention now has to recur at that
   *    same query in every pass (minutes apart), which is what a real
   *    regression looks like and what noise doesn't;
+  *  - ROUND-15: the full untimed warmup PASS is GONE (it cost a fourth
+  *    full suite traversal — ~25% of total wall — and the driver's
+  *    quota-limited rig timed out two rounds running). One-time setup
+  *    (bucketed table/index writes, session-materialized artifacts,
+  *    first-codegen) now lands in TIMED pass 1; the min across passes
+  *    discards it (passes 2..reps measure steady state), and the median
+  *    of 3 discards it too (middle of {build+run, run, run} = run).
+  *    A 3300-second budget-partial run that ends with 2 passes has an
+  *    honest build-inflated median — it is labeled partial and the gate
+  *    is the MIN rep either way. SPARK_GRAFT_WARMUP=1 restores the old
+  *    full warmup pass for A/B comparison;
   *  - MEDIAN across passes is reported alongside (the honest "full-run
   *    pressure" number — caches/JIT state at each rep are whatever a full
   *    suite run leaves, the environment the driver reproduces);
   *  - a query that throws on ANY pass is recorded as "err" in an `errors`
   *    map, reported as -1 (never a partial median), excluded from the
   *    total, AND makes the process exit nonzero — a broken or flaky query
-  *    can never masquerade as a fast one.
+  *    can never masquerade as a fast one. A STOPPED SparkContext is NOT a
+  *    query error (see budget/termination below) — the driver's r14
+  *    wall-clock SIGTERM stopped the context mid-pass-3 and the old
+  *    harness recorded the remaining 98 queries as errors, which dropped
+  *    their two completed passes of minima from the artifact entirely.
+  *
+  * BUDGET + TERMINATION (round-15 — the driver bench gate produced no
+  * parsed result two rounds running, rc=124 both times):
+  *  - SPARK_GRAFT_BUDGET_SEC (default 2700) is a wall-clock budget from
+  *    main() entry, checked before every query. When it trips, the run
+  *    stops cleanly: final artifact written, final contract line printed,
+  *    exit 0 — with `"partial":true` and the true `passes_done`, so the
+  *    driver parses an honest partial instead of killing an unfinished
+  *    process. Evidence from BENCH_r14's partial artifact: the driver
+  *    kill landed >63 min after pass 1 started, so 2700 s + JVM/session
+  *    startup clears the kill with >10 min margin even on the 3×-slow rig;
+  *  - a JVM shutdown hook flushes the artifact and prints one last
+  *    contract line if a kill lands anyway (belt and braces — rc would be
+  *    124 but stdout's last parseable line and the artifact both survive);
+  *  - catching a throw with the context already stopped (or any throw
+  *    once termination began) breaks the loop instead of recording an
+  *    error — previously-collected reps for every query are preserved;
+  *  - log level is ERROR for the whole harness run: the r13/r14 driver
+  *    tails were 100% ResolveWriteToStream / MicroBatchExecution /
+  *    DAGScheduler WARN flood (2 kB tail capture), which pushed every
+  *    contract line out. The harness also RE-PRINTS the current contract
+  *    line at every in-pass artifact flush (~every [[FlushEvery]]
+  *    queries), so whatever 2 kB of stdout survives a kill always
+  *    contains a parseable line.
   *
   * Artifact shape (round-8): the stdout contract line is SHORT — totals,
   * error count + keys, per-pass totals, and a pointer to the artifact
@@ -64,21 +99,21 @@ import org.apache.spark.sql.SparkSession
   * external runnable threads — BenchDelta labels each pass
   * clean/CONTENDED from this data, so environmental adjudication (r12's
   * 316..988 s pass spread with 4-130x single-rep spikes) no longer
-  * rests on judge inference.
+  * rests on judge inference. BENCH_r14's partial run added the decisive
+  * third signature: 1.6 own cores + loadavg 2 + steal 2.8% on a
+  * "32-core" rig = a CPU-quota-limited container (~2 effective cores) —
+  * wall there is CPU-bound, which is why round 15 cuts total work
+  * (warmup pass) and adds the budget exit rather than chasing
+  * parallelism.
   *
-  * Round-14: TIMEOUT-PROOF (BENCH_r13 died at the driver's wall-clock
-  * kill with rc=124 and NOTHING parseable — the artifact was written
-  * once at the end). Two changes: (a) bench_out.json is flushed
-  * incrementally — after the warmup pass, after every timed pass, and
-  * every [[FlushEvery]] queries within a pass — carrying
+  * Round-14: TIMEOUT-PROOF flushing — bench_out.json is flushed
+  * incrementally (after every timed pass and every [[FlushEvery]]
+  * queries within a pass) via tmp-file + ATOMIC_MOVE, carrying
   * `"partial":true` + `"passes_done"` until the final write, so a kill
   * at ANY point leaves the full per-query record of everything measured
-  * so far; (b) a `"partial":true` stdout contract line is printed after EVERY
-  * completed pass, so the driver's last-parseable-line tail read
-  * yields totals from the completed passes even when the process never
-  * reaches the final line. A partial artifact reports min/median over
-  * the reps that finished (1 pass → that pass's time) — explicitly
-  * labeled so no one mistakes it for the 3-pass record.
+  * so far. Per-pass and in-pass flushes are try-swallowed (a transient
+  * IO failure must not abort a timed run — ADVICE r14); only the final
+  * write is fatal.
   */
 object Bench {
   /** In-pass artifact flush cadence (round-14 timeout-proofing). */
@@ -93,9 +128,13 @@ object Bench {
     catch { case _: Throwable => () }
 
   def main(args: Array[String]): Unit = {
+    val tMain = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tMain) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "2700").toDouble
+    val fullWarmup = sys.env.get("SPARK_GRAFT_WARMUP").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -104,13 +143,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // the bounded-frame windows (documented per-site: profile-sized or
-    // post-limit frames) each emit a known-benign "No Partition Defined"
-    // WARN; at 320 keys x 4 passes the flood is 100% of the driver's
-    // ~2 kB stdout-tail capture, pushing real diagnostics out (round-13
-    // verdict). Silence that one logger for the harness only.
-    silenceWindowWarnings()
+    // ERROR, not WARN: at 324 keys × 3 passes the benign WARN floods
+    // (streaming ResolveWriteToStream/MicroBatchExecution per query,
+    // DAGScheduler cancel-group, WindowExec no-partition) own 100% of the
+    // driver's ~2 kB stdout tail and push every contract line out of the
+    // capture — the direct cause of BENCH_r13/r14 `"parsed": null`.
+    // Harness-only; library callers keep Spark's default logging.
+    spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_ONLY=q1,q2 — iterate on a subset without paying for all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -179,6 +218,11 @@ object Bench {
     // cpuSecThisProcess, stealPct)
     val passMeta = scala.collection.mutable
       .ArrayBuffer[(Int, Long, Long, Double, Double, Double, Double, Double)]()
+    // completed passes + why the run stopped early (budget/terminated),
+    // shared with the shutdown hook — volatile, hook runs on its own thread
+    @volatile var passesDone = 0
+    @volatile var stopReason = "" // "" = ran to completion
+    @volatile var terminating = false
 
     // ------------------------------------------------ artifact emission
     // (hoisted ahead of the pass loop so PARTIAL flushes reuse the exact
@@ -192,7 +236,9 @@ object Bench {
     def sp(ts: Seq[Double]) = if (ts.isEmpty) 0.0 else ts.max - ts.min
     // any errored pass disqualifies the query from the aggregate: a query
     // both timed and errored would silently inflate-or-deflate the total
-    // (reps stay in pass order; stats sort internally)
+    // (reps stay in pass order; stats sort internally). A TERMINATION
+    // (stopped context / budget) is never recorded as an error, so reps
+    // already collected always survive into the artifact.
     def results: Seq[(String, Seq[Double])] = selected.map { case (name, _) =>
       if (errors.contains(name)) (name, Seq.empty[Double])
       else (name, byQuery(name): Seq[Double])
@@ -208,25 +254,28 @@ object Bench {
     // lives only in the artifact file: a 10-query regression would emit
     // >2 KB of error text and re-create the very truncation this short
     // line exists to prevent. Stdout carries at most 5 error KEYS.
-    // partial=true lines are printed after every completed pass (the
-    // driver reads the LAST parseable line, so a wall-clock kill midway
-    // through pass p still yields pass p-1's totals, explicitly labeled).
-    def contractLine(partial: Boolean, passesDone: Int): String = {
+    // partial=true lines are printed after every completed pass AND at
+    // every in-pass flush (the driver reads the LAST parseable line, so
+    // a wall-clock kill at any point still yields the newest totals,
+    // explicitly labeled).
+    def contractLine(partial: Boolean, passesDoneNow: Int): String = {
       val rs = results
       val total = rs.collect { case (_, ts) if ts.nonEmpty => med(ts) }.sum
       val totalMin = rs.collect { case (_, ts) if ts.nonEmpty => mn(ts) }.sum
       val nOk = rs.count(_._2.nonEmpty)
       val errKeys = errors.keys.take(5).map(jstr).mkString("[", ",", "]")
       val passTotals = passMeta.map(p => f"${p._4}%.3f").mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"reps":$reps,"partial":$partial,"passes_done":$passesDone,"host_cores":$hostCores,"sf":${jstr(sfDir)},"n_queries":$nOk,"n_errors":${errors.size},"error_keys":$errKeys,"pass_totals":$passTotals,"queries_file":${jstr(outFile)}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"reps":$reps,"partial":$partial,"passes_done":$passesDoneNow,"host_cores":$hostCores,"elapsed_sec":$elapsedSec%.0f,"budget_sec":$budgetSec%.0f,"stop_reason":${jstr(stopReason)},"sf":${jstr(sfDir)},"n_queries":$nOk,"n_errors":${errors.size},"error_keys":$errKeys,"pass_totals":$passTotals,"queries_file":${jstr(outFile)}}"""
     }
     // untruncated record: MULTI-LINE JSON, one self-contained line per
     // query carrying median/min/spread AND every per-pass rep — a
     // truncated tail of this file still parses line-by-line. This file
     // (not stdout) carries the full error map with messages. Written via
     // tmp-file + ATOMIC_MOVE so a kill mid-flush can never leave a
-    // truncated artifact where a complete earlier flush stood.
-    def writeArtifact(partial: Boolean, passesDone: Int): Unit = {
+    // truncated artifact where a complete earlier flush stood. Lock:
+    // the shutdown hook writes from its own thread.
+    val writeGate = new Object
+    def writeArtifact(partial: Boolean, passesDoneNow: Int): Unit = writeGate.synchronized {
       val rs = results
       def jmap(f: Seq[Double] => Double) = rs
         .map { case (k, ts) => jstr(k) + ":" + f"${f(ts)}%.3f" }
@@ -251,7 +300,7 @@ object Bench {
         f"""{"pass":$p,"start_epoch_ms":$st,"end_epoch_ms":$en,"total":$tot%.3f,"load_start":$l0%.1f,"load_end":$l1%.1f,"cpu_sec":$cpu%.1f,"cpu_cores":$cores%.1f,"steal_pct":$steal%.1f}"""
       }.mkString("[", ",", "]")
       val fileJson =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"reps":$reps,"partial":$partial,"passes_done":$passesDone,"host_cores":$hostCores,"sf":${jstr(sfDir)},"interleaved_passes":true,"passes":$passesJson,"errors":$errJson,
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_min":$totalMin%.3f,"reps":$reps,"partial":$partial,"passes_done":$passesDoneNow,"host_cores":$hostCores,"elapsed_sec":$elapsedSec%.0f,"budget_sec":$budgetSec%.0f,"stop_reason":${jstr(stopReason)},"warmup":${jstr(if (fullWarmup) "full" else "none")},"sf":${jstr(sfDir)},"interleaved_passes":true,"passes":$passesJson,"errors":$errJson,
 "per_query":{
 $perQuery
 },
@@ -269,55 +318,105 @@ $perQuery
       }
     }
 
-    // untimed warmup PASS: one-time setup (table/index writes, cache
-    // population, codegen) lands here; a real failure recurs timed below
-    selected.foreach { case (_, fn) =>
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+    // last line of defense: if the driver's wall-clock kill (SIGTERM)
+    // lands despite the budget, flush the artifact and print one final
+    // contract line before the JVM dies — rc will be the driver's 124,
+    // but both the artifact and stdout's last parseable line survive.
+    // (BENCH_r14: the kill instead let Spark's own shutdown hook stop
+    // the context under a still-running pass loop, which turned 98
+    // never-failing queries into recorded errors and dropped their
+    // completed-pass minima from the final flush.)
+    val dieHook = new Thread(() => {
+      terminating = true
+      if (stopReason.isEmpty) stopReason = "killed"
+      try writeArtifact(partial = true, passesDoneNow = passesDone)
+      catch { case _: Throwable => () }
+      try { println(contractLine(partial = true, passesDoneNow = passesDone)); Console.out.flush() }
+      catch { case _: Throwable => () }
+    })
+    try Runtime.getRuntime.addShutdownHook(dieHook) catch { case _: Throwable => () }
+
+    // optional legacy full warmup pass (round-15: off by default — one
+    // extra full-suite traversal the quota-limited driver rig can't
+    // afford; min-across-passes already discards pass-1 setup cost)
+    if (fullWarmup) {
+      selected.foreach { case (_, fn) =>
+        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+      }
+      try writeArtifact(partial = true, passesDoneNow = 0)
+      catch { case _: Throwable => () }
     }
-    writeArtifact(partial = true, passesDone = 0)
 
     var sinceFlush = 0
-    for (p <- 1 to reps) {
-      val pStart = System.currentTimeMillis()
-      val pLoad0 = load1
-      val pCpu0 = cpuNanos
-      val (pJif0, pSteal0) = statJiffies
-      var pTotal = 0.0
-      for ((name, fn) <- selected if !errors.contains(name)) {
-        val t0 = System.nanoTime()
-        val c0 = cpuNanos
+    val loop = new scala.util.control.Breaks
+    loop.breakable {
+      for (p <- 1 to reps) {
+        val pStart = System.currentTimeMillis()
+        val pLoad0 = load1
+        val pCpu0 = cpuNanos
+        val (pJif0, pSteal0) = statJiffies
+        var pTotal = 0.0
+        for ((name, fn) <- selected if !errors.contains(name) && !terminating) {
+          // budget check BEFORE each query: trip → clean partial exit
+          // (rc 0, final artifact + contract line) instead of being
+          // killed unfinished by the driver's wall-clock timeout
+          if (elapsedSec > budgetSec) { stopReason = "budget"; loop.break() }
+          if (spark.sparkContext.isStopped) { stopReason = "context_stopped"; loop.break() }
+          val t0 = System.nanoTime()
+          val c0 = cpuNanos
+          try {
+            run(fn(spark, sfDir))
+            val dt = (System.nanoTime() - t0) / 1e9
+            val cores = if (c0 < 0 || dt <= 0) -1.0 else (cpuNanos - c0) / 1e9 / dt
+            byQuery(name) :+= dt; pTotal += dt
+            telQuery(name) :+= ((cores, load1))
+          } catch {
+            // a throw with the context stopped (or after termination
+            // began) is the SHUTDOWN, not a query failure — preserve the
+            // query's completed-pass reps and stop cleanly
+            case _: Throwable if terminating || spark.sparkContext.isStopped =>
+              stopReason = "context_stopped"; loop.break()
+            case e: Throwable =>
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
+          sinceFlush += 1
+          // in-pass flush: a kill between flushes loses at most FlushEvery
+          // queries' reps, never the run (passes_done counts COMPLETED
+          // passes; queries already visited this pass carry one extra rep).
+          // The contract line is RE-PRINTED here so the driver's 2 kB
+          // stdout tail always contains a parseable line (r14: WARN flood
+          // pushed the per-pass lines out of the capture).
+          if (sinceFlush >= FlushEvery) {
+            sinceFlush = 0
+            try {
+              writeArtifact(partial = true, passesDoneNow = p - 1)
+              println(contractLine(partial = true, passesDoneNow = p - 1))
+            } catch { case _: Throwable => () }
+          }
+        }
+        val pCpu = if (pCpu0 < 0) -1.0 else (cpuNanos - pCpu0) / 1e9
+        val (pJif1, pSteal1) = statJiffies
+        val stealPct =
+          if (pJif0 < 0 || pJif1 <= pJif0) -1.0
+          else 100.0 * (pSteal1 - pSteal0) / (pJif1 - pJif0)
+        passMeta += ((p, pStart, System.currentTimeMillis(), pTotal,
+          pLoad0, load1, pCpu, stealPct))
+        passesDone = p
+        // per-pass flush is non-fatal (ADVICE r14): only the final
+        // artifact write below may abort the run
         try {
-          run(fn(spark, sfDir))
-          val dt = (System.nanoTime() - t0) / 1e9
-          val cores = if (c0 < 0 || dt <= 0) -1.0 else (cpuNanos - c0) / 1e9 / dt
-          byQuery(name) :+= dt; pTotal += dt
-          telQuery(name) :+= ((cores, load1))
-        } catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        }
-        sinceFlush += 1
-        // in-pass flush: a kill between passes loses at most FlushEvery
-        // queries' reps, never the run (passes_done counts COMPLETED
-        // passes; queries already visited this pass carry one extra rep)
-        if (sinceFlush >= FlushEvery) {
-          sinceFlush = 0
-          try writeArtifact(partial = true, passesDone = p - 1)
-          catch { case _: Throwable => () }
-        }
+          writeArtifact(partial = p < reps, passesDoneNow = p)
+          if (p < reps) println(contractLine(partial = true, passesDoneNow = p))
+        } catch { case _: Throwable => () }
       }
-      val pCpu = if (pCpu0 < 0) -1.0 else (cpuNanos - pCpu0) / 1e9
-      val (pJif1, pSteal1) = statJiffies
-      val stealPct =
-        if (pJif0 < 0 || pJif1 <= pJif0) -1.0
-        else 100.0 * (pSteal1 - pSteal0) / (pJif1 - pJif0)
-      passMeta += ((p, pStart, System.currentTimeMillis(), pTotal,
-        pLoad0, load1, pCpu, stealPct))
-      writeArtifact(partial = p < reps, passesDone = p)
-      // the partial contract line: killed mid-pass-(p+1), the driver's
-      // last-parseable-line read still yields pass p's totals
-      if (p < reps) println(contractLine(partial = true, passesDone = p))
     }
+    val complete = passesDone == reps && stopReason.isEmpty
+    // final artifact write: FATAL on failure (a clean exit must never
+    // point the contract line at a stale artifact); every earlier flush
+    // was guarded, and the atomic move means a crash here still leaves
+    // the last good flush on disk
+    writeArtifact(partial = !complete, passesDoneNow = passesDone)
+    try Runtime.getRuntime.removeShutdownHook(dieHook) catch { case _: Throwable => () }
     // sweep session-scoped artifact dirs/caches before exit: the
     // in-session memo bounding caps live copies at one per call-site,
     // and this drops that last copy so a finished run leaves no temp
@@ -332,7 +431,7 @@ $perQuery
     // right after anyway)
     try spark.stop()
     catch { case _: Throwable => () }
-    println(contractLine(partial = false, passesDone = reps))
+    println(contractLine(partial = !complete, passesDoneNow = passesDone))
     if (errors.nonEmpty) sys.exit(1)
   }
 }
