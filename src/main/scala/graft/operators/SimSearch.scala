@@ -324,7 +324,7 @@ object SimSearch {
     * publishes the quantizer WITH the index; probes now scan C parquet
     * rows (floats round-trip parquet bit-exact, so assignments and
     * probe rankings are unchanged). */
-  private def ivfCentroidsShared(s: SparkSession, d: String): DataFrame = {
+  private[operators] def ivfCentroidsShared(s: SparkSession, d: String): DataFrame = {
     val srcKey = "spark.graft.ivfcents.src"
     val dirKey = "spark.graft.ivfcents.dir"
     if (!s.conf.getOption(srcKey).contains(d)) {
@@ -554,6 +554,23 @@ object SimSearch {
     * fixed parametrization (GraphAnnProbe measures these). */
   val GraphAnnBeam = 32
   val GraphAnnRounds = 5
+
+  /** HNSW's M-parameter argument made executable (round-15): at FIXED
+    * out-degree, navigability decays as the corpus grows — measured in
+    * round 14 as global recall 0.90 → 0.60 across one decade (500 →
+    * 2000 vectors) at degree [[KnnGraphK]]=3. Production graph indexes
+    * therefore grow degree with scale (HNSW keeps ~M·log n links per
+    * node across its layers); this is that rule at M=[[GraphAnnM]]:
+    * degree(n) = max(KnnGraphK, ceil(M·log10 n)) — 6 at n=500, 7 at
+    * n=2000, 9 at the 20k sf1 decade, 18 at n=10⁹. The navigable-graph
+    * artifact and the incremental insert path both derive their degree
+    * from the corpus they index (one count() at build time, memoized
+    * with the artifact); the oracle replays the same closed-form rule
+    * analytically, so the edges-per-insert contract stays exact. */
+  val GraphAnnM = 2.0
+  def graphDegree(n: Long): Int =
+    math.max(KnnGraphK,
+      math.ceil(GraphAnnM * math.log10(math.max(n, 2L).toDouble)).toInt)
   /** Partition count of the navigable-graph artifact: hops prune the
     * adjacency scan to the frontier's buckets (bounded driver collect of
     * ≤ this many bucket ids per round). */
@@ -567,14 +584,18 @@ object SimSearch {
     * never rejoin the corpus), written partitioned by
     * pmod(src, [[GraphAnnBuckets]]) so a beam-search hop reads ONLY the
     * frontier's partitions. Built once per (session, corpus) like every
-    * index artifact. */
+    * index artifact. Degree is [[graphDegree]] of the corpus count
+    * (round-15 scale-stability — see [[GraphAnnM]]), so the graph this
+    * materializes is NOT the fixed-k [[knnGraphShared]] artifact the
+    * `simsearch_knn_graph` contract keys; per-k memo slots keep both. */
   private[operators] def graphAnnIndexShared(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val srcKey = "spark.graft.graphann.src"
     val dirKey = "spark.graft.graphann.dir"
     if (!s.conf.getOption(srcKey).contains(d)) {
       val dir = java.nio.file.Files.createTempDirectory("graft_graph_ann").toString
-      writeNavigable(knnGraphShared(s, d, KnnGraphK).select($"q_id", $"n_id"),
+      val deg = graphDegree(Tables.embeddings(s, d).count())
+      writeNavigable(knnGraphShared(s, d, deg).select($"q_id", $"n_id"),
         Tables.embeddings(s, d), dir)
       graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
       s.conf.set(srcKey, d)
@@ -643,7 +664,12 @@ object SimSearch {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq,
       beam)
     for (_ <- 1 to rounds) {
-      val buckets = best.map(_._2 % GraphAnnBuckets).distinct
+      // bucket literals as Int: the partition column reads back through
+      // partition-type inference as IntegerType, and Long literals would
+      // wrap the partition attribute in a cast — pruning would then hang
+      // on Spark's cast-unwrapping instead of a plain In (ADVICE r14; the
+      // pruning law in SimSearchSpec pins this with inputFiles)
+      val buckets = best.map(x => (x._2 % GraphAnnBuckets).toInt).distinct
       val frontier = best.map(x => (x._1, x._2)).toDF("q_id", "src")
       val hops = adj.where($"bucket".isin(buckets: _*))
         .join(broadcast(frontier), Seq("src"))
@@ -659,16 +685,110 @@ object SimSearch {
       .toDF("q_id", "n_id", "rk")
   }
 
+  /** DISTRIBUTED beam search — [[graphAnnSearch]]'s exact semantics with
+    * the beam state as a DATAFRAME instead of driver triples: the
+    * batch-serving shape for |Q| ≫ 10³, where the driver variant's
+    * |Q|·beam heap (HNSW's per-searcher candidate list, fine at the
+    * contract's |Q|=[[NumQueries]]) stops being "bounded by
+    * construction" (VERDICT r14 #2/#5). Per round: the ≤
+    * [[GraphAnnBuckets]] frontier bucket ids are the ONLY driver
+    * collect (64 ints — the partition-pruning predicate); the hop scan
+    * joins the pruned adjacency against the distributed frontier on
+    * src (Catalyst picks broadcast vs shuffle by frontier size — at
+    * |Q|=20 it broadcasts, at |Q|=10⁶ it shuffles on src), re-attaches
+    * q_emb by joining the query frame on q_id, and the per-query
+    * top-beam trim is a window — the state never exceeds |Q|·beam rows
+    * SHARDED across executors, never resident on the driver.
+    * localCheckpoint truncates the per-round lineage (rounds of nested
+    * windows otherwise stack into one giant plan) and keeps each hop
+    * one materialized distributed action, mirroring the driver
+    * variant's hop-per-action shape.
+    *
+    * Determinism matches the driver variant bit-for-bit: same cosine
+    * kernel, same (cos desc, n_id asc) beam order, same seed entry —
+    * SimSearchSpec's equivalence law asserts result identity on the
+    * same inputs. */
+  private[operators] def graphAnnSearchDistributed(adj: DataFrame,
+      queries: DataFrame, seeds: DataFrame, k: Int, beam: Int,
+      rounds: Int): DataFrame = {
+    val s = adj.sparkSession
+    import s.implicits._
+    VectorFunctions.register(s)
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+    // dedup (q, n) then per-query top-width — the distributed topBeam
+    // (max(cos) is a no-op on duplicates: cosine is deterministic, both
+    // copies carry the same score)
+    def topBeam(cand: DataFrame, width: Int): DataFrame = cand
+      .groupBy($"q_id", $"n_id").agg(max($"cos").as("cos"))
+      .withColumn("rk", row_number().over(w)).where($"rk" <= width)
+      .select($"q_id", $"n_id", $"cos")
+    var best = topBeam(
+      queries.crossJoin(broadcast(seeds))
+        .select($"q_id", $"n_id",
+          VectorFunctions.cosine($"q_emb", $"n_emb").as("cos")),
+      beam).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val buckets = best
+        .select(pmod($"n_id", lit(GraphAnnBuckets.toLong)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)) // ≤ GraphAnnBuckets ints
+      val frontier = best.select($"q_id", $"n_id".as("src"))
+      val hops = adj.where($"bucket".isin(buckets.toIndexedSeq: _*))
+        .join(frontier, Seq("src"))
+        .join(queries, Seq("q_id"))
+        .select($"q_id", $"dst".as("n_id"),
+          VectorFunctions.cosine($"q_emb", $"dst_emb").as("cos"))
+      best = topBeam(best.unionByName(hops), beam).localCheckpoint()
+    }
+    best.where($"q_id" =!= $"n_id")
+      .withColumn("rk", row_number().over(w)).where($"rk" <= k)
+      .select($"q_id", $"n_id", $"rk".cast("bigint").as("rk"))
+  }
+
+  /** BATCH graph-ANN: every corpus vector is a query (|Q| = n — the
+    * offline batch-serving pass a training-data pipeline runs, e.g.
+    * "attach each document's k nearest" before dedup/curation), served
+    * by [[graphAnnSearchDistributed]] over the same navigable-graph
+    * artifact and seeds as the interactive key. Output is the recall
+    * contract vs the EXACT k-NN graph (the [[knnGraphShared]] ground
+    * truth at k=[[KnnGraphK]]): (n_queries, n_exact, n_found,
+    * recall_ok). Floor ratcheted from measurement (GraphAnnProbe:
+    * batch recall 0.928 / 0.913 / 0.826 at sf0.001/0.01/0.1 — self-node
+    * adjacency anchors each search, so it exceeds the 20-query
+    * cold-start recall) → 0.62 ≈ 0.75× the min measured. */
+  def graphAnnBatchRecall(s: SparkSession, d: String,
+      floor: Double = 0.75): DataFrame = {
+    import s.implicits._
+    graphAnnBatchCounts(s, d).select($"n_queries",
+      ($"n_found" >= $"n_exact" * floor).cast("long").as("recall_ok"))
+  }
+
+  /** The raw counts behind [[graphAnnBatchRecall]] — (n_queries,
+    * n_exact, n_found) — factored out so GraphAnnProbe can print the
+    * measured batch recall for floor ratcheting. */
+  private[graft] def graphAnnBatchCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exact = knnGraphShared(s, d, KnnGraphK).select($"q_id", $"n_id")
+    val queries = Tables.embeddings(s, d)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val seeds = ivfCentroidsShared(s, d)
+      .select($"c_id".as("n_id"), $"c_emb".as("n_emb"))
+    val got = graphAnnSearchDistributed(graphAnnIndexShared(s, d), queries,
+      seeds, KnnGraphK, GraphAnnBeam, GraphAnnRounds)
+    Tables.embeddings(s, d).agg(count(lit(1)).as("n_queries"))
+      .crossJoin(Dedup.recallCounts(exact, got.select($"q_id", $"n_id"),
+        Seq("q_id", "n_id")))
+  }
+
   /** Global recall floor of graph-ANN beam search vs the exact top-k —
     * the [[lshRecall]] contract. Floor ratcheted from measurement
     * (graft.tools.GraphAnnProbe, fixed beam-32 / 5-round / C-seed
-    * parametrization): global recall 0.87 / 0.90 / 0.60 at
-    * sf0.001/0.01/0.1, and the probe's T/beam sweep shows why the
-    * operating point sits there (T4→T5 and beam 16→32 each buy ~0.1+
-    * at sf0.1). Recall falls with corpus growth at FIXED degree k=3 —
-    * the measured argument for why production graph indexes grow degree
-    * (HNSW's M) with scale, stated in SCALE.md. Floor 0.45 ≈ 0.75× the
-    * min measured. */
+    * parametrization, [[graphDegree]]-scaled adjacency — round 15):
+    * global recall 1.000 / 1.000 / 1.000 at sf0.001/0.01/0.1 (degrees
+    * 6/6/7) and 0.900 at the sf1 decade (n=20k, deg=9) — versus
+    * 0.87/0.90/0.60 at the r14 FIXED degree k=3, whose one-decade
+    * collapse was the measured argument for the degree rule. Floor
+    * 0.75 = 0.75× the contract-SF min; the sf1 decade's 0.900 clears
+    * it with margin, so the flag is scale-stable, not SF-tuned. */
   /** Symmetrized, embedding-carrying, bucket-partitioned adjacency of a
     * directed kNN edge list — the navigable-graph layout shared by the
     * full index and the incremental twin's BASE index. */
@@ -689,26 +809,32 @@ object SimSearch {
     * path must read PUBLISHED structures only (re-deriving seeds per
     * call would re-scan the base — the quantizer-artifact lesson,
     * ADVICE r14). */
-  private def graphAnnBaseShared(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def graphAnnBaseShared(s: SparkSession, d: String): (DataFrame, DataFrame, Int) = {
     import s.implicits._
     val srcKey = "spark.graft.graphann.base.src"
     val adjKey = "spark.graft.graphann.base.adj.dir"
     val seedKey = "spark.graft.graphann.base.seeds.dir"
+    val degKey = "spark.graft.graphann.base.deg"
     if (!s.conf.getOption(srcKey).contains(d)) {
       val adjDir = java.nio.file.Files.createTempDirectory("graft_graph_ann_base").toString
       val seedDir = java.nio.file.Files.createTempDirectory("graft_graph_ann_seeds").toString
       val baseE = Tables.embeddings(s, d)
         .where(Maintenance.md5Hex32Col($"vec_id") % 100 < 90)
-      writeNavigable(knnGraphOf(baseE, KnnGraphK), baseE, adjDir)
+      // degree from the BASE corpus count (the structure being indexed),
+      // memoized beside the artifact — [[graphDegree]] scale-stability
+      val deg = graphDegree(baseE.count())
+      writeNavigable(knnGraphOf(baseE, deg), baseE, adjDir)
       baseE.orderBy(pmod(xxhash64($"vec_id"), lit(1000003L)).asc, $"vec_id".asc)
         .limit(NumCentroids)
         .select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
         .write.mode("overwrite").parquet(seedDir)
       graft.core.SessionArtifacts.resetDir(s, adjKey, adjDir)
       graft.core.SessionArtifacts.resetDir(s, seedKey, seedDir)
+      s.conf.set(degKey, deg.toString)
       s.conf.set(srcKey, d)
     }
-    (s.read.parquet(s.conf.get(adjKey)), s.read.parquet(s.conf.get(seedKey)))
+    (s.read.parquet(s.conf.get(adjKey)), s.read.parquet(s.conf.get(seedKey)),
+      s.conf.get(degKey).toInt)
   }
 
   /** INCREMENTAL GRAPH-ANN — the maintained-artifact twin every index
@@ -724,17 +850,22 @@ object SimSearch {
     *
     * Emitted contract (recall-twin discipline): SQL-replayable anchors
     * (n_base / n_delta from the md5 split, n_edges_inserted = n_delta ×
-    * [[KnnGraphK]] — every insert links exactly k edges) plus
+    * [[graphDegree]](n_base) — every insert links exactly deg edges,
+    * and the oracle replays the closed-form degree rule) plus
     * `edge_recall_ok`, asserting the searched-for neighbor lists retain
-    * ≥ floor of the delta's EXACT base top-k (the audit side is a
+    * ≥ floor of the delta's EXACT base top-deg (the audit side is a
     * |delta|-broadcast brute scan — ground truth, not the production
-    * path). Floor ratcheted from measurement (graft.tools.GraphAnnProbe:
-    * insert-edge recall 145/183 = 0.79 / 144/183 = 0.79 / 291/714 = 0.41
-    * at sf0.001/0.01/0.1 — it tracks search recall, same fixed-degree
-    * navigability falloff as [[graphAnnRecall]]) → 0.30 ≈ 0.75× the min
-    * measured. */
+    * path). Floor ratcheted from measurement (graft.tools.GraphAnnProbe
+    * at the round-15 parametrization — degree-scaled base graph,
+    * [[GraphAnnEfConstruction]]=96 insert beam): insert-edge recall
+    * 1.000 / 1.000 / 0.969 at sf0.001/0.01/0.1 and 0.710 at the sf1
+    * decade (top-9 exact neighbors of a NOT-yet-linked vector is the
+    * deepest recall ask in the family). Floor 0.65 — below the
+    * 0.75×-contract-min convention (0.73) deliberately, so the
+    * measured sf1 decade stays above the floor: the flag asserts
+    * scale-stable behavior, not an SF-tuned bound. */
   def graphAnnIncremental(s: SparkSession, d: String,
-      floor: Double = 0.30): DataFrame = {
+      floor: Double = 0.65): DataFrame = {
     import s.implicits._
     graphAnnInsertCounts(s, d)
       .select($"n_base", $"n_delta", $"n_edges_inserted",
@@ -747,21 +878,52 @@ object SimSearch {
   /** The insert searches' result — (q_id = delta node, n_id = base
     * neighbor, rk): the new nodes' edge lists. Exposed for the spec's
     * neighbors-are-base-nodes law. */
+  /** Insert batch cap: the beam state of one insert wave is
+    * ≤ this·[[GraphAnnBeam]] driver triples REGARDLESS of |delta| —
+    * HNSW's real insert granularity is the bounded batch, and round 14
+    * ran the whole 10%-of-corpus delta as one wave, which made the
+    * "bounded driver collect" claim corpus-proportional (ADVICE r14).
+    * Chunks are pmod(q_id)-assigned, so the split is deterministic and
+    * each chunk's searches still read only the published base
+    * artifacts. One chunk covers every test SF (delta ≤ 2000 there);
+    * a production 10⁶-row backfill runs ~1000 sequential waves. */
+  val GraphAnnInsertBatch = 4096L
+
+  /** Insert-path beam width — HNSW's efConstruction > efSearch: an
+    * insert must recover the new node's TOP-deg exact neighbors (deeper
+    * recall than a top-5 query, and the query vector is not yet a graph
+    * node to anchor on), so it searches with a wider beam than the
+    * interactive path. Measured at the sf1 decade (n=20k, deg=9):
+    * beam 32 → insert-edge recall 0.381; beam 96 → see scaladoc of
+    * [[graphAnnIncremental]] for the ratcheted number. */
+  val GraphAnnEfConstruction = 3 * GraphAnnBeam
+
   private[operators] def graphAnnInsertedEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     VectorFunctions.register(s)
     val delta = Tables.embeddings(s, d)
       .where(Maintenance.md5Hex32Col($"vec_id") % 100 >= 90)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
-    val (adjBase, seeds) = graphAnnBaseShared(s, d)
-    graphAnnSearch(adjBase, delta, seeds,
-      KnnGraphK, GraphAnnBeam, GraphAnnRounds)
+    val (adjBase, seeds, deg) = graphAnnBaseShared(s, d)
+    val nChunks = ((delta.count() + GraphAnnInsertBatch - 1) / GraphAnnInsertBatch)
+      .max(1L).toInt
+    // insert waves run the DISTRIBUTED beam (law-proven identical to the
+    // driver variant): a backfill batch is |Q| ≫ the interactive
+    // contract's 20, and at efConstruction width the driver variant's
+    // per-hop collect would be |batch|·ef·2deg rows — the exact shape
+    // graphAnnSearchDistributed exists to shard
+    (0 until nChunks).map { c =>
+      graphAnnSearchDistributed(adjBase,
+        delta.where(pmod($"q_id", lit(nChunks.toLong)) === c), seeds,
+        deg, GraphAnnEfConstruction, GraphAnnRounds)
+    }.reduce(_ unionByName _)
   }
 
   private[graft] def graphAnnInsertCounts(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
+    val deg = graphAnnBaseShared(s, d)._3
     val vb = Maintenance.md5Hex32Col($"vec_id") % 100
     val delta = e.where(vb >= 90)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
@@ -781,7 +943,7 @@ object SimSearch {
       .join(broadcast(delta))
       .select($"q_id", $"vec_id".as("n_id"),
         VectorFunctions.cosine($"q_emb", $"embedding").as("cos"))
-      .withColumn("rk", row_number().over(w)).where($"rk" <= KnnGraphK)
+      .withColumn("rk", row_number().over(w)).where($"rk" <= deg)
       .select($"q_id", $"n_id")
     e.agg(
         sum((vb < 90).cast("bigint")).as("n_base"),
@@ -792,7 +954,7 @@ object SimSearch {
   }
 
   def graphAnnRecall(s: SparkSession, d: String, k: Int = 5,
-      floor: Double = 0.45): DataFrame = {
+      floor: Double = 0.75): DataFrame = {
     import s.implicits._
     val exact = bruteTopKShared(s, d, k)
     exact.agg(count_distinct($"q_id").as("n_queries"))
@@ -1505,16 +1667,29 @@ object SimSearch {
       SELECT count(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
       FROM embeddings WHERE vec_id < $NumQueries""",
 
-    // incremental insert: the md5 split and the exactly-k-edges-per-
-    // insert invariant replay analytically; the recall flag is the bound
+    // batch serving (every vector a query, distributed beam state): the
+    // query-set anchor replays; the floor flag is the bound
+    "simsearch_graph_ann_batch" -> """
+      SELECT count(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
+      FROM embeddings""",
+
+    // incremental insert: the md5 split and the exactly-deg-edges-per-
+    // insert invariant replay analytically — including the round-15
+    // degree rule deg = max(KnnGraphK, ceil(M·log10 n_base)), replayed
+    // as the same closed form; the recall flag is the bound
     "simsearch_graph_ann_incremental" -> s"""
       WITH b AS (
         SELECT vec_id,
                (${Maintenance.md5Hex32Sql("CAST(vec_id AS VARCHAR)")} % 100) AS bk
-        FROM embeddings)
+        FROM embeddings),
+      deg AS (
+        SELECT GREATEST($KnnGraphK,
+                 CAST(CEIL($GraphAnnM * LOG10(CAST(
+                   (SELECT count(*) FROM b WHERE bk < 90) AS DOUBLE)))
+                   AS BIGINT)) AS k)
       SELECT (SELECT count(*) FROM b WHERE bk < 90) AS n_base,
              (SELECT count(*) FROM b WHERE bk >= 90) AS n_delta,
-             (SELECT count(*) * $KnnGraphK FROM b WHERE bk >= 90)
+             (SELECT count(*) * (SELECT k FROM deg) FROM b WHERE bk >= 90)
                AS n_edges_inserted,
              CAST(1 AS BIGINT) AS edge_recall_ok""",
 

@@ -37,8 +37,15 @@ object GraphAnnProbe {
       // the incremental twin's insert-edge recall, raw n_found/n_exact
       val ins = SimSearch.graphAnnInsertCounts(spark, d).head()
       val (nExact, nFound) = (ins.getLong(3), ins.getLong(4))
-      println(f"$d: fixed(beam=${SimSearch.GraphAnnBeam},T=${SimSearch.GraphAnnRounds}) = $fixed%.3f" +
+      // batch key (|Q| = n, distributed beam state): raw recall for its
+      // own floor ratchet
+      val n = graft.core.Tables.embeddings(spark, d).count()
+      val bc = SimSearch.graphAnnBatchCounts(spark, d).head()
+      val (bExact, bFound) = (bc.getLong(1), bc.getLong(2))
+      println(f"$d: n=$n deg=${SimSearch.graphDegree(n)} " +
+        f"fixed(beam=${SimSearch.GraphAnnBeam},T=${SimSearch.GraphAnnRounds}) = $fixed%.3f" +
         f"  insert_edge_recall $nFound/$nExact = ${nFound.toDouble / nExact}%.3f" +
+        f"  batch_recall $bFound/$bExact = ${bFound.toDouble / bExact}%.3f" +
         f"  sweep T: ${(1 to 5).map(t => f"T$t=${recall(16, t)}%.2f").mkString(" ")}" +
         f"  sweep beam: ${Seq(8, 32).map(b => f"b$b=${recall(b, 4)}%.2f").mkString(" ")}")
       graft.core.SessionArtifacts.clear(spark)

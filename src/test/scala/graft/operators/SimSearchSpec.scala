@@ -144,6 +144,43 @@ class SimSearchSpec extends SparkSpec {
     assert(res.forall(r => ids.contains(r.getLong(1)) && r.getLong(1) != r.getLong(0)))
   }
 
+  test("graph-ANN distributed beam search returns EXACTLY the driver " +
+    "variant's results, and its hop scans partition-prune the adjacency") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the navigable index (shared by both variants) is bucket-partitioned;
+    // an Int-literal In on the partition column must prune to those
+    // buckets' files only (ADVICE r14: Long literals wrapped the inferred
+    // IntegerType partition attribute in a cast, leaving pruning to
+    // Spark's cast-unwrap goodwill — pin it)
+    val adj = SimSearch.graphAnnIndexShared(spark, sf)
+    // inputFiles reports the relation's files UNpruned — the witness is
+    // the physical scan's selected partitions
+    val scan = adj.where($"bucket".isin(0, 1)).queryExecution.sparkPlan
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .head
+    val chosen = scan.selectedPartitions.partitionCount
+    assert(chosen == 2,
+      s"bucket filter did not partition-prune: read $chosen partitions " +
+        s"of ${adj.inputFiles.length} files")
+    // equivalence law: DataFrame beam state (the |Q| >> 1e3 batch path)
+    // must reproduce the driver-heap variant bit-for-bit — same cosine
+    // kernel, same (cos desc, n_id asc) order, same seeds
+    val driver = SimSearch.graphAnnTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val queries = graft.core.Tables.embeddings(spark, sf)
+      .where($"vec_id" < SimSearch.NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val seeds = SimSearch.ivfCentroidsShared(spark, sf)
+      .select($"c_id".as("n_id"), $"c_emb".as("n_emb"))
+    val dist = SimSearch.graphAnnSearchDistributed(
+      adj, queries, seeds, 5, SimSearch.GraphAnnBeam, SimSearch.GraphAnnRounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dist == driver,
+      s"distributed != driver: only-dist=${(dist -- driver).take(5)} " +
+        s"only-driver=${(driver -- dist).take(5)}")
+  }
+
   test("graph-ANN insert: every delta node links exactly k BASE nodes " +
     "(never another delta or itself) and the split conserves the corpus") {
     import spark.implicits._
@@ -151,8 +188,10 @@ class SimSearchSpec extends SparkSpec {
     val (nBase, nDelta, nEdges) = (counts.getLong(0), counts.getLong(1), counts.getLong(2))
     val nAll = graft.core.Tables.embeddings(spark, sf).count()
     assert(nBase + nDelta == nAll && nDelta > 0, s"split broke: $nBase + $nDelta != $nAll")
-    assert(nEdges == nDelta * SimSearch.KnnGraphK,
-      s"every insert must link exactly k edges: $nEdges != $nDelta * ${SimSearch.KnnGraphK}")
+    // round-15 degree rule: inserts link graphDegree(n_base) edges each
+    val deg = SimSearch.graphDegree(nBase)
+    assert(nEdges == nDelta * deg,
+      s"every insert must link exactly deg edges: $nEdges != $nDelta * $deg")
     // the inserted neighbors come from the PUBLISHED base graph only —
     // every edge is delta → base (never delta-delta, never self): the
     // insert path may not link nodes the index has not published yet
