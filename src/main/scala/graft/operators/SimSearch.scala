@@ -264,10 +264,12 @@ object SimSearch {
   }
 
   /** Session-materialized IVF INVERTED LISTS — (vec_id, c_id, c_id2,
-    * embedding): every corpus vector assigned to its nearest coarse
-    * centroid, PLUS its second-nearest (round 14 — multi-assignment:
-    * computed from the same scored frame at build time for free, it is
-    * what `dedup_semantic_ann`'s cell probe spills into; the query-side
+    * c_id3, embedding): every corpus vector assigned to its nearest
+    * coarse centroid, PLUS its second- and third-nearest (rounds 14-15
+    * — multi-assignment: computed from the same scored frame at build
+    * time for free, it is what `dedup_semantic_ann`'s cell probe spills
+    * into — the round-15 third slot lifted its sf0.01 pair-recall
+    * trough 0.29 → see Dedup.semanticDedupAnn; the query-side
     * ivf keys keep probing nprobe lists of the primary assignment).
     * This IS the index artifact: at 100 TB the inverted file is BUILT
     * once per ingest (the `simsearch_index_delta` key maintains the
@@ -276,27 +278,11 @@ object SimSearch {
     * PROBE, not an index rebuild (round 13 — previously each of
     * ivf_recall / ivfpq / mmr_ann re-scored corpus×C per invocation). */
   private[operators] def ivfListsShared(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val srcKey = "spark.graft.ivflists.src"
     val dirKey = "spark.graft.ivflists.dir"
     if (!s.conf.getOption(srcKey).contains(d)) {
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf_lists").toString
-      VectorFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-      val centroids = ivfCentroidsShared(s, d)
-      val w = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
-      e.join(broadcast(centroids))
-        .select($"vec_id", $"embedding", $"c_id",
-          VectorFunctions.cosine($"embedding", $"c_emb").as("c_cos"))
-        .withColumn("rk", row_number().over(w))
-        .where($"rk" <= 2)
-        .groupBy($"vec_id")
-        // rk-ordered: min_by = the nearest cell (same highest-cos /
-        // smallest-c_id tiebreak as the round-13 max_by build), max_by =
-        // the second-nearest (C = 32 >= 2, so both always exist)
-        .agg(min_by($"c_id", $"rk").as("c_id"),
-             max_by($"c_id", $"rk").as("c_id2"),
-             first($"embedding").as("embedding"))
+      ivfListsOf(Tables.embeddings(s, d), ivfCentroidsShared(s, d))
         .write.mode("overwrite").parquet(dir)
       graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
       s.conf.set(srcKey, d)
@@ -304,16 +290,46 @@ object SimSearch {
     s.read.parquet(s.conf.get(dirKey))
   }
 
-  /** Deterministic coarse-quantizer draw shared by the index build and
-    * the probe side (O(C) on the driver however large the corpus) — the
-    * TRAINING step; probes read [[ivfCentroidsShared]], never this. */
-  private def ivfCentroids(e: DataFrame): DataFrame = {
+  /** The inverted-lists build over any (corpus, centroids) pair —
+    * factored so Dedup's semantic-dedup cell index can reuse it with a
+    * corpus-scaled quantizer ([[graft.operators.Dedup.semListsShared]])
+    * while the query-side keys keep the fixed-C artifact above. */
+  private[operators] def ivfListsOf(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    VectorFunctions.register(s)
+    val w = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
+    e.join(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"c_id",
+        VectorFunctions.cosine($"embedding", $"c_emb").as("c_cos"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .groupBy($"vec_id")
+      // rk-ordered (same highest-cos / smallest-c_id tiebreak as the
+      // round-13 build): exactly one row carries each rk, so the
+      // rk-keyed picks are deterministic (C >= 32 >= 3, all exist)
+      .agg(min_by($"c_id", $"rk").as("c_id"),
+           first(when($"rk" === 2, $"c_id"), ignoreNulls = true).as("c_id2"),
+           max_by($"c_id", $"rk").as("c_id3"),
+           first($"embedding").as("embedding"))
+  }
+
+  /** Deterministic hash-draw of C centroids from any corpus — the
+    * [[ivfCentroids]] draw with a parametric C, for quantizers whose
+    * size scales with the corpus (the semantic-dedup cell index). */
+  private[operators] def centroidDrawOf(e: DataFrame, c: Int): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     e.orderBy(pmod(xxhash64($"vec_id"), lit(1000003L)).asc, $"vec_id".asc)
-      .limit(NumCentroids)
+      .limit(c)
       .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
   }
+
+  /** Deterministic coarse-quantizer draw shared by the index build and
+    * the probe side (O(C) on the driver however large the corpus) — the
+    * TRAINING step; probes read [[ivfCentroidsShared]], never this. */
+  private def ivfCentroids(e: DataFrame): DataFrame =
+    centroidDrawOf(e, NumCentroids)
 
   /** Session-materialized COARSE CENTROIDS (C rows) persisted beside the
     * inverted lists: the draw is O(C) output but its TakeOrdered input is

@@ -1107,13 +1107,13 @@ class NewOpsLawSpec extends SparkSpec {
     val dim = 64
     val dupVec = Array.tabulate(dim)(j => if (j == 0) 1f else 0f)
     val rows =
-      (0 until 30).map(i => (100L + i, 7L, 8L, dupVec)) ++
-      (0 until 20).map(i => (300L + i, 7L, 8L,
+      (0 until 30).map(i => (100L + i, 7L, 8L, 9L, dupVec)) ++
+      (0 until 20).map(i => (300L + i, 7L, 8L, 9L,
         Array.tabulate(dim)(j => if (j == 10 + i) 1f else 0f))) ++
       // two cold singleton cells for the untouched-cold-path premise
-      (0 until 2).map(i => (500L + i, 60L + i, 70L + i,
+      (0 until 2).map(i => (500L + i, 60L + i, 70L + i, 80L + i,
         Array.tabulate(dim)(j => if (j == 40 + i) 1f else 0f)))
-    val lists = rows.toDF("vec_id", "c_id", "c_id2", "embedding")
+    val lists = rows.toDF("vec_id", "c_id", "c_id2", "c_id3", "embedding")
     def labelsOf(c: Int): Map[Long, Long] =
       Dedup.connectedComponents(
           Dedup.semanticAnnPairs(lists, tau = 0.45, cap = c)
