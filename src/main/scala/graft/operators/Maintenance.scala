@@ -941,6 +941,19 @@ object Maintenance {
     state.where($"k" % 3 === 1)
       .select($"k", $"status", ($"cents" + 30L).as("cents"))
   }
+  /** The second staged race (round-15 rung 6): C and D write DISJOINT
+    * key sets (k ≡ 2 vs ≡ 7 mod 13), so the loser's adjudication finds
+    * no row conflict and takes the rebase fast path. */
+  private[operators] def occWriterC(state: DataFrame): DataFrame = {
+    val s = state.sparkSession; import s.implicits._
+    state.where($"k" % 13 === 2)
+      .select($"k", $"status", ($"cents" + 110L).as("cents"))
+  }
+  private[operators] def occWriterD(state: DataFrame): DataFrame = {
+    val s = state.sparkSession; import s.implicits._
+    state.where($"k" % 13 === 7)
+      .select($"k", $"status", ($"cents" + 50L).as("cents"))
+  }
 
   /** OPTIMISTIC CONCURRENCY — commit-protocol rung 5 (round-13 verdict
     * item 6), completing the single-writer quartet (time travel / CDF /
@@ -960,12 +973,27 @@ object Maintenance {
     * every overlap key (the lost update OCC exists to prevent; the
     * MaintenanceSpec law measures exactly that 70-cent divergence). B
     * therefore RE-EXECUTES its transaction against the v3 snapshot and
-    * commits v4 at expected parent 3. Emitted: the (version, n_rows,
-    * sum_cents) summary AS OF v2/v3/v4 plus the protocol counters
-    * (n_attempts=3, n_conflicts=1) and the SQL-replayable overlap-key
-    * count — the oracle replays all three states ANALYTICALLY from the
-    * staging + writer rules, so serializability (final state ≡ A then B
-    * applied sequentially) is what the hash gate asserts.
+    * commits v4 at expected parent 3.
+    *
+    * Rung 6 (round 15): the DISJOINT-write FAST PATH — the common case
+    * every lakehouse optimizes. Writers C and D both snapshot v4 with
+    * key sets disjoint by construction (k ≡ 2 vs ≡ 7 mod 13). C lands
+    * v5; D's CAS refuses; adjudication finds ZERO row overlap with the
+    * raced commit — so D REBASES: its already-computed rows are
+    * re-stamped as v6 and committed at expected parent 5, with no
+    * snapshot re-read and no re-execution. Sound because disjoint
+    * writes commute — v5 touched none of D's input rows, so
+    * re-execution would be byte-identical (the MaintenanceSpec law
+    * asserts that equality executably). The row-conflict branch remains
+    * the code's other arm: the fast path is chosen by the adjudication
+    * count, not hardcoded.
+    *
+    * Emitted: the (version, n_rows, sum_cents) summary AS OF v2..v6
+    * plus the protocol counters (n_attempts=6, n_conflicts=2,
+    * n_rebases=1) and the SQL-replayable overlap-key count — the
+    * oracle replays every state ANALYTICALLY from the staging + writer
+    * rules, so serializability (final state ≡ A,B,C,D applied
+    * sequentially) is what the hash gate asserts.
     *
     * At 100 TB: the CAS is one conditional metadata put per commit
     * (never data-sized), conflict adjudication is a key-pruned
@@ -1016,8 +1044,53 @@ object Maintenance {
       val overlap = staleB.select($"k")
         .join(occWriterA(snap).select($"k"), Seq("k"), "left_semi")
         .count()
-      Seq((attempts, conflicts, overlap))
-        .toDF("n_attempts", "n_conflicts", "n_overlap_keys")
+      // ---- rung 6 (round-15 verdict item 4): the DISJOINT fast path —
+      // the common case every lakehouse optimizes: a version conflict
+      // WITHOUT a row conflict rebases the already-computed write set
+      // (re-stamp at the new version) with NO re-read and NO
+      // re-execution. Sound because disjoint writes commute: v5 touched
+      // none of D's input rows, so re-executing D on v5 would produce
+      // byte-identical output (the MaintenanceSpec law asserts exactly
+      // that equality).
+      val files4 = readLog(dir)
+      val parent4 = files4.map(_._1).max // 4 — C and D both snapshot here
+      val snap4 = timeTravelAsOf(s, files4.map(_._2))
+        .localCheckpoint() // C, D, and the overlap probe read it
+      attempts += 1
+      require(tryCommit(s, dir, parent4, occWriterC(snap4)
+          .select($"k", $"status", $"cents",
+            lit(parent4 + 1).as("version"), lit("upsert").as("op"))),
+        "writer C raced nobody and must land v5")
+      attempts += 1
+      val staleD = occWriterD(snap4)
+      var rebases = 0L
+      if (!tryCommit(s, dir, parent4, staleD
+          .select($"k", $"status", $"cents",
+            lit(parent4 + 1).as("version"), lit("upsert").as("op")))) {
+        conflicts += 1
+        // adjudicate against ONLY the raced commit's keys (∝ |write set|)
+        val dOverlap = staleD.select($"k")
+          .join(occWriterC(snap4).select($"k"), Seq("k"), "left_semi")
+          .count()
+        attempts += 1
+        if (dOverlap == 0L) {
+          // fast path: the SAME rows, re-stamped — no snapshot re-read
+          rebases += 1
+          require(tryCommit(s, dir, parent4 + 1, staleD
+              .select($"k", $"status", $"cents",
+                lit(parent4 + 2).as("version"), lit("upsert").as("op"))),
+            "writer D's rebase raced nobody and must land v6")
+        } else {
+          // row conflict: the B path — re-execute on the current head
+          val headFiles = readLog(dir)
+          require(tryCommit(s, dir, parent4 + 1,
+            occWriterD(timeTravelAsOf(s, headFiles.map(_._2)))
+              .select($"k", $"status", $"cents",
+                lit(parent4 + 2).as("version"), lit("upsert").as("op"))))
+        }
+      }
+      Seq((attempts, conflicts, overlap, rebases))
+        .toDF("n_attempts", "n_conflicts", "n_overlap_keys", "n_rebases")
         .write.mode("overwrite").parquet(s"$dir/meta")
       graft.core.SessionArtifacts.resetDir(s, dirKey, dir)
       s.conf.set(srcKey, d)
@@ -1025,7 +1098,7 @@ object Maintenance {
     val dir = s.conf.get(dirKey)
     val files = readLog(dir)
     val meta = s.read.parquet(s"$dir/meta")
-    (2L to 4L).map { v =>
+    (2L to 6L).map { v =>
       timeTravelAsOf(s, files.filter(_._1 <= v).map(_._2))
         .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
         .select(lit(v).as("version"), col("n_rows"), col("sum_cents"))
@@ -1087,20 +1160,33 @@ object Maintenance {
         SELECT k, status,
                cents + CASE WHEN k % 3 = 1 THEN 30 ELSE 0 END AS cents
         FROM v3),
+      v5 AS (
+        SELECT k, status,
+               cents + CASE WHEN k % 13 = 2 THEN 110 ELSE 0 END AS cents
+        FROM v4),
+      v6 AS (
+        SELECT k, status,
+               cents + CASE WHEN k % 13 = 7 THEN 50 ELSE 0 END AS cents
+        FROM v5),
       meta AS (
-        SELECT CAST(3 AS BIGINT) AS n_attempts,
-               CAST(1 AS BIGINT) AS n_conflicts,
+        SELECT CAST(6 AS BIGINT) AS n_attempts,
+               CAST(2 AS BIGINT) AS n_conflicts,
                (SELECT count(*) FROM v2 WHERE k % 11 = 5 AND k % 3 = 1)
-                 AS n_overlap_keys)
+                 AS n_overlap_keys,
+               CAST(1 AS BIGINT) AS n_rebases)
       SELECT v.version, v.n_rows, v.sum_cents,
-             m.n_attempts, m.n_conflicts, m.n_overlap_keys
+             m.n_attempts, m.n_conflicts, m.n_overlap_keys, m.n_rebases
       FROM (
         SELECT CAST(2 AS BIGINT) AS version, count(*) AS n_rows,
                CAST(sum(cents) AS BIGINT) AS sum_cents FROM v2
         UNION ALL
         SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM v3
         UNION ALL
-        SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM v4) v
+        SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM v4
+        UNION ALL
+        SELECT 5, count(*), CAST(sum(cents) AS BIGINT) FROM v5
+        UNION ALL
+        SELECT 6, count(*), CAST(sum(cents) AS BIGINT) FROM v6) v
       CROSS JOIN meta m""",
     // post-vacuum reads at/above the horizon must equal the analytic
     // recompute — checkpoint, log rewrite, and file deletion invisible

@@ -279,18 +279,21 @@ class MaintenanceSpec extends SparkSpec {
     "retry closes the lost-update gap, and the final state is serial") {
     import org.apache.spark.sql.functions._
     val rows = Maintenance.concurrentWriters(spark, sf).collect()
-    // protocol counters: 3 attempts (A, B-stale, B-retry), exactly 1
-    // conflict, and a NONEMPTY row overlap — the conflict was real
-    assert(rows.forall(r => r.getLong(3) == 3L && r.getLong(4) == 1L))
+    // protocol counters: 6 attempts (A, B-stale, B-retry, C, D-stale,
+    // D-rebase), exactly 2 conflicts (one row conflict, one
+    // version-only), 1 fast-path rebase, and a NONEMPTY row overlap on
+    // the B race — that conflict was real
+    assert(rows.forall(r => r.getLong(3) == 6L && r.getLong(4) == 2L
+      && r.getLong(6) == 1L))
     val overlap = rows.head.getLong(5)
     assert(overlap > 0L, "premise broke: writer write-sets no longer overlap")
     val byV = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(byV.keySet == Set(2L, 3L, 4L))
+    assert(byV.keySet == Set(2L, 3L, 4L, 5L, 6L))
     val dir = spark.conf.get("spark.graft.occ.dir")
-    // no orphans from the loser: the log holds exactly v0..v4 once each,
-    // and every commit file it names exists
+    // no orphans from either loser: the log holds exactly v0..v6 once
+    // each, and every commit file it names exists
     val log = Maintenance.readLog(dir)
-    assert(log.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(log.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L))
     log.foreach { case (_, f) =>
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f)), f) }
     // the lost update, quantified: B's STALE rows (computed from the v2
@@ -306,13 +309,32 @@ class MaintenanceSpec extends SparkSpec {
       .where(col("v4_cents") =!= col("stale_cents"))
     assert(diff.count() == overlap, "divergence must be exactly the overlap")
     assert(diff.where(col("v4_cents") - col("stale_cents") =!= 70L).count() == 0L)
-    // serializability: merge-on-read over all five commits equals A then
-    // B applied sequentially to the as-of-2 state, row-level
+    // rung-6 fast-path soundness (round 15): D's v6 commit was the
+    // REBASE — rows computed from the v4 snapshot, re-stamped without
+    // re-execution. Disjoint writes commute, so re-executing D against
+    // the v5 head must produce byte-identical rows; assert it.
+    val snap5 = Maintenance.timeTravelAsOf(spark, files(5L))
+    val reexec = Maintenance.occWriterD(snap5)
+      .select(col("k"), col("status"), col("cents"))
+    val rebased = spark.read.parquet(s"$dir/v6")
+      .select(col("k"), col("status"), col("cents"))
+    assert(rebased.exceptAll(reexec).isEmpty && reexec.exceptAll(rebased).isEmpty,
+      "fast-path rebase diverged from re-execution on a disjoint race")
+    // and the disjointness premise itself: D's write set ∩ C's = ∅
+    assert(rebased.join(
+      Maintenance.occWriterC(Maintenance.timeTravelAsOf(spark, files(4L)))
+        .select(col("k")), Seq("k"), "left_semi").count() == 0L)
+    // serializability: merge-on-read over all seven commits equals
+    // A, B, C, D applied sequentially to the as-of-2 state, row-level
     val serial = snap2.withColumn("cents",
         col("cents") + when(col("k") % 11 === 5, 70L).otherwise(0L))
       .withColumn("cents",
         col("cents") + when(col("k") % 3 === 1, 30L).otherwise(0L))
-    val finalState = Maintenance.timeTravelAsOf(spark, files(4L))
+      .withColumn("cents",
+        col("cents") + when(col("k") % 13 === 2, 110L).otherwise(0L))
+      .withColumn("cents",
+        col("cents") + when(col("k") % 13 === 7, 50L).otherwise(0L))
+    val finalState = Maintenance.timeTravelAsOf(spark, files(6L))
     assert(finalState.exceptAll(serial).isEmpty && serial.exceptAll(finalState).isEmpty)
   }
 
