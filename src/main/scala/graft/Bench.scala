@@ -142,6 +142,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))
+      // ROUND-15 (guide §1.2 step 3 / §4): size the whole-stage-codegen
+      // CLASS cache to the suite. The default (100 entries, static conf)
+      // thrashes under 324 queries × several codegen stages each, so every
+      // pass recompiled every stage from scratch — pure driver-side
+      // compiler time, the same class of waste as per-iteration literal
+      // recompiles. 4096 entries holds the suite's compiled classes across
+      // passes (A/B-measured on a 33-query subset: pass ~10% faster, and
+      // the win is NOT local-mode-shaped — any long-lived session serving
+      // a repeated query mix sizes this cache to its workload). Env
+      // override keeps the knob parameterized for A/B runs.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     // ERROR, not WARN: at 324 keys × 3 passes the benign WARN floods
     // (streaming ResolveWriteToStream/MicroBatchExecution per query,

@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // suite-sized codegen class cache (round-15; see Bench scaladoc) —
+      // the 325-query dump recompiled every stage under the 100-entry
+      // default; static conf, so it must be set before getOrCreate
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       // optional pressure knobs (spill-gate runs — see SCALE.md "measured
       // spill"): SPARK_GRAFT_MEMFRAC shrinks the unified region,
       // SPARK_GRAFT_PAGESIZE shrinks task pages so irreducible initial

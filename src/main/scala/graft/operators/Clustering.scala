@@ -265,7 +265,14 @@ object Clustering {
     for (_ <- 1 to PcaIters) {
       // s = <x, v> projected ONCE per row (inlining it into all 64 sum
       // terms would square the codegen expression tree — the measured
-      // K×dim compile blowup), then w_j = Σ x_j·s as decimal sums
+      // K×dim compile blowup), then w_j = Σ x_j·s as decimal sums.
+      // ROUND-15 note: the per-iteration literals DO change the generated
+      // source each iteration (PcaIters fresh codegen units per pass) —
+      // a broadcast-array-frame rewrite was tried and MEASURED SLOWER
+      // (3.1 → 8.0 s: zip_with/aggregate are CodegenFallback, and the
+      // broadcast adds a job per iteration); the suite-sized codegen
+      // class cache (Bench scaladoc) instead makes the 12 compiled units
+      // persist across passes, which was the actual waste.
       val sCol = (0 until PcaDim).map(j => $"e"(j) * lit(v(j).toLong)).reduce(_ + _)
       val row = q.withColumn("sc", sCol)
         .select((0 until PcaDim).map(j =>

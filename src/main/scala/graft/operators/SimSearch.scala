@@ -733,8 +733,14 @@ object SimSearch {
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
     // dedup (q, n) then per-query top-width — the distributed topBeam
     // (max(cos) is a no-op on duplicates: cosine is deterministic, both
-    // copies carry the same score)
+    // copies carry the same score). ROUND-15 (guide §2.4 "two operations
+    // keyed the same way share one exchange"): pre-partition by q_id
+    // ALONE — HashPartitioning(q_id) satisfies both the (q_id, n_id)
+    // aggregate's clustered distribution AND the window's, so the round
+    // pays ONE exchange where groupBy(q_id, n_id) followed by the
+    // q_id-window previously planned two (plan-pinned in PlanShapeSpec).
     def topBeam(cand: DataFrame, width: Int): DataFrame = cand
+      .repartition($"q_id")
       .groupBy($"q_id", $"n_id").agg(max($"cos").as("cos"))
       .withColumn("rk", row_number().over(w)).where($"rk" <= width)
       .select($"q_id", $"n_id", $"cos")
@@ -951,11 +957,18 @@ object SimSearch {
     // parquet partition through the broadcast join (the knnGraph
     // single-task lesson, SCALE.md "Repartition-pin re-records"): pin
     // the streamed side's parallelism with a slim explicit exchange —
-    // measured at the sf1 decade, 121 → ~20 s for the counts pass
+    // measured at the sf1 decade, 121 → ~20 s for the counts pass.
+    // ROUND-15 (guide §2.5/§2.2): the pin is CLUSTER-derived
+    // (defaultParallelism), not the constant 128 — a fixed fan-out
+    // overpays task overhead below it and underparallelizes above it —
+    // and it hashes the raw high-cardinality vec_id instead of a
+    // pmod-synthesized key with exactly P distinct values (the guide's
+    // hash-collision skew trap: P values into P partitions leaves some
+    // partitions with 2-3 keys and others empty).
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
     val exactIns = e.where(vb < 90)
       .select($"vec_id", $"embedding")
-      .repartition(128, pmod($"vec_id", lit(128L)))
+      .repartition(s.sparkContext.defaultParallelism, $"vec_id")
       .join(broadcast(delta))
       .select($"q_id", $"vec_id".as("n_id"),
         VectorFunctions.cosine($"q_emb", $"embedding").as("cos"))

@@ -399,9 +399,15 @@ object TextAnalysis {
       // fixed-width rows beats recomputing the substr+hash explode
       // (measured 6.4 vs 8.7 s at sf0.1 — generation, not I/O, dominates)
       .localCheckpoint(eager = false)
+    // "window hash seen in ≥ 2 DISTINCT docs" ⇔ min(doc_id) ≠ max(doc_id):
+    // same hot set, but min/max is one map-side-combinable aggregate with
+    // ONE exchange by h, where countDistinct planned the two-phase distinct
+    // (an extra full exchange of the positional set — guide §2.3/§2.4;
+    // ~4% at sf0.1 where generation dominates, but the removed exchange
+    // carries the op's dominant shuffle at corpus scale)
     val hotH = occH.groupBy($"h")
-      .agg(countDistinct($"doc_id").as("hdf"))
-      .where($"hdf" >= 2).select($"h")
+      .agg(min($"doc_id").as("dlo"), max($"doc_id").as("dhi"))
+      .where($"dlo" =!= $"dhi").select($"h")
     // stage 2: exact strings for CANDIDATE positions only
     val cand = occH.join(hotH, Seq("h"), "left_semi")
       .join(base, Seq("doc_id"))

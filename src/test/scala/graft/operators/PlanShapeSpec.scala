@@ -977,4 +977,30 @@ class PlanShapeSpec extends SparkSpec {
       "the verify must run the codegen FloatVecDot kernel\n" + p)
   }
 
+  test("graph-ANN distributed topBeam (dedup + per-query trim) shares one exchange") {
+    // round-15 (guide §2.4): repartition by q_id ALONE seeds a
+    // HashPartitioning(q_id) that satisfies BOTH the (q_id, n_id) dedup
+    // aggregate's clustered distribution and the q_id window's — one
+    // exchange per beam round where groupBy(q_id, n_id) followed by the
+    // window planned two. This pins the Spark planning property
+    // graphAnnSearchDistributed's topBeam relies on (same shape inline:
+    // the search core is round-checkpointed, so its own executed plan
+    // only shows the last round).
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val cand = Seq((1L, 2L, 0.5), (1L, 2L, 0.5), (1L, 3L, 0.4), (2L, 3L, 0.9))
+      .toDF("q_id", "n_id", "cos")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+    val df = cand.repartition($"q_id")
+      .groupBy($"q_id", $"n_id").agg(max($"cos").as("cos"))
+      .withColumn("rk", row_number().over(w)).where($"rk" <= 2)
+      .select($"q_id", $"n_id", $"cos")
+    assert(df.collect().length === 3) // (1,2) deduped, all within beam 2
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"dedup agg + window must share the q_id exchange, got $exchanges\n$p")
+  }
+
 }
